@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Merge, Reads}
+import graft.tables.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry;
+  * SQL-expressible ones also have an `oracleSql` entry (DuckDB
+  * dialect) over the same parquet tables. Conventions that keep the
+  * driver's hash-compare stable:
+  *  - every query ends in a deterministic ORDER BY on a unique key;
+  *  - every computed column is aliased identically on both sides;
+  *  - float aggregates go through exact DECIMAL then CAST to DOUBLE
+  *    (see [[graft.operators.Analytics]]);
+  *  - timestamps are TIMESTAMP_NTZ end-to-end (session TZ = UTC).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Reads.page(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "event_id", 20, 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.3 reads ------------------------------------------------
+    "r1_activity_by_id" -> ((s, d) =>
+      Reads.byKey(Tables.events(s, d), "event_id", 42L)),
+    "r2_latest_activities" -> ((s, d) =>
+      Reads.latest(Tables.events(s, d), "ts", "event_id", 20)),
+    "r3_activities_page" -> ((s, d) =>
+      Reads.page(Tables.events(s, d), "ts", "event_id", 20, 10)),
+    "r4_user_by_id" -> ((s, d) =>
+      Reads.byKey(Tables.customer(s, d), "c_custkey", 7L)),
+    "r5_user_by_username" -> ((s, d) =>
+      Reads.byColumn(Tables.customer(s, d), "c_name", lit("Customer#000000007"))),
+    "r6_users_by_nation" -> ((s, d) =>
+      Reads.byColumn(Tables.customer(s, d), "c_nationkey", lit(7))
+        .orderBy(col("c_custkey"))),
+    "r8_valid_keys" -> ((s, d) =>
+      Reads.valid(Tables.events(s, d),
+          col("event_type") === "signup", col("ts"),
+          to_timestamp_ntz(lit("2024-01-15 00:00:00")))
+        .orderBy(col("event_id"))),
+    "r10_keys_for_user" -> ((s, d) =>
+      Reads.byColumn(Tables.events(s, d), "user_id", lit(7L))
+        .orderBy(col("event_id"))),
+    "sync_incremental" -> ((s, d) =>
+      Reads.since(Tables.events(s, d), "ts",
+          to_timestamp_ntz(lit("2024-01-20 00:00:00")))
+        .orderBy(col("event_id"))),
+
+    // ---- §2.4 join -------------------------------------------------
+    "join_dashboard" -> ((s, d) => {
+      val users = Tables.customer(s, d).filter(col("c_custkey") < 50)
+      val keys  = Tables.orders(s, d).filter(col("o_custkey") < 50)
+      Reads.dashboard(users, keys, "c_custkey", "o_custkey")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- §2.2 point writes (merge kernel) --------------------------
+    "a1_upsert_activities" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val updates = ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("ts", expr("ts + INTERVAL 1 DAY"))
+      Merge.upsert(ev, updates, Seq("event_id")).orderBy(col("event_id"))
+    }),
+    "a2_update_activity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val updates = ev.filter(col("event_id") < 3)
+        .withColumn("value", col("value") + 10)
+        .withColumn("ts", expr("ts + INTERVAL 1 HOUR"))
+      Merge.update(ev, updates, Seq("event_id")).orderBy(col("event_id"))
+    }),
+    "a3_delete_activity" -> ((s, d) =>
+      Merge.delete(Tables.events(s, d), col("event_id") === 42L)
+        .orderBy(col("event_id"))),
+    "u1_create_user" -> ((s, d) => {
+      val row = s.range(1).select(
+        lit(999999L).as("c_custkey"), lit("newuser").as("c_name"),
+        lit(0).as("c_nationkey"), lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+      Merge.append(Tables.customer(s, d), row).orderBy(col("c_custkey"))
+    }),
+    "u3_partial_update_user" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val upd = c.filter(col("c_custkey") === 7L)
+        .select(col("c_custkey"), lit("updateduser").as("c_name"))
+      Merge.partialUpdate(c, upd, Seq("c_custkey")).orderBy(col("c_custkey"))
+    }),
+    "k4_associate_key" -> ((s, d) =>
+      Merge.setWhere(Tables.events(s, d), col("event_id") === 42L, "user_id", lit(9999L))
+        .orderBy(col("event_id"))),
+
+    // ---- §2.6 / ingest normalization -------------------------------
+    "json_normalize" -> ((s, d) => Analytics.normalizeProps(Tables.events(s, d))),
+
+    // ---- analytics (engine extensions; SURVEY §7.2 step 7c brings
+    //      aggregation/window/join coverage) -------------------------
+    "q1_pricing_summary" -> ((s, d) =>
+      Analytics.pricingSummary(Tables.lineitem(s, d), "1998-09-02 00:00:00")),
+    "q3_top_orders" -> ((s, d) =>
+      Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
+    "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
+    "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),
+    "top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables.events(s, d), 3)),
+    "user_activity_rollup" -> ((s, d) =>
+      Analytics.userActivityRollup(Tables.customer(s, d), Tables.events(s, d))),
+    "running_user_total" -> ((s, d) => Analytics.runningUserTotal(Tables.events(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "r1_activity_by_id" ->
+      "SELECT * FROM events WHERE event_id = 42",
+    "r2_latest_activities" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20",
+    "r3_activities_page" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10",
+    "r4_user_by_id" ->
+      "SELECT * FROM customer WHERE c_custkey = 7",
+    "r5_user_by_username" ->
+      "SELECT * FROM customer WHERE c_name = 'Customer#000000007'",
+    "r6_users_by_nation" ->
+      "SELECT * FROM customer WHERE c_nationkey = 7 ORDER BY c_custkey",
+    "r8_valid_keys" ->
+      "SELECT * FROM events WHERE event_type = 'signup' AND (ts IS NULL OR ts > TIMESTAMP '2024-01-15 00:00:00') ORDER BY event_id",
+    "r10_keys_for_user" ->
+      "SELECT * FROM events WHERE user_id = 7 ORDER BY event_id",
+    "sync_incremental" ->
+      "SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
+    "join_dashboard" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+         FROM (SELECT * FROM customer WHERE c_custkey < 50) c
+         LEFT JOIN (SELECT * FROM orders WHERE o_custkey < 50) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""",
+    "a1_upsert_activities" ->
+      """WITH updates AS (
+           SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id, event_type,
+                  value + 1000 AS value, props
+           FROM events WHERE event_id % 100 = 0),
+         unioned AS (
+           SELECT *, 1 AS pri FROM updates
+           UNION ALL
+           SELECT *, 0 AS pri FROM events)
+         SELECT event_id, ts, user_id, event_type, value, props
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY pri DESC) AS rn
+               FROM unioned)
+         WHERE rn = 1 ORDER BY event_id""",
+    "a2_update_activity" ->
+      """SELECT event_id,
+                CASE WHEN event_id < 3 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts,
+                user_id, event_type,
+                CASE WHEN event_id < 3 THEN value + 10 ELSE value END AS value,
+                props
+         FROM events ORDER BY event_id""",
+    "a3_delete_activity" ->
+      "SELECT * FROM events WHERE event_id <> 42 ORDER BY event_id",
+    "u1_create_user" ->
+      """SELECT * FROM customer
+         UNION ALL
+         SELECT 999999, 'newuser', 0, 0.0, 'BUILDING'
+         ORDER BY c_custkey""",
+    "u3_partial_update_user" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey = 7 THEN 'updateduser' ELSE c_name END AS c_name,
+                c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "k4_associate_key" ->
+      """SELECT event_id, ts,
+                CASE WHEN event_id = 42 THEN 9999 ELSE user_id END AS user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
+    "json_normalize" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_orders" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         GROUP BY o.o_orderkey, o.o_orderdate
+         ORDER BY revenue DESC, o.o_orderkey
+         LIMIT 10""",
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY hour""",
+    "event_type_breakdown" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "top_events_per_user" ->
+      """SELECT user_id, event_id, ts, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+               FROM events)
+         WHERE rn <= 3
+         ORDER BY user_id, value DESC, event_id""",
+    "user_activity_rollup" ->
+      """SELECT c.c_custkey, c.c_name,
+                COALESCE(a.n_events, 0) AS n_events,
+                a.total_value, a.first_ts, a.last_ts
+         FROM customer c
+         LEFT JOIN (SELECT user_id, count(*) AS n_events,
+                           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+                           min(ts) AS first_ts, max(ts) AS last_ts
+                    FROM events GROUP BY user_id) a
+           ON c.c_custkey = a.user_id
+         ORDER BY c.c_custkey""",
+    "running_user_total" ->
+      """SELECT event_id, user_id, ts, value,
+                CAST(sum(CAST(value AS DECIMAL(12,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         FROM events ORDER BY user_id, ts, event_id""",
+  )
 }

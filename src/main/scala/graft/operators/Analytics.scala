@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation / join / window analytics. The reference itself has no
+  * SQL aggregations (SURVEY §2.5 — Postgres supplied them on demand);
+  * these are the engine-side analytics a consumer of the same data
+  * runs, expressed as declarative plans so Catalyst gives partial
+  * (map-side) aggregation, pushed filters, and AQE-planned joins.
+  *
+  * Determinism convention for the DuckDB oracle: monetary/float sums
+  * are computed in exact DECIMAL and only cast to DOUBLE at the end,
+  * so Spark's and DuckDB's different summation orders cannot diverge
+  * in the last ulp. Averages are `CAST(decimal_sum AS DOUBLE) / count`
+  * on both sides for the same reason.
+  */
+object Analytics {
+
+  /** Exact-decimal views of a double column (money / quantity).
+    * Widths are deliberately small (12,2 / 6,4) so that chained
+    * products never exceed precision 38 — Spark and DuckDB apply
+    * *different* scale-truncation rules on decimal overflow, which
+    * would re-introduce the float divergence this scheme exists to
+    * kill.
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
+  /** `1 ± x` with a narrow integer-literal decimal — a plain `lit(1)`
+    * promotes to DECIMAL(10,0) and the chained products in sum_charge
+    * then exceed precision 38, forcing lossy scale truncation.
+    */
+  private val one = lit(1).cast(DecimalType(2, 0))
+  private def oneMinus(c: Column): Column = one - c
+  private def onePlus(c: Column): Column  = one + c
+  /** Order-independent exact sum surfaced as double. The sum is first
+    * rounded to scale 2: a high-scale decimal (product terms reach
+    * scale 10) has an unscaled value beyond 2^53, where DuckDB's
+    * int128/10^s double conversion double-rounds while the JVM's
+    * BigDecimal.doubleValue rounds once — a 1-ulp oracle mismatch. At
+    * scale 2 the unscaled value fits a double exactly and both engines
+    * produce the identical correctly-rounded result.
+    */
+  private def dsum(c: Column): Column =
+    sum(c).cast(DecimalType(28, 2)).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: one pass, grouped
+    * partial aggregation; the ship-date filter pushes to the scan.
+    */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame = {
+    val ep   = dec2(col("l_extendedprice"))
+    val disc = dec4(col("l_discount"))
+    val tax  = dec4(col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit(shipBefore)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(dec2(col("l_quantity"))).as("sum_qty"),
+        dsum(ep).as("sum_base_price"),
+        dsum(ep * oneMinus(disc)).as("sum_disc_price"),
+        dsum(ep * oneMinus(disc) * onePlus(tax)).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-shaped top revenue orders: filtered dim broadcast into
+    * orders⋈lineitem, grouped revenue, top-N. Both date filters push
+    * down; the final top-10 is a `TakeOrderedAndProject`, not a global
+    * sort.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String, cutoff: String, n: Int): DataFrame = {
+    val cut = to_timestamp_ntz(lit(cutoff))
+    val c = customer.filter(col("c_mktsegment") === segment)
+    val o = orders.filter(col("o_orderdate") < cut)
+    val l = lineitem.filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(dec2(col("l_extendedprice")) * oneMinus(dec4(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(n)
+  }
+
+  /** Hourly event rollup (time-bucketed aggregation over the fact
+    * stream — the batch shape of a streaming windowed agg).
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(dec2(col("value"))).as("sum_value"))
+      .orderBy(col("hour"))
+
+  /** Per-type breakdown with exact-decimal average. */
+  def eventTypeBreakdown(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Top-N events per user by value: partitioned window, no global
+    * sort; the row_number rank is dropped from the output (int-width
+    * differences between engines) — ordering carries the semantics.
+    */
+  def topEventsPerUser(events: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
+  /** Per-user activity rollup joined to the user dimension (users ⟕
+    * per-user aggregates). Aggregate first, then join — the join input
+    * is one row per user, not one per event.
+    */
+  def userActivityRollup(customer: DataFrame, events: DataFrame): DataFrame = {
+    val agg = events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      dsum(dec2(col("value"))).as("total_value"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"))
+    customer
+      .join(agg, col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("total_value"), col("first_ts"), col("last_ts"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Running per-user total over event time (cumulative window). */
+  def runningUserTotal(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sum(dec2(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** JSON property normalization (ingest-side schema-on-read, the
+    * `activityToMap` shape — reference `internal/strava/strava.go:86-100`):
+    * parse the `props` JSON string with an explicit schema.
+    */
+  def normalizeProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+}

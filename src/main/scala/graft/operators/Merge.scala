@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-mutation kernel: the Spark-native re-expression of the
+  * reference's point-write SQL (SURVEY.md §2.2).
+  *
+  * The reference mutates single Postgres rows (`INSERT … ON CONFLICT
+  * DO UPDATE` at `internal/db/activities.go:100-185`, keyed `UPDATE`s,
+  * `DELETE`s). An immutable-file engine expresses the same semantics
+  * as pure `DataFrame => DataFrame` transforms: build the post-image
+  * relation, then atomically swap/overwrite storage (or `MERGE INTO`
+  * under a table format — Delta/Iceberg — on a real deployment).
+  *
+  * Scale notes (100 TB):
+  *  - [[upsert]] costs exactly one hash-partition shuffle on the key —
+  *    the minimum possible for a keyed merge. With AQE on, skewed keys
+  *    are split automatically.
+  *  - `updates` is typically tiny vs `current` (a sync batch of ≤100
+  *    rows in the reference, `internal/strava/strava.go:54-58`); under
+  *    a table format that becomes a broadcast-probe merge that only
+  *    rewrites touched files. The relational semantics here are the
+  *    contract either way.
+  */
+object Merge {
+
+  private val PRI = "__graft_pri"
+  private val RN  = "__graft_rn"
+
+  /** Last-writer-wins upsert: `updates` wins over `current` on key
+    * collision; non-colliding rows from both sides survive.
+    * Re-expresses `INSERT … ON CONFLICT (id) DO UPDATE SET …`
+    * (reference `internal/db/activities.go:100-185` A1,
+    * `internal/strava/strava.go:156-193` U2,
+    * `internal/db/user_api_keys.go:111-133` K2).
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = current.columns.toSeq
+    val unioned = updates.select(cols.map(col): _*).withColumn(PRI, lit(1))
+      .unionByName(current.withColumn(PRI, lit(0)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(PRI).desc)
+    unioned.withColumn(RN, row_number().over(w))
+      .filter(col(RN) === 1)
+      .drop(PRI, RN)
+  }
+
+  /** Keyed full-row update: like [[upsert]] but rows of `updates`
+    * whose key is absent from `current` are dropped (UPDATE affects
+    * only existing rows — reference `internal/db/activities.go:216-245`
+    * A2, intended semantics per SURVEY §0.1 D8).
+    */
+  def update(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    upsert(current, updates.join(current.select(keys.map(col): _*), keys, "left_semi"), keys)
+
+  /** Partial (column-subset) update: `updates` carries the keys plus a
+    * subset of columns; unspecified columns keep their current value
+    * (`coalesce(new, old)`). Reference `internal/db/user.go:110-123` U3.
+    */
+  def partialUpdate(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val updCols = updates.columns.toSeq.filterNot(keys.contains)
+    val aliased = updates.select(
+      (keys.map(col) ++ updCols.map(c => col(c).as(s"__upd_$c"))): _*)
+    val joined = current.join(aliased, keys, "left")
+    val projected = current.columns.toSeq.map { c =>
+      if (updCols.contains(c)) coalesce(col(s"__upd_$c"), col(c)).as(c) else col(c)
+    }
+    joined.select(projected: _*)
+  }
+
+  /** Keyed delete. Reference `internal/db/activities.go:247-256` A3,
+    * `internal/db/user.go:125-137` U4, `user_api_keys.go:135-154` K3.
+    * (The K3 rows-affected check is `current.count - result.count`
+    * app-side.)
+    */
+  def delete(current: DataFrame, predicate: Column): DataFrame =
+    current.filter(!predicate)
+
+  /** Append (INSERT of new rows). Reference `internal/db/user.go:34-54`
+    * U1, `internal/db/user_api_keys.go:63-92` K1. Missing columns in
+    * `rows` become NULL (server-side defaults are the caller's job).
+    */
+  def append(current: DataFrame, rows: DataFrame): DataFrame =
+    current.unionByName(rows, allowMissingColumns = true)
+
+  /** Single-column conditional set: `SET colName = value WHERE pred`.
+    * Reference `internal/db/user_api_keys.go:161-172` K4
+    * (`UPDATE api_keys SET user_id=$1 WHERE key=$2`).
+    */
+  def setWhere(current: DataFrame, predicate: Column, colName: String, value: Column): DataFrame =
+    current.withColumn(colName, when(predicate, value).otherwise(col(colName)))
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark parquet result,
+run the matching oracle SQL in DuckDB over the sf tables, sort columns
+by name, sort rows, and compare values exactly. Prints PASS/FAIL per
+query with a diff preview on mismatch.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to ns-naive for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name == "oracle_sql.json":
+            continue
+        got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({len(got)} rows)")
+            n_skip += 1
+            continue
+        want = canon(con.sql(oracle[name]).df())
+        status, detail = None, ""
+        if list(got.columns) != list(want.columns):
+            status = "FAIL"
+            detail = f"columns spark={list(got.columns)} oracle={list(want.columns)}"
+        elif len(got) != len(want):
+            status = "FAIL"
+            detail = f"rows spark={len(got)} oracle={len(want)}"
+        else:
+            g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+            w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              check_exact=True)
+                status = "PASS"
+            except AssertionError as e:
+                status = "FAIL"
+                detail = str(e).splitlines()[0]
+                for c in g.columns:
+                    if not g[c].equals(w[c]):
+                        detail += f"; first col diff: {c}"
+                        mism = g[c] != w[c]
+                        detail += f" ({int(mism.sum())} cells)"
+                        ex = g[mism].head(2)[[c]].to_dict() , w[mism].head(2)[[c]].to_dict()
+                        detail += f" ex: {ex}"
+                        break
+        if status == "PASS":
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {detail[:500]}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
