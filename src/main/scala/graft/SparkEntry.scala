@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Merge, Reads}
+import graft.operators.{Analytics, Dedup, Merge, Reads, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -113,6 +113,42 @@ object SparkEntry {
     "user_activity_rollup" -> ((s, d) =>
       Analytics.userActivityRollup(Tables.customer(s, d), Tables.events(s, d))),
     "running_user_total" -> ((s, d) => Analytics.runningUserTotal(Tables.events(s, d))),
+
+    // ---- training-data extensions: dedup ---------------------------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy(col("doc_id"))),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+    "dedup_near" -> ((s, d) =>
+      Dedup.dedupNear(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+    "ngram_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+
+    // ---- training-data extensions: text analysis -------------------
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "fingerprint_md5" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+    "fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "doc_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
+
+    // ---- training-data extensions: similarity search ---------------
+    "ann_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +274,61 @@ object SparkEntry {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, ts, event_id""",
+    "dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+               FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "ngram_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 64) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         b AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s)
+         SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+                CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.sh, c.sh))) AS jaccard
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
+         ORDER BY doc_id_a, doc_id_b""",
+    "quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+                  CAST(length(text) AS DOUBLE) AS n_chars_d,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE) AS stops,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nows
+           FROM documents)
+         SELECT doc_id,
+                CAST(n_toks AS BIGINT) AS n_tokens,
+                punct / n_chars_d AS punct_ratio,
+                stops / n_toks AS stopword_ratio,
+                nows / n_toks AS mean_token_len,
+                0.4 * least(n_toks / 100.0, 1.0) + 0.3 * (stops / n_toks)
+                  + 0.2 * least((nows / n_toks) / 10.0, 1.0)
+                  + 0.1 * (1.0 - punct / n_chars_d) AS quality_score
+         FROM t ORDER BY doc_id""",
+    "token_counts" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "doc_stats_by_lang" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+                sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

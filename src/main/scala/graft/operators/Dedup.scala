@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication suite for the training-data pipeline extension:
+  * exact, MinHash+LSH, SimHash, and brute-force n-gram Jaccard.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact: one hash shuffle keyed on the duplicated column.
+  *  - MinHash: signatures and band keys are per-row codegen'd
+  *    expressions (no explode of shingles); only the *skinny*
+  *    (band_idx, band_key, doc_id) relation is exploded and shuffled,
+  *    then candidate pairs are verified with exact Jaccard. Cost is
+  *    O(corpus) + O(candidates), never O(n²).
+  *  - SimHash: 64 partial-aggregable bit sums per doc, then pigeonhole
+  *    banding on 16-bit chunks — hamming ≤ 3 guarantees a shared chunk.
+  *  - brute-force n-gram Jaccard: O(block²) within overlapping length
+  *    buckets; the correctness baseline the sketch methods are tested
+  *    against, not the scale path.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`keyCol` row per distinct `dupCol`.
+    * Spark-shape: single window shuffle partitioned by the value.
+    * (`dropDuplicates` would be nondeterministic about *which* row
+    * survives — unacceptable under a byte-level oracle.)
+    */
+  def exact(df: DataFrame, dupCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(dupCol)).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard ≥
+    * `threshold`.
+    *
+    * @param shingleK   words per shingle
+    * @param numHashes  signature length (bands * rowsPerBand)
+    * @param bands      LSH bands; P(candidate) = 1-(1-j^r)^b
+    */
+  def minhashPairs(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
+
+    // Stage 1: tokenize → shingle → base-hash, each in its own
+    // projection so every lambda body only touches materialized
+    // attributes (see the evaluation contract on
+    // [[TextFunctions.wordShingles]]). The trailing repartition is a
+    // deliberate exchange: everything below it is computed once and
+    // shared by BOTH sides of the candidate self-join and both verify
+    // joins via ReusedExchange.
+    val hashed = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), shingleK).as("shingles"))
+      .select(col("doc_id"), col("shingles"), shingleHashes(col("shingles")).as("sh_hashes"))
+      .repartition(col("doc_id"))
+
+    // Stage 2: seeded rehash of the long hashes — cheap per row.
+    val withSig = hashed.select(col("doc_id"), col("shingles"),
+      minhashBandKeys(col("sh_hashes"), bands, rowsPerBand).as("band_keys"))
+
+    // Skinny relation for the bucket self-join: ids + band keys only.
+    val buckets = withSig
+      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+
+    // Verify stage: re-join the shingle sets (same exchange, reused)
+    // and compute exact Jaccard.
+    val sa = hashed.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a"))
+    val sb = hashed.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(sa, "doc_id_a")
+      .join(sb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dedup'd corpus: drop every doc that is a near-duplicate
+    * (per [[minhashPairs]]) of a lower-id doc — deterministic
+    * keep-first policy.
+    */
+  def dedupNear(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+                bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val victims = minhashPairs(docs, shingleK, numHashes, bands, threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    docs.join(victims, Seq("doc_id"), "left_anti")
+  }
+
+  /** 64-bit SimHash per doc: bit i is the sign of the sum over
+    * distinct shingle features of ±1 according to bit i of the feature
+    * hash. Shingles (not unigrams) as features keep the sketch
+    * order-sensitive — with a small vocabulary, unigram bags collide
+    * for almost every doc pair. Computed as 64 partially-aggregable
+    * sums over the exploded feature relation — map-side combine keeps
+    * the shuffle at one row per doc.
+    */
+  def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), shingleK)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$i")
+    }
+    val assembled = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxDist` (< 4):
+    * pigeonhole banding on the four 16-bit chunks — any pair within
+    * distance 3 shares at least one exact chunk, so the self-join on
+    * (chunk_idx, chunk) finds all of them; `bit_count(xor)` verifies.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "chunk banding only guarantees recall for dist < 4")
+    val sh = simhash(docs)
+    val chunkExprs = (0 until 4).map(j =>
+      shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Brute-force n-gram Jaccard pairs within overlapping length
+    * blocks: each doc lands in its `n_chars/bucketWidth` bucket and
+    * the next one, so pairs whose lengths differ by < bucketWidth are
+    * always co-bucketed. The O(block²) baseline that validates the
+    * sketch methods.
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
+                        threshold: Double = 0.5, bucketWidth: Int = 64): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
+        wordShingles(col("toks"), shingleK).as("shingles"))
+    val bucketed = withSh.select(col("doc_id"), col("shingles"),
+      explode(array(col("bucket0"), col("bucket0") + 1)).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+}

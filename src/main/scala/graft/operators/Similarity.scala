@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the extension contract:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set, one codegen'd pass over the corpus, per-query top-k.
+  *    O(Q·N·d) compute, no candidate loss; the correctness baseline.
+  *  - [[lshTopK]] — signed-random-projection LSH: each vector lands in
+  *    a 2^planes-bucket; queries only score their own bucket.
+  *    Deterministic hyperplanes (fixed seed) keep it reproducible.
+  *    At 100 TB this turns a full corpus scan per query into a bucket
+  *    probe (~N/2^planes rows), trading recall for cost; the bucket
+  *    join shuffles on bucket id, with AQE handling hot buckets.
+  *
+  * All vector math is zip_with/aggregate over codegen'd expressions —
+  * no UDF serialization on the hot path.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    * `queries` must be small (it is broadcast); self-matches are
+    * excluded. Output: (query_id, vec_id, label, cosine), k rows per
+    * query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** Deterministic SRP hyperplanes: `planes` rows of `dim` components
+    * in [-1, 1], from a fixed-seed PRNG so buckets are reproducible
+    * across runs and engines.
+    */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** SRP bucket id: bit i = sign(v · plane_i). */
+  def srpBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val d = aggregate(zip_with(emb, planeLit, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: score only corpus vectors sharing the query's
+    * SRP bucket. Recall < 1 by design; increase `planes` for smaller
+    * buckets (faster, lower recall) or decrease for the reverse.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), hp))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .withColumn("bucket", srpBucket(col("query_emb"), hp))
+    val scored = bucketed.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions._
+import graft.functions.RollingHash.rolling_hash
+
+/** Text-analysis extension operators over the `documents` table:
+  * language ID, quality scoring, token counting, fingerprinting,
+  * per-language corpus stats. All composed from codegen'd built-ins
+  * (plus the native [[graft.functions.RollingHash]] expression) — one
+  * pass over the corpus, no shuffles except the final stats groupBy.
+  */
+object TextAnalysis {
+
+  /** Common-word stopword list used by quality scoring (tiny,
+    * embedded — a real deployment would broadcast a fuller list).
+    */
+  private val Stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  /** Character-bigram signature profiles per language for the n-gram
+    * language-ID heuristic. Deliberately small: the heuristic scores
+    * overlap between a doc's bigram set and each profile.
+    */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"),
+    "es" -> Seq("de", "la", "os", "en", "ar", "el", "es", "ra", "as", "on"),
+    "fr" -> Seq("es", "le", "de", "en", "on", "nt", "re", "ou", "ai", "it"),
+    "zh" -> Seq("zh", "sh", "ng", "ia", "uo", "ji", "xi", "qi", "an", "ua"))
+
+  /** Distinct character bigrams of the lowercased text. */
+  private def charBigrams(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 1, lit(1))),
+      i => lower(text).substr(i, lit(2))))
+
+  /** Language ID by bigram-profile overlap: score(lang) = |doc_bigrams
+    * ∩ profile| / |profile|; argmax via array_max over (score, lang)
+    * structs (deterministic — ties break on lang name). A heuristic,
+    * not a model; emitted with its confidence so downstream filters
+    * can threshold.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val bi = charBigrams(col("text"))
+    val scored = LangProfiles.map { case (lang, profile) =>
+      struct(
+        (size(array_intersect(bi, array(profile.map(lit): _*))).cast("double") /
+          lit(profile.size.toDouble)).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+        array_max(array(scored: _*)).as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("best.lang").as("predicted_lang"), col("best.score").as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * mean token length → a [0,1]-ish composite. Formula is fixed and
+    * mirrored exactly in the DuckDB oracle (integer counts cast to
+    * double, same operation order).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double")
+    val stops = size(filter(toks, t => array_contains(
+      array(Stopwords.map(lit): _*), t))).cast("double")
+    val punctRatio = punct / nChars
+    val stopRatio = stops / nToks
+    val meanTokLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nToks
+    val lengthScore = least(nToks / lit(100.0), lit(1.0))
+    val score = lit(0.4) * lengthScore + lit(0.3) * stopRatio +
+      lit(0.2) * least(meanTokLen / lit(10.0), lit(1.0)) +
+      lit(0.1) * (lit(1.0) - punctRatio)
+    docs.select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+        meanTokLen.as("mean_token_len"), score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digits / single non-space symbols — the shape of
+    * byte-pair pretokenization).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprints: whole-doc digest (md5), winnowing-style
+    * min rolling hash (native codegen'd expression), and a bottom-k
+    * shingle-hash sketch usable for containment estimation.
+    */
+  def fingerprints(docs: DataFrame, window: Int = 16, k: Int = 8): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), wordShingles(col("toks"), 3).as("shingles"))
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5"),
+        rolling_hash(col("text"), window).as("fp_rolling"),
+        slice(array_sort(transform(col("shingles"), s => xxhash64(s))), 1, k)
+          .as("fp_bottomk"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language corpus stats (the aggregation the reference never
+    * had — SURVEY §2.5): doc counts, exact char sums, token totals.
+    */
+  def statsByLang(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+}

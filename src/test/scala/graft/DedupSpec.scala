@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 near-identical (one word changed), 2 distinct, 3 == 0 exactly.
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private def docs = Seq(
+    (0L, base, "en", "s0", base.length.toLong),
+    (1L, base.replace("lazy", "sleepy"), "en", "s1", base.length.toLong),
+    (2L, "completely different words about spark catalyst plans and shuffles " * 4, "en", "s2", 200L),
+    (3L, base, "en", "s3", base.length.toLong)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps lowest id per text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() === 3)
+    assert(out.filter($"doc_id" === 3L).count() === 0) // dup of 0
+    assert(out.filter($"doc_id" === 0L).count() === 1)
+  }
+
+  test("minhash LSH finds planted near-dups and not the distinct doc") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup is also a near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("dedupNear keeps first of each near-dup cluster") {
+    val kept = Dedup.dedupNear(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(2L))
+    assert(!kept.contains(1L) && !kept.contains(3L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup pair strictly closer than the unrelated pair (absolute
+    // distances depend on how many distinct shingles the edit touches)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+    assert(hamming(sh(0L), sh(2L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard brute force agrees on the planted pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash on the real corpus finds the driver-planted dup pairs") {
+    val real = tables.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(real, threshold = 0.5)
+    // sf0.001 corpus: every planted pair has jaccard ≈ 0.97+, so LSH
+    // with 16 bands of 4 must catch all of them; spot-check shape.
+    val n = pairs.count()
+    assert(pairs.filter($"jaccard" < 0.5).count() === 0)
+    val brute = Dedup.ngramJaccardPairs(real, threshold = 0.5)
+    assert(n === brute.count()) // sketch recall == exact baseline here
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def current = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "value")
+
+  test("upsert: updates win on collision, new keys inserted, idempotent") {
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "name", "value")
+    val merged = Merge.upsert(current, updates, Seq("id"))
+    val rows = merged.orderBy($"id").as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // idempotence: merging the same updates again changes nothing
+    val again = Merge.upsert(merged, updates, Seq("id"))
+    assert(again.orderBy($"id").collect().toSeq === merged.orderBy($"id").collect().toSeq)
+  }
+
+  test("update: phantom keys are dropped (UPDATE only touches existing rows)") {
+    val updates = Seq((2L, "B", 99.0), (999L, "ghost", 0.0)).toDF("id", "name", "value")
+    val updated = Merge.update(current, updates, Seq("id"))
+    assert(updated.count() === 3)
+    assert(updated.filter($"id" === 999L).count() === 0)
+    assert(updated.filter($"id" === 2L).select("name").as[String].head() === "B")
+  }
+
+  test("partialUpdate: unspecified columns keep current values") {
+    val upd = Seq((2L, "renamed")).toDF("id", "name")
+    val out = Merge.partialUpdate(current, upd, Seq("id"))
+    val r2 = out.filter($"id" === 2L).as[(Long, String, Double)].head()
+    assert(r2 === ((2L, "renamed", 20.0)))
+    assert(out.filter($"id" === 1L).as[(Long, String, Double)].head() === ((1L, "a", 10.0)))
+  }
+
+  test("delete and rows-affected") {
+    val out = Merge.delete(current, $"id" === 2L)
+    assert(out.count() === 2)
+    assert(current.count() - out.count() === 1) // RowsAffected equivalent
+  }
+
+  test("append allows missing columns as nulls") {
+    val row = Seq((9L, "z")).toDF("id", "name")
+    val out = Merge.append(current, row)
+    assert(out.count() === 4)
+    assert(out.filter($"id" === 9L).select("value").head().isNullAt(0))
+  }
+
+  test("setWhere only touches matching rows") {
+    val out = Merge.setWhere(current, $"id" === 1L, "value", lit(-1.0))
+    assert(out.filter($"id" === 1L).select("value").as[Double].head() === -1.0)
+    assert(out.filter($"id" === 2L).select("value").as[Double].head() === 20.0)
+  }
+}
