@@ -285,7 +285,7 @@ object SparkEntry {
            FROM documents),
          s AS (
            SELECT doc_id,
-                  CAST(floor(n_chars / 64) AS BIGINT) AS bucket0,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh

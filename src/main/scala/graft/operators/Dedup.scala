@@ -62,9 +62,12 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), shingleHashes(col("shingles")).as("sh_hashes"))
       .repartition(col("doc_id"))
 
-    // Stage 2: seeded rehash of the long hashes — cheap per row.
+    // Stage 2: seeded rehash of the long hashes — native codegen'd
+    // expression, one flat loop per row (the HOF equivalent runs
+    // interpreted and dominates the whole operator's cost).
     val withSig = hashed.select(col("doc_id"), col("shingles"),
-      minhashBandKeys(col("sh_hashes"), bands, rowsPerBand).as("band_keys"))
+      graft.functions.MinHashBandKeys
+        .minhash_band_keys(col("sh_hashes"), bands, rowsPerBand).as("band_keys"))
 
     // Skinny relation for the bucket self-join: ids + band keys only.
     val buckets = withSig
@@ -155,19 +158,40 @@ object Dedup {
     * sketch methods.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
-                        threshold: Double = 0.5, bucketWidth: Int = 64): DataFrame = {
+                        threshold: Double = 0.5, bucketWidth: Int = 16): DataFrame = {
     val withSh = docs
       .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
         wordShingles(col("toks"), shingleK).as("shingles"))
-    val bucketed = withSh.select(col("doc_id"), col("shingles"),
+      // Jaccard over SORTED 64-bit shingle hashes, not strings:
+      // identical values (collisions vanishingly rare), and sorting
+      // once per doc lets the per-pair intersection be a native
+      // two-pointer merge (SortedIntersectCount) instead of a hash-set
+      // build per pair.
+      .select(col("doc_id"), col("bucket0"),
+        array_sort(shingleHashes(col("shingles"))).as("sh"))
+      .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
+    val bucketed = withSh.select(col("doc_id"), col("sh"), col("n_sh"),
       explode(array(col("bucket0"), col("bucket0") + 1)).as("bucket"))
+    // Size-ratio prune (lossless for the threshold): J(A,B) ≥ t needs
+    // |A| and |B| within a factor (1/t) of each other — drops most of
+    // the block² pairs before any set intersection.
+    val ratio = lit(1.0 / threshold)
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double")
     bucketed.as("a")
       .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= ratio * col("b.n_sh") &&
+          col("b.n_sh") <= ratio * col("a.n_sh"))
+      // |A∪B| = |A|+|B|-|A∩B| — array_union over every pair would
+      // double the per-pair set work for a number we already know.
+      // Two-stage projection so the intersection is evaluated once.
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+        inter.as("i"), (col("a.n_sh") + col("b.n_sh")).as("t"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("i") / (col("t") - col("i"))).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
   }

@@ -31,11 +31,15 @@ object TextAnalysis {
     "fr" -> Seq("es", "le", "de", "en", "on", "nt", "re", "ou", "ai", "it"),
     "zh" -> Seq("zh", "sh", "ng", "ia", "uo", "ji", "xi", "qi", "an", "ua"))
 
-  /** Distinct character bigrams of the lowercased text. */
-  private def charBigrams(text: Column): Column =
+  /** Distinct character bigrams of an already-lowercased *attribute*
+    * (same evaluation contract as [[graft.functions.TextFunctions
+    * .wordShingles]]: an inline `lower(text)` here would be re-lowered
+    * once per character position by the transform lambda).
+    */
+  private def charBigrams(lowered: Column): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 1, lit(1))),
-      i => lower(text).substr(i, lit(2))))
+      sequence(lit(1), greatest(length(lowered) - 1, lit(1))),
+      i => lowered.substr(i, lit(2))))
 
   /** Language ID by bigram-profile overlap: score(lang) = |doc_bigrams
     * ∩ profile| / |profile|; argmax via array_max over (score, lang)
@@ -44,15 +48,16 @@ object TextAnalysis {
     * can threshold.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val bi = charBigrams(col("text"))
     val scored = LangProfiles.map { case (lang, profile) =>
       struct(
-        (size(array_intersect(bi, array(profile.map(lit): _*))).cast("double") /
+        (size(array_intersect(col("bi"), array(profile.map(lit): _*))).cast("double") /
           lit(profile.size.toDouble)).as("score"),
         lit(lang).as("lang"))
     }
-    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-        array_max(array(scored: _*)).as("best"))
+    docs
+      .select(col("doc_id"), col("lang").as("labeled_lang"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), col("labeled_lang"), charBigrams(col("lt")).as("bi"))
+      .select(col("doc_id"), col("labeled_lang"), array_max(array(scored: _*)).as("best"))
       .select(col("doc_id"), col("labeled_lang"),
         col("best.lang").as("predicted_lang"), col("best.score").as("confidence"))
       .orderBy(col("doc_id"))
