@@ -96,6 +96,60 @@ object SparkEntry {
     "k4_associate_key" -> ((s, d) =>
       Merge.setWhere(Tables.events(s, d), col("event_id") === 42L, "user_id", lit(9999L))
         .orderBy(col("event_id"))),
+    "u2_save_athlete" -> ((s, d) => {
+      // saveAthlete upsert (strava.go:156-193): 10-col user upsert with
+      // epoch→timestamp conversion folded in; here the updated dim row
+      // carries a recomputed balance.
+      val c = Tables.customer(s, d)
+      val updates = c.filter(col("c_custkey") % 200 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.5)
+      Merge.upsert(c, updates, Seq("c_custkey")).orderBy(col("c_custkey"))
+    }),
+    "u4_delete_user" -> ((s, d) =>
+      Merge.delete(Tables.customer(s, d), col("c_custkey") === 7L)
+        .orderBy(col("c_custkey"))),
+    "k1_create_key" -> ((s, d) => {
+      // CreateAPIKey (user_api_keys.go:63-92): append with app-side
+      // RFC3339 expiry parse → to_timestamp_ntz.
+      val row = s.range(1).select(
+        lit(777777L).as("event_id"),
+        to_timestamp_ntz(lit("2024-02-01T12:30:00"),
+          lit("yyyy-MM-dd'T'HH:mm:ss")).as("ts"),
+        lit(42L).as("user_id"), lit("apikey").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      Merge.append(Tables.events(s, d), row).orderBy(col("event_id"))
+    }),
+    "k2_update_key" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val updates = ev.filter(col("event_id") === 42L)
+        .withColumn("ts", expr("ts + INTERVAL 2 HOURS"))
+        .withColumn("event_type", lit("rotated"))
+      Merge.update(ev, updates, Seq("event_id")).orderBy(col("event_id"))
+    }),
+    "k3_delete_key" -> ((s, d) =>
+      Merge.delete(Tables.events(s, d), col("event_id") === 999L)
+        .orderBy(col("event_id"))),
+    "r7_athlete_profile" -> ((s, d) =>
+      // Client.GetUserByID (strava.go:195-220): wide projection + point
+      // filter with dynamic-map decode ≙ DataFrame runtime schema.
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        .filter(col("c_custkey") === 11L)),
+    "r9_key_by_id" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .filter(col("event_id") === 77L)),
+    "scalar_exprs" -> ((s, d) =>
+      // §2.6 scalar parity: RFC3339 format, interval arithmetic, epoch
+      // extraction, "lat,lng" string ↔ array<double> round trip.
+      Tables.events(s, d).select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("rfc3339"),
+          expr("ts + INTERVAL 7 DAYS").as("ts_plus_7d"),
+          unix_micros(col("ts").cast("timestamp")).as("epoch_us"),
+          transform(split(concat_ws(",", col("value"), col("user_id")), ","),
+            x => x.cast("double")).as("latlng"))
+        .orderBy(col("event_id"))),
 
     // ---- §2.6 / ingest normalization -------------------------------
     "json_normalize" -> ((s, d) => Analytics.normalizeProps(Tables.events(s, d))),
@@ -217,6 +271,45 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "json_normalize" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+    "u2_save_athlete" ->
+      """WITH updates AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.5 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 200 = 0),
+         unioned AS (
+           SELECT *, 1 AS pri FROM updates
+           UNION ALL SELECT *, 0 AS pri FROM customer)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri DESC) AS rn
+               FROM unioned)
+         WHERE rn = 1 ORDER BY c_custkey""",
+    "u4_delete_user" ->
+      "SELECT * FROM customer WHERE c_custkey <> 7 ORDER BY c_custkey",
+    "k1_create_key" ->
+      """SELECT * FROM events
+         UNION ALL
+         SELECT 777777, strptime('2024-02-01T12:30:00', '%Y-%m-%dT%H:%M:%S'), 42, 'apikey', 1.0, '{}'
+         ORDER BY event_id""",
+    "k2_update_key" ->
+      """SELECT event_id,
+                CASE WHEN event_id = 42 THEN ts + INTERVAL 2 HOUR ELSE ts END AS ts,
+                user_id,
+                CASE WHEN event_id = 42 THEN 'rotated' ELSE event_type END AS event_type,
+                value, props
+         FROM events ORDER BY event_id""",
+    "k3_delete_key" ->
+      "SELECT * FROM events WHERE event_id <> 999 ORDER BY event_id",
+    "r7_athlete_profile" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer WHERE c_custkey = 11",
+    "r9_key_by_id" ->
+      "SELECT event_id, ts, user_id, event_type FROM events WHERE event_id = 77",
+    "scalar_exprs" ->
+      """SELECT event_id,
+                strftime(ts, '%Y-%m-%dT%H:%M:%S') AS rfc3339,
+                ts + INTERVAL 7 DAY AS ts_plus_7d,
+                epoch_us(ts) AS epoch_us,
+                list_transform(string_split(concat(value, ',', user_id), ','),
+                  x -> CAST(x AS DOUBLE)) AS latlng
+         FROM events ORDER BY event_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

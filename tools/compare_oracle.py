@@ -20,10 +20,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to ns-naive for comparison
     for c in df.columns:
+        # normalize timestamps to ns-naive for comparison
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        # arrays → tuples so rows are sortable/hashable
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                else (tuple(v) if isinstance(v, list) else v))
     return df.reset_index(drop=True)
 
 
