@@ -167,6 +167,40 @@ object SparkEntry {
     "user_activity_rollup" -> ((s, d) =>
       Analytics.userActivityRollup(Tables.customer(s, d), Tables.events(s, d))),
     "running_user_total" -> ((s, d) => Analytics.runningUserTotal(Tables.events(s, d))),
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      operators.AsOfJoin.asOf(clicks, signups, "user_id", "ts", Seq("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+    "set_ops" -> ((s, d) => {
+      // UNION / INTERSECT / EXCEPT over user-id sets per event type
+      val ev = Tables.events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      val u = users("click").union(users("view")).distinct()
+        .withColumn("op", lit("union"))
+      val i = users("click").intersect(users("purchase"))
+        .withColumn("op", lit("intersect"))
+      val e = users("signup").except(users("error"))
+        .withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e).orderBy(col("op"), col("user_id"))
+    }),
+    "rollup_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+    "distinct_users_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
 
     // ---- training-data extensions: dedup ---------------------------
     "dedup_exact" -> ((s, d) =>
@@ -367,6 +401,34 @@ object SparkEntry {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, ts, event_id""",
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.signup_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "set_ops" ->
+      """SELECT user_id, 'union' AS op FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            UNION SELECT user_id FROM events WHERE event_type = 'view')
+         UNION ALL
+         SELECT user_id, 'intersect' AS op FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT user_id, 'except' AS op FROM
+           (SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT SELECT user_id FROM events WHERE event_type = 'error')
+         ORDER BY op, user_id""",
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the most recent
+  * right row with `right.ts <= left.ts` on the same key — the
+  * time-series join a training pipeline uses to attach
+  * latest-known-state (features, labels, user profile versions) to
+  * events without leaking the future.
+  *
+  * Spark has no native ASOF JOIN; preference order from the build
+  * guide is (a) compose existing ops before (c) a custom
+  * LogicalPlan/Strategy. This IS expressible as composition with the
+  * right plan shape, so no custom node is warranted:
+  * union both sides tagged, one window over (key, ts) carrying the
+  * last non-null right payload forward, keep left rows. Cost: ONE
+  * hash-partition shuffle on the key + a per-partition sort — the
+  * same lower bound a dedicated sort-merge as-of exec would have.
+  * (A range/as-of join via inequality join would be O(n·m) nested
+  * loop in Spark — the window formulation avoids that cliff.)
+  *
+  * Ties (`left.ts == right.ts`) see the right row (the `side` column
+  * orders rights before lefts at equal timestamps), matching
+  * DuckDB/pandas `merge_asof` inclusive semantics.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns survive
+    * @param right     state side: key, ts, and `valueCols` payload
+    * @param key       equi-join key column name (both sides)
+    * @param ts        event-time column name (both sides)
+    * @param valueCols right payload columns to carry (null when no
+    *                  right row at or before the left row's ts)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           valueCols: Seq[String]): DataFrame = {
+    val side = "__graft_side"
+    val l = left.withColumn(side, lit(1))
+    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*).withColumn(side, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col(side) === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(side) === 1).drop(side)
+  }
+}

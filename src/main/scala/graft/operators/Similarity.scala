@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float vectors, accumulated in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Backed by the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (the equivalent zip_with/aggregate HOF chain evaluates
+    * interpreted — ~20× slower on the ANN hot path).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
     * `queries` must be small (it is broadcast); self-matches are

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful stream processing beyond the reference's needs (its sync
+  * loop is stateless upsert — SURVEY §2.7): event-time windowed
+  * aggregation with watermarking, and gap-based sessionization with
+  * explicit keyed state via `flatMapGroupsWithState`.
+  *
+  * Scale notes: both operators shuffle once on the grouping key and
+  * keep per-key state in the state store (RocksDB-backed on a real
+  * cluster); the watermark bounds state size — without it, windows/
+  * sessions for quiet keys would accumulate forever at 100 TB/day
+  * ingest rates.
+  */
+object Sessionize {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Event-time tumbling-window aggregation with a watermark: the
+    * streaming shape of `Analytics.eventsHourly`. Append mode — a
+    * window only emits once the watermark passes its end, so results
+    * are final.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: events for a user belong to one session
+    * while the gap between consecutive events stays under
+    * `gapMinutes`. Sessions are emitted when the gap elapses
+    * (event-time timeout driven by the watermark).
+    */
+  def sessions(spark: SparkSession, events: Dataset[Event],
+               gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def flush(uid: Long, st: SessionState): Session =
+      Session(uid, new Timestamp(st.start), new Timestamp(st.lastTs), st.n, st.total)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs <= gapMs =>
+                  cur = Some(st.copy(lastTs = math.max(st.lastTs, t),
+                    n = st.n + 1, total = st.total + e.value))
+                case Some(st) =>
+                  closed ::= flush(uid, st)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

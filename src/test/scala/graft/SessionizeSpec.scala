@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Event
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked hourly aggregation emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.hourlyCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 7, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:50:00"), 7, "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark beyond 11:00 so the 10:00 window finalizes
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 7, "click", 3.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM hourly").collect()
+    q.stop()
+    assert(out.exists(r => r.getAs[Long]("n") === 2L)) // 10:00 window, both events
+  }
+
+  test("gap sessionization: one session per burst, closed by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, in.toDS(), gapMinutes = 10, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // burst 1: 10:00-10:05 (3 events); burst 2: 10:40-10:42 (2 events)
+    in.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(3), 7, "view", 2.0),
+      Event(3, ts(5), 7, "click", 3.0),
+      Event(4, ts(40), 7, "click", 4.0),
+      Event(5, ts(42), 7, "view", 5.0))
+    q.processAllAvailable()
+    // push the watermark far ahead so the second session times out
+    in.addData(Event(6, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(7, Timestamp.valueOf("2024-01-01 15:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM sessions WHERE user_id = 7 ORDER BY session_start")
+      .as[(Long, Timestamp, Timestamp, Int, Double)].collect()
+    q.stop()
+    assert(out.length === 2)
+    assert(out(0) === ((7L, ts(0), ts(5), 3, 6.0)))
+    assert(out(1) === ((7L, ts(40), ts(42), 2, 9.0)))
+  }
+}
