@@ -49,6 +49,58 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nlist` centroids partitions the corpus into cells; each query
+    * scores only the `nprobe` cells whose centroids it is closest to.
+    *
+    * Centroids here are a deterministic sample of the corpus itself
+    * (every (N/nlist)-th vector by id) — one k-means refinement sweep
+    * would tighten the cells but sampling already gives the structure;
+    * determinism matters more than centroid quality for a verifiable
+    * engine op. Scale shape: centroid set is tiny and broadcast twice
+    * (corpus assignment + query probe); the corpus is scored ONCE per
+    * residing cell (an O(N·nlist/broadcast) assignment pass, then the
+    * probe join touches ~N·nprobe/nlist rows per query instead of N).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    val centroids = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+    // Assign every corpus vector to its nearest centroid (broadcast).
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+
+    // Each query probes its nprobe nearest cells.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("query_emb"), col("centroid_id"),
+        cosine(col("query_emb"), col("centroid")).as("qdist"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("query_emb"), col("centroid_id"))
+
+    val scored = assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Deterministic SRP hyperplanes: `planes` rows of `dim` components
     * in [-1, 1], from a fixed-seed PRNG so buckets are reproducible
     * across runs and engines.

@@ -44,4 +44,16 @@ class SimilaritySpec extends SparkSpec {
     // at least some overlap with the exact top-5
     assert((approx intersect exact).nonEmpty)
   }
+
+  test("ivf: probes return valid ranked neighbours with decent recall") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (qid, vid) => qid != vid })
+    assert((ivf intersect exact).nonEmpty)
+  }
 }
