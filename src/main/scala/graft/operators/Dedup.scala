@@ -49,25 +49,24 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
 
-    // Stage 1: tokenize → shingle → base-hash, each in its own
-    // projection so every lambda body only touches materialized
-    // attributes (see the evaluation contract on
-    // [[TextFunctions.wordShingles]]). The trailing repartition is a
-    // deliberate exchange: everything below it is computed once and
-    // shared by BOTH sides of the candidate self-join and both verify
-    // joins via ReusedExchange.
+    // Stage 1: one native pass per doc (tokenize → k-gram hash →
+    // sorted distinct set). The trailing repartition is a deliberate
+    // exchange: everything below it is computed once and shared by
+    // BOTH sides of the candidate self-join and both verify joins via
+    // ReusedExchange.
     val hashed = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), shingleK).as("shingles"))
-      .select(col("doc_id"), col("shingles"), shingleHashes(col("shingles")).as("sh_hashes"))
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
       .repartition(col("doc_id"))
 
     // Stage 2: seeded rehash of the long hashes — native codegen'd
     // expression, one flat loop per row (the HOF equivalent runs
     // interpreted and dominates the whole operator's cost).
-    val withSig = hashed.select(col("doc_id"), col("shingles"),
+    val withSig = hashed.select(col("doc_id"),
       graft.functions.MinHashBandKeys
-        .minhash_band_keys(col("sh_hashes"), bands, rowsPerBand).as("band_keys"))
+        .minhash_band_keys(col("sh"), bands, rowsPerBand).as("band_keys"))
 
     // Skinny relation for the bucket self-join: ids + band keys only.
     val buckets = withSig
@@ -81,15 +80,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
       .distinct()
 
-    // Verify stage: re-join the shingle sets (same exchange, reused)
-    // and compute exact Jaccard.
-    val sa = hashed.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a"))
-    val sb = hashed.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b"))
+    // Verify stage: re-join the sorted hash sets (same exchange,
+    // reused) and compute exact Jaccard via the native merge count.
+    val sa = hashed.select(col("doc_id").as("doc_id_a"),
+      col("sh").as("sh_a"), col("n_sh").as("n_a"))
+    val sb = hashed.select(col("doc_id").as("doc_id_b"),
+      col("sh").as("sh_b"), col("n_sh").as("n_b"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     candidates
       .join(sa, "doc_id_a")
       .join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        inter.as("i"), (col("n_a") + col("n_b")).as("t"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("i") / (col("t") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -114,9 +119,9 @@ object Dedup {
     */
   def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(wordShingles(col("toks"), shingleK)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK)).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$i")
     }
@@ -159,18 +164,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
                         threshold: Double = 0.5, bucketWidth: Int = 16): DataFrame = {
+    // Jaccard over sorted 64-bit shingle-hash sets (one native pass
+    // per doc): identical values to string-shingle Jaccard (collisions
+    // vanishingly rare), and the per-pair intersection is a native
+    // two-pointer merge (SortedIntersectCount) instead of a hash-set
+    // build per pair.
     val withSh = docs
-      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
-        wordShingles(col("toks"), shingleK).as("shingles"))
-      // Jaccard over SORTED 64-bit shingle hashes, not strings:
-      // identical values (collisions vanishingly rare), and sorting
-      // once per doc lets the per-pair intersection be a native
-      // two-pointer merge (SortedIntersectCount) instead of a hash-set
-      // build per pair.
-      .select(col("doc_id"), col("bucket0"),
-        array_sort(shingleHashes(col("shingles"))).as("sh"))
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
       .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
     val bucketed = withSh.select(col("doc_id"), col("sh"), col("n_sh"),
       explode(array(col("bucket0"), col("bucket0") + 1)).as("bucket"))

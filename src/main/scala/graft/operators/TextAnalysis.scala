@@ -48,15 +48,15 @@ object TextAnalysis {
     * can threshold.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = LangProfiles.map { case (lang, profile) =>
-      struct(
-        (size(array_intersect(col("bi"), array(profile.map(lit): _*))).cast("double") /
-          lit(profile.size.toDouble)).as("score"),
-        lit(lang).as("lang"))
+    // One native pass per row (see BigramProfileScores); then an
+    // argmax over (score, lang) structs — ties break on lang name.
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(col("scores"), i + 1).as("score"), lit(lang).as("lang"))
     }
     docs
-      .select(col("doc_id"), col("lang").as("labeled_lang"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), col("labeled_lang"), charBigrams(col("lt")).as("bi"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        graft.functions.BigramProfileScores
+          .bigram_profile_scores(col("text"), LangProfiles.map(_._2)).as("scores"))
       .select(col("doc_id"), col("labeled_lang"), array_max(array(scored: _*)).as("best"))
       .select(col("doc_id"), col("labeled_lang"),
         col("best.lang").as("predicted_lang"), col("best.score").as("confidence"))
@@ -105,13 +105,12 @@ object TextAnalysis {
     * shingle-hash sketch usable for containment estimation.
     */
   def fingerprints(docs: DataFrame, window: Int = 16, k: Int = 8): DataFrame =
-    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"), wordShingles(col("toks"), 3).as("shingles"))
-      .select(col("doc_id"),
+    docs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
         rolling_hash(col("text"), window).as("fp_rolling"),
-        slice(array_sort(transform(col("shingles"), s => xxhash64(s))), 1, k)
-          .as("fp_bottomk"))
+        // bottom-k of the sorted shingle-hash set = first k elements
+        slice(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), 3), 1, k).as("fp_bottomk"))
       .orderBy(col("doc_id"))
 
   /** Per-language corpus stats (the aggregation the reference never
