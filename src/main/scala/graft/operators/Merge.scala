@@ -26,8 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  private val PRI = "__graft_pri"
-  private val RN  = "__graft_rn"
+  private val RN = "__graft_rn"
 
   /** Last-writer-wins upsert: `updates` wins over `current` on key
     * collision; non-colliding rows from both sides survive.
@@ -35,15 +34,35 @@ object Merge {
     * (reference `internal/db/activities.go:100-185` A1,
     * `internal/strava/strava.go:156-193` U2,
     * `internal/db/user_api_keys.go:111-133` K2).
+    *
+    * Contract: `updates` is key-unique (one post-image per key — the
+    * reference upserts single rows; a multi-version batch goes through
+    * [[latestPerKey]] first, as the streaming ingest does).
+    *
+    * Plan shape: anti-join + union, NOT a row_number window — for the
+    * common case (small update batch vs huge store) the anti-join is
+    * a broadcast hash join, so the big side is never shuffled or
+    * sorted; a window LWW would shuffle the entire store on every
+    * merge. Equivalent output, orders of magnitude less data motion
+    * at 100 TB.
     */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = current.columns.toSeq
-    val unioned = updates.select(cols.map(col): _*).withColumn(PRI, lit(1))
-      .unionByName(current.withColumn(PRI, lit(0)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(PRI).desc)
-    unioned.withColumn(RN, row_number().over(w))
+    val survivors = current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    updates.select(cols.map(col): _*).unionByName(survivors)
+  }
+
+  /** Reduce a multi-version batch to its latest row per key by the
+    * `version` ordering column (window LWW — the shape [[upsert]]
+    * deliberately avoids for store-sized inputs, correct here because
+    * it runs on the small batch only).
+    */
+  def latestPerKey(batch: DataFrame, keys: Seq[String], version: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(version).desc_nulls_last)
+    batch.withColumn(RN, row_number().over(w))
       .filter(col(RN) === 1)
-      .drop(PRI, RN)
+      .drop(RN)
   }
 
   /** Keyed full-row update: like [[upsert]] but rows of `updates`

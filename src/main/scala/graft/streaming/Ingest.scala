@@ -88,12 +88,9 @@ object Ingest {
     fs.rename(tmp, store)
   }
 
-  /** Within-batch LWW: keep the latest `ts` per key. */
-  private def dedupeBatch(batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("ts").desc_nulls_last)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Within-batch LWW: keep the latest `ts` per key (window over the
+    * small batch only — see Merge.upsert's plan-shape note).
+    */
+  private def dedupeBatch(batch: DataFrame): DataFrame =
+    Merge.latestPerKey(batch, Seq("event_id"), "ts")
 }
