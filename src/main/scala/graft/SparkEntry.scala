@@ -201,6 +201,12 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
+    "pivot_hourly_types" -> ((s, d) =>
+      Analytics.hourlyTypePivot(Tables.events(s, d),
+        Seq("click", "error", "purchase", "signup", "view"))),
+    "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
+    "order_ranks" -> ((s, d) => Analytics.orderRanks(Tables.orders(s, d))),
+    "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
 
     // ---- training-data extensions: dedup ---------------------------
     "dedup_exact" -> ((s, d) =>
@@ -405,6 +411,32 @@ object SparkEntry {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, ts, event_id""",
+    "pivot_hourly_types" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS "view"
+         FROM events GROUP BY 1 ORDER BY hour""",
+    "event_gaps" ->
+      """SELECT event_id, user_id, ts,
+                epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+         FROM events ORDER BY user_id, ts, event_id""",
+    "order_ranks" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rnk, drnk
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                      rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                      dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+               FROM orders)
+         WHERE rnk <= 3
+         ORDER BY o_custkey, rnk, o_orderkey""",
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

@@ -149,6 +149,52 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Pivot: hourly × event-type count matrix. Explicit pivot values
+    * keep the plan single-pass (no distinct-values pre-query) — at
+    * scale, always pass the value list.
+    */
+  def hourlyTypePivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("hour"))
+
+  /** Per-user inter-event gap via lag — the sessionization primitive
+    * in batch form. Exact integer microsecond arithmetic.
+    */
+  def eventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** rank / dense_rank of orders within each customer by price. */
+  def orderRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** CUBE over order status × priority (all grouping-set combos). */
+  def cubeOrders(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(dec2(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
   /** JSON property normalization (ingest-side schema-on-read, the
     * `activityToMap` shape — reference `internal/strava/strava.go:86-100`):
     * parse the `props` JSON string with an explicit schema.
