@@ -207,6 +207,19 @@ object SparkEntry {
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
     "order_ranks" -> ((s, d) => Analytics.orderRanks(Tables.orders(s, d))),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
+    "median_value_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, 0.95)").as("p95_value"))
+        .orderBy(col("event_type"))),
+    "approx_distinct_users" -> ((s, d) =>
+      // HLL++ sketch distinct estimation (engine-specific values —
+      // rows-only check; the exact twin is distinct_users_by_type)
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type"))),
 
     // ---- training-data extensions: dedup ---------------------------
     "dedup_exact" -> ((s, d) =>
@@ -411,6 +424,11 @@ object SparkEntry {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, ts, event_id""",
+    "median_value_by_type" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS median_value,
+                quantile_cont(value, 0.95) AS p95_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "pivot_hourly_types" ->
       """SELECT date_trunc('hour', ts) AS hour,
                 count(*) FILTER (event_type = 'click') AS click,
