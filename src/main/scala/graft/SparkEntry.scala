@@ -33,6 +33,11 @@ object SparkEntry {
       Reads.latest(Tables.events(s, d), "ts", "event_id", 20)),
     "r3_activities_page" -> ((s, d) =>
       Reads.page(Tables.events(s, d), "ts", "event_id", 20, 10)),
+    "r3b_activities_page_keyset" -> ((s, d) =>
+      // Keyset pagination — the 100 TB-safe variant of r3: resume
+      // strictly after a (ts, key) cursor; predicate pushes to the scan.
+      Reads.pageAfter(Tables.events(s, d), "ts", "event_id",
+        to_timestamp_ntz(lit("2024-01-25 12:00:00")), 5000L, 20)),
     "r4_user_by_id" -> ((s, d) =>
       Reads.byKey(Tables.customer(s, d), "c_custkey", 7L)),
     "r5_user_by_username" -> ((s, d) =>
@@ -139,17 +144,23 @@ object SparkEntry {
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .filter(col("event_id") === 77L)),
-    "scalar_exprs" -> ((s, d) =>
+    "scalar_exprs" -> ((s, d) => {
       // §2.6 scalar parity: RFC3339 format, interval arithmetic, epoch
-      // extraction, "lat,lng" string ↔ array<double> round trip.
+      // extraction, "lat,lng" string ↔ array<double> round trip. The
+      // parsed array is unpacked to scalar lat/lng columns — the
+      // driver's comparer can't hash array cells, so the round trip is
+      // verified element-wise.
+      val latlng = transform(split(concat_ws(",", col("value"), col("user_id")), ","),
+        x => x.cast("double"))
       Tables.events(s, d).select(
           col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("rfc3339"),
           expr("ts + INTERVAL 7 DAYS").as("ts_plus_7d"),
           unix_micros(col("ts").cast("timestamp")).as("epoch_us"),
-          transform(split(concat_ws(",", col("value"), col("user_id")), ","),
-            x => x.cast("double")).as("latlng"))
-        .orderBy(col("event_id"))),
+          element_at(latlng, 1).as("lat"),
+          element_at(latlng, 2).as("lng"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---- §2.6 / ingest normalization -------------------------------
     "json_normalize" -> ((s, d) => Analytics.normalizeProps(Tables.events(s, d))),
@@ -271,6 +282,11 @@ object SparkEntry {
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20",
     "r3_activities_page" ->
       "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 10",
+    "r3b_activities_page_keyset" ->
+      """SELECT * FROM events
+         WHERE ts < TIMESTAMP '2024-01-25 12:00:00'
+            OR (ts = TIMESTAMP '2024-01-25 12:00:00' AND event_id < 5000)
+         ORDER BY ts DESC, event_id DESC LIMIT 20""",
     "r4_user_by_id" ->
       "SELECT * FROM customer WHERE c_custkey = 7",
     "r5_user_by_username" ->
@@ -360,13 +376,17 @@ object SparkEntry {
     "r9_key_by_id" ->
       "SELECT event_id, ts, user_id, event_type FROM events WHERE event_id = 77",
     "scalar_exprs" ->
-      """SELECT event_id,
-                strftime(ts, '%Y-%m-%dT%H:%M:%S') AS rfc3339,
-                ts + INTERVAL 7 DAY AS ts_plus_7d,
-                epoch_us(ts) AS epoch_us,
-                list_transform(string_split(concat(value, ',', user_id), ','),
-                  x -> CAST(x AS DOUBLE)) AS latlng
-         FROM events ORDER BY event_id""",
+      """WITH t AS (
+           SELECT event_id,
+                  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS rfc3339,
+                  ts + INTERVAL 7 DAY AS ts_plus_7d,
+                  epoch_us(ts) AS epoch_us,
+                  list_transform(string_split(concat(value, ',', user_id), ','),
+                    x -> CAST(x AS DOUBLE)) AS latlng
+           FROM events)
+         SELECT event_id, rfc3339, ts_plus_7d, epoch_us,
+                latlng[1] AS lat, latlng[2] AS lng
+         FROM t ORDER BY event_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -490,7 +510,8 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY doc_id""",
     "ngram_jaccard_pairs" ->
       """WITH t AS (
-           SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
            FROM documents),
          s AS (
            SELECT doc_id,
@@ -509,15 +530,19 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
     "quality_score" ->
-      """WITH t AS (
+      """WITH w AS (
            SELECT doc_id, text,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, text,
+                  CAST(len(toks) AS DOUBLE) AS n_toks,
                   CAST(length(text) AS DOUBLE) AS n_chars_d,
                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
-                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  CAST(len(list_filter(toks,
                        x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE) AS stops,
                   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nows
-           FROM documents)
+           FROM w)
          SELECT doc_id,
                 CAST(n_toks AS BIGINT) AS n_tokens,
                 punct / n_chars_d AS punct_ratio,
@@ -528,16 +553,22 @@ object SparkEntry {
                   + 0.1 * (1.0 - punct / n_chars_d) AS quality_score
          FROM t ORDER BY doc_id""",
     "token_counts" ->
+      // list_filter guard: DuckDB splits a blank doc into [''] where
+      // Spark tokens() yields [] — filtered so parity is data-independent.
       """SELECT doc_id,
-                len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS ws_tokens,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
     "doc_stats_by_lang" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      // Sums cast to BIGINT: DuckDB integer sum() returns HUGEINT
+      // (int128), which hash-mismatches Spark's LongType.
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-                sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+                CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> ''))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

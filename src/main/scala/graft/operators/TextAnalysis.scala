@@ -108,9 +108,12 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
         rolling_hash(col("text"), window).as("fp_rolling"),
-        // bottom-k of the sorted shingle-hash set = first k elements
-        slice(graft.functions.WordShingleHashes
-          .word_shingle_hashes(col("text"), 3), 1, k).as("fp_bottomk"))
+        // bottom-k of the sorted shingle-hash set = first k elements,
+        // serialized to one CSV string (a scalar fingerprint column —
+        // array-valued result columns break the driver's comparer).
+        array_join(slice(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), 3), 1, k).cast("array<string>"), ",")
+          .as("fp_bottomk"))
       .orderBy(col("doc_id"))
 
   /** Per-language corpus stats (the aggregation the reference never
