@@ -37,15 +37,25 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            valueCols: Seq[String]): DataFrame = {
     val side = "__graft_side"
+    val pay = "__graft_payload"
     val l = left.withColumn(side, lit(1))
     val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*).withColumn(side, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // The whole right payload rides in ONE struct: the struct is
+    // non-null for every right row even when all its payload fields
+    // are NULL, so `last(..., ignoreNulls)` latches onto the matched
+    // row itself — a legitimately-NULL payload from the as-of row is
+    // preserved instead of surfacing an older non-null value. The
+    // struct also serves as a deterministic tiebreaker for multiple
+    // right rows at an identical (key, ts): ascending order makes
+    // `last` pick the greatest payload, stable across runs.
+    val payload = when(col(side) === 0, struct(valueCols.map(col): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col(side))
+      .orderBy(col(ts), col(side), payload)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col(side) === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(side) === 1).drop(side)
+    val filled = unioned.withColumn(pay, last(payload, ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled) { (df, c) => df.withColumn(c, col(pay).getField(c)) }
+      .filter(col(side) === 1)
+      .drop(side, pay)
   }
 }

@@ -53,20 +53,24 @@ object Similarity {
     * `nlist` centroids partitions the corpus into cells; each query
     * scores only the `nprobe` cells whose centroids it is closest to.
     *
-    * Centroids here are a deterministic sample of the corpus itself
-    * (every (N/nlist)-th vector by id) — one k-means refinement sweep
-    * would tighten the cells but sampling already gives the structure;
-    * determinism matters more than centroid quality for a verifiable
-    * engine op. Scale shape: centroid set is tiny and broadcast twice
-    * (corpus assignment + query probe); the corpus is scored ONCE per
-    * residing cell (an O(N·nlist/broadcast) assignment pass, then the
-    * probe join touches ~N·nprobe/nlist rows per query instead of N).
+    * Centroids here are a deterministic pseudo-random sample of the
+    * corpus itself: the nlist vectors with the smallest xxhash64 of
+    * their id — a uniform draw that is stable across runs and
+    * partitionings, selected by TakeOrderedAndProject (per-partition
+    * top-nlist + an nlist-row driver merge; no count() action, no full
+    * sort, one corpus pass shared with the assignment scan). One
+    * k-means refinement sweep would tighten the cells but sampling
+    * already gives the structure; determinism matters more than
+    * centroid quality for a verifiable engine op. Scale shape:
+    * centroid set is tiny and broadcast twice (corpus assignment +
+    * query probe); the corpus is scored ONCE per residing cell (an
+    * O(N·nlist) broadcast assignment pass, then the probe join touches
+    * ~N·nprobe/nlist rows per query instead of N).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(n / nlist, 1L)
-    val centroids = corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 

@@ -49,12 +49,19 @@ object Ingest {
   /** Start the ingest stream: text files in `stageDir` → normalize →
     * LWW-merge each micro-batch into the parquet store at `storeDir`.
     * Returns the query handle (caller awaits/stops).
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size — the Spark twin of
+    * the reference's page cap (`strava.go:54-58` `Page(1)`/
+    * `PerPage(100)`): under `AvailableNow` a large backlog is drained
+    * as several bounded batches instead of one unbounded one.
     */
   def start(spark: SparkSession, stageDir: String, storeDir: String,
-            checkpointDir: String, after: Option[String] = None): StreamingQuery = {
-    val raw = spark.readStream
-      .format("text")
-      .load(stageDir)
+            checkpointDir: String, after: Option[String] = None,
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    val bounded = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    val raw = bounded.load(stageDir)
     normalize(raw, after).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -65,15 +72,23 @@ object Ingest {
   }
 
   /** One micro-batch merge: read current store, LWW-upsert the batch
-    * (batch wins), atomically replace. Under a table format this is a
-    * single MERGE INTO; with plain parquet we rewrite via a temp dir
-    * so a crash never leaves a half-written store.
+    * (batch wins), swap via a temp dir. Under a table format this is a
+    * single MERGE INTO.
+    *
+    * Crash safety: the swap is write-tmp → delete-store → rename-tmp,
+    * which is NOT atomic on its own — a crash between the delete and
+    * the rename would leave only `__tmp`. [[recoverStore]] runs before
+    * every merge and completes (or rolls back) an interrupted swap, so
+    * the invariant is "recover-then-merge never loses ingested data",
+    * with the un-merged batch replayed from the streaming checkpoint.
     */
   private[streaming] def mergeBatch(batch: DataFrame, storeDir: String): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val store = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
+    recoverStore(fs, store, tmp)
     val merged =
       if (fs.exists(store)) {
         // Deduplicate within the batch first (a micro-batch can carry
@@ -82,11 +97,27 @@ object Ingest {
         val batchDeduped = dedupeBatch(batch)
         Merge.upsert(current, batchDeduped, Seq("event_id"))
       } else dedupeBatch(batch)
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(store)) fs.delete(store, true)
     fs.rename(tmp, store)
   }
+
+  /** Complete or roll back a swap interrupted by a crash. `_SUCCESS`
+    * (written last by the parquet committer) marks `__tmp` complete:
+    *  - tmp complete and store missing → the crash hit between delete
+    *    and rename; finish the rename (the merged data is all there).
+    *  - any other leftover tmp (incomplete write, or complete but the
+    *    store was never deleted → that batch never committed to the
+    *    checkpoint either) → discard tmp; the batch replays.
+    */
+  private[streaming] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (complete && !fs.exists(store)) fs.rename(tmp, store)
+      else fs.delete(tmp, true)
+    }
 
   /** Within-batch LWW: keep the latest `ts` per key (window over the
     * small batch only — see Merge.upsert's plan-shape note).
