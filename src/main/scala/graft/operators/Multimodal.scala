@@ -8,13 +8,13 @@ import org.apache.spark.sql.types._
   * payloads plus a typed metadata struct, with decode / feature
   * extraction as per-partition batch transforms.
   *
-  * The Spark-side contract is real and tested — schema, partition
-  * batching, output shape. The codec itself is a STUB: this container
-  * has no image/audio libraries, so [[fakeDecodeFeatures]] derives a
-  * deterministic feature vector from the payload bytes. A real
-  * deployment swaps `decodeBatch`'s body for an actual decoder (JNI /
-  * javacv / a Pandas UDF in the PySpark binding) — the dataflow
-  * around it does not change.
+  * Codecs: images decode for real via `javax.imageio` (PNG/BMP/GIF —
+  * pure JVM, no native libs) and audio decodes for real via a RIFF/
+  * WAVE 16-bit-PCM parser ([[decodeWavFeatures]]); both fall back to
+  * [[fakeDecodeFeatures]] for payloads their format sniffing rejects.
+  * Video remains a declared STUB (no pure-JVM demuxer exists in this
+  * container); a real deployment swaps that one branch for javacv/
+  * ffmpeg — the dataflow around it does not change.
   *
   * Scale notes: payloads stay off the shuffle path (decode happens
   * before any wide transform); `mapPartitions` keeps per-batch codec
@@ -22,6 +22,9 @@ import org.apache.spark.sql.types._
   * vectors, not payloads, flow into downstream joins/ANN.
   */
 object Multimodal {
+
+  /** Feature-vector width shared by every codec branch. */
+  val FeatureDim = 8
 
   /** Typed media record: opaque payload + structured metadata. */
   case class MediaRecord(
@@ -60,12 +63,126 @@ object Multimodal {
       (pmod(col("doc_id"), lit(48)) + 32).cast("int").as("height"),
       (col("n_chars") * 10).as("duration_ms"))
 
-  /** STUB decoder: a real implementation would decode the payload and
-    * run a feature extractor; here the "features" are a deterministic
-    * 8-dim byte-histogram moment vector so the plumbing is testable.
+  /** Magic-byte format sniff — codec dispatch never trusts the `kind`
+    * metadata column (at ingest scale the metadata is exactly what's
+    * most often wrong).
     */
-  private[operators] def fakeDecodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below.
+  private[graft] def sniff(payload: Array[Byte]): String = {
+    def at(off: Int, magic: Int*): Boolean =
+      payload.length >= off + magic.length &&
+        magic.indices.forall(i => (payload(off + i) & 0xff) == magic(i))
+    if (at(0, 0x89, 'P', 'N', 'G')) "image"
+    else if (at(0, 'B', 'M')) "image"
+    else if (at(0, 'G', 'I', 'F', '8')) "image"
+    else if (at(0, 0xff, 0xd8, 0xff)) "image" // JPEG
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
+    else "unknown"
+  }
+
+  /** Real image decode (pure JVM: `javax.imageio` handles PNG/BMP/GIF/
+    * JPEG without native libs). Features: normalized dimensions, aspect
+    * ratio, mean R/G/B, luminance mean and stddev. None if ImageIO
+    * can't parse the payload.
+    */
+  private[operators] def decodeImageFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr, sg, sb, sl, sl2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanL = sl / n
+      val varL = math.max(sl2 / n - meanL * meanL, 0.0)
+      Some(Array(
+        w / 1024f, h / 1024f, (w.toDouble / h).toFloat,
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+        (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat))
+    }
+  }
+
+  /** Real audio decode: RIFF/WAVE chunk walk, 16-bit PCM only (the
+    * format a JVM can parse with zero codec deps). Features: sample
+    * rate (normalized), channels, duration, RMS, peak, zero-crossing
+    * rate, mean |amplitude|, DC offset. None for non-PCM16 or
+    * malformed payloads.
+    */
+  private[operators] def decodeWavFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      bb.position(12) // past RIFF<size>WAVE
+      var sampleRate = 0
+      var channels = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (bb.remaining() >= 8) {
+        val id = new Array[Byte](4)
+        bb.get(id)
+        val size = bb.getInt()
+        val body = bb.position()
+        new String(id, java.nio.charset.StandardCharsets.US_ASCII) match {
+          case "fmt " =>
+            val audioFormat = bb.getShort()
+            channels = bb.getShort()
+            sampleRate = bb.getInt()
+            bb.getInt(); bb.getShort() // byte rate, block align
+            val bits = bb.getShort()
+            if (audioFormat != 1 || bits != 16) return None
+          case "data" =>
+            dataOff = body
+            dataLen = size
+          case _ => ()
+        }
+        // chunks are word-aligned (odd sizes carry a pad byte)
+        bb.position(math.min(body + size + (size & 1), payload.length))
+      }
+      if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+      val nSamples = math.min(dataLen, payload.length - dataOff) / 2
+      if (nSamples == 0) return None
+      var sum, sumSq, sumAbs, peak, prev = 0.0
+      var zc = 0L
+      var i = 0
+      while (i < nSamples) {
+        val s = bb.getShort(dataOff + i * 2) / 32768.0
+        sum += s; sumSq += s * s; sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && (s >= 0) != (prev >= 0)) zc += 1
+        prev = s
+        i += 1
+      }
+      val n = nSamples.toDouble
+      val durSec = n / channels / sampleRate
+      Some(Array(
+        (sampleRate / 48000.0).toFloat, channels.toFloat, durSec.toFloat,
+        math.sqrt(sumSq / n).toFloat, peak.toFloat, (zc / n).toFloat,
+        (sumAbs / n).toFloat, (sum / n).toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB decoder — the video branch and the fallback for payloads no
+    * real codec recognizes: a deterministic 8-dim byte-histogram
+    * moment vector, so the plumbing stays testable on synthetic
+    * (text-byte) payloads.
+    */
+  private[graft] def fakeDecodeFeatures(payload: Array[Byte], dim: Int = FeatureDim): Array[Float] = {
+    // ??? <- a real video demuxer goes here; deterministic fake below.
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -77,6 +194,16 @@ object Multimodal {
     out
   }
 
+  /** Codec dispatch for one payload: sniff the real format, decode with
+    * the matching real codec, fall back to the deterministic stub.
+    */
+  private[graft] def decodeFeatures(payload: Array[Byte]): Array[Float] =
+    sniff(payload) match {
+      case "image" => decodeImageFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
+      case "wav"   => decodeWavFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
+      case _       => fakeDecodeFeatures(payload) // video STUB + unknown
+    }
+
   /** Per-partition batch decode: one codec init per partition, rows
     * streamed through it. Output is the feature relation (payload
     * dropped — never shuffle multi-MB blobs).
@@ -85,10 +212,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // real codec/session init would happen here, once per partition
+      // per-partition codec init: ImageIO's disk cache off once here
+      // (a temp-file per decode would dominate small-image cost)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          fakeDecodeFeatures(r.payload))
+          decodeFeatures(r.payload))
       }
     }
   }

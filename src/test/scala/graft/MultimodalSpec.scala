@@ -25,6 +25,63 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => r.n_bytes > 0))
   }
 
+  test("real PNG payload decodes via ImageIO, not the stub") {
+    // 4x2 image: left half pure red, right half pure blue.
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    assert(Multimodal.sniff(png) === "image")
+    val media = Seq((1L, "image", png, 4, 2, 0L))
+      .toDF("media_id", "kind", "payload", "width", "height", "duration_ms")
+    val f = Multimodal.decodeBatch(media).collect().head.features
+    assert(f(0) === 4 / 1024f)            // width
+    assert(f(1) === 2 / 1024f)            // height
+    assert(f(2) === 2.0f)                 // aspect
+    assert(math.abs(f(3) - 0.5f) < 1e-6)  // mean R: half the pixels full red
+    assert(f(4) === 0.0f)                 // mean G
+    assert(math.abs(f(5) - 0.5f) < 1e-6)  // mean B
+  }
+
+  test("real WAV payload decodes via the PCM parser, not the stub") {
+    // Mono 16-bit PCM, 8 kHz, 800 samples (0.1 s) of a full-scale
+    // square wave at 400 Hz (10 samples half-period → 80 sign flips).
+    val sr = 8000
+    val n = 800
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sr)
+    bb.putInt(sr * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    for (i <- 0 until n)
+      bb.putShort(if ((i / 10) % 2 == 0) 32767.toShort else (-32767).toShort)
+    val wav = bb.array()
+
+    assert(Multimodal.sniff(wav) === "wav")
+    val media = Seq((1L, "audio", wav, 0, 0, 100L))
+      .toDF("media_id", "kind", "payload", "width", "height", "duration_ms")
+    val f = Multimodal.decodeBatch(media).collect().head.features
+    assert(f(0) === sr / 48000.0f)              // sample rate
+    assert(f(1) === 1.0f)                       // channels
+    assert(math.abs(f(2) - 0.1f) < 1e-6)        // duration
+    assert(math.abs(f(3) - 1.0f) < 1e-3)        // RMS of full-scale square
+    assert(math.abs(f(4) - 1.0f) < 1e-3)        // peak
+    assert(math.abs(f(5) - 79f / 800f) < 1e-6)  // zero crossings
+  }
+
+  test("non-media payloads fall back to the deterministic stub") {
+    val text = "just plain text".getBytes
+    assert(Multimodal.sniff(text) === "unknown")
+    assert(Multimodal.decodeFeatures(text).toSeq ===
+      Multimodal.fakeDecodeFeatures(text).toSeq)
+  }
+
   test("featureStats aggregates per kind") {
     val media = Multimodal.syntheticMedia(tables.Tables.documents(spark, sf))
     val stats = Multimodal.featureStats(media).collect()
