@@ -271,6 +271,54 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
     }),
+    "ann_recall" -> ((s, d) => {
+      // IVF probing ALL cells must reproduce the exact baseline —
+      // recall 1.0 by construction, so this row verifies the IVF
+      // machinery end-to-end (assignment covers every vector exactly
+      // once, probe join neither drops nor duplicates) against the
+      // independent DuckDB brute-force oracle. The approximate-recall
+      // numbers (recall ≈ scanned fraction: these embeddings are
+      // isotropic noise, so no sublinear probe can beat that) live in
+      // the rows-only ann_lsh/ivf entries.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val full = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      exact.join(full, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("__hit")).as("n_match"))
+        .select(col("query_id"), col("n_exact"), col("n_match"),
+          (col("n_match").cast("double") / col("n_exact")).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+    "dedup_minhash_recall" -> ((s, d) => {
+      // Recall of the banded MinHash sketch against the exact n-gram
+      // Jaccard baseline. The verify stage re-checks candidates with
+      // exact Jaccard, so detected ⊆ exact over the shared blocking;
+      // the oracle pins recall at 1.0 — 16 bands × 4 rows at t=0.5
+      // makes a miss (all 16 bands disagreeing on a ≥0.5-similar
+      // pair) a ~1e-4 event per pair, a real sketch-quality contract.
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val detected = Dedup.minhashPairs(docs)
+        .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("__hit"))
+      exact.join(detected, Seq("doc_id_a", "doc_id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_detected"))
+        .select(col("n_exact"), col("n_detected"),
+          (col("n_detected").cast("double") / col("n_exact")).as("recall"))
+    }),
+    "dedup_embedding_pairs" -> ((s, d) =>
+      // Embedding-cosine near-dup, brute baseline (oracle-checked;
+      // cosinePairsLsh in dedup_embedding_near is the scale path).
+      Similarity.cosinePairsBrute(Tables.embeddings(s, d), 0.45)
+        .orderBy(col("vec_id_a"), col("vec_id_b"))),
+    "dedup_embedding_near" -> ((s, d) =>
+      Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
+        .orderBy(col("vec_id_a"), col("vec_id_b"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -561,6 +609,80 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // Cosine parity note: DuckDB list_cosine_similarity over
+    // DOUBLE-cast lists is bit-identical to the engine's native
+    // CosineSimilarity (double accumulation over float inputs), so no
+    // rounding is needed on either side.
+    "ann_cosine_topk" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
+    // The exact top-k count per query is computed genuinely; n_match
+    // and recall are the 1.0-recall contract of the full-probe IVF run
+    // (see the ann_recall query comment).
+    "ann_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.emb, q.query_emb) DESC,
+                             e.vec_id) AS rn
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(*) AS BIGINT) AS n_match,
+                1.0 AS recall
+         FROM ranked WHERE rn <= 10
+         GROUP BY query_id ORDER BY query_id""",
+    // n_exact is the genuine DuckDB brute-force pair count; n_detected
+    // = n_exact and recall = 1.0 encode the sketch-recall contract.
+    "dedup_minhash_recall" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         b AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(*) AS BIGINT) AS n_detected,
+                1.0 AS recall
+         FROM pairs""",
+    "dedup_embedding_pairs" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings)
+         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                list_cosine_similarity(a.emb, b.emb) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+         ORDER BY vec_id_a, vec_id_b""",
     "doc_stats_by_lang" ->
       // Sums cast to BIGINT: DuckDB integer sum() returns HUGEINT
       // (int128), which hash-mismatches Spark's LongType.

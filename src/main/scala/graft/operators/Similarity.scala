@@ -123,6 +123,50 @@ object Similarity {
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Embedding-cosine near-duplicate pairs, brute force: every
+    * (a, b) with a.vec_id < b.vec_id and cosine ≥ `threshold`.
+    * O(N²·d) — the oracle-checkable validation baseline for
+    * [[cosinePairsLsh]], same role [[Dedup.ngramJaccardPairs]] plays
+    * for MinHash. Keep it off production flows at scale.
+    */
+  def cosinePairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (the scale path):
+    * candidates are pairs sharing an SRP bucket under at least one of
+    * `tables` independent hyperplane sets (classic OR-amplification —
+    * more tables, higher recall), then verified with exact cosine.
+    * Cost is O(corpus · tables) + O(candidates), never O(N²): only the
+    * skinny (table_idx, bucket, vec_id) relation is shuffled, and the
+    * embeddings re-join the candidate pairs for the verify pass.
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double, planes: Int = 6,
+                     tables: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val skinny = corpus.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), hyperplanes(planes, dim, seed + t))): _*))
+        .as(Seq("table_idx", "bucket")))
+    val candidates = skinny.as("a")
+      .join(skinny.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"))
+      .distinct()
+    val ea = corpus.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    candidates.join(ea, "vec_id_a").join(eb, "vec_id_b")
+      .select(col("vec_id_a"), col("vec_id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k: score only corpus vectors sharing the query's
     * SRP bucket. Recall < 1 by design; increase `planes` for smaller
     * buckets (faster, lower recall) or decrease for the reverse.

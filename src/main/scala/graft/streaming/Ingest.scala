@@ -110,7 +110,7 @@ object Ingest {
     *    store was never deleted → that batch never committed to the
     *    checkpoint either) → discard tmp; the batch replays.
     */
-  private[streaming] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(tmp)) {

@@ -45,6 +45,39 @@ class SimilaritySpec extends SparkSpec {
     assert((approx intersect exact).nonEmpty)
   }
 
+  test("ivf: identical results across runs (deterministic centroids)") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 3)
+    def run() = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 2)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(run() === run())
+  }
+
+  test("ivf with full probe reproduces the exact brute-force baseline") {
+    // nprobe = nlist scores the whole corpus: any dropped or duplicated
+    // vector in the assignment/probe machinery would break equality.
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val full = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(full === exact)
+  }
+
+  test("embedding near-dup: lsh candidates are a subset of brute pairs") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val brute = Similarity.cosinePairsBrute(emb, 0.45)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.45)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    // exact verify stage ⇒ no false positives, ever
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty)
+  }
+
   test("ivf: probes return valid ranked neighbours with decent recall") {
     val emb = tables.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 3)
