@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Merge, Reads, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Merge, Multimodal, Reads, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -134,6 +134,18 @@ object SparkEntry {
     "k3_delete_key" -> ((s, d) =>
       Merge.delete(Tables.events(s, d), col("event_id") === 999L)
         .orderBy(col("event_id"))),
+    "k1b_create_key_serial" -> ((s, d) => {
+      // BIGSERIAL semantics for K1 (user_api_keys.go:11): appended rows
+      // draw dense ids from max(existing)+rank.
+      val rows = s.range(2).select(
+        to_timestamp_ntz(lit("2024-02-01T12:30:00"),
+          lit("yyyy-MM-dd'T'HH:mm:ss")).as("ts"),
+        lit(42L).as("user_id"), lit("apikey").as("event_type"),
+        (col("id") + 1).cast("double").as("value"), lit("{}").as("props"))
+      Merge.appendWithSerial(Tables.events(s, d), rows,
+          "event_id", Seq("value"))
+        .orderBy(col("event_id"))
+    }),
     "r7_athlete_profile" -> ((s, d) =>
       // Client.GetUserByID (strava.go:195-220): wide projection + point
       // filter with dynamic-map decode ≙ DataFrame runtime schema.
@@ -319,6 +331,14 @@ object SparkEntry {
     "dedup_embedding_near" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
+
+    // ---- training-data extensions: multimodal ----------------------
+    "multimodal_feature_stats" -> ((s, d) =>
+      // Per-kind feature aggregation over the decode path (rows-only:
+      // features come from the engine's own codecs / the documented
+      // deterministic stub for text-byte payloads, so no SQL oracle
+      // can reproduce them).
+      Multimodal.featureStats(Multimodal.syntheticMedia(Tables.documents(s, d)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,6 +429,14 @@ object SparkEntry {
       """SELECT * FROM events
          UNION ALL
          SELECT 777777, strptime('2024-02-01T12:30:00', '%Y-%m-%dT%H:%M:%S'), 42, 'apikey', 1.0, '{}'
+         ORDER BY event_id""",
+    "k1b_create_key_serial" ->
+      """SELECT * FROM events
+         UNION ALL
+         SELECT (SELECT max(event_id) FROM events) + seq,
+                strptime('2024-02-01T12:30:00', '%Y-%m-%dT%H:%M:%S'),
+                42, 'apikey', CAST(seq AS DOUBLE), '{}'
+         FROM (SELECT unnest([1, 2]) AS seq)
          ORDER BY event_id""",
     "k2_update_key" ->
       """SELECT event_id,
@@ -567,7 +595,10 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t),
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
          b AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s)
          SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
@@ -662,7 +693,10 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t),
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
          b AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
          pairs AS (

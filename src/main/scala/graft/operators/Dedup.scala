@@ -161,21 +161,36 @@ object Dedup {
     * the next one, so pairs whose lengths differ by < bucketWidth are
     * always co-bucketed. The O(block²) baseline that validates the
     * sketch methods.
+    *
+    * `maxBlock` caps each base bucket at its lowest-doc_id members —
+    * the documented bound that keeps the quadratic term from eating
+    * the corpus when a length bucket is hot (at 100 TB a single hot
+    * bucket would otherwise dominate the job). Deterministic, so an
+    * oracle applies the identical cap.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
-                        threshold: Double = 0.5, bucketWidth: Int = 16): DataFrame = {
+                        threshold: Double = 0.5, bucketWidth: Int = 16,
+                        maxBlock: Int = 128): DataFrame = {
     // Jaccard over sorted 64-bit shingle-hash sets (one native pass
     // per doc): identical values to string-shingle Jaccard (collisions
     // vanishingly rare), and the per-pair intersection is a native
     // two-pointer merge (SortedIntersectCount) instead of a hash-set
     // build per pair.
+    val wCap = Window.partitionBy(col("bucket0")).orderBy(col("doc_id"))
     val withSh = docs
       .select(col("doc_id"),
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxBlock)
       .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
-    val bucketed = withSh.select(col("doc_id"), col("sh"), col("n_sh"),
+    // Only the probe side explodes into (bucket0, bucket0+1); the build
+    // side keeps its base bucket. Every pair then matches EXACTLY once
+    // (same-bucket pairs via the doc_id order, adjacent-bucket pairs
+    // via the bucket order), which halves the intersections and drops
+    // the distinct() shuffle a two-sided explode would need.
+    val probe = withSh.select(col("doc_id"), col("sh"), col("n_sh"), col("bucket0"),
       explode(array(col("bucket0"), col("bucket0") + 1)).as("bucket"))
     // Size-ratio prune (lossless for the threshold): J(A,B) ≥ t needs
     // |A| and |B| within a factor (1/t) of each other — drops most of
@@ -183,19 +198,21 @@ object Dedup {
     val ratio = lit(1.0 / threshold)
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double")
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+    probe.as("a")
+      .join(withSh.as("b"),
+        col("a.bucket") === col("b.bucket0") &&
+          (col("a.bucket0") < col("b.bucket0") ||
+            (col("a.bucket0") === col("b.bucket0") && col("a.doc_id") < col("b.doc_id"))) &&
           col("a.n_sh") <= ratio * col("b.n_sh") &&
           col("b.n_sh") <= ratio * col("a.n_sh"))
       // |A∪B| = |A|+|B|-|A∩B| — array_union over every pair would
       // double the per-pair set work for a number we already know.
       // Two-stage projection so the intersection is evaluated once.
-      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_b"),
         inter.as("i"), (col("a.n_sh") + col("b.n_sh")).as("t"))
       .select(col("doc_id_a"), col("doc_id_b"),
         (col("i") / (col("t") - col("i"))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -109,4 +109,29 @@ object Merge {
     */
   def setWhere(current: DataFrame, predicate: Column, colName: String, value: Column): DataFrame =
     current.withColumn(colName, when(predicate, value).otherwise(col(colName)))
+
+  /** Append with BIGSERIAL-style dense id assignment: each new row
+    * gets `max(current.idCol) + rank`, ranked by `orderCols` (which
+    * must be unique per new row for determinism). Re-expresses the
+    * Postgres `BIGSERIAL` column the reference relies on
+    * (`internal/db/user_api_keys.go:11` — the K1 append gets its id
+    * from the sequence, a semantic the plain [[append]] cannot give).
+    *
+    * Plan shape: the store-side max is a full-agg (partial agg per
+    * partition, one row out) joined back by literal-true broadcast —
+    * NO driver action, the id base resolves inside the same job. The
+    * row_number over the new batch runs in a single partition: fine
+    * for point appends (the reference appends ≤100 rows per sync);
+    * a bulk backfill should use `monotonically_increasing_id`-style
+    * sparse ids instead, which is why this helper is append-scoped.
+    */
+  def appendWithSerial(current: DataFrame, rows: DataFrame, idCol: String,
+                       orderCols: Seq[String]): DataFrame = {
+    val base = current.agg(coalesce(max(col(idCol)), lit(0L)).as("__graft_base"))
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val withIds = rows.crossJoin(broadcast(base))
+      .withColumn(idCol, (col("__graft_base") + row_number().over(w)).cast("long"))
+      .drop("__graft_base")
+    current.unionByName(withIds, allowMissingColumns = true)
+  }
 }

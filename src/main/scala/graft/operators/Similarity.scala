@@ -125,15 +125,39 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs, brute force: every
     * (a, b) with a.vec_id < b.vec_id and cosine ≥ `threshold`.
-    * O(N²·d) — the oracle-checkable validation baseline for
+    * O(N²·d) compute — the oracle-checkable validation baseline for
     * [[cosinePairsLsh]], same role [[Dedup.ngramJaccardPairs]] plays
-    * for MinHash. Keep it off production flows at scale.
+    * for MinHash.
+    *
+    * Shape: block-triangle join. A naive `a.vec_id < b.vec_id` theta
+    * join plans as BroadcastNestedLoopJoin — broadcasting the corpus,
+    * which caps the operator at driver memory. Instead each vector is
+    * hashed into one of `blocks` blocks, the B(B+1)/2 block PAIRS are
+    * broadcast (tiny), and both corpus sides shuffle by block id —
+    * every executor handles its block pairs with plain hash joins, so
+    * the quadratic compute distributes and nothing large is ever
+    * broadcast. Shuffle volume is B·N rows (replication factor = the
+    * block count), the standard trade for a shuffle-parallel triangle.
     */
-  def cosinePairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
-    a.join(b, col("vec_id_a") < col("vec_id_b"))
-      .select(col("vec_id_a"), col("vec_id_b"),
+  def cosinePairsBrute(corpus: DataFrame, threshold: Double,
+                       blocks: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val blockPairs = spark.range(blocks.toLong).select(col("id").as("block_a"))
+      .join(spark.range(blocks.toLong).select(col("id").as("block_b")),
+        col("block_a") <= col("block_b"))
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).as("block_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).as("block_b"))
+    a.join(broadcast(blockPairs), "block_a")
+      .join(b, "block_b")
+      // each unordered pair survives exactly once: a cross-block pair
+      // only ever joins via its (min_block, max_block) ordering, and a
+      // same-block pair keeps its id-ordered representative; ids are
+      // then normalized so vec_id_a < vec_id_b in the output.
+      .filter(col("block_a") < col("block_b") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("vec_id_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_id_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

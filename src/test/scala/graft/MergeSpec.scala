@@ -55,4 +55,19 @@ class MergeSpec extends SparkSpec {
     assert(out.filter($"id" === 1L).select("value").as[Double].head() === -1.0)
     assert(out.filter($"id" === 2L).select("value").as[Double].head() === 20.0)
   }
+
+  test("appendWithSerial: dense ids continue from the store max") {
+    val rows = Seq(("x", 1.5), ("y", 2.5)).toDF("name", "value")
+    val out = Merge.appendWithSerial(current, rows, "id", Seq("value"))
+    assert(out.count() === 5)
+    val appended = out.filter($"id" > 3L)
+      .orderBy($"id").as[(Long, String, Double)].collect().toSeq
+    assert(appended === Seq((4L, "x", 1.5), (5L, "y", 2.5)))
+  }
+
+  test("appendWithSerial: empty store starts ids at 1") {
+    val rows = Seq(("x", 1.0)).toDF("name", "value")
+    val out = Merge.appendWithSerial(current.filter($"id" < 0L), rows, "id", Seq("value"))
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
