@@ -269,6 +269,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "doc_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
+    "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
+    "pii_scrub" -> ((s, d) =>
+      // The synthetic corpus carries no PII, so the query injects a
+      // deterministic email+phone per doc before scrubbing — the
+      // redaction regexes must genuinely fire and the oracle must
+      // reproduce the full rewrite.
+      TextAnalysis.piiScrub(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"), lit(" contact u"), col("doc_id"),
+              lit("@mail.example.com or +1 555-010"), col("doc_id")).as("text")))
+        .orderBy(col("doc_id"))),
+    "event_sessions" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d))),
 
     // ---- training-data extensions: similarity search ---------------
     "ann_cosine_topk" -> ((s, d) => {
@@ -640,6 +653,44 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "top_ngrams" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+             i -> array_to_string(w[i:i+1], ' '))) AS ngram
+           FROM t)
+         SELECT ngram, count(*) AS n_occurrences
+         FROM g GROUP BY ngram
+         ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+    "pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    concat(text, ' contact u', doc_id, '@mail.example.com or +1 555-010', doc_id),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS text
+         FROM documents ORDER BY doc_id""",
+    "event_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         seq AS (
+           SELECT user_id, ts, event_id,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         FROM seq GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     // Cosine parity note: DuckDB list_cosine_similarity over
     // DOUBLE-cast lists is bit-identical to the engine's native
     // CosineSimilarity (double accumulation over float inputs), so no

@@ -175,6 +175,37 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Batch sessionization — the static twin of
+    * [[graft.streaming.Sessionize]]: events more than `gapMinutes`
+    * apart start a new session; output is one row per session with
+    * event count and duration. Two windows over ONE partitioning
+    * (user_id) — the session-boundary flag and its running sum plan
+    * into a single shuffle + sort — then a hash aggregate on
+    * (user_id, session_seq). Exact integer microsecond arithmetic so
+    * an oracle can reproduce it bit-for-bit.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = lit(gapMinutes.toLong * 60L * 1000000L)
+    val prev = lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)
+    val isNew = when(
+      prev.isNull ||
+        unix_micros(col("ts").cast("timestamp")) - prev > gapUs, 1L).otherwise(0L)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__new", isNew)
+      .withColumn("session_seq", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** rank / dense_rank of orders within each customer by price. */
   def orderRanks(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

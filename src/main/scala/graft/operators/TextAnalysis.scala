@@ -127,4 +127,39 @@ object TextAnalysis {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
       .orderBy(col("lang"))
+
+  /** Corpus-wide most frequent word n-grams (vocabulary/boilerplate
+    * analysis). Scale shape: explode + hash aggregate — partial
+    * (map-side) counts mean the shuffle carries one row per distinct
+    * gram per partition, not one per occurrence; the final top-k is
+    * TakeOrderedAndProject, never a global sort. Ties at the k
+    * boundary break on the gram text, so the result is deterministic.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    // tokens materialized as an attribute; the transform lambda reads
+    // it 3× (see TextFunctions.wordShingles evaluation contract)
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val grams = toks.select(
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+        .otherwise(array().cast("array<string>")).as("grams"))
+    grams.select(explode(col("grams")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** PII scrubbing: replace email addresses and international-ish
+    * phone numbers with typed placeholder tags — the redaction pass a
+    * training corpus runs before anything else sees the text. Single
+    * codegen'd projection (two regex rewrites per row), no shuffle.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"))
 }

@@ -39,6 +39,21 @@ object Sessionize {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already
+    * seen, with state bounded by the watermark — the streaming twin of
+    * `Dedup.exact` and the first pass of a continuous training-data
+    * ingest (the same event re-delivered by an at-least-once source
+    * must not enter the corpus twice). `dropDuplicatesWithinWatermark`
+    * evicts per-key state once the watermark passes, so state size
+    * tracks the dedup horizon, not the stream's lifetime — the only
+    * formulation that survives an unbounded stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization: events for a user belong to one session
     * while the gap between consecutive events stays under
     * `gapMinutes`. Sessions are emitted when the gap elapses

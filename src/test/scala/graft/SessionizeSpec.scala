@@ -32,6 +32,24 @@ class SessionizeSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("n") === 2L)) // 10:00 window, both events
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.dedupStream(in.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(1, ts(0), 7, "click", 1.0),  // same-batch duplicate
+      Event(2, ts(1), 7, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(2), 7, "click", 1.0)) // re-delivery, later batch
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_id FROM deduped").as[Long].collect().sorted
+    q.stop()
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
   test("gap sessionization: one session per burst, closed by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

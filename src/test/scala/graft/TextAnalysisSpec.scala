@@ -66,4 +66,25 @@ class TextAnalysisSpec extends SparkSpec {
     val stats = TextAnalysis.statsByLang(real)
     assert(stats.count() === 5)
   }
+
+  test("top ngrams: known bigram frequencies, deterministic tie order") {
+    val d = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(d, n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b" ×3 (twice in doc 0, once in doc 1); "b a"/"b c" ×1 tie → text order
+    assert(out === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("pii scrub redacts emails and phone numbers, leaves clean text") {
+    val d = Seq(
+      (0L, "write to jane.doe+x@corp.example.org today"),
+      (1L, "call +1 (555) 010-7788 now"),
+      (2L, "nothing sensitive here 42")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).orderBy($"doc_id")
+      .select("text").as[String].collect()
+    assert(out(0) === "write to <EMAIL> today")
+    assert(out(1) === "call <PHONE> now")
+    assert(out(2) === "nothing sensitive here 42")
+  }
 }
