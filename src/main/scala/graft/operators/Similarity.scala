@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *    probe (~N/2^planes rows), trading recall for cost; the bucket
   *    join shuffles on bucket id, with AQE handling hot buckets.
   *
-  * All vector math is zip_with/aggregate over codegen'd expressions —
-  * no UDF serialization on the hot path.
+  * All vector math runs in native codegen'd expressions
+  * ([[graft.functions.CosineSimilarity]], [[graft.functions.SrpBuckets]])
+  * — no UDFs, no interpreted higher-order functions on the hot path.
   */
 object Similarity {
 
@@ -105,23 +106,14 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
-  /** Deterministic SRP hyperplanes: `planes` rows of `dim` components
-    * in [-1, 1], from a fixed-seed PRNG so buckets are reproducible
-    * across runs and engines.
+  /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native
+    * codegen'd [[graft.functions.SrpBuckets]] — the HOF chain this
+    * replaces (`aggregate(zip_with(...))` per plane) re-walked the
+    * embedding once per plane, interpreted; bucket values are
+    * bit-identical (same plane PRNG, same accumulation order).
     */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
-  }
-
-  /** SRP bucket id: bit i = sign(v · plane_i). */
-  def srpBucket(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(emb, planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  def srpBucket(emb: Column, planes: Int, dim: Int = 64, seed: Long = 42L): Column =
+    element_at(graft.functions.SrpBuckets.srp_buckets(emb, planes, 1, dim, seed), 1)
 
   /** Embedding-cosine near-duplicate pairs, brute force: every
     * (a, b) with a.vec_id < b.vec_id and cosine ≥ `threshold`.
@@ -173,8 +165,8 @@ object Similarity {
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, planes: Int = 6,
                      tables: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val skinny = corpus.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        srpBucket(col("embedding"), hyperplanes(planes, dim, seed + t))): _*))
+      posexplode(graft.functions.SrpBuckets
+        .srp_buckets(col("embedding"), planes, tables, dim, seed))
         .as(Seq("table_idx", "bucket")))
     val candidates = skinny.as("a")
       .join(skinny.as("b"),
@@ -197,11 +189,11 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(planes, dim, seed)
-    val bucketed = corpus.withColumn("bucket", srpBucket(col("embedding"), hp))
+    val bucketed = corpus.withColumn("bucket",
+      srpBucket(col("embedding"), planes, dim, seed))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-      .withColumn("bucket", srpBucket(col("query_emb"), hp))
+      .withColumn("bucket", srpBucket(col("query_emb"), planes, dim, seed))
     val scored = bucketed.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
