@@ -135,21 +135,14 @@ object TextAnalysis {
     * TakeOrderedAndProject, never a global sort. Ties at the k
     * boundary break on the gram text, so the result is deterministic.
     */
-  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
-    // tokens materialized as an attribute; the transform lambda reads
-    // it 3× (see TextFunctions.wordShingles evaluation contract)
-    val toks = docs.select(tokens(col("text")).as("toks"))
-    val grams = toks.select(
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-        .otherwise(array().cast("array<string>")).as("grams"))
-    grams.select(explode(col("grams")).as("ngram"))
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    docs
+      .select(explode(graft.functions.WordNgrams
+        .word_ngrams(col("text"), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
-  }
 
   /** PII scrubbing: replace email addresses and international-ish
     * phone numbers with typed placeholder tags — the redaction pass a
