@@ -25,10 +25,13 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
       .config("spark.ui.enabled", "false")
 
-  /** Local session: `local[cores]`. */
+  /** Local session: `local[cores]`, with the engine's native kernels
+    * registered as SQL functions (see [[GraftExtensions]]).
+    */
   def local(cores: Int): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     spark
   }
 }

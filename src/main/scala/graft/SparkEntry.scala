@@ -229,6 +229,7 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"))),
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
     "order_ranks" -> ((s, d) => Analytics.orderRanks(Tables.orders(s, d))),
+    "order_percentiles" -> ((s, d) => Analytics.orderPercentiles(Tables.orders(s, d))),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
     "median_value_by_type" -> ((s, d) =>
       Tables.events(s, d)
@@ -561,6 +562,43 @@ object SparkEntry {
                FROM orders)
          WHERE rnk <= 3
          ORDER BY o_custkey, rnk, o_orderkey""",
+    "order_percentiles" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
+    // Valid because dedup_minhash_recall pins sketch recall at 1.0
+    // against this same exact baseline: the survivors of minhash
+    // near-dedup are then exactly the docs that are not the higher-id
+    // member of any exact near-dup pair.
+    "dedup_near" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         b AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         victims AS (
+           SELECT DISTINCT c.doc_id
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5)
+         SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+         ORDER BY doc_id""",
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total

@@ -218,6 +218,21 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Distribution window functions over orders within each status:
+    * percent_rank / cume_dist / quartile bucket by price. One window
+    * shuffle on the status key serves all three.
+    */
+  def orderPercentiles(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+  }
+
   /** CUBE over order status × priority (all grouping-set combos). */
   def cubeOrders(orders: DataFrame): DataFrame =
     orders
