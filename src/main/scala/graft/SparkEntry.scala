@@ -352,10 +352,12 @@ object SparkEntry {
     // ---- training-data extensions: multimodal ----------------------
     "multimodal_feature_stats" -> ((s, d) =>
       // Per-kind feature aggregation over the decode path (rows-only:
-      // features come from the engine's own codecs / the documented
-      // deterministic stub for text-byte payloads, so no SQL oracle
-      // can reproduce them).
-      Multimodal.featureStats(Multimodal.syntheticMedia(Tables.documents(s, d)))),
+      // features come from the engine's own codecs, so no SQL oracle
+      // can reproduce them). The encoded fixture means image rows run
+      // the real ImageIO decode and audio rows the real PCM parser;
+      // only video rows take the documented stub branch.
+      Multimodal.featureStats(
+        Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,6 +63,85 @@ object Multimodal {
       (pmod(col("doc_id"), lit(48)) + 32).cast("int").as("height"),
       (col("n_chars") * 10).as("duration_ms"))
 
+  /** Synthetic media with REAL encoded payloads, deterministic per
+    * doc_id: image rows carry an actual PNG (encoded via ImageIO from
+    * id-derived pixels), audio rows an actual 16-bit-PCM WAV, video
+    * rows text bytes (the stub path — there is no pure-JVM video
+    * encoder either). Built in `mapPartitions` like [[decodeBatch]]:
+    * codec state per partition, payload construction off the driver.
+    * This is the fixture that makes the driver-run feature query
+    * exercise the real decode path, not just the stub.
+    */
+  def syntheticMediaEncoded(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text, nChars) =>
+          val kind = (id % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val w = 4 + (id % 8).toInt
+          val h = 4 + (id % 6).toInt
+          val payload = kind match {
+            case "image" => encodePng(id, w, h)
+            case "audio" => encodeWav(id)
+            case _       => text.getBytes("UTF-8")
+          }
+          MediaRecord(id, kind, payload, w, h, nChars * 10)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+  }
+
+  /** Tiny deterministic PNG: pixel (x, y) colored from (id, x, y). */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (id * 31 + x * 7 + y * 13) & 0xff
+        img.setRGB(x, y, (v.toInt << 16) | ((255 - v).toInt << 8) | ((id % 255).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Tiny deterministic mono 16-bit PCM WAV: an id-pitched square
+    * wave, 8 kHz, 160 + (id mod 100) samples.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val sr = 8000
+    val n = 160 + (id % 100).toInt
+    val halfPeriod = 4 + (id % 12).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sr)
+    bb.putInt(sr * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(if ((i / halfPeriod) % 2 == 0) 16384.toShort else (-16384).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Magic-byte format sniff — codec dispatch never trusts the `kind`
     * metadata column (at ingest scale the metadata is exactly what's
     * most often wrong).

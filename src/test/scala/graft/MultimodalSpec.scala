@@ -88,4 +88,29 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.length === 3)
     assert(stats.map(_.getAs[Long]("n_media")).sum === media.count())
   }
+
+  test("encoded fixture routes image/audio rows through the real codecs") {
+    val media = Multimodal.syntheticMediaEncoded(
+      tables.Tables.documents(spark, sf).limit(30))
+    val feats = Multimodal.decodeBatch(media).collect()
+    val byKind = feats.groupBy(_.kind)
+    // image features come from ImageIO: f0/f1 are normalized W/H,
+    // which for the stub (byte histogram) would be < 0.004 — real
+    // decode puts them at (4..11)/1024 with f2 = aspect ratio ≥ 0.5
+    assert(byKind("image").forall { f =>
+      f.features(0) >= 4 / 1024f && f.features(2) >= 0.5f
+    })
+    // audio features come from the PCM parser: channels == 1.0 exactly,
+    // RMS of a ±16384 square wave == 0.5
+    assert(byKind("audio").forall { f =>
+      f.features(1) === 1.0f && math.abs(f.features(3) - 0.5f) < 1e-3
+    })
+    // video rows take the stub branch: normalized byte histogram sums
+    // to ~ mean byte / 255 per lane, far below 1 channel
+    assert(byKind("video").forall(_.features.forall(_ < 0.2f)))
+    // determinism end-to-end (encode → decode)
+    val again = Multimodal.decodeBatch(media).collect()
+    assert(feats.sortBy(_.media_id).map(_.features.toSeq).toSeq ===
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
 }
