@@ -256,6 +256,8 @@ object SparkEntry {
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
     "dedup_near" -> ((s, d) =>
       Dedup.dedupNear(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_near_exact" -> ((s, d) =>
+      Dedup.dedupNearExact(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -572,11 +574,11 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderstatus, o_totalprice, o_orderkey""",
-    // Valid because dedup_minhash_recall pins sketch recall at 1.0
-    // against this same exact baseline: the survivors of minhash
-    // near-dedup are then exactly the docs that are not the higher-id
-    // member of any exact near-dup pair.
-    "dedup_near" ->
+    // dedup_near itself stays rows-only: the sketch legitimately finds
+    // pairs outside the baseline's length blocks at larger SFs, so an
+    // exact-baseline oracle for it is data-dependent. This variant's
+    // semantics ARE the SQL below, at every scale.
+    "dedup_near_exact" ->
       """WITH t AS (
            SELECT doc_id, n_chars,
                   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w

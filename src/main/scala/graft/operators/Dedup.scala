@@ -109,6 +109,22 @@ object Dedup {
     docs.join(victims, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dedup under the exact n-gram baseline instead of the
+    * sketch: drop the higher-id member of every
+    * [[ngramJaccardPairs]] pair. The oracle-checkable validation twin
+    * of [[dedupNear]] — identical output whenever the sketch's recall
+    * is 1.0 over the baseline's blocking, which `dedup_minhash_recall`
+    * asserts; where the sketch finds extra pairs outside the length
+    * blocks, the two legitimately diverge (and dedupNear, which the
+    * 100 TB pipeline runs, drops more).
+    */
+  def dedupNearExact(docs: DataFrame, shingleK: Int = 3,
+                     threshold: Double = 0.5): DataFrame = {
+    val victims = ngramJaccardPairs(docs, shingleK, threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    docs.join(victims, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per doc: bit i is the sign of the sum over
     * distinct shingle features of ±1 according to bit i of the feature
     * hash. Shingles (not unigrams) as features keep the sketch
