@@ -35,7 +35,9 @@ object Ingest {
 
   /** Normalize a raw JSON-line frame: typed projection + timestamp
     * parse (the `activityToMap` flatten, `strava.go:86-100`) and the
-    * incremental `after` predicate (`strava.go:54-58`).
+    * incremental `after` predicate (`strava.go:54-58`). Unparseable
+    * rows are dropped — use [[splitRejects]] when they must be
+    * quarantined instead.
     */
   def normalize(raw: DataFrame, after: Option[String]): DataFrame = {
     val typed = raw
@@ -44,6 +46,43 @@ object Ingest {
         col("j.user_id"), col("j.event_type"), col("j.value"), col("j.props"))
       .filter(col("event_id").isNotNull)
     after.map(a => typed.filter(col("ts") >= to_timestamp_ntz(lit(a)))).getOrElse(typed)
+  }
+
+  /** Split a raw JSON-line frame into (valid typed rows, rejects).
+    * A row is rejected — with its raw line and a reason, never
+    * silently dropped — when the JSON doesn't parse, the key is
+    * missing, or the timestamp is unparseable. At ingest scale the
+    * quarantine is what makes bad upstream data debuggable: the
+    * store stays clean AND the evidence survives.
+    */
+  def splitRejects(raw: DataFrame): (DataFrame, DataFrame) = {
+    // PERMISSIVE parse with an explicit corrupt-record column:
+    // from_json never yields a null struct for garbage, it yields
+    // all-null fields — the _corrupt capture is what distinguishes
+    // "unparseable line" from "parseable but incomplete".
+    val schemaWithCorrupt = StructType(
+      eventJsonSchema.fields :+ StructField("_corrupt", StringType))
+    val parsed = raw
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), schemaWithCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("raw_line"), col("j"),
+        col("j.event_id").as("event_id"),
+        // try_cast: under ANSI a bad timestamp must land in the
+        // quarantine as a row, not kill the batch as an exception
+        col("j.ts").try_cast("timestamp_ntz").as("ts"),
+        col("j.user_id").as("user_id"), col("j.event_type").as("event_type"),
+        col("j.value").as("value"), col("j.props").as("props"))
+    val reason = when(col("j").isNull || col("j._corrupt").isNotNull, "malformed_json")
+      .when(col("event_id").isNull, "missing_key")
+      .when(col("j.ts").isNotNull && col("ts").isNull, "bad_timestamp")
+    val valid = parsed.filter(reason.isNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val rejects = parsed.filter(reason.isNotNull)
+      .select(col("raw_line"), reason.as("reject_reason"))
+    (valid, rejects)
   }
 
   /** Start the ingest stream: text files in `stageDir` → normalize →
@@ -57,17 +96,34 @@ object Ingest {
     */
   def start(spark: SparkSession, stageDir: String, storeDir: String,
             checkpointDir: String, after: Option[String] = None,
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            rejectsDir: Option[String] = None): StreamingQuery = {
     val reader = spark.readStream.format("text")
     val bounded = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
     val raw = bounded.load(stageDir)
-    normalize(raw, after).writeStream
+    // With a rejects sink, parsing moves inside foreachBatch so each
+    // micro-batch can fork valid/reject; without one, the normalize
+    // stays on the streaming plan (rejects drop, as before).
+    val (streamed, perBatch): (DataFrame, (DataFrame, Long) => Unit) =
+      rejectsDir match {
+        case Some(rd) =>
+          (raw, (batch: DataFrame, batchId: Long) => {
+            val (valid, rejects) = splitRejects(batch)
+            val kept = after.map(a =>
+              valid.filter(col("ts") >= to_timestamp_ntz(lit(a)))).getOrElse(valid)
+            rejects.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(rd)
+            mergeBatch(kept, storeDir)
+          })
+        case None =>
+          (normalize(raw, after),
+            (batch: DataFrame, _: Long) => mergeBatch(batch, storeDir))
+      }
+    streamed.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, storeDir)
-      }
+      .foreachBatch(perBatch)
       .start()
   }
 

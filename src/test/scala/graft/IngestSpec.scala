@@ -97,6 +97,29 @@ class IngestSpec extends SparkSpec {
       .select("v").as[String].head() === "live")
   }
 
+  test("corrupt records are quarantined with reasons, not dropped or merged") {
+    val root = Files.createTempDirectory("graft_ingest_rej").toString
+    val stage = s"$root/stage"; val store = s"$root/store"
+    val ckpt = s"$root/ckpt"; val rejects = s"$root/rejects"
+    new java.io.File(stage).mkdirs()
+    Files.writeString(java.nio.file.Path.of(stage, "mixed.json"),
+      """{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"}
+        |this is not json at all
+        |{"ts": "2024-01-01 11:00:00", "user_id": 8, "event_type": "view", "value": 2.0, "props": "{}"}
+        |{"event_id": 4, "ts": "not-a-timestamp", "user_id": 9, "event_type": "view", "value": 3.0, "props": "{}"}
+        |""".stripMargin)
+    val q = Ingest.start(spark, stage, store, ckpt, rejectsDir = Some(rejects))
+    q.awaitTermination()
+
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === 1)
+    assert(stored.select("event_id").as[Long].head() === 1L)
+
+    val rej = spark.read.parquet(rejects)
+      .select("reject_reason").as[String].collect().sorted.toSeq
+    assert(rej === Seq("bad_timestamp", "malformed_json", "missing_key"))
+  }
+
   test("normalize applies the incremental after-predicate") {
     val raw = Seq(
       """{"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"}""",
