@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Merge, Multimodal, Reads, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -288,6 +288,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "event_sessions" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d))),
+    "skew_salted_agg" -> ((s, d) => {
+      // Two-phase salted aggregation, oracle-pinned against the plain
+      // GROUP BY: the value pre-casts to exact DECIMAL so the salt
+      // split can't reorder float addition.
+      val ev = Tables.events(s, d)
+        .withColumn("value_dec", col("value").cast("decimal(12,2)"))
+      Skew.saltedCountSum(ev, "event_type", "value_dec", 8)
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
 
     // ---- training-data extensions: similarity search ---------------
     "ann_cosine_topk" -> ((s, d) => {
@@ -698,6 +709,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "top_ngrams" ->
       """WITH t AS (
            SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w

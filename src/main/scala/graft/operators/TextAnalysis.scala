@@ -69,21 +69,23 @@ object TextAnalysis {
     * double, same operation order).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nChars = length(col("text")).cast("double")
-    val nToks = size(toks).cast("double")
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double")
-    val stops = size(filter(toks, t => array_contains(
-      array(Stopwords.map(lit): _*), t))).cast("double")
-    val punctRatio = punct / nChars
-    val stopRatio = stops / nToks
-    val meanTokLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nToks
+    // ONE native pass per row yields every count (the Column/regex
+    // formulation re-ran split per consuming expression — ~8 regex
+    // passes after CollapseProject inlined the producer); the ratio
+    // arithmetic below only touches cheap struct fields.
+    val q = graft.functions.QualityStats
+      .quality_stats(col("text"), Stopwords)
+    val withQ = docs.select(col("doc_id"), q.as("q"))
+    val nChars = col("q.n_chars").cast("double")
+    val nToks = col("q.n_toks").cast("double")
+    val punctRatio = col("q.punct").cast("double") / nChars
+    val stopRatio = col("q.stops").cast("double") / nToks
+    val meanTokLen = col("q.nows").cast("double") / nToks
     val lengthScore = least(nToks / lit(100.0), lit(1.0))
     val score = lit(0.4) * lengthScore + lit(0.3) * stopRatio +
       lit(0.2) * least(meanTokLen / lit(10.0), lit(1.0)) +
       lit(0.1) * (lit(1.0) - punctRatio)
-    docs.select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+    withQ.select(col("doc_id"), col("q.n_toks").as("n_tokens"),
         punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
         meanTokLen.as("mean_token_len"), score.as("quality_score"))
       .orderBy(col("doc_id"))

@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan contracts for the shapes the 100 TB design depends
+  * on. These are the properties PLANS.md documents; this suite keeps
+  * them from silently regressing (an accidental `.collect`, a lost
+  * broadcast hint, a filter that stops pushing down).
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("upsert keeps the store side off the shuffle: anti-join broadcast") {
+    val p = plan("a1_upsert_activities")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "upsert must plan as a broadcast anti-join, not a store-wide window")
+  }
+
+  test("top-K recency is TakeOrderedAndProject, never a global sort") {
+    assert(plan("r2_latest_activities").contains("TakeOrderedAndProject"))
+    assert(plan("q3_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q3 broadcasts the filtered dimensions; the fact side never shuffles for the join") {
+    val p = plan("q3_top_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "both dimension joins must broadcast")
+  }
+
+  test("point lookups push their predicate into the parquet scan") {
+    val p = plan("r1_activity_by_id")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_id,42)"),
+      s"expected pushed key predicate, got:\n$p")
+  }
+
+  test("narrow projections prune the scan schema") {
+    val p = plan("r9_key_by_id")
+    assert(p.contains("ReadSchema") && !p.contains("props"),
+      "4-column projection must not read the props column")
+  }
+
+  test("per-key top-N prunes below the shuffle (WindowGroupLimit)") {
+    assert(plan("top_events_per_user").contains("WindowGroupLimit"))
+    assert(plan("ngram_jaccard_pairs").contains("WindowGroupLimit"),
+      "the block cap must run as a partial group limit before the exchange")
+  }
+
+  test("brute cosine pairs never broadcast the corpus") {
+    val p = plan("dedup_embedding_pairs")
+    // the only nested-loop join allowed is the tiny block-pair Range cross
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("whole-stage codegen covers the text-kernel hot paths") {
+    // AQE wraps the plan and defers codegen until execution — turn it
+    // off for this one inspection so the physical plan is final
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try SparkEntry.queries("quality_score")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // codegen stages print as "*(n)" prefixes in the compact plan form
+    assert(p.contains("*(1)"), s"no codegen stage in:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), "no Python UDFs, ever")
+    // the stats kernel must be evaluated once per row, not once per
+    // consuming ratio (the CollapseProject re-inlining pitfall)
+    assert("quality_stats".r.findAllIn(p).length <= 1,
+      "quality_stats inlined into multiple consumers")
+  }
+}
