@@ -301,6 +301,92 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** Image resize to a bounding box (aspect preserved), re-encoded as
+    * PNG — the thumbnail/normalization pass before feature extraction
+    * or vision-model batching. Real for any ImageIO-decodable payload
+    * (Graphics2D bilinear, pure JVM); non-image payloads pass through
+    * untouched with their original dimensions. Same per-partition
+    * batch shape as [[decodeBatch]]; payload stays out of any shuffle.
+    */
+  def resizeBatch(media: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        resizeImage(r.payload, maxDim) match {
+          case Some((bytes, w, h)) => ResizedMedia(r.media_id, r.kind, bytes, w, h)
+          case None => ResizedMedia(r.media_id, r.kind, r.payload, r.width, r.height)
+        }
+      }
+    }
+  }
+
+  private[graft] def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] = {
+    if (sniff(payload) != "image") return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val (w, h) =
+        if (scale >= 1.0) (img.getWidth, img.getHeight)
+        else (math.max(1, (img.getWidth * scale).round.toInt),
+          math.max(1, (img.getHeight * scale).round.toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some((bos.toByteArray, w, h))
+    }
+  }
+
+  case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_ms: Long,
+      features: Array[Float])
+
+  /** Frame sampling: every `everyMs` milliseconds of a video payload,
+    * one frame row with its feature vector. The demux/decode of real
+    * video needs a codec library this container doesn't have, so the
+    * per-frame decode is the documented STUB (deterministic features
+    * from payload bytes + frame index); the Spark-side contract — one
+    * row per sampled timestamp, typed (media_id, frame_idx, frame_ms,
+    * features), payload never shuffled — is real and tested, and a
+    * deployment swaps only the inner decode call (javacv/ffmpeg).
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { r =>
+        val n = math.max(1, (r.duration_ms / everyMs).toInt)
+        (0 until n).iterator.map { i =>
+          // ??? <- real demuxer seek+decode goes here; deterministic
+          // fake: per-frame variation folded into the byte histogram
+          val f = fakeDecodeFeatures(r.payload)
+          val varied = f.clone()
+          varied(i % varied.length) += (i + 1) / 1000.0f
+          MediaFrame(r.media_id, i, i * everyMs, varied)
+        }
+      }
+    }
+  }
+
   /** Feature summary per media kind — the downstream-aggregation shape
     * (joins features back to typed metadata, no payload in the plan).
     */

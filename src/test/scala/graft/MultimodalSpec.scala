@@ -89,6 +89,43 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_media")).sum === media.count())
   }
 
+  test("resizeBatch really resizes images, passes non-images through") {
+    val media = Multimodal.syntheticMediaEncoded(
+      tables.Tables.documents(spark, sf).limit(30))
+    val resized = Multimodal.resizeBatch(media, maxDim = 4).collect()
+    val byKind = resized.groupBy(_.kind)
+    // every image fits the box, is a real PNG again, and decodes
+    byKind("image").foreach { r =>
+      assert(math.max(r.width, r.height) <= 4)
+      assert(Multimodal.sniff(r.payload) === "image")
+      val again = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(again.getWidth === r.width && again.getHeight === r.height)
+    }
+    // non-images pass through with payload format intact
+    byKind("audio").foreach(r => assert(Multimodal.sniff(r.payload) === "wav"))
+    assert(byKind("video").nonEmpty)
+  }
+
+  test("sampleFrames emits one typed row per sampled timestamp, video only") {
+    val media = Multimodal.syntheticMediaEncoded(
+      tables.Tables.documents(spark, sf).limit(30))
+    val frames = Multimodal.sampleFrames(media, everyMs = 500).collect()
+    assert(frames.nonEmpty)
+    val videoIds = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.media_id).toSet === videoIds)
+    frames.groupBy(_.media_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      assert(fs.forall(f => f.frame_ms === f.frame_idx * 500L))
+      assert(fs.forall(_.features.length === Multimodal.FeatureDim))
+    }
+    // frames of one video differ (per-frame variation), deterministically
+    val f2 = Multimodal.sampleFrames(media, everyMs = 500).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx)).map(_.features.toSeq).toSeq ===
+      f2.sortBy(f => (f.media_id, f.frame_idx)).map(_.features.toSeq).toSeq)
+  }
+
   test("encoded fixture routes image/audio rows through the real codecs") {
     val media = Multimodal.syntheticMediaEncoded(
       tables.Tables.documents(spark, sf).limit(30))
