@@ -59,21 +59,23 @@ object Similarity {
     * their id — a uniform draw that is stable across runs and
     * partitionings, selected by TakeOrderedAndProject (per-partition
     * top-nlist + an nlist-row driver merge; no count() action, no full
-    * sort, one corpus pass shared with the assignment scan). One
-    * k-means refinement sweep would tighten the cells but sampling
-    * already gives the structure; determinism matters more than
-    * centroid quality for a verifiable engine op. Scale shape:
+    * sort, one corpus pass shared with the assignment scan). `refine`
+    * optional Lloyd sweeps ([[refineCentroids]]) tighten the cells;
+    * both paths are deterministic — what a verifiable engine op needs
+    * most. Scale shape:
     * centroid set is tiny and broadcast twice (corpus assignment +
     * query probe); the corpus is scored ONCE per residing cell (an
     * O(N·nlist) broadcast assignment pass, then the probe join touches
     * ~N·nprobe/nlist rows per query instead of N).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val centroids = corpus
+              nlist: Int = 16, nprobe: Int = 2, refine: Int = 0): DataFrame = {
+    val sampled = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val centroids = (1 to refine).foldLeft(sampled)((c, _) =>
+      refineCentroids(corpus, c))
 
     // Assign every corpus vector to its nearest centroid (broadcast).
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc)
@@ -104,6 +106,34 @@ object Similarity {
       .filter(col("__rn") <= k)
       .drop("__rn")
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** One Lloyd (k-means) refinement sweep: assign every corpus vector
+    * to its nearest current centroid, then replace each centroid with
+    * its cell's element-wise mean. Tightens the IVF cells over the
+    * hash-sampled seed centroids; fully deterministic.
+    *
+    * Scale shape: assignment is the same broadcast pass ivfTopK
+    * already does; the mean computes over the EXPLODED skinny
+    * (centroid_id, pos, component) relation — partial aggregation
+    * reduces every map partition to at most nlist·dim rows before the
+    * shuffle, so the exchange carries ~partitions·nlist·dim tiny rows
+    * regardless of corpus size, never the embeddings themselves.
+    */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+    assigned
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "c")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("c")).as("mean_c"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_c")))),
+        s => s.getField("mean_c").cast("float")).as("centroid"))
   }
 
   /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native

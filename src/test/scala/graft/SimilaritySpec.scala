@@ -66,6 +66,21 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("k-means refinement: deterministic, and full probe still exact") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 3)
+    def run() = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 2, refine = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(run() === run())
+    // refined cells still partition the corpus: probing all of them
+    // reproduces the brute-force baseline exactly
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val full = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 8, refine = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(full === exact)
+  }
+
   test("embedding near-dup: lsh candidates are a subset of brute pairs") {
     val emb = tables.Tables.embeddings(spark, sf)
     val brute = Similarity.cosinePairsBrute(emb, 0.45)
