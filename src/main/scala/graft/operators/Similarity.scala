@@ -160,19 +160,28 @@ object Similarity {
     * the quadratic compute distributes and nothing large is ever
     * broadcast. Shuffle volume is B·N rows (replication factor = the
     * block count), the standard trade for a shuffle-parallel triangle.
+    *
+    * `blocks` defaults to cluster-proportional: B(B+1)/2 block pairs
+    * ≈ 2× the scheduler's parallelism, so every core gets work at any
+    * cluster size (a fixed B=8 caps the job at 36 tasks on a
+    * 1000-executor cluster). The pair set is identical for ANY block
+    * count — B only shapes distribution.
     */
   def cosinePairsBrute(corpus: DataFrame, threshold: Double,
-                       blocks: Int = 8): DataFrame = {
+                       blocks: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val blockPairs = spark.range(blocks.toLong).select(col("id").as("block_a"))
-      .join(spark.range(blocks.toLong).select(col("id").as("block_b")),
+    val b = if (blocks > 0) blocks
+      else math.min(64, math.max(8,
+        math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt))
+    val blockPairs = spark.range(b.toLong).select(col("id").as("block_a"))
+      .join(spark.range(b.toLong).select(col("id").as("block_b")),
         col("block_a") <= col("block_b"))
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      pmod(xxhash64(col("vec_id")), lit(blocks)).as("block_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      pmod(xxhash64(col("vec_id")), lit(blocks)).as("block_b"))
-    a.join(broadcast(blockPairs), "block_a")
-      .join(b, "block_b")
+    val lhs = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      pmod(xxhash64(col("vec_id")), lit(b)).as("block_a"))
+    val rhs = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      pmod(xxhash64(col("vec_id")), lit(b)).as("block_b"))
+    lhs.join(broadcast(blockPairs), "block_a")
+      .join(rhs, "block_b")
       // each unordered pair survives exactly once: a cross-block pair
       // only ever joins via its (min_block, max_block) ordering, and a
       // same-block pair keeps its id-ordered representative; ids are
