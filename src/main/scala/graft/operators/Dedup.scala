@@ -129,25 +129,24 @@ object Dedup {
     * distinct shingle features of ±1 according to bit i of the feature
     * hash. Shingles (not unigrams) as features keep the sketch
     * order-sensitive — with a small vocabulary, unigram bags collide
-    * for almost every doc pair. Computed as 64 partially-aggregable
-    * sums over the exploded feature relation — map-side combine keeps
-    * the shuffle at one row per doc.
+    * for almost every doc pair.
+    *
+    * Row-local native expression ([[graft.functions.SimHash64]]) —
+    * the relational formulation (explode + 64 partial sums +
+    * groupBy(doc_id)) shuffled every (doc, shingle) pair for a value
+    * that is a pure function of its own row. Zero exchanges now; the
+    * signature computes inside whole-stage codegen.
     */
-  def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame = {
-    val tok = docs
+  def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame =
+    docs
       .select(col("doc_id"),
-        explode(graft.functions.WordShingleHashes
-          .word_shingle_hashes(col("text"), shingleK)).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$i")
-    }
-    val assembled = (0 until 64).map { i =>
-      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("__sh"))
+      // blank docs have no features and no signature (the exploded
+      // formulation dropped them implicitly; keep that contract)
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("__sh")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxDist` (< 4):
     * pigeonhole banding on the four 16-bit chunks — any pair within
@@ -156,7 +155,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "chunk banding only guarantees recall for dist < 4")
-    val sh = simhash(docs)
+    // deliberate exchange: the signature subtree (tokenize → shingle →
+    // simhash) materializes once and both self-join sides reuse it
+    // (ReusedExchange), instead of re-shingling the corpus per side
+    val sh = simhash(docs).repartition(col("doc_id"))
     val chunkExprs = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)))
     val chunks = sh.select(col("doc_id"), col("simhash"),
