@@ -16,7 +16,7 @@ import graft.functions.TextFunctions._
   *    (band_idx, band_key, doc_id) relation is exploded and shuffled,
   *    then candidate pairs are verified with exact Jaccard. Cost is
   *    O(corpus) + O(candidates), never O(n²).
-  *  - SimHash: 64 partial-aggregable bit sums per doc, then pigeonhole
+  *  - SimHash: one row-local native signature per doc, then pigeonhole
   *    banding on 16-bit chunks — hamming ≤ 3 guarantees a shared chunk.
   *  - brute-force n-gram Jaccard: O(block²) within overlapping length
   *    buckets; the correctness baseline the sketch methods are tested
@@ -51,9 +51,10 @@ object Dedup {
 
     // Stage 1: one native pass per doc (tokenize → k-gram hash →
     // sorted distinct set). The trailing repartition is a deliberate
-    // exchange: everything below it is computed once and shared by
-    // BOTH sides of the candidate self-join and both verify joins via
-    // ReusedExchange.
+    // materialization barrier so the join stages consume the shuffled
+    // sh attribute instead of recomputing its producer inline (the
+    // outer explode below guards the same property against inferred-
+    // filter pushdown).
     val hashed = docs
       .select(col("doc_id"),
         graft.functions.WordShingleHashes
@@ -69,8 +70,14 @@ object Dedup {
         .minhash_band_keys(col("sh"), bands, rowsPerBand).as("band_keys"))
 
     // Skinny relation for the bucket self-join: ids + band keys only.
+    // OUTER explode on purpose: with a plain explode the join's
+    // inferred isnotnull/size>0 filters are pushed below the
+    // repartition and rewritten through the projection — re-running
+    // the shingle+minhash kernels inside the filter (3 evaluations
+    // per row instead of 1). Pushing through an outer generate is
+    // unsound, so the barrier holds; the join drops null rows anyway.
     val buckets = withSig
-      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), posexplode_outer(col("band_keys")).as(Seq("band_idx", "band_key")))
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -155,14 +162,15 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "chunk banding only guarantees recall for dist < 4")
-    // deliberate exchange: the signature subtree (tokenize → shingle →
-    // simhash) materializes once and both self-join sides reuse it
-    // (ReusedExchange), instead of re-shingling the corpus per side
+    // deliberate exchange: the join stages consume the shuffled
+    // signature attribute instead of inlining its producer chain
+    // (tokenize → shingle → simhash) into their own stages
     val sh = simhash(docs).repartition(col("doc_id"))
     val chunkExprs = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)))
+    // outer explode: same pushdown barrier as minhashPairs' buckets
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
+      posexplode_outer(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

@@ -203,8 +203,11 @@ object Similarity {
     */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, planes: Int = 6,
                      tables: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    // outer explode: stops the join's inferred null filters from being
+    // rewritten below the projection (re-running srp_buckets per
+    // filter evaluation) — see Dedup.minhashPairs' buckets comment
     val skinny = corpus.select(col("vec_id"),
-      posexplode(graft.functions.SrpBuckets
+      posexplode_outer(graft.functions.SrpBuckets
         .srp_buckets(col("embedding"), planes, tables, dim, seed))
         .as(Seq("table_idx", "bucket")))
     val candidates = skinny.as("a")
