@@ -87,8 +87,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
       .distinct()
 
-    // Verify stage: re-join the sorted hash sets (same exchange,
-    // reused) and compute exact Jaccard via the native merge count.
+    // Verify stage: re-join the sorted hash sets and compute exact
+    // Jaccard via the native merge count.
     val sa = hashed.select(col("doc_id").as("doc_id_a"),
       col("sh").as("sh_a"), col("n_sh").as("n_a"))
     val sb = hashed.select(col("doc_id").as("doc_id_b"),
