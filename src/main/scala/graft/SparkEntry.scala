@@ -230,6 +230,8 @@ object SparkEntry {
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
     "order_ranks" -> ((s, d) => Analytics.orderRanks(Tables.orders(s, d))),
     "order_percentiles" -> ((s, d) => Analytics.orderPercentiles(Tables.orders(s, d))),
+    "user_retention" -> ((s, d) => Analytics.userRetention(Tables.events(s, d))),
+    "value_moving_avg" -> ((s, d) => Analytics.movingAvg(Tables.events(s, d))),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
     "median_value_by_type" -> ((s, d) =>
       Tables.events(s, d)
@@ -577,6 +579,24 @@ object SparkEntry {
                FROM orders)
          WHERE rnk <= 3
          ORDER BY o_custkey, rnk, o_orderkey""",
+    "user_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         first AS (
+           SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+         SELECT CAST(d - d0 AS BIGINT) AS day_offset, count(*) AS n_active
+         FROM days JOIN first USING (user_id)
+         GROUP BY day_offset ORDER BY day_offset""",
+    // exact decimal sum / exact count → one IEEE double division;
+    // avg() directly would round differently across engines
+    "value_moving_avg" ->
+      """SELECT event_id, user_id, ts,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) /
+                  CAST(count(*) OVER w AS DOUBLE) AS avg_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts, event_id""",
     "order_percentiles" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
                 percent_rank() OVER w AS pct_rank,

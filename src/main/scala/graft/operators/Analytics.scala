@@ -218,6 +218,40 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Cohort retention: for every user, day 0 is their first active
+    * date; n_active(k) counts (user, day) pairs at offset k. Two hash
+    * aggregations and one broadcastable join on user_id — the classic
+    * growth-analytics query, all-integer so the oracle compares
+    * exactly.
+    */
+  def userRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    days.join(first, "user_id")
+      .groupBy(datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("day_offset"))
+  }
+
+  /** Per-user moving average over the last `frame` events (ROWS
+    * frame): one window shuffle on user_id. The sum computes over
+    * exact DECIMAL and the count is exact, so the only float step is
+    * ONE IEEE double division — bit-identical in any engine,
+    * independent of the frame's internal summation order (a windowed
+    * double avg would drift, and a decimal avg rounds differently
+    * across engines at the .005 boundary).
+    */
+  def movingAvg(events: DataFrame, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (sum(dec2(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Distribution window functions over orders within each status:
     * percent_rank / cume_dist / quartile bucket by price. One window
     * shuffle on the status key serves all three.
