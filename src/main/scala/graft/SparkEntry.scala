@@ -365,9 +365,11 @@ object SparkEntry {
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
 
     "clean_corpus" -> ((s, d) => {
-      // The end-to-end training-data prep flow in one plan: exact-
-      // baseline near-dedup → quality floor → PII scrub. Composition
-      // of three operators, oracle-checked as a whole.
+      // The end-to-end training-data prep flow in one plan: near-
+      // dedup → quality floor → PII scrub, oracle-checked as a whole.
+      // Uses the exact-baseline dedup so the oracle can mirror the
+      // semantics in SQL at every scale; the production flow swaps in
+      // Dedup.dedupNear (the sketch path) — same plan shape.
       val docs = Tables.documents(s, d)
       val deduped = Dedup.dedupNearExact(docs)
       val quality = TextAnalysis.qualityScore(deduped)
