@@ -315,6 +315,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
     }),
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      // multi-probe LSH: r=1 probes planes+1 buckets per query —
+      // recall without coarser buckets (rows-only, approximate path)
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, probeHamming = 1)
+    }),
     "ann_recall" -> ((s, d) => {
       // IVF probing ALL cells must reproduce the exact baseline —
       // recall 1.0 by construction, so this row verifies the IVF

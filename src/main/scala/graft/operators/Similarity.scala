@@ -228,14 +228,30 @@ object Similarity {
   /** Approximate top-k: score only corpus vectors sharing the query's
     * SRP bucket. Recall < 1 by design; increase `planes` for smaller
     * buckets (faster, lower recall) or decrease for the reverse.
+    *
+    * `probeHamming` enables multi-probe: each query also scores the
+    * buckets whose id differs in ≤ that many plane bits — the
+    * standard trick for recall without coarser buckets (r=1 probes
+    * planes+1 buckets: scan cost ×(planes+1)/1, bucket granularity
+    * unchanged). Only the QUERY side fans out; the corpus is bucketed
+    * once either way.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+              planes: Int = 8, dim: Int = 64, seed: Long = 42L,
+              probeHamming: Int = 0): DataFrame = {
     val bucketed = corpus.withColumn("bucket",
       srpBucket(col("embedding"), planes, dim, seed))
+    val base = srpBucket(col("query_emb"), planes, dim, seed)
+    val probes: Column = probeHamming match {
+      case 0 => array(base)
+      case 1 => array(base +: (0 until planes).map(i =>
+        base.bitwiseXOR(shiftleft(lit(1L), i))): _*)
+      case r => throw new IllegalArgumentException(
+        s"probeHamming ≤ 1 supported (got $r); deeper probes explode combinatorially")
+    }
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-      .withColumn("bucket", srpBucket(col("query_emb"), planes, dim, seed))
+      .withColumn("bucket", explode(probes))
     val scored = bucketed.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),

@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert((approx intersect exact).nonEmpty)
   }
 
+  test("multi-probe lsh strictly widens the candidate set") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 5)
+    val single = Similarity.lshTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopK(emb, q, 10, probeHamming = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // 9 probed buckets produce more results and at least as much
+    // true recall as a single bucket
+    assert(multi.size > single.size)
+    assert((multi intersect exact).size >= (single intersect exact).size)
+  }
+
   test("ivf: identical results across runs (deterministic centroids)") {
     val emb = tables.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 3)
