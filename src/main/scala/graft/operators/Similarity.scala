@@ -63,10 +63,14 @@ object Similarity {
     * optional Lloyd sweeps ([[refineCentroids]]) tighten the cells;
     * both paths are deterministic — what a verifiable engine op needs
     * most. Scale shape:
-    * centroid set is tiny and broadcast twice (corpus assignment +
-    * query probe); the corpus is scored ONCE per residing cell (an
-    * O(N·nlist) broadcast assignment pass, then the probe join touches
-    * ~N·nprobe/nlist rows per query instead of N).
+    * the centroid set is packed into ONE broadcast row of
+    * (centroid_id, centroid) structs and assignment is the row-local
+    * native argmin [[graft.functions.NearestCentroid]] — the corpus is
+    * never exchanged at all (the previous crossJoin + window-argmin
+    * formulation shuffled corpus × nlist rows carrying the embedding
+    * column); the probe join then touches ~N·nprobe/nlist rows per
+    * query instead of N, and only skinny scored rows reach the final
+    * top-k exchange.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, refine: Int = 0): DataFrame = {
@@ -77,18 +81,26 @@ object Similarity {
     val centroids = (1 to refine).foldLeft(sampled)((c, _) =>
       refineCentroids(corpus, c))
 
-    // Assign every corpus vector to its nearest centroid (broadcast).
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("centroid")).as("cdist"))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    // Assign every corpus vector to its nearest centroid: the nlist
+    // centroids collapse to a single broadcast row and the argmin runs
+    // row-locally in codegen (NearestCentroid is order-independent, so
+    // collect_list's nondeterministic ordering is immaterial). The
+    // coalesce(-1) makes the output non-nullable, so the probe join
+    // infers no isnotnull(centroid_id) — which would be pushed below
+    // this projection and re-run the argmin kernel per filter eval;
+    // null-embedding rows get cell -1, which no probe ever matches.
+    val assigned = corpus.crossJoin(packedCentroids(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        coalesce(graft.functions.NearestCentroid
+          .nearest_centroid(col("embedding"), col("cents")), lit(-1L))
+          .as("centroid_id"))
 
-    // Each query probes its nprobe nearest cells.
+    // Each query probes its nprobe nearest cells (query side is tiny —
+    // the window shuffles only Q·nlist rows; centroid_id breaks exact
+    // cosine ties so the probe set is partitioning-independent).
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("query_emb"), col("centroid_id"),
         cosine(col("query_emb"), col("centroid")).as("qdist"))
@@ -108,25 +120,39 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Pack a (small) centroid relation into ONE broadcastable row
+    * holding the whole set as an array of (centroid_id, centroid)
+    * structs — the shape [[graft.functions.NearestCentroid]] consumes.
+    * The packing aggregation itself exchanges at most one partial row
+    * per input partition (nlist structs total), never corpus data.
+    */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(
+      collect_list(struct(col("centroid_id"), col("centroid"))).as("cents")))
+
   /** One Lloyd (k-means) refinement sweep: assign every corpus vector
     * to its nearest current centroid, then replace each centroid with
     * its cell's element-wise mean. Tightens the IVF cells over the
-    * hash-sampled seed centroids; fully deterministic.
+    * hash-sampled seed centroids; fully deterministic (the row-local
+    * argmin breaks exact-cosine ties on centroid_id, so assignment is
+    * independent of partitioning AND of centroid-array order).
     *
-    * Scale shape: assignment is the same broadcast pass ivfTopK
-    * already does; the mean computes over the EXPLODED skinny
+    * Scale shape: assignment is the same zero-exchange row-local pass
+    * ivfTopK does; the mean computes over the EXPLODED skinny
     * (centroid_id, pos, component) relation — partial aggregation
     * reduces every map partition to at most nlist·dim rows before the
     * shuffle, so the exchange carries ~partitions·nlist·dim tiny rows
     * regardless of corpus size, never the embeddings themselves.
     */
   def refineCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("centroid")).as("cdist"))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
+    val assigned = corpus.crossJoin(packedCentroids(centroids))
+      .select(col("vec_id"), col("embedding"),
+        coalesce(graft.functions.NearestCentroid
+          .nearest_centroid(col("embedding"), col("cents")), lit(-1L))
+          .as("centroid_id"))
+    // (no filter on the -1 null-embedding cell: posexplode of a null
+    // embedding emits no rows, and a pushed-down filter would re-run
+    // the argmin kernel below this projection)
     assigned
       .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "c")))
       .groupBy(col("centroid_id"), col("pos"))

@@ -53,6 +53,30 @@ class PlanContractSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("ivf assignment never exchanges the corpus: no shuffle carries `embedding`") {
+    // AQE defers the final plan — disable it so the physical tree is
+    // walkable; contract: the corpus `embedding` column reaches NO
+    // shuffle exchange (assignment is the row-local NearestCentroid
+    // argmin; the only embedding-ish column on any exchange is the
+    // tiny probe side's query_emb), and the argmin kernel appears at
+    // most once in the plan (a pushed-down inferred filter would
+    // duplicate it below the projection).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+        .queryExecution.executedPlan
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("embedding"),
+        s"corpus embedding crossed a shuffle: $shuffledCols")
+      val p = exec.toString
+      assert("nearest_centroid".r.findAllIn(p).length <= 1,
+        "nearest_centroid kernel evaluated more than once per row")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the text-kernel hot paths") {
     // AQE wraps the plan and defers codegen until execution — turn it
     // off for this one inspection so the physical plan is final
