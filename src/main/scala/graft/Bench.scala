@@ -4,11 +4,19 @@ package graft
   * and prints one JSON line. Each query is forced end-to-end through
   * the `noop` sink (full materialization of every column — `count()`
   * would let Catalyst prune the work under aggregates/projections).
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * per-query MEDIAN, plus min/max spread — a single-run artifact is at
+  * the mercy of one GC pause or scheduler hiccup, and a noisy outlier
+  * recording can contradict the very claim it exists to support.
+  * `value` is the sum of medians; `spread` carries [min, max] per
+  * query so a reader can judge how load-bearing each median is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = GraftSession.local(cpus)
     // One warm-up action so JVM/classloader/codegen startup isn't billed
     // to the first query.
@@ -17,22 +25,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (!failed.contains(name)) {
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => timeOnce(name, fn)).sorted
+      val median = times(times.length / 2)
+      (name, median, times.head, times.last)
+    }
+    def f(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + f(m) }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + f(lo) + "," + f(hi) + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // `failed` makes a failing round visibly different from a fast one —
     // a thrown query's partial elapsed time still lands in `queries`.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
