@@ -370,23 +370,25 @@ object SparkEntry {
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
 
-    "clean_corpus" -> ((s, d) => {
+    "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
       // dedup → quality floor → PII scrub, oracle-checked as a whole.
       // Uses the exact-baseline dedup so the oracle can mirror the
-      // semantics in SQL at every scale; the production flow swaps in
-      // Dedup.dedupNear (the sketch path) — same plan shape.
-      val docs = Tables.documents(s, d)
-      val deduped = Dedup.dedupNearExact(docs)
-      val quality = TextAnalysis.qualityScore(deduped)
-        .filter(col("n_tokens") >= 30)
-        .select(col("doc_id"), col("quality_score"))
-      TextAnalysis.piiScrub(deduped)
-        .join(quality, "doc_id")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          col("quality_score"), col("text"))
-        .orderBy(col("doc_id"))
-    }),
+      // semantics in SQL at every scale.
+      cleanCorpusPlan(Tables.documents(s, d), Dedup.dedupNearExact(_))),
+    "clean_corpus_sketch" -> ((s, d) =>
+      // The PRODUCTION corpus-prep flow: identical pipeline with the
+      // MinHash sketch (Dedup.dedupNear) as the dedup stage — the path
+      // a 100 TB run takes (O(corpus)+O(candidates), never O(block²)).
+      // Oracle = the exact-baseline SQL: valid because on the driver
+      // fixture the sketch finds exactly the baseline's pair set
+      // (dedup_minhash_recall pins exact ⊆ detected at 1.0, and the
+      // verify stage makes every detected pair a true ≥-threshold
+      // pair; measured sketch≡exact at sf0.001/sf0.01). At larger SFs
+      // the sketch legitimately drops MORE (true pairs outside the
+      // baseline's length blocks) — the divergence is extra recall,
+      // not error, and the scale-independent twin stays clean_corpus.
+      cleanCorpusPlan(Tables.documents(s, d), Dedup.dedupNear(_))),
 
     // ---- training-data extensions: multimodal ----------------------
     "multimodal_feature_stats" -> ((s, d) =>
@@ -398,6 +400,75 @@ object SparkEntry {
       Multimodal.featureStats(
         Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))),
   )
+
+  /** The corpus-prep pipeline shared by clean_corpus (exact-baseline
+    * dedup, oracle-mirrorable at any scale) and clean_corpus_sketch
+    * (MinHash dedup, the 100 TB path): dedup → quality floor → PII
+    * scrub in ONE plan. */
+  private def cleanCorpusPlan(docs: DataFrame,
+                              dedup: DataFrame => DataFrame): DataFrame = {
+    val deduped = dedup(docs)
+    val quality = TextAnalysis.qualityScore(deduped)
+      .filter(col("n_tokens") >= 30)
+      .select(col("doc_id"), col("quality_score"))
+    TextAnalysis.piiScrub(deduped)
+      .join(quality, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("quality_score"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[cleanCorpusPlan]] over the exact-baseline
+    * dedup; shared by the clean_corpus and clean_corpus_sketch rows. */
+  private val CleanCorpusSql: String =
+    """WITH t AS (
+         SELECT doc_id, n_chars,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS sh
+         FROM t
+         QUALIFY row_number() OVER (
+           PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+           ORDER BY doc_id) <= 128),
+       b AS (
+         SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+       victims AS (
+         SELECT DISTINCT c.doc_id
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+       surv AS (
+         SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
+       toks AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+         FROM surv),
+       q AS (
+         SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tokens,
+                0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                  + 0.3 * (CAST(len(list_filter(tk,
+                      x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE)
+                    / CAST(len(tk) AS DOUBLE))
+                  + 0.2 * least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                    / CAST(len(tk) AS DOUBLE)) / 10.0, 1.0)
+                  + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) AS quality_score
+         FROM toks)
+       SELECT surv.doc_id, surv.lang, surv.n_chars, q.quality_score,
+              regexp_replace(
+                regexp_replace(surv.text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS text
+       FROM surv JOIN q USING (doc_id)
+       WHERE q.n_tokens >= 30
+       ORDER BY surv.doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -658,55 +729,12 @@ object SparkEntry {
          SELECT * FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM victims)
          ORDER BY doc_id""",
-    "clean_corpus" ->
-      """WITH t AS (
-           SELECT doc_id, n_chars,
-                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
-                  list_distinct(list_transform(
-                    range(1, greatest(len(w) - 2, 1) + 1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
-         b AS (
-           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
-         victims AS (
-           SELECT DISTINCT c.doc_id
-           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-           WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
-                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
-         surv AS (
-           SELECT * FROM documents
-           WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
-         toks AS (
-           SELECT doc_id, text,
-                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-           FROM surv),
-         q AS (
-           SELECT doc_id,
-                  CAST(len(tk) AS BIGINT) AS n_tokens,
-                  0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
-                    + 0.3 * (CAST(len(list_filter(tk,
-                        x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE)
-                      / CAST(len(tk) AS DOUBLE))
-                    + 0.2 * least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-                      / CAST(len(tk) AS DOUBLE)) / 10.0, 1.0)
-                    + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE)) AS quality_score
-           FROM toks)
-         SELECT surv.doc_id, surv.lang, surv.n_chars, q.quality_score,
-                regexp_replace(
-                  regexp_replace(surv.text,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS text
-         FROM surv JOIN q USING (doc_id)
-         WHERE q.n_tokens >= 30
-         ORDER BY surv.doc_id""",
+    "clean_corpus" -> CleanCorpusSql,
+    // Same oracle: on the driver fixture the sketch's detected pair
+    // set equals the exact baseline's (recall pinned at 1.0 by
+    // dedup_minhash_recall; the exact-Jaccard verify stage admits no
+    // false positives), so both pipelines drop the same victims.
+    "clean_corpus_sketch" -> CleanCorpusSql,
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
