@@ -394,9 +394,9 @@ object SparkEntry {
     "multimodal_feature_stats" -> ((s, d) =>
       // Per-kind feature aggregation over the decode path (rows-only:
       // features come from the engine's own codecs, so no SQL oracle
-      // can reproduce them). The encoded fixture means image rows run
-      // the real ImageIO decode and audio rows the real PCM parser;
-      // only video rows take the documented stub branch.
+      // can reproduce them). The encoded fixture routes EVERY kind
+      // through a real codec: images via ImageIO, audio via the PCM
+      // parser, video via the MJPEG-AVI demux + per-frame JPEG decode.
       Multimodal.featureStats(
         Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))),
   )

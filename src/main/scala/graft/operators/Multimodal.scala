@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * payloads plus a typed metadata struct, with decode / feature
   * extraction as per-partition batch transforms.
   *
-  * Codecs: images decode for real via `javax.imageio` (PNG/BMP/GIF —
-  * pure JVM, no native libs) and audio decodes for real via a RIFF/
-  * WAVE 16-bit-PCM parser ([[decodeWavFeatures]]); both fall back to
-  * [[fakeDecodeFeatures]] for payloads their format sniffing rejects.
-  * Video remains a declared STUB (no pure-JVM demuxer exists in this
-  * container); a real deployment swaps that one branch for javacv/
-  * ffmpeg — the dataflow around it does not change.
+  * Codecs: images decode for real via `javax.imageio` (PNG/BMP/GIF/
+  * JPEG — pure JVM, no native libs), audio via a RIFF/WAVE
+  * 16-bit-PCM parser ([[decodeWavFeatures]]), and video via a pure-JVM
+  * MJPEG-in-AVI demuxer ([[demuxAvi]]: RIFF chunk walk over
+  * `movi`/`00dc`, per-frame JPEG decode through the ImageIO path).
+  * All fall back to [[fakeDecodeFeatures]] for payloads their format
+  * sniffing rejects (e.g. H.264 in MP4, which needs native codec
+  * libs this container lacks — a deployment adds javacv/ffmpeg behind
+  * the same dispatch without changing the dataflow).
   *
   * Scale notes: payloads stay off the shuffle path (decode happens
   * before any wide transform); `mapPartitions` keeps per-batch codec
@@ -66,11 +68,11 @@ object Multimodal {
   /** Synthetic media with REAL encoded payloads, deterministic per
     * doc_id: image rows carry an actual PNG (encoded via ImageIO from
     * id-derived pixels), audio rows an actual 16-bit-PCM WAV, video
-    * rows text bytes (the stub path — there is no pure-JVM video
-    * encoder either). Built in `mapPartitions` like [[decodeBatch]]:
-    * codec state per partition, payload construction off the driver.
-    * This is the fixture that makes the driver-run feature query
-    * exercise the real decode path, not just the stub.
+    * rows an actual MJPEG-in-AVI ([[encodeMjpegAvi]]: JPEG frames in
+    * a RIFF/AVI container, 25 fps). Built in `mapPartitions` like
+    * [[decodeBatch]]: codec state per partition, payload construction
+    * off the driver. This is the fixture that makes the driver-run
+    * feature query exercise the real decode path for every kind.
     */
   def syntheticMediaEncoded(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -79,7 +81,7 @@ object Multimodal {
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, text, nChars) =>
+        it.map { case (id, _, nChars) =>
           val kind = (id % 3) match {
             case 0 => "image"
             case 1 => "audio"
@@ -87,12 +89,14 @@ object Multimodal {
           }
           val w = 4 + (id % 8).toInt
           val h = 4 + (id % 6).toInt
-          val payload = kind match {
-            case "image" => encodePng(id, w, h)
-            case "audio" => encodeWav(id)
-            case _       => text.getBytes("UTF-8")
+          val (payload, durMs) = kind match {
+            case "image" => (encodePng(id, w, h), nChars * 10)
+            case "audio" => (encodeWav(id), nChars * 10)
+            case _ =>
+              val nFrames = 3 + (id % 4).toInt
+              (encodeMjpegAvi(id, w, h, nFrames), nFrames * 40L) // 25 fps
           }
-          MediaRecord(id, kind, payload, w, h, nChars * 10)
+          MediaRecord(id, kind, payload, w, h, durMs)
         }
       }
       .toDF()
@@ -142,6 +146,139 @@ object Multimodal {
     bb.array()
   }
 
+  /** Tiny deterministic MJPEG-in-AVI: `nFrames` JPEG frames whose
+    * pixels derive from (id, frame, x, y), in a standard RIFF/AVI
+    * container (hdrl with avih/strh/strf headers, movi list of `00dc`
+    * chunks) at 25 fps. Everything pure JVM: ImageIO writes the JPEG
+    * frames, the container is a ByteBuffer walk — the encode twin of
+    * [[demuxAvi]].
+    */
+  private[graft] def encodeMjpegAvi(id: Long, w: Int, h: Int,
+                                    nFrames: Int): Array[Byte] = {
+    val usPerFrame = 40000 // 25 fps
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(body.length)
+      bb.put(body)
+      bb.array() // odd sizes keep their zero pad byte
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+
+    val frames = (0 until nFrames).map { fi =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (id * 31 + fi * 97 + x * 7 + y * 13) & 0xff
+          img.setRGB(x, y, (v.toInt << 16) | ((255 - v).toInt << 8) | ((id % 255).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(nFrames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h)
+      bb.array() // 4 reserved ints stay zero
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes); bb.put("MJPG".getBytes)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(25) // scale/rate = 25 fps
+      bb.putInt(0); bb.putInt(nFrames); bb.putInt(0); bb.putInt(-1); bb.putInt(0)
+      bb.putShort(0); bb.putShort(0)
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24)
+      bb.put("MJPG".getBytes); bb.putInt(w * h * 3)
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF",
+      "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ hdrl ++ movi)
+  }
+
+  /** Pure-JVM AVI demux: RIFF chunk walk (same pattern as the WAV
+    * parser above) collecting video frame chunks (`##dc`/`##db`) from
+    * the `movi` list and the frame interval (µs) from `avih`. Returns
+    * None for non-AVI payloads or containers with no frames. The JPEG
+    * frame bytes go through [[decodeImageFeatures]] downstream — ALL
+    * pure JVM, no native codecs.
+    */
+  private[graft] def demuxAvi(payload: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
+    if (sniff(payload) != "avi" || payload.length < 12) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var usPerFrame = 40000L
+      val frames = Vector.newBuilder[Array[Byte]]
+      def isFrameChunk(cc: String): Boolean =
+        cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+          (cc.endsWith("dc") || cc.endsWith("db"))
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val cc = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = bb.getInt(off + 4)
+          if (size < 0 || off + 8 + size > end) return // malformed: stop
+          cc match {
+            case "LIST" =>
+              val listType = new String(payload, off + 8, 4,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              if (listType == "hdrl" || listType == "movi" || listType == "rec ")
+                walk(off + 12, off + 8 + size)
+            case "avih" =>
+              usPerFrame = math.max(bb.getInt(off + 8).toLong, 1L)
+            case c if isFrameChunk(c) =>
+              frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + size)
+            case _ => ()
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, math.min(8 + bb.getInt(4), payload.length))
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some((usPerFrame, fs))
+    } catch { case _: Exception => None }
+  }
+
+  /** Real video decode: demux the AVI, run every frame through the
+    * image feature extractor, average — the whole-clip feature vector.
+    * None when no frame decodes.
+    */
+  private[operators] def decodeAviFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    demuxAvi(payload).flatMap { case (_, frames) =>
+      val fs = frames.flatMap(decodeImageFeatures)
+      if (fs.isEmpty) None
+      else {
+        val out = new Array[Float](FeatureDim)
+        fs.foreach { f =>
+          var j = 0
+          while (j < FeatureDim) { out(j) += f(j); j += 1 }
+        }
+        var j = 0
+        while (j < FeatureDim) { out(j) /= fs.length; j += 1 }
+        Some(out)
+      }
+    }
+
   /** Magic-byte format sniff — codec dispatch never trusts the `kind`
     * metadata column (at ingest scale the metadata is exactly what's
     * most often wrong).
@@ -155,6 +292,7 @@ object Multimodal {
     else if (at(0, 'G', 'I', 'F', '8')) "image"
     else if (at(0, 0xff, 0xd8, 0xff)) "image" // JPEG
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
     else "unknown"
   }
 
@@ -255,13 +393,12 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** STUB decoder — the video branch and the fallback for payloads no
-    * real codec recognizes: a deterministic 8-dim byte-histogram
-    * moment vector, so the plumbing stays testable on synthetic
-    * (text-byte) payloads.
+  /** STUB decoder — the fallback for payloads no real codec
+    * recognizes (e.g. H.264/MP4, which needs native libs): a
+    * deterministic 8-dim byte-histogram moment vector, so the
+    * plumbing stays testable on synthetic (text-byte) payloads.
     */
   private[graft] def fakeDecodeFeatures(payload: Array[Byte], dim: Int = FeatureDim): Array[Float] = {
-    // ??? <- a real video demuxer goes here; deterministic fake below.
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -280,7 +417,8 @@ object Multimodal {
     sniff(payload) match {
       case "image" => decodeImageFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
       case "wav"   => decodeWavFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
-      case _       => fakeDecodeFeatures(payload) // video STUB + unknown
+      case "avi"   => decodeAviFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
+      case _       => fakeDecodeFeatures(payload) // unknown container STUB
     }
 
   /** Per-partition batch decode: one codec init per partition, rows
@@ -361,27 +499,42 @@ object Multimodal {
       features: Array[Float])
 
   /** Frame sampling: every `everyMs` milliseconds of a video payload,
-    * one frame row with its feature vector. The demux/decode of real
-    * video needs a codec library this container doesn't have, so the
-    * per-frame decode is the documented STUB (deterministic features
-    * from payload bytes + frame index); the Spark-side contract — one
-    * row per sampled timestamp, typed (media_id, frame_idx, frame_ms,
-    * features), payload never shuffled — is real and tested, and a
-    * deployment swaps only the inner decode call (javacv/ffmpeg).
+    * one frame row with its feature vector. MJPEG-AVI payloads demux
+    * and decode for REAL ([[demuxAvi]] → per-frame JPEG through
+    * ImageIO): each sampled timestamp maps to the frame at that point
+    * in the clip's own timeline (avih µs-per-frame). Containers the
+    * demuxer can't parse fall back to the deterministic stub
+    * (byte-histogram + per-frame variation) so the Spark-side
+    * contract — one row per sampled timestamp, typed (media_id,
+    * frame_idx, frame_ms, features), payload never shuffled — holds
+    * for every input; a deployment adds codecs (javacv/ffmpeg), not
+    * plumbing.
     */
   def sampleFrames(media: DataFrame, everyMs: Long): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.filter(_.kind == "video").flatMap { r =>
-        val n = math.max(1, (r.duration_ms / everyMs).toInt)
-        (0 until n).iterator.map { i =>
-          // ??? <- real demuxer seek+decode goes here; deterministic
-          // fake: per-frame variation folded into the byte histogram
-          val f = fakeDecodeFeatures(r.payload)
-          val varied = f.clone()
-          varied(i % varied.length) += (i + 1) / 1000.0f
-          MediaFrame(r.media_id, i, i * everyMs, varied)
+        demuxAvi(r.payload) match {
+          case Some((usPerFrame, frames)) =>
+            val durMs = math.max(usPerFrame * frames.length / 1000, 1L)
+            val n = math.max(1, (durMs / everyMs).toInt)
+            (0 until n).iterator.map { i =>
+              val t = i * everyMs
+              val idx = math.min(frames.length - 1, (t * 1000 / usPerFrame).toInt)
+              val f = decodeImageFeatures(frames(idx))
+                .getOrElse(fakeDecodeFeatures(frames(idx)))
+              MediaFrame(r.media_id, i, t, f)
+            }
+          case None =>
+            // unknown container: deterministic stub, per-frame variation
+            val n = math.max(1, (r.duration_ms / everyMs).toInt)
+            (0 until n).iterator.map { i =>
+              val varied = fakeDecodeFeatures(r.payload)
+              varied(i % varied.length) += (i + 1) / 1000.0f
+              MediaFrame(r.media_id, i, i * everyMs, varied)
+            }
         }
       }
     }

@@ -104,24 +104,51 @@ class MultimodalSpec extends SparkSpec {
     }
     // non-images pass through with payload format intact
     byKind("audio").foreach(r => assert(Multimodal.sniff(r.payload) === "wav"))
-    assert(byKind("video").nonEmpty)
+    byKind("video").foreach(r => assert(Multimodal.sniff(r.payload) === "avi"))
+  }
+
+  test("real MJPEG-AVI payload demuxes and decodes per frame, not the stub") {
+    val avi = Multimodal.encodeMjpegAvi(7L, w = 8, h = 6, nFrames = 4)
+    assert(Multimodal.sniff(avi) === "avi")
+
+    val Some((usPerFrame, frames)) = Multimodal.demuxAvi(avi)
+    assert(usPerFrame === 40000L) // 25 fps
+    assert(frames.length === 4)
+    // every demuxed chunk is a real JPEG that ImageIO can decode
+    frames.foreach { f =>
+      assert(Multimodal.sniff(f) === "image")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth === 8 && img.getHeight === 6)
+    }
+    // whole-clip features = per-frame image features averaged: real
+    // dimensions land in f0/f1/f2, unlike the byte-histogram stub
+    val clip = Multimodal.decodeFeatures(avi)
+    assert(clip(0) === 8 / 1024f && clip(1) === 6 / 1024f)
+    assert(math.abs(clip(2) - 8f / 6f) < 1e-6)
+    assert(clip.toSeq !== Multimodal.fakeDecodeFeatures(avi).toSeq)
   }
 
   test("sampleFrames emits one typed row per sampled timestamp, video only") {
     val media = Multimodal.syntheticMediaEncoded(
       tables.Tables.documents(spark, sf).limit(30))
-    val frames = Multimodal.sampleFrames(media, everyMs = 500).collect()
+    // everyMs = the fixture's real frame interval (25 fps) → one row
+    // per demuxed frame, each decoded from its own JPEG
+    val frames = Multimodal.sampleFrames(media, everyMs = 40).collect()
     assert(frames.nonEmpty)
     val videoIds = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(frames.map(_.media_id).toSet === videoIds)
     frames.groupBy(_.media_id).foreach { case (_, fs) =>
+      assert(fs.length >= 3) // fixture videos have 3..6 frames
       assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
-      assert(fs.forall(f => f.frame_ms === f.frame_idx * 500L))
+      assert(fs.forall(f => f.frame_ms === f.frame_idx * 40L))
       assert(fs.forall(_.features.length === Multimodal.FeatureDim))
+      // real per-frame decode: frame pixels vary by frame index, so
+      // consecutive frames must yield distinct feature vectors
+      assert(fs.map(_.features.toSeq).distinct.length === fs.length)
     }
-    // frames of one video differ (per-frame variation), deterministically
-    val f2 = Multimodal.sampleFrames(media, everyMs = 500).collect()
+    // deterministic end-to-end (encode → demux → decode)
+    val f2 = Multimodal.sampleFrames(media, everyMs = 40).collect()
     assert(frames.sortBy(f => (f.media_id, f.frame_idx)).map(_.features.toSeq).toSeq ===
       f2.sortBy(f => (f.media_id, f.frame_idx)).map(_.features.toSeq).toSeq)
   }
@@ -142,9 +169,12 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("audio").forall { f =>
       f.features(1) === 1.0f && math.abs(f.features(3) - 0.5f) < 1e-3
     })
-    // video rows take the stub branch: normalized byte histogram sums
-    // to ~ mean byte / 255 per lane, far below 1 channel
-    assert(byKind("video").forall(_.features.forall(_ < 0.2f)))
+    // video features come from the AVI demux + per-frame JPEG decode:
+    // f0/f1 are real normalized dimensions (4..11 px), f2 a real
+    // aspect ratio — the stub's byte histogram puts all lanes < 0.004
+    assert(byKind("video").forall { f =>
+      f.features(0) >= 4 / 1024f && f.features(2) >= 0.4f
+    })
     // determinism end-to-end (encode → decode)
     val again = Multimodal.decodeBatch(media).collect()
     assert(feats.sortBy(_.media_id).map(_.features.toSeq).toSeq ===
