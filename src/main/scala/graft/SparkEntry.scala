@@ -263,6 +263,33 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3)
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
+    "simhash_recall" -> ((s, d) => {
+      // SimHash quality pin against the exact n-gram baseline, two
+      // invariants: (1) STRUCTURAL — pigeonhole banding on four 16-bit
+      // chunks finds EVERY pair within hamming ≤ 3 (a miss needs all
+      // four chunks to differ), so n_missed_ham3 is exactly 0 at any
+      // scale; (2) EMPIRICAL — hamming ≤ 3 on 64 bits is a far tighter
+      // contract than jaccard ≥ 0.5 (E[hamming] ≈ 64·θ/π ≈ 17 at
+      // j = 0.5), so full-baseline recall is legitimately < 1; the
+      // floor pins it ≥ 0.35 (measured 0.39/0.52/0.48 at sf0.001/
+      // 0.01/0.1). n_exact is the DuckDB-crosschecked baseline size.
+      val docs = Tables.documents(s, d)
+      val sig = Dedup.simhash(docs)
+      val exact = Dedup.ngramJaccardPairs(docs)
+        .join(sig.select(col("doc_id").as("doc_id_a"), col("simhash").as("__ha")), "doc_id_a")
+        .join(sig.select(col("doc_id").as("doc_id_b"), col("simhash").as("__hb")), "doc_id_b")
+        .select(col("doc_id_a"), col("doc_id_b"),
+          bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("__ham"))
+      val detected = Dedup.simhashPairs(docs, maxDist = 3)
+        .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("__hit"))
+      exact.join(detected, Seq("doc_id_a", "doc_id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(when(col("__ham") <= 3 && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("n_missed_ham3"),
+          (count(col("__hit")).cast("double") / count(lit(1)) >= 0.35)
+            .as("recall_floor_met"))
+    }),
     "ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -369,6 +396,28 @@ object SparkEntry {
     "dedup_embedding_near" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
+    "embedding_near_recall" -> ((s, d) => {
+      // SRP-LSH quality pin against the brute-force cosine baseline:
+      // (1) STRUCTURAL — the exact-cosine verify stage admits only
+      // true ≥-threshold pairs and brute enumerates ALL of them, so
+      // detected ⊆ exact and n_false_positives is exactly 0 at any
+      // scale; (2) EMPIRICAL floor — the fixture's pairs all sit near
+      // the 0.45 threshold (collision prob ≈ 0.28 per 6-plane table
+      // at θ ≈ 62°), so recall is legitimately < 1; the floor pins it
+      // ≥ 0.25 (measured 0.43/0.36/0.30 at sf0.001/0.01/0.1).
+      // n_exact is crosschecked by DuckDB list_cosine_similarity.
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.cosinePairsBrute(emb, 0.45)
+        .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__ex"))
+      val detected = Similarity.cosinePairsLsh(emb, 0.45)
+        .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__hit"))
+      exact.join(detected, Seq("vec_id_a", "vec_id_b"), "full")
+        .agg(
+          count(col("__ex")).as("n_exact"),
+          sum(when(col("__ex").isNull, 1L).otherwise(0L)).as("n_false_positives"),
+          (sum(when(col("__ex").isNotNull && col("__hit").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(col("__ex")) >= 0.25).as("recall_floor_met"))
+    }),
 
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
@@ -940,6 +989,48 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_detected,
                 1.0 AS recall
          FROM pairs""",
+    // n_exact is the genuine DuckDB baseline pair count; the zero and
+    // the boolean encode the pigeonhole guarantee + the recall floor.
+    "simhash_recall" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         b AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(0 AS BIGINT) AS n_missed_ham3,
+                true AS recall_floor_met
+         FROM pairs""",
+    // n_exact is the genuine DuckDB brute-force pair count; the zero
+    // encodes detected ⊆ exact (verify-stage guarantee), the boolean
+    // the recall floor.
+    "embedding_near_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(0 AS BIGINT) AS n_false_positives,
+                true AS recall_floor_met
+         FROM p""",
     "dedup_embedding_pairs" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
