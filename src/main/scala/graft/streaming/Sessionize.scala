@@ -30,13 +30,19 @@ object Sessionize {
   /** Event-time tumbling-window aggregation with a watermark: the
     * streaming shape of `Analytics.eventsHourly`. Append mode — a
     * window only emits once the watermark passes its end, so results
-    * are final.
+    * are final. The sum runs in exact DECIMAL then casts to double
+    * (the engine's float-aggregate convention): the value is then
+    * independent of batch boundaries and row order, which is what lets
+    * the driver pin stream ≡ batch by hash.
     */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
   /** Streaming exact dedup: drop rows whose `keyCols` were already
