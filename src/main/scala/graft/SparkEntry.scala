@@ -188,48 +188,18 @@ object SparkEntry {
     "streaming_hourly" -> ((s, d) => {
       // Stream ≡ batch, executed for REAL: the events table replays
       // through a file source → watermarked windowed agg
-      // (Sessionize.hourlyCounts) → parquet sink, Trigger.AvailableNow.
-      // Append mode only emits a window once the watermark passes its
-      // end, so two far-future sentinel batches (outside any fixture's
-      // event range, filtered from the output) push the watermark past
-      // every real window: sentinel #1 advances it, and because a batch
-      // emits against the watermark committed by the PREVIOUS batch,
-      // sentinel #2's batch is what flushes the remaining real windows.
+      // (Sessionize.hourlyCounts) → parquet sink, one Trigger.AvailableNow
+      // run of three ordered micro-batches (real corpus, then two
+      // far-future watermark sentinels — see graft.streaming.Replay).
       // The oracle is the plain batch GROUP BY — the driver hash-pins
       // that a genuine multi-batch streaming execution produces exactly
       // the batch answer on finalized windows.
       val events = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
-      val stage = s"$base/stage"
-      events.write.mode("overwrite").parquet(stage)
-      def sentinel(tsLit: String): Unit =
-        s.range(1).select(
-          lit(-1L).as("event_id"),
-          lit(tsLit).cast("timestamp_ntz").as("ts"),
-          lit(-1L).as("user_id"),
-          lit("__wm_sentinel").as("event_type"),
-          lit(0.0).as("value"))
-          .write.mode("append").parquet(stage)
-      def runOnce(): Unit = {
-        val q = graft.streaming.Sessionize
-          .hourlyCounts(s.readStream.schema(events.schema).parquet(stage))
-          .writeStream.format("parquet")
-          .option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/ck")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      runOnce()
-      sentinel("2100-01-01 00:00:00")
-      runOnce()
-      sentinel("2100-01-02 00:00:00")
-      runOnce()
-      s.read.parquet(s"$base/out")
-        .filter(col("event_type") =!= "__wm_sentinel")
+      graft.streaming.Replay.run(s, events, d)(
+          graft.streaming.Sessionize.hourlyCounts(_))
+        .filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
         .orderBy(col("hour"), col("event_type"))
     }),
     "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),

@@ -35,8 +35,16 @@ object Sessionize {
     * independent of batch boundaries and row order, which is what lets
     * the driver pin stream ≡ batch by hash.
     */
-  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    // Streaming watermarks require TIMESTAMP; the engine's tables carry
+    // event time as TIMESTAMP_NTZ (GraftSession pins the session TZ to
+    // UTC, so the NTZ<->TZ casts are lossless). Cast in, watermark and
+    // window on TIMESTAMP, cast the emitted hour back so the streaming
+    // result is schema-identical to the batch `Analytics.eventsHourly`.
+    val ntzIn = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val in = if (ntzIn) events.withColumn("ts", col("ts").cast("timestamp")) else events
+    val agg = in
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -44,6 +52,8 @@ object Sessionize {
           .cast(org.apache.spark.sql.types.DecimalType(28, 2))
           .cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    if (ntzIn) agg.withColumn("hour", col("hour").cast("timestamp_ntz")) else agg
+  }
 
   /** Streaming exact dedup: drop rows whose `keyCols` were already
     * seen, with state bounded by the watermark — the streaming twin of

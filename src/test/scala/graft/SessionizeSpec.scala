@@ -8,6 +8,15 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Sessionize
 import graft.streaming.Sessionize.Event
 
+/** TIMESTAMP_NTZ-typed source row — `java.time.LocalDateTime` encodes as
+  * TIMESTAMP_NTZ, the type the engine's tables actually carry (the
+  * `java.sql.Timestamp`-based [[Sessionize.Event]] encodes as TIMESTAMP,
+  * which is NOT what the driver fixture supplies — r3 shipped a broken
+  * streaming entry because the spec only covered the TIMESTAMP shape).
+  */
+case class NtzEvent(event_id: Long, ts: java.time.LocalDateTime,
+                    user_id: Long, event_type: String, value: Double)
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,6 +39,29 @@ class SessionizeSpec extends SparkSpec {
     val out = spark.sql("SELECT * FROM hourly").collect()
     q.stop()
     assert(out.exists(r => r.getAs[Long]("n") === 2L)) // 10:00 window, both events
+  }
+
+  test("hourly aggregation accepts a TIMESTAMP_NTZ source and emits NTZ hours") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.time.LocalDateTime
+    val in = MemoryStream[NtzEvent]
+    val out = Sessionize.hourlyCounts(in.toDF(), watermark = "10 minutes")
+    assert(out.schema("hour").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val q = out.writeStream.format("memory").queryName("hourly_ntz")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      NtzEvent(1, LocalDateTime.parse("2024-01-01T10:05:00"), 7, "click", 1.0),
+      NtzEvent(2, LocalDateTime.parse("2024-01-01T10:50:00"), 7, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(NtzEvent(3, LocalDateTime.parse("2024-01-01T12:00:00"), 7, "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM hourly_ntz").collect()
+    q.stop()
+    val w = rows.find(r => r.getAs[Long]("n") === 2L)
+    assert(w.isDefined) // 10:00 window finalized with both events
+    assert(w.get.getAs[LocalDateTime]("hour") === LocalDateTime.parse("2024-01-01T10:00:00"))
+    assert(w.get.getAs[Double]("sum_value") === 3.0)
   }
 
   test("streaming dedup drops re-delivered keys within the watermark") {
