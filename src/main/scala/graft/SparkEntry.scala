@@ -202,6 +202,31 @@ object SparkEntry {
         .filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
         .orderBy(col("hour"), col("event_type"))
     }),
+    "streaming_sessions" -> ((s, d) => {
+      // Stream ≡ batch for the STATEFUL path: gap sessionization via
+      // flatMapGroupsWithState + event-time timeouts, replayed through
+      // the same three-batch harness. Sentinel #1 advances the
+      // watermark; every real session times out and flushes during
+      // sentinel #2's batch (timeouts fire against the eviction
+      // watermark committed by the previous batch). The oracle is the
+      // batch window-function sessionization — the driver hash-pins
+      // that explicit keyed state reproduces it exactly, micros and
+      // cents included.
+      import s.implicits._
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Replay.run(s, events, d) { src =>
+        val typed = src
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .as[graft.streaming.Sessionize.Event]
+        graft.streaming.Sessionize.sessions(s, typed).toDF()
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+      }
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),
     "top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables.events(s, d), 3)),
     "user_activity_rollup" -> ((s, d) =>
@@ -694,6 +719,27 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Batch sessionization the stateful streaming execution must
+    // reproduce (same gap rule as event_sessions, plus exact-decimal
+    // value totals).
+    "streaming_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         seq AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM seq GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start""",
     "event_type_breakdown" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value

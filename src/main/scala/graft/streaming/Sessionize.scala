@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.sql.Timestamp
+import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,15 +17,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sessions for quiet keys would accumulate forever at 100 TB/day
   * ingest rates.
   */
-object Sessionize {
+object Sessionize extends Serializable {
 
-  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+  /** `Instant` event time encodes as TIMESTAMP at MICROsecond precision
+    * — the engine's tables carry micros (`Tables.events` truncates the
+    * source nanos), and a `java.sql.Timestamp.getTime`-based state
+    * would silently round session bounds to milliseconds and break the
+    * stream ≡ batch hash pin against the micro-exact batch oracle.
+    */
+  case class Event(event_id: Long, ts: Instant, user_id: Long,
                    event_type: String, value: Double)
 
-  case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+  /** Keyed state in integer domains only: event-time micros and value
+    * cents (DECIMAL(12,2) convention), so the accumulated session is
+    * independent of batch boundaries and within-batch row order —
+    * float addition order would otherwise leak into `total_value`.
+    */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
 
-  case class Session(user_id: Long, session_start: Timestamp,
-                     session_end: Timestamp, n_events: Int, total_value: Double)
+  case class Session(user_id: Long, session_start: Instant,
+                     session_end: Instant, n_events: Long, total_value: Double)
+
+  private def toUs(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  private def fromUs(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  /** value → exact cents, same rounding as Spark's CAST(v AS DECIMAL(12,2)). */
+  private def toCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
 
   /** Event-time tumbling-window aggregation with a watermark: the
     * streaming shape of `Analytics.eventsHourly`. Append mode — a
@@ -78,10 +102,10 @@ object Sessionize {
   def sessions(spark: SparkSession, events: Dataset[Event],
                gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
     def flush(uid: Long, st: SessionState): Session =
-      Session(uid, new Timestamp(st.start), new Timestamp(st.lastTs), st.n, st.total)
+      Session(uid, fromUs(st.startUs), fromUs(st.lastUs), st.n, st.cents / 100.0)
 
     events
       .withWatermark("ts", watermark)
@@ -94,25 +118,28 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => toUs(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toUs(e.ts)
               cur match {
-                case Some(st) if t - st.lastTs <= gapMs =>
-                  cur = Some(st.copy(lastTs = math.max(st.lastTs, t),
-                    n = st.n + 1, total = st.total + e.value))
+                case Some(st) if t - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = math.max(st.lastUs, t),
+                    n = st.n + 1, cents = st.cents + toCents(e.value)))
                 case Some(st) =>
                   closed ::= flush(uid, st)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1L, toCents(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1L, toCents(e.value)))
               }
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastTs + gapMs)
+              // GroupState timeouts are in epoch MILLIseconds — round the
+              // micro deadline up so a timeout never fires early.
+              state.setTimeoutTimestamp(
+                Math.addExact(st.lastUs + gapUs, 999L) / 1000L)
             }
             closed.reverseIterator
           }

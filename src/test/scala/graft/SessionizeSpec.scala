@@ -1,12 +1,12 @@
 package graft
 
-import java.sql.Timestamp
+import java.time.Instant
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Sessionize
-import graft.streaming.Sessionize.Event
+import graft.streaming.Sessionize.{Event, Session}
 
 /** TIMESTAMP_NTZ-typed source row — `java.time.LocalDateTime` encodes as
   * TIMESTAMP_NTZ, the type the engine's tables actually carry (the
@@ -20,8 +20,8 @@ case class NtzEvent(event_id: Long, ts: java.time.LocalDateTime,
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def ts(minute: Int): Instant =
+    Instant.parse(f"2024-01-01T10:$minute%02d:00Z")
 
   test("watermarked hourly aggregation emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
@@ -30,11 +30,11 @@ class SessionizeSpec extends SparkSpec {
       .writeStream.format("memory").queryName("hourly")
       .outputMode(OutputMode.Append()).start()
     in.addData(
-      Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 7, "click", 1.0),
-      Event(2, Timestamp.valueOf("2024-01-01 10:50:00"), 7, "click", 2.0))
+      Event(1, Instant.parse("2024-01-01T10:05:00Z"), 7, "click", 1.0),
+      Event(2, Instant.parse("2024-01-01T10:50:00Z"), 7, "click", 2.0))
     q.processAllAvailable()
     // advance the watermark beyond 11:00 so the 10:00 window finalizes
-    in.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 7, "click", 3.0))
+    in.addData(Event(3, Instant.parse("2024-01-01T12:00:00Z"), 7, "click", 3.0))
     q.processAllAvailable()
     val out = spark.sql("SELECT * FROM hourly").collect()
     q.stop()
@@ -97,15 +97,38 @@ class SessionizeSpec extends SparkSpec {
       Event(5, ts(42), 7, "view", 5.0))
     q.processAllAvailable()
     // push the watermark far ahead so the second session times out
-    in.addData(Event(6, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "click", 0.0))
+    in.addData(Event(6, Instant.parse("2024-01-01T13:00:00Z"), 99, "click", 0.0))
     q.processAllAvailable()
-    in.addData(Event(7, Timestamp.valueOf("2024-01-01 15:00:00"), 99, "click", 0.0))
+    in.addData(Event(7, Instant.parse("2024-01-01T15:00:00Z"), 99, "click", 0.0))
     q.processAllAvailable()
     val out = spark.sql("SELECT * FROM sessions WHERE user_id = 7 ORDER BY session_start")
-      .as[(Long, Timestamp, Timestamp, Int, Double)].collect()
+      .as[Session].collect()
     q.stop()
     assert(out.length === 2)
-    assert(out(0) === ((7L, ts(0), ts(5), 3, 6.0)))
-    assert(out(1) === ((7L, ts(40), ts(42), 2, 9.0)))
+    assert(out(0) === Session(7L, ts(0), ts(5), 3L, 6.0))
+    assert(out(1) === Session(7L, ts(40), ts(42), 2L, 9.0))
+  }
+
+  test("session totals are exact at DECIMAL(12,2) regardless of event order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessions(spark, in.toDS(), gapMinutes = 10, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_cents")
+      .outputMode(OutputMode.Append()).start()
+    // 0.1 + 0.2 + 0.3 in floats ≠ 0.6; in cents it is exactly 0.6
+    in.addData(
+      Event(1, ts(0), 7, "click", 0.1),
+      Event(2, ts(1), 7, "click", 0.2),
+      Event(3, ts(2), 7, "click", 0.3))
+    q.processAllAvailable()
+    in.addData(Event(4, Instant.parse("2024-01-01T13:00:00Z"), 99, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(5, Instant.parse("2024-01-01T15:00:00Z"), 99, "click", 0.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM sessions_cents WHERE user_id = 7")
+      .as[Session].collect()
+    q.stop()
+    assert(out.length === 1)
+    assert(out(0).total_value === 0.6) // exact, not 0.6000000000000001
   }
 }
