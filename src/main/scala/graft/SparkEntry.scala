@@ -329,7 +329,11 @@ object SparkEntry {
           count(lit(1)).as("n_exact"),
           sum(when(col("__ham") <= 3 && col("__hit").isNull, 1L)
             .otherwise(0L)).as("n_missed_ham3"),
-          (count(col("__hit")).cast("double") / count(lit(1)) >= 0.35)
+          // total boolean: an empty baseline makes the ratio null —
+          // vacuous recall is met, not unknown. Floor measured at
+          // sf0.001/0.01/0.1; re-measure before pinning other scales.
+          (count(lit(1)) === 0 ||
+            count(col("__hit")).cast("double") / count(lit(1)) >= 0.35)
             .as("recall_floor_met"))
     }),
     "ngram_jaccard_pairs" -> ((s, d) =>
@@ -457,8 +461,11 @@ object SparkEntry {
         .agg(
           count(col("__ex")).as("n_exact"),
           sum(when(col("__ex").isNull, 1L).otherwise(0L)).as("n_false_positives"),
-          (sum(when(col("__ex").isNotNull && col("__hit").isNotNull, 1L).otherwise(0L))
-            .cast("double") / count(col("__ex")) >= 0.25).as("recall_floor_met"))
+          // total boolean: empty exact baseline ⇒ vacuously met (see
+          // simhash_recall). Floor measured at sf0.001/0.01/0.1.
+          (count(col("__ex")) === 0 ||
+            sum(when(col("__ex").isNotNull && col("__hit").isNotNull, 1L).otherwise(0L))
+              .cast("double") / count(col("__ex")) >= 0.25).as("recall_floor_met"))
     }),
 
     "clean_corpus" -> ((s, d) =>

@@ -70,9 +70,14 @@ object NearestCentroid {
       val row = cents.getStruct(i, 2)
       val id = row.getLong(0)
       if (id < minId) minId = id
-      val c = CosineSimilarity.cosine(emb, row.getArray(1))
-      if (!c.isNaN && (!hasBest || c > best || (c == best && id < bestId))) {
-        hasBest = true; best = c; bestId = id
+      // A null centroid vector (null embedding sampled into the
+      // centroid set) scores like NaN: it can never win.
+      val vec = row.getArray(1)
+      if (vec != null) {
+        val c = CosineSimilarity.cosine(emb, vec)
+        if (!c.isNaN && (!hasBest || c > best || (c == best && id < bestId))) {
+          hasBest = true; best = c; bestId = id
+        }
       }
       i += 1
     }

@@ -75,6 +75,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, refine: Int = 0): DataFrame = {
     val sampled = corpus
+      // a null embedding sampled as a seed would be a dead centroid (it
+      // can never win the argmin) — and its cell id would NPE-bait every
+      // consumer that dereferences the centroid vector
+      .filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))

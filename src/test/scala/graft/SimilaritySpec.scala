@@ -23,6 +23,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - (-1.0)) < 1e-6)
   }
 
+  test("ivf: null embeddings in the corpus never crash or win (sampled or scored)") {
+    // Null-heavy corpus with nlist > non-null count: without the
+    // isNotNull sampling filter a null vector lands in the centroid
+    // set and NearestCentroid dereferences it (latent NPE — the
+    // corpus side handles nulls, so the op's own contract admits them).
+    val withNulls = vecs.unionByName(Seq(
+      (10L, null.asInstanceOf[Array[Float]], 9),
+      (11L, null.asInstanceOf[Array[Float]], 9),
+      (12L, null.asInstanceOf[Array[Float]], 9)
+    ).toDF("vec_id", "embedding", "label"))
+    val q = vecs.filter($"vec_id" === 0L)
+    val out = Similarity.ivfTopK(withNulls, q, 3, nlist = 8, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 4L, 2L)) // same as brute force; null rows invisible
+    // And the kernel itself tolerates a null centroid vector in the array.
+    val k = spark.range(1).select(
+      graft.functions.NearestCentroid.nearest_centroid(
+        array(lit(1.0f), lit(0.0f)),
+        array(
+          struct(lit(7L).as("centroid_id"),
+            lit(null).cast("array<float>").as("centroid")),
+          struct(lit(9L).as("centroid_id"),
+            array(lit(1.0f), lit(0.0f)).as("centroid")))).as("c"))
+      .as[Long].head()
+    assert(k === 9L)
+  }
+
   test("brute-force top-k ranks by cosine, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), 3)
       .select("vec_id").as[Long].collect().toSeq
