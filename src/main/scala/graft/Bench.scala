@@ -6,11 +6,19 @@ package graft
   * would let Catalyst prune the work under aggregates/projections).
   *
   * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
-  * per-query MEDIAN, plus min/max spread — a single-run artifact is at
-  * the mercy of one GC pause or scheduler hiccup, and a noisy outlier
-  * recording can contradict the very claim it exists to support.
-  * `value` is the sum of medians; `spread` carries [min, max] per
-  * query so a reader can judge how load-bearing each median is.
+  * per-query MEDIAN over SUCCESSFUL reps only, plus min/max spread — a
+  * single-run artifact is at the mercy of one GC pause or scheduler
+  * hiccup, and a rep that throws early would otherwise feed its partial
+  * elapsed time into the median and make a broken query look fast. A
+  * query with zero successful reps reports null. `failed` lists every
+  * query with at least one failed rep; `failures` carries the per-query
+  * failed-rep count, so "flaky on one rep" and "always broken" are
+  * distinguishable from the artifact alone.
+  *
+  * The JSON line is also written to BENCHOUT.json in the working
+  * directory: the driver's stdout capture truncates long tails, and the
+  * committed file keeps the full per-query medians+spread reproducible
+  * without a rerun.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,34 +32,44 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        if (!failed.contains(name)) {
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        failCounts.updateWith(name) {
+          case None =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some(1)
+          case Some(n) => Some(n + 1)
         }
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(name, fn)).sorted
-      val median = times(times.length / 2)
-      (name, median, times.head, times.last)
+      val ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).sorted
+      if (ok.isEmpty) (name, None, None, None)
+      else (name, Some(ok(ok.length / 2)), Some(ok.head), Some(ok.last))
     }
     def f(d: Double): String = "%.4f".format(d)
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + f(m) }
+    def fOpt(d: Option[Double]): String = d.map(f).getOrElse("null")
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fOpt(m) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, lo, hi) =>
-      "\"" + k + "\":[" + f(lo) + "," + f(hi) + "]" }
+      "\"" + k + "\":[" + fOpt(lo) + "," + fOpt(hi) + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // `failed` makes a failing round visibly different from a fast one —
-    // a thrown query's partial elapsed time still lands in `queries`.
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val failedJson = failCounts.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failuresJson = failCounts
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHOUT.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
