@@ -923,6 +923,31 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // Byte-level bigram-profile scoring mirrored at char level: the
+    // corpus is ASCII, where an ASCII-ASCII byte bigram exists iff the
+    // chars are adjacent, and the native kernel's ASCII-only lowering
+    // coincides with lower(). Ties break on the LARGER lang string
+    // (Spark's array_max over (score, lang) structs) — hence lang DESC.
+    "lang_id" ->
+      """WITH b AS (
+           SELECT doc_id, lang AS labeled_lang,
+                  list_distinct([substr(lower(text), i, 2) for i in range(1, length(text))]) AS bgs
+           FROM documents),
+         scored AS (
+           SELECT doc_id, labeled_lang, unnest([
+             {'score': len(list_intersect(bgs, ['th','he','in','er','an','re','on','at','en','nd']))/10.0, 'lang': 'en'},
+             {'score': len(list_intersect(bgs, ['en','er','ch','de','ei','nd','te','in','ie','ge']))/10.0, 'lang': 'de'},
+             {'score': len(list_intersect(bgs, ['de','la','os','en','ar','el','es','ra','as','on']))/10.0, 'lang': 'es'},
+             {'score': len(list_intersect(bgs, ['es','le','de','en','on','nt','re','ou','ai','it']))/10.0, 'lang': 'fr'},
+             {'score': len(list_intersect(bgs, ['zh','sh','ng','ia','uo','ji','xi','qi','an','ua']))/10.0, 'lang': 'zh'}
+           ]) AS sl
+           FROM b),
+         ranked AS (
+           SELECT doc_id, labeled_lang, sl.lang AS predicted_lang, sl.score AS confidence,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
+           FROM scored)
+         SELECT doc_id, labeled_lang, predicted_lang, confidence
+         FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "quality_score" ->
       """WITH w AS (
            SELECT doc_id, text,
