@@ -497,6 +497,21 @@ object SparkEntry {
       // parser, video via the MJPEG-AVI demux + per-frame JPEG decode.
       Multimodal.featureStats(
         Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))),
+    "multimodal_decode_counts" -> ((s, d) =>
+      // Dispatch pin for the decode path: every payload of the
+      // deterministic encoded fixture MUST route through its real
+      // codec (PNG → ImageIO, WAV → PCM parser, AVI → MJPEG demux),
+      // so per kind n_real_decoded = n_media and n_fallback = 0 — an
+      // exact oracle over counts the feature query can't see (a codec
+      // silently regressing to the stub changes no row counts).
+      Multimodal.decodePaths(
+          Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("real"), 1L).otherwise(0L)).as("n_real_decoded"),
+          sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
+        .orderBy(col("kind"))),
   )
 
   /** The corpus-prep pipeline shared by clean_corpus (exact-baseline
@@ -923,6 +938,15 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // The fixture's kind assignment is doc_id mod 3, and EVERY encoded
+    // payload must decode through its real codec: n_real_decoded pins
+    // to the full per-kind count, n_fallback to zero.
+    "multimodal_decode_counts" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                count(*) AS n_media,
+                count(*) AS n_real_decoded,
+                CAST(0 AS BIGINT) AS n_fallback
+         FROM documents GROUP BY 1 ORDER BY kind""",
     // Byte-level bigram-profile scoring mirrored at char level: the
     // corpus is ASCII, where an ASCII-ASCII byte bigram exists iff the
     // chars are adjacent, and the native kernel's ASCII-only lowering

@@ -439,6 +439,33 @@ object Multimodal {
     }
   }
 
+  case class DecodePath(media_id: Long, kind: String, codec: String, real: Boolean)
+
+  /** Per-payload decode dispatch record: which container [[sniff]]
+    * recognized and whether the REAL codec produced the features
+    * (false = the deterministic stub served the row). Food for the
+    * driver's decode-counter pin: feature values themselves are
+    * engine-internal (rows-only forever), but the dispatch is exactly
+    * checkable — a silent codec regression to the stub path changes
+    * n_real_decoded without changing any row count.
+    */
+  def decodePaths(media: DataFrame): Dataset[DecodePath] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val (codec, real) = sniff(r.payload) match {
+          case "image" => ("image", decodeImageFeatures(r.payload).isDefined)
+          case "wav"   => ("wav", decodeWavFeatures(r.payload).isDefined)
+          case "avi"   => ("avi", decodeAviFeatures(r.payload).isDefined)
+          case other   => (other, false)
+        }
+        DecodePath(r.media_id, r.kind, codec, real)
+      }
+    }
+  }
+
   case class ResizedMedia(
       media_id: Long,
       kind: String,

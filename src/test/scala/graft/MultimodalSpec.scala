@@ -82,6 +82,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakeDecodeFeatures(text).toSeq)
   }
 
+  test("decodePaths pins dispatch: encoded fixture all real, text fixture all stub") {
+    val docs = tables.Tables.documents(spark, sf).limit(30)
+    val real = Multimodal.decodePaths(Multimodal.syntheticMediaEncoded(docs)).collect()
+    assert(real.length === 30)
+    assert(real.forall(_.real), "every encoded payload must real-decode")
+    val codecByKind = real.map(p => p.kind -> p.codec).toSet
+    assert(codecByKind === Set("image" -> "image", "audio" -> "wav", "video" -> "avi"))
+    // text-byte payloads sniff as unknown and report the stub path
+    val stub = Multimodal.decodePaths(Multimodal.syntheticMedia(docs)).collect()
+    assert(stub.forall(p => !p.real && p.codec === "unknown"))
+  }
+
   test("featureStats aggregates per kind") {
     val media = Multimodal.syntheticMedia(tables.Tables.documents(spark, sf))
     val stats = Multimodal.featureStats(media).collect()
