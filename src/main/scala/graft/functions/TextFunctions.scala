@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization: `split` on a run of whitespace after
-    * trimming (a lone `split` yields a leading "" for leading spaces).
-    * Empty input → empty array, not [""].
+  /** Whitespace tokenization: `split` on a run of whitespace, empty
+    * strings filtered. The filter (not a trim) is load-bearing:
+    * Spark's `trim` strips SPACES only, so tab/newline-led text kept a
+    * leading "" token under the old trim-then-split formulation —
+    * empty/blank input of ANY whitespace now yields an empty array,
+    * the same convention the DuckDB oracles use (`list_filter(...,
+    * x <> '')`).
     */
-  def tokens(text: Column): Column = {
-    val t = trim(text)
-    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
-  }
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Distinct k-word shingles over a *materialized* token array:
     * ["a b c", "b c d", …]. Word shingles (not char shingles) because

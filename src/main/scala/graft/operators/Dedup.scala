@@ -100,8 +100,13 @@ object Dedup {
       .join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
         inter.as("i"), (col("n_a") + col("n_b")).as("t"))
+      // Guarded division: two blank docs (empty shingle sets) can
+      // co-bucket, and their 0/0 union is an ANSI DIVIDE_BY_ZERO that
+      // kills the whole job. Jaccard on empty sets is undefined —
+      // score 0, which the threshold filter drops.
       .select(col("doc_id_a"), col("doc_id_b"),
-        (col("i") / (col("t") - col("i"))).as("jaccard"))
+        when(col("t") > col("i"), col("i") / (col("t") - col("i")))
+          .otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -237,8 +242,12 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_b"),
         inter.as("i"), (col("a.n_sh") + col("b.n_sh")).as("t"))
+      // Same guarded division as minhashPairs: blank docs share the
+      // n_chars=0 bucket and 0 ≤ ratio·0 passes the size prune, so
+      // their 0/0 union would ANSI-error the job.
       .select(col("doc_id_a"), col("doc_id_b"),
-        (col("i") / (col("t") - col("i"))).as("jaccard"))
+        when(col("t") > col("i"), col("i") / (col("t") - col("i")))
+          .otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

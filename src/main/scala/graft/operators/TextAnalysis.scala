@@ -78,9 +78,17 @@ object TextAnalysis {
     val withQ = docs.select(col("doc_id"), q.as("q"))
     val nChars = col("q.n_chars").cast("double")
     val nToks = col("q.n_toks").cast("double")
-    val punctRatio = col("q.punct").cast("double") / nChars
-    val stopRatio = col("q.stops").cast("double") / nToks
-    val meanTokLen = col("q.nows").cast("double") / nToks
+    // Guarded ratios: empty/blank docs have 0 chars / 0 tokens, and an
+    // unguarded division is an ANSI DIVIDE_BY_ZERO that kills the whole
+    // job (real corpora contain blank docs even though the fixtures
+    // don't). Convention: every ratio is 0.0 when its denominator is 0,
+    // so a blank doc scores 0.4·0 + 0.3·0 + 0.2·0 + 0.1·(1-0) = 0.1.
+    val punctRatio = when(nChars > 0, col("q.punct").cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nToks > 0, col("q.stops").cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val meanTokLen = when(nToks > 0, col("q.nows").cast("double") / nToks)
+      .otherwise(lit(0.0))
     val lengthScore = least(nToks / lit(100.0), lit(1.0))
     val score = lit(0.4) * lengthScore + lit(0.3) * stopRatio +
       lit(0.2) * least(meanTokLen / lit(10.0), lit(1.0)) +

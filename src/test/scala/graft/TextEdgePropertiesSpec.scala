@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Edge-document totality properties for the text operators: the
+  * driver fixtures carry no blank/1-char/huge-token docs (min length
+  * 44), so parity there never exercises these paths — this suite pins
+  * the contracts directly. Generated docs use only the whitespace the
+  * native tokenizers recognize (space/tab/nl/cr), matching
+  * `WordShingleHashes.isSpace` and `trim`.
+  *
+  * Pinned contracts:
+  *  - every operator is total (no throw, one output row per input doc
+  *    unless the operator's contract drops it);
+  *  - blank docs (no tokens) are EXCLUDED from simhash (documented in
+  *    [[Dedup.simhash]]) and produce empty shingle sets;
+  *  - blank docs score 0 tokens / empty fingerprints, never null;
+  *  - langId on a zero-signal doc predicts the tie-break language
+  *    ("zh", the largest lang string under array_max) with
+  *    confidence 0.0;
+  *  - sketch outputs are deterministic across runs.
+  */
+class TextEdgePropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edge = Seq(
+    0L -> "",
+    1L -> " ",
+    2L -> " \t\n\r ",
+    3L -> "a",
+    4L -> ".",
+    5L -> ("a" * 5000),                // one huge token
+    6L -> (("tok " * 2000).trim),      // many identical tokens
+    7L -> "\n\n\n",
+    8L -> "alpha beta gamma delta",
+    9L -> "alpha beta gamma delta")    // identical twin of 8
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('\t', '\n', '\r'),
+      1 -> Gen.oneOf('.', ',', '@', '0', '9')))
+  } yield cs.mkString
+
+  private val generated: Seq[(Long, String)] =
+    (0 until 40).map(i =>
+      (100L + i, docGen.apply(Gen.Parameters.default, Seed(i.toLong)).get))
+
+  private lazy val docs = (edge ++ generated)
+    .toDF("doc_id", "text")
+    .withColumn("lang", lit("en"))
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private lazy val nDocs = edge.size + generated.size
+  private lazy val blankIds =
+    (edge ++ generated).filter(_._2.trim.isEmpty).map(_._1).toSet
+
+  test("qualityScore is total: one row per doc, zero tokens on blanks, no nulls") {
+    val rows = TextAnalysis.qualityScore(docs).collect()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => !r.anyNull))
+    rows.filter(r => blankIds(r.getAs[Long]("doc_id")))
+      .foreach(r => assert(r.getAs[Long]("n_tokens") === 0L))
+  }
+
+  test("tokenCounts is total and zero on blanks") {
+    val rows = TextAnalysis.tokenCounts(docs).collect()
+    assert(rows.length === nDocs)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))).toMap
+    blankIds.foreach(id => assert(byId(id) === ((0L, 0L)), s"doc $id"))
+    assert(byId(3L) === ((1L, 1L)))
+    assert(byId(5L) === ((1L, 1L)))     // one 5000-char letter run
+    assert(byId(6L)._1 === 2000L)
+  }
+
+  test("fingerprints are total, deterministic, and empty-set on blanks") {
+    val a = TextAnalysis.fingerprints(docs).collect()
+    val b = TextAnalysis.fingerprints(docs).collect()
+    assert(a.length === nDocs)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.forall(r => !r.anyNull))
+    a.filter(r => blankIds(r.getAs[Long]("doc_id")))
+      .foreach(r => assert(r.getAs[String]("fp_bottomk") === "")) // no shingles
+    // rolling hash is a BYTE fingerprint: exactly-empty input pins 0,
+    // whitespace-only docs hash their (real) whitespace bytes
+    val empty = a.find(_.getAs[Long]("doc_id") === 0L).get
+    assert(empty.getAs[Long]("fp_rolling") === 0L)
+  }
+
+  test("simhash drops exactly the blank docs, deterministically") {
+    val out1 = Dedup.simhash(docs).collect()
+    val out2 = Dedup.simhash(docs).collect()
+    assert(out1.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      out2.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(out1.map(_.getLong(0)).toSet ===
+      (edge ++ generated).map(_._1).toSet -- blankIds)
+  }
+
+  test("minhashPairs is total on edge docs; identical docs pair at jaccard 1") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+    assert(pairs.forall(r => r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b")))
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    val twin = pairs.find(r =>
+      r.getAs[Long]("doc_id_a") === 8L && r.getAs[Long]("doc_id_b") === 9L)
+    assert(twin.isDefined && twin.get.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhashPairs is total on edge docs; identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.forall(r => r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b")))
+    val twin = pairs.find(r =>
+      r.getAs[Long]("doc_id_a") === 8L && r.getAs[Long]("doc_id_b") === 9L)
+    assert(twin.isDefined && twin.get.getAs[Long]("hamming") === 0L)
+  }
+
+  test("ngramJaccardPairs is total on edge docs (blanks never pair)") {
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    val ids = pairs.flatMap(r => Seq(r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b")))
+    assert(ids.toSet.intersect(blankIds) === Set.empty)
+  }
+
+  test("langId on zero-signal docs predicts the tie-break lang with confidence 0") {
+    val rows = TextAnalysis.langId(docs).collect()
+    assert(rows.length === nDocs)
+    rows.filter(r => blankIds(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[String]("predicted_lang") === "zh")
+      assert(r.getAs[Double]("confidence") === 0.0)
+    }
+  }
+}
