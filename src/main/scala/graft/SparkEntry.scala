@@ -202,6 +202,25 @@ object SparkEntry {
         .filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
         .orderBy(col("hour"), col("event_type"))
     }),
+    "streaming_dedup" -> ((s, d) => {
+      // Stream ≡ batch for the dedup path: dropDuplicatesWithinWatermark
+      // over (user_id, event_type) through the replay harness. All real
+      // rows share batch 0 (single staged file), so every duplicate key
+      // dedups against live state and the surviving KEY SET equals the
+      // batch DISTINCT — the projection keeps only the keys because
+      // which carrier row survives within a batch is partition-order
+      // dependent, but the key set is not.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Replay.run(s, events, d) { src =>
+        graft.streaming.Sessionize
+          .dedupStream(src, Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+      }
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
     "streaming_sessions" -> ((s, d) => {
       // Stream ≡ batch for the STATEFUL path: gap sessionization via
       // flatMapGroupsWithState + event-time timeouts, replayed through
@@ -467,6 +486,42 @@ object SparkEntry {
             sum(when(col("__ex").isNotNull && col("__hit").isNotNull, 1L).otherwise(0L))
               .cast("double") / count(col("__ex")) >= 0.25).as("recall_floor_met"))
     }),
+
+    "decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: the blocklist is 40-char snippets of
+      // five fixture docs (deterministic, so the oracle derives the
+      // identical phrases), broadcast into an anti-join — those five
+      // docs remove themselves plus any doc sharing the snippet.
+      val docs = Tables.documents(s, d)
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("phrase"))
+      TextAnalysis.decontaminate(docs, phrases)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-data extensions: deterministic sampling ----------
+    "hash_split" -> ((s, d) =>
+      // Reproducible train/val/test assignment: row-local md5-bucket
+      // split (no shuffle, no rand(), stable under repartitioning and
+      // backfills); the oracle recomputes every bucket independently
+      // in DuckDB, so the pin proves engine-independence, not just
+      // determinism.
+      Tables.documents(s, d)
+        .withColumn("split",
+          operators.Sampling.splitColumn(col("doc_id")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))),
+    "stratified_sample" -> ((s, d) =>
+      // Fixed-mix corpus subset: per-language keep fractions applied
+      // via the same hash buckets — exact row membership pinned by the
+      // oracle (not just counts).
+      operators.Sampling.stratifiedSample(
+          Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.4, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
@@ -741,6 +796,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // The batch DISTINCT the streaming dedup's surviving key set must
+    // reproduce.
+    "streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // Batch sessionization the stateful streaming execution must
     // reproduce (same gap rule as event_sessions, plus exact-decimal
     // value totals).
@@ -938,6 +998,39 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    "decontaminate" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))
+         ORDER BY d.doc_id""",
+    // Independent recomputation of the md5 buckets: first 8 hex chars
+    // of md5(key) as an integer (list_reduce over hex digits — DuckDB
+    // has no conv()), mod 100, then the same cumulative-weight CASE.
+    "hash_split" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS b
+           FROM documents)
+         SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM h GROUP BY 1, 2 ORDER BY split, lang""",
+    "stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS b
+           FROM documents)
+         SELECT doc_id, lang FROM h
+         WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
+                             WHEN 'es' THEN 40 WHEN 'zh' THEN 10 ELSE 0 END
+         ORDER BY doc_id""",
     // The fixture's kind assignment is doc_id mod 3, and EVERY encoded
     // payload must decode through its real codec: n_real_decoded pins
     // to the full per-kind count, n_fallback to zero.

@@ -154,6 +154,21 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Benchmark decontamination: drop every document whose text
+    * contains any blocklist phrase (eval-set snippets, canary
+    * strings). Scale shape: the blocklist is tiny by nature (thousands
+    * of phrases) and BROADCASTS; the probe is a broadcast
+    * nested-loop anti-join evaluated as a codegen'd `contains` per
+    * (doc, phrase) — the corpus never shuffles and is scanned once.
+    * For web-scale blocklists, compose with [[Dedup.minhashPairs]]'
+    * shingle machinery instead; this is the exact-containment op.
+    */
+  def decontaminate(docs: DataFrame, phrases: DataFrame,
+                    phraseCol: String = "phrase",
+                    textCol: String = "text"): DataFrame =
+    docs.join(broadcast(phrases.select(col(phraseCol))),
+      col(textCol).contains(col(phraseCol)), "left_anti")
+
   /** PII scrubbing: replace email addresses and international-ish
     * phone numbers with typed placeholder tags — the redaction pass a
     * training corpus runs before anything else sees the text. Single

@@ -59,17 +59,26 @@ object Sessionize extends Serializable {
     * independent of batch boundaries and row order, which is what lets
     * the driver pin stream ≡ batch by hash.
     */
+  /** Watermark an event-time column that may be TIMESTAMP_NTZ (the
+    * engine's table convention — GraftSession pins the session TZ to
+    * UTC, so the NTZ→TZ cast is lossless). Spark streaming watermarks
+    * require TIMESTAMP; r3 shipped a broken driver entry because the
+    * spec fixture only ever supplied TIMESTAMP.
+    */
+  private def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame = {
+    val ntz = df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val in = if (ntz) df.withColumn(tsCol, col(tsCol).cast("timestamp")) else df
+    in.withWatermark(tsCol, delay)
+  }
+
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    // Streaming watermarks require TIMESTAMP; the engine's tables carry
-    // event time as TIMESTAMP_NTZ (GraftSession pins the session TZ to
-    // UTC, so the NTZ<->TZ casts are lossless). Cast in, watermark and
-    // window on TIMESTAMP, cast the emitted hour back so the streaming
-    // result is schema-identical to the batch `Analytics.eventsHourly`.
+    // Watermark and window on TIMESTAMP, cast the emitted hour back so
+    // the streaming result is schema-identical to the batch
+    // `Analytics.eventsHourly`.
     val ntzIn = events.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampNTZType
-    val in = if (ntzIn) events.withColumn("ts", col("ts").cast("timestamp")) else events
-    val agg = in
-      .withWatermark("ts", watermark)
+    val agg = watermarked(events, "ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
@@ -90,8 +99,7 @@ object Sessionize extends Serializable {
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark(tsCol, watermark)
+    watermarked(events, tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Gap-based sessionization: events for a user belong to one session

@@ -82,6 +82,23 @@ class SessionizeSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming dedup accepts a TIMESTAMP_NTZ source (engine convention)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.time.LocalDateTime
+    val in = MemoryStream[NtzEvent]
+    val q = Sessionize.dedupStream(in.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped_ntz")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      NtzEvent(1, LocalDateTime.parse("2024-01-01T10:00:00"), 7, "click", 1.0),
+      NtzEvent(1, LocalDateTime.parse("2024-01-01T10:00:00"), 7, "click", 1.0),
+      NtzEvent(2, LocalDateTime.parse("2024-01-01T10:01:00"), 7, "view", 2.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_id FROM deduped_ntz").as[Long].collect().sorted
+    q.stop()
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
   test("gap sessionization: one session per burst, closed by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
