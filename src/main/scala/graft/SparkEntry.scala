@@ -500,6 +500,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pack_bins" -> ((s, d) =>
+      // Sequence packing: contiguous token-budget bins via the
+      // two-level prefix sum (the corpus-safe formulation); oracle is
+      // the single global window cumsum — identical numbers, which is
+      // exactly the claim.
+      operators.Packing.packBins(Tables.documents(s, d), "doc_id", 2000L)
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("bin_id"))
+        .orderBy(col("doc_id"))),
+    "pack_bin_stats" -> ((s, d) =>
+      operators.Packing.binStats(
+        operators.Packing.packBins(Tables.documents(s, d), "doc_id", 2000L))),
+
     // ---- training-data extensions: deterministic sampling ----------
     "hash_split" -> ((s, d) =>
       // Reproducible train/val/test assignment: row-local md5-bucket
@@ -998,6 +1010,34 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // The two-level distributed prefix sum must equal the single
+    // global window cumsum.
+    "pack_bins" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY doc_id""",
+    "pack_bin_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_tokens
+           FROM t)
+         SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
+                count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         FROM p GROUP BY 1 ORDER BY bin_id""",
     "decontaminate" ->
       """SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d

