@@ -500,6 +500,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "profile_columns" -> ((s, d) =>
+      // Exact column profile over orders (integer/string/timestamp
+      // columns only — float→string formatting is engine-specific).
+      // The approx (HLL, no-Expand) twin is profile_columns_approx.
+      operators.Profile.profileExact(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "profile_columns_approx" -> ((s, d) =>
+      // 100 TB path: one flat pass, HLL distincts (rows-only — sketch
+      // estimates are engine-internal).
+      operators.Profile.profileApprox(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     "pack_bins" -> ((s, d) =>
       // Sequence packing: contiguous token-budget bins via the
       // two-level prefix sum (the corpus-safe formulation); oracle is
@@ -1010,6 +1021,29 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    "profile_columns" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+                count(*) - count(o_custkey) AS n_nulls,
+                count(DISTINCT o_custkey) AS n_distinct,
+                CAST(min(o_custkey) AS VARCHAR) AS min_value,
+                CAST(max(o_custkey) AS VARCHAR) AS max_value
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+                count(DISTINCT o_orderkey),
+                CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                count(DISTINCT o_orderpriority),
+                CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                count(DISTINCT o_orderstatus),
+                CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+         FROM orders
+         ORDER BY "column"""",
     // The two-level distributed prefix sum must equal the single
     // global window cumsum.
     "pack_bins" ->

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), Some(10)),
+    (2L, None, Some(10)),
+    (3L, Some("b"), None),
+    (4L, Some("a"), Some(20))
+  ).toDF("id", "s", "v")
+
+  test("profileExact counts rows, nulls, distincts, min/max per column") {
+    val p = Profile.profileExact(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") === ((4L, 1L, 2L, "a", "b")))
+    assert(p("v") === ((4L, 1L, 2L, "10", "20")))
+  }
+
+  test("profileApprox has the same shape; exact stats still exact; no Expand") {
+    val ap = Profile.profileApprox(df, Seq("id", "s", "v"))
+    val p = ap.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+    assert(p("s") === ((4L, 1L, "a", "b")))   // n/nulls/min/max unaffected by HLL
+    // the whole point of the approx variant: one flat pass, no k-way
+    // row amplification before the aggregate
+    val plan = ap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    val exactPlan = Profile.profileExact(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand")) // documents the exact twin's cost
+  }
+}
