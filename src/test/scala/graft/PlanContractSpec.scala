@@ -77,6 +77,47 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontamination broadcasts the blocklist, never the corpus") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      s"containment anti-join must be a broadcast NLJ:\n$p")
+    // the broadcast side is the 5-phrase relation: its exchange must
+    // sit under a pushed doc_id < 5 scan, not the full corpus scan
+    assert(p.contains("LessThan(doc_id,5)"),
+      "phrase side must push its doc_id bound into the scan")
+  }
+
+  test("hash split/sample plans are row-local up to the final aggregate") {
+    // stratified_sample: scan → filter → project, zero exchanges
+    val sampled = SparkEntry.queries("stratified_sample")(spark, sf)
+    val pre = sampled.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only allowed exchange is the final presentation orderBy
+    assert(pre.length <= 1, s"sampling must not shuffle data:\n$sampled")
+  }
+
+  test("packing's corpus shuffles once (range); subtotal window stays tiny") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = graft.operators.Packing
+        .packBins(tables.Tables.documents(spark, sf), "doc_id", 2000L)
+        .queryExecution.executedPlan
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // corpus-sized exchanges: the range repartition carrying `text`
+      // or token counts; the offsets relation (one row per partition)
+      // may exchange freely. Contract: at most ONE exchange carries a
+      // corpus text column.
+      val corpusExchanges = exchanges.filter(_.output.exists(_.name == "text"))
+      assert(corpusExchanges.length <= 1,
+        s"corpus must range-shuffle exactly once, saw ${corpusExchanges.length}")
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        "partition offsets must broadcast back, not shuffle-join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the text-kernel hot paths") {
     // AQE wraps the plan and defers codegen until execution — turn it
     // off for this one inspection so the physical plan is final
