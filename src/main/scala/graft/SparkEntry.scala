@@ -487,6 +487,18 @@ object SparkEntry {
               .cast("double") / count(col("__ex")) >= 0.25).as("recall_floor_met"))
     }),
 
+    "normalize_text" -> ((s, d) =>
+      // The corpus is already clean, so the query injects what real
+      // crawl data carries — control chars, tab/space runs, a
+      // DECOMPOSED accent (e + U+0301) — and the oracle must reproduce
+      // the exact normalized bytes (NFC composes the accent; DuckDB's
+      // nfc_normalize implements the same Unicode tables).
+      TextAnalysis.normalizeText(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"),
+              lit("  a\tb\u0007c e\u0301  ")).as("text")))
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
     "decontaminate" -> ((s, d) => {
       // Benchmark decontamination: the blocklist is 40-char snippets of
       // five fixture docs (deterministic, so the oracle derives the
@@ -511,6 +523,22 @@ object SparkEntry {
       // estimates are engine-internal).
       operators.Profile.profileApprox(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "approx_distinct_check" -> ((s, d) =>
+      // Tolerance pin for the HLL sketch: the estimate itself is
+      // engine-internal (rows-only in approx_distinct_users), but
+      // |approx − exact| / exact is checkable — within_tol pins it to
+      // 5× the configured rsd (0.02 → 10%), and n_exact hash-matches
+      // the DuckDB exact distinct. A silently broken sketch config
+      // flips the boolean.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.10).as("within_tol"))
+        .orderBy(col("event_type"))),
     "pack_bins" -> ((s, d) =>
       // Sequence packing: contiguous token-budget bins via the
       // two-level prefix sum (the corpus-safe formulation); oracle is
@@ -1021,6 +1049,12 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // Exact distincts hash-match; the sketch tolerance is a literal
+    // (empty strata impossible: every event row carries a user_id).
+    "approx_distinct_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                true AS within_tol
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "profile_columns" ->
       """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
                 count(*) - count(o_custkey) AS n_nulls,
@@ -1072,6 +1106,17 @@ object SparkEntry {
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
                 count(*) AS n_docs, sum(n_tokens) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    // chr(9)=\t, chr(7)=BEL (stripped), chr(769)=U+0301 combining
+    // acute (NFC composes "e"+it into "é").
+    "normalize_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(
+                    nfc_normalize(concat(text,
+                      '  a' || chr(9) || 'b' || chr(7) || 'c e' || chr(769) || '  ')),
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  '\s+', ' ', 'g')) AS text
+         FROM documents ORDER BY doc_id""",
     "decontaminate" ->
       """SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d

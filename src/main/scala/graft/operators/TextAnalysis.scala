@@ -154,6 +154,23 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** Text normalization — the canonical first pass of corpus prep:
+    * Unicode NFC (composed forms, via the native
+    * [[graft.functions.NfcNormalize]] — without it visually identical
+    * strings defeat exact dedup and fingerprints), control characters
+    * stripped (keeping \t \n), whitespace runs collapsed to single
+    * spaces, ends trimmed. One codegen'd projection per row, no
+    * shuffle; mirrored exactly by DuckDB nfc_normalize + the same
+    * regex rewrites.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    lowercase: Boolean = false): DataFrame = {
+    val nfc = graft.functions.NfcNormalize.nfc_normalize(col(textCol))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(noCtl, "\\s+", " "))
+    docs.withColumn(textCol, if (lowercase) lower(collapsed) else collapsed)
+  }
+
   /** Benchmark decontamination: drop every document whose text
     * contains any blocklist phrase (eval-set snippets, canary
     * strings). Scale shape: the blocklist is tiny by nature (thousands

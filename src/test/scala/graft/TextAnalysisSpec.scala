@@ -6,6 +6,20 @@ import graft.functions.RollingHash
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("normalizeText: NFC-composes, strips controls, collapses whitespace") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = TextAnalysis.normalizeText(
+        Seq((1L, "  a\tbc  é\nd  ")).toDF("doc_id", "text"))
+      .select(col("text")).as[String].head()
+    assert(out === "a bc \u00e9 d")  // é composed, BEL gone, runs collapsed
+    // lowercase variant + ASCII fast path returns identical object semantics
+    val lower = TextAnalysis.normalizeText(
+        Seq((1L, "A  B")).toDF("doc_id", "text"), lowercase = true)
+      .select(col("text")).as[String].head()
+    assert(lower === "a b")
+  }
   import spark.implicits._
 
   private def docs = Seq(
