@@ -77,6 +77,18 @@ object GraftExtensions {
       "srp_buckets(emb, planes, tables, dim, seed) - SRP LSH bucket ids") {
       args => SrpBuckets(args(0), intArg(args(1), "planes"), intArg(args(2), "tables"),
         intArg(args(3), "dim"), longArg(args(4), "seed"))
+    },
+    entry("simhash64",
+      "simhash64(hashes) - 64-bit SimHash over feature hashes") {
+      args => SimHash64(args(0))
+    },
+    entry("nearest_centroid",
+      "nearest_centroid(emb, cents) - centroid_id of max-cosine centroid") {
+      args => NearestCentroid(args(0), args(1))
+    },
+    entry("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC normalization") {
+      args => NfcNormalize(args(0))
     })
     // (BigramProfileScores stays engine-internal: it is parameterized
     // by the language-profile table langId owns, not a standalone

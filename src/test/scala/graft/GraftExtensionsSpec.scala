@@ -24,6 +24,23 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n")
       .as[Long].head()
     assert(n === 2L)
+
+    val nc = spark.sql(
+      "SELECT nearest_centroid(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(named_struct('centroid_id', 3L, 'centroid', array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))," +
+        "      named_struct('centroid_id', 9L, 'centroid', array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))))) AS c")
+      .as[Long].head()
+    assert(nc === 9L)
+
+    // decomposed e + U+0301 in, composed \u00e9 out
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301') AS t").as[String].head()
+    assert(nfc === "\u00e9")
+
+    val sh = spark.sql(
+      "SELECT simhash64(word_shingle_hashes('a b c d', 3)) AS h").as[Long].head()
+    val sh2 = spark.sql(
+      "SELECT simhash64(word_shingle_hashes('a b c d', 3)) AS h").as[Long].head()
+    assert(sh === sh2)
   }
 
   test("SQL functions agree with the Column API") {
@@ -52,7 +69,8 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
-      "cosine_similarity", "minhash_band_keys", "rolling_hash",
+      "cosine_similarity", "minhash_band_keys", "nearest_centroid",
+      "nfc_normalize", "rolling_hash", "simhash64",
       "sorted_intersect_count", "srp_buckets", "word_ngrams",
       "word_shingle_hashes"))
     // the injection class instantiates cleanly (deployment path:
