@@ -594,6 +594,20 @@ object SparkEntry {
       // not error, and the scale-independent twin stays clean_corpus.
       cleanCorpusPlan(Tables.documents(s, d), Dedup.dedupNear(_))),
 
+    "clean_corpus_full" -> ((s, d) => {
+      // The COMPLETE production prep flow in one plan: normalize →
+      // decontaminate → MinHash near-dedup → quality floor → PII scrub.
+      // Normalization is the identity on the clean fixture (the
+      // normalize_text row proves the op itself against injected dirt),
+      // so the oracle is the clean_corpus chain over a decontaminated
+      // CTE — while the Spark plan genuinely runs every stage.
+      val ndocs = TextAnalysis.normalizeText(Tables.documents(s, d))
+      val phrases = ndocs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("phrase"))
+      cleanCorpusPlan(TextAnalysis.decontaminate(ndocs, phrases),
+        Dedup.dedupNear(_))
+    }),
+
     // ---- training-data extensions: multimodal ----------------------
     "multimodal_feature_stats" -> ((s, d) =>
       // Per-kind feature aggregation over the decode path (rows-only:
@@ -688,6 +702,20 @@ object SparkEntry {
        FROM surv JOIN q USING (doc_id)
        WHERE q.n_tokens >= 30
        ORDER BY surv.doc_id"""
+
+  /** clean_corpus oracle over a decontaminated corpus: the same chain
+    * with `documents` swapped for the anti-joined CTE. Normalization
+    * is provably the identity on the fixture (0 docs change — ASCII,
+    * single-spaced, no controls), so the SQL needs no normalize stage
+    * even though the Spark plan runs one.
+    */
+  private val CleanCorpusFullSql: String =
+    """WITH docs_dc AS (
+         SELECT d.* FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents b
+           WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
+    """ + CleanCorpusSql.trim.stripPrefix("WITH")
+      .replace("FROM documents", "FROM docs_dc")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -986,6 +1014,7 @@ object SparkEntry {
     // dedup_minhash_recall; the exact-Jaccard verify stage admits no
     // false positives), so both pipelines drop the same victims.
     "clean_corpus_sketch" -> CleanCorpusSql,
+    "clean_corpus_full" -> CleanCorpusFullSql,
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
