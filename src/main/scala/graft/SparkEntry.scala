@@ -574,6 +574,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "epoch_shuffle" -> ((s, d) =>
+      // Epoch-1 permutation of the corpus, rank materialized for the
+      // pin (production writes the sort, not the rank) — DuckDB
+      // reproduces the exact permutation from md5 alone.
+      operators.Sampling.epochShuffleRank(Tables.documents(s, d), "doc_id", 1)
+        .orderBy(col("doc_id"))),
+
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
       // dedup → quality floor → PII scrub, oracle-checked as a whole.
@@ -1135,6 +1142,10 @@ object SparkEntry {
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
                 count(*) AS n_docs, sum(n_tokens) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    "epoch_shuffle" ->
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+         FROM documents ORDER BY doc_id""",
     // chr(9)=\t, chr(7)=BEL (stripped), chr(769)=U+0301 combining
     // acute (NFC composes "e"+it into "é").
     "normalize_text" ->

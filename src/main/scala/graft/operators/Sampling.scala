@@ -43,6 +43,26 @@ object Sampling {
     }
   }
 
+  /** Epoch-seeded deterministic shuffle order: sort by
+    * md5(epoch ":" key). Each epoch is a different but fully
+    * reproducible permutation — what multi-epoch training needs
+    * (`rand()` orders differ per retry; this one is bit-stable and any
+    * engine with md5 reproduces it). At scale the SORT is the product
+    * (`repartitionByRange` on the shuffle key when writing epochs);
+    * [[epochShuffleRank]] additionally materializes the position via a
+    * single global window — pin/debug shape, not the 100 TB path.
+    */
+  def epochShuffleKey(key: Column, epoch: Int): Column =
+    md5(concat(lit(s"$epoch:"), key.cast("string")))
+
+  def epochShuffleRank(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val k = epochShuffleKey(col(keyCol), epoch)
+    df.select(col(keyCol),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(k, col(keyCol)))
+        .cast("long").as("shuffle_rank"))
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket
     * falls under its stratum's fraction. Strata missing from
     * `fractions` are dropped (fraction 0). One codegen'd filter —

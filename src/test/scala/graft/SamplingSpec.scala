@@ -41,6 +41,18 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.count() === 0L)
   }
 
+  test("epoch shuffle: reproducible per epoch, different across epochs") {
+    val e1a = Sampling.epochShuffleRank(docs, "doc_id", 1)
+      .as[(Long, Long)].collect().toMap
+    val e1b = Sampling.epochShuffleRank(docs.repartition(7), "doc_id", 1)
+      .as[(Long, Long)].collect().toMap
+    val e2 = Sampling.epochShuffleRank(docs, "doc_id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(e1a === e1b)                       // stable under partitioning
+    assert(e1a !== e2)                        // epochs permute differently
+    assert(e1a.values.toSeq.sorted === (1L to e1a.size.toLong)) // a permutation
+  }
+
   test("sampling ops are row-local: no Exchange in the plan") {
     val plan = Sampling.stratifiedSample(docs, "lang", "doc_id",
         Map("en" -> 0.5))
