@@ -32,6 +32,15 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Streaming queries share a once-per-process staged replay dir
+    // (graft.streaming.Replay); run each once unmeasured so the
+    // staging write and state-store init land in warm-up, not in
+    // whichever streaming query sorts first.
+    SparkEntry.queries.toSeq.filter(_._1.startsWith("streaming_"))
+      .foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
