@@ -260,6 +260,23 @@ object SparkEntry {
       operators.AsOfJoin.asOf(clicks, signups, "user_id", "ts", Seq("signup_value"))
         .orderBy(col("event_id"))
     }),
+    "range_join_sessions" -> ((s, d) => {
+      // Point-in-interval: map every event to the session interval
+      // containing it (user equi-key + ts BETWEEN start AND end) via
+      // the bucketized equi-join rewrite — the DuckDB oracle runs the
+      // plain BETWEEN join, pinning that bucketization loses/dups
+      // nothing. Sessions partition each user's events, so exactly one
+      // row per event comes back.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sess = Analytics.sessionize(Tables.events(s, d))
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      operators.RangeJoin.pointInInterval(
+          ev, sess, "ts", "session_start", "session_end", Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
     "set_ops" -> ((s, d) => {
       // UNION / INTERSECT / EXCEPT over user-id sets per event type
       val ev = Tables.events(s, d)
@@ -1279,6 +1296,30 @@ object SparkEntry {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\+?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS text
          FROM documents ORDER BY doc_id""",
+    // Plain BETWEEN containment join — the bucketized equi-join must
+    // reproduce it exactly.
+    "range_join_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         seq AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged),
+         sess AS (
+           SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                  min(ts) AS session_start, max(ts) AS session_end
+           FROM seq GROUP BY user_id, session_seq)
+         SELECT e.event_id, e.user_id, s.session_seq
+         FROM events e JOIN sess s
+           ON e.user_id = s.user_id
+          AND e.ts BETWEEN s.session_start AND s.session_end
+         ORDER BY e.event_id""",
     "event_sessions" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
