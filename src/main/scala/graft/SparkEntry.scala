@@ -221,6 +221,28 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "streaming_ingest" -> ((s, d) => {
+      // The reference's ENTIRE sync loop, executed for real: staged
+      // JSON → bounded micro-batches → parse/quarantine → LWW merge →
+      // crash-safe store swap. Final store must hash-equal the plain
+      // events table (exactly-once through re-delivery and rejects).
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val (store, _) = graft.streaming.IngestReplay.run(s, events, d)
+      s.read.parquet(store).orderBy(col("event_id"))
+    }),
+    "streaming_ingest_rejects" -> ((s, d) => {
+      // Quarantine pin: exactly one row per reject class, none clean.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val (_, rejects) = graft.streaming.IngestReplay.run(s, events, d)
+      s.read.parquet(rejects)
+        .groupBy(col("reject_reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("reject_reason"))
+    }),
     "streaming_sessions" -> ((s, d) => {
       // Stream ≡ batch for the STATEFUL path: gap sessionization via
       // flatMapGroupsWithState + event-time timeouts, replayed through
@@ -899,6 +921,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // The store the real ingest stream must reproduce exactly —
+    // exactly-once through multi-batch replay, re-delivery, and the
+    // quarantined bad lines.
+    "streaming_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+    "streaming_ingest_rejects" ->
+      """SELECT * FROM (VALUES
+           ('bad_timestamp', CAST(1 AS BIGINT)),
+           ('malformed_json', CAST(1 AS BIGINT)),
+           ('missing_key', CAST(1 AS BIGINT)))
+           AS t(reject_reason, n)
+         ORDER BY reject_reason""",
     // The batch DISTINCT the streaming dedup's surviving key set must
     // reproduce.
     "streaming_dedup" ->
