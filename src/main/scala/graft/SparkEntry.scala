@@ -394,6 +394,17 @@ object SparkEntry {
             count(col("__hit")).cast("double") / count(lit(1)) >= 0.35)
             .as("recall_floor_met"))
     }),
+    "dedup_incremental" -> ((s, d) => {
+      // Continuous-ingest dedup: the standing corpus (doc_id < 250)
+      // never re-pairs; the fresh batch (doc_id ≥ 250) is checked
+      // against corpus + earlier fresh docs. Oracle recomputes the
+      // victim set from the same blocking in DuckDB.
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncremental(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -1194,6 +1205,36 @@ object SparkEntry {
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
                 count(*) AS n_docs, sum(n_tokens) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    // Victim = fresh doc with a similar lower-id partner within one
+    // length bucket (the 3-bucket fresh fan-out ⇔ |bucket diff| ≤ 1),
+    // over the same capped shingle blocks the Spark side uses.
+    "dedup_incremental" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         fb AS (
+           SELECT doc_id, sh, unnest([bucket0 - 1, bucket0, bucket0 + 1]) AS bucket
+           FROM u WHERE doc_id >= 250),
+         victims AS (
+           SELECT DISTINCT b.doc_id
+           FROM u a JOIN fb b ON a.bucket0 = b.bucket AND a.doc_id < b.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM victims)
+         ORDER BY doc_id""",
     "epoch_shuffle" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank

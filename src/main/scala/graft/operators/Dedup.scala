@@ -199,16 +199,16 @@ object Dedup {
     * bucket would otherwise dominate the job). Deterministic, so an
     * oracle applies the identical cap.
     */
-  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
-                        threshold: Double = 0.5, bucketWidth: Int = 16,
-                        maxBlock: Int = 128): DataFrame = {
-    // Jaccard over sorted 64-bit shingle-hash sets (one native pass
-    // per doc): identical values to string-shingle Jaccard (collisions
-    // vanishingly rare), and the per-pair intersection is a native
-    // two-pointer merge (SortedIntersectCount) instead of a hash-set
-    // build per pair.
+  /** Shingle-hash + length-block relation shared by the brute
+    * baseline and [[dedupIncremental]]: (doc_id, bucket0, sh, n_sh)
+    * with each base bucket capped at its lowest-doc_id `maxBlock`
+    * members (Jaccard over sorted 64-bit shingle-hash sets — identical
+    * values to string-shingle Jaccard, collisions vanishingly rare).
+    */
+  private def shingleBlocks(docs: DataFrame, shingleK: Int,
+                            bucketWidth: Int, maxBlock: Int): DataFrame = {
     val wCap = Window.partitionBy(col("bucket0")).orderBy(col("doc_id"))
-    val withSh = docs
+    docs
       .select(col("doc_id"),
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
         graft.functions.WordShingleHashes
@@ -216,6 +216,12 @@ object Dedup {
       .withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= maxBlock)
       .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
+                        threshold: Double = 0.5, bucketWidth: Int = 16,
+                        maxBlock: Int = 128): DataFrame = {
+    val withSh = shingleBlocks(docs, shingleK, bucketWidth, maxBlock)
     // Only the probe side explodes into (bucket0, bucket0+1); the build
     // side keeps its base bucket. Every pair then matches EXACTLY once
     // (same-bucket pairs via the doc_id order, adjacent-bucket pairs
@@ -249,5 +255,45 @@ object Dedup {
         when(col("t") > col("i"), col("i") / (col("t") - col("i")))
           .otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dedup: drop every FRESH doc that near-duplicates
+    * a lower-id doc (existing corpus or earlier fresh doc) — the
+    * continuous-ingest flow, where the standing corpus must NOT be
+    * re-paired on every batch. Contract: fresh ids are assigned after
+    * existing ones (append-only ingest), so "victim" = higher id.
+    *
+    * Scale shape: the corpus side only computes row-local shingles and
+    * keeps its base length bucket — it NEVER explodes and never
+    * pairs with itself; only the fresh increment fans out (3 adjacent
+    * buckets, ⇔ |length diff| < bucketWidth), so candidate pairs are
+    * O(|fresh| · block) regardless of corpus size. At 100 TB the
+    * corpus shingle relation is the thing you precompute and store.
+    */
+  def dedupIncremental(corpus: DataFrame, fresh: DataFrame,
+                       shingleK: Int = 3, threshold: Double = 0.5,
+                       bucketWidth: Int = 16, maxBlock: Int = 128): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(fresh.select(col("doc_id"), col("text"), col("n_chars")))
+    val u = shingleBlocks(all, shingleK, bucketWidth, maxBlock)
+    val freshBlocks = u.join(fresh.select(col("doc_id")), Seq("doc_id"))
+    val probe = freshBlocks.select(col("doc_id"), col("sh"), col("n_sh"),
+      explode(array(col("bucket0") - 1, col("bucket0"), col("bucket0") + 1))
+        .as("bucket"))
+    val ratio = lit(1.0 / threshold)
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double")
+    val victims = u.as("a")
+      .join(probe.as("b"),
+        col("a.bucket0") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= ratio * col("b.n_sh") &&
+          col("b.n_sh") <= ratio * col("a.n_sh"))
+      .select(col("b.doc_id").as("doc_id"),
+        inter.as("i"), (col("a.n_sh") + col("b.n_sh")).as("t"))
+      .filter(col("t") > col("i") &&
+        col("i") / (col("t") - col("i")) >= threshold)
+      .select(col("doc_id")).distinct()
+    fresh.join(victims, Seq("doc_id"), "left_anti")
   }
 }

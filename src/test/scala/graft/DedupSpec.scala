@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("incremental dedup ≡ full-union dedup restricted to the fresh batch") {
+    val docs = tables.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val inc = Dedup.dedupIncremental(corpus, fresh)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: dedup the whole union, keep the fresh survivors
+    val full = Dedup.dedupNearExact(docs)
+      .filter(col("doc_id") >= 250)
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc === full)
+    // and the corpus itself is untouched (only fresh docs are dropped)
+    assert(Dedup.dedupIncremental(corpus, fresh).count() <= fresh.count())
+  }
+
   test("minhash on the real corpus finds the driver-planted dup pairs") {
     val real = tables.Tables.documents(spark, sf)
     val pairs = Dedup.minhashPairs(real, threshold = 0.5)
