@@ -405,6 +405,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_incremental_sketch" -> ((s, d) => {
+      // Production incremental path: corpus-side MinHash band keys
+      // (precomputable at 100 TB) + exact-Jaccard verify. Oracle = the
+      // exact-blocking incremental SQL — valid on the fixture for the
+      // same reason clean_corpus_sketch's is: the sketch's verified
+      // pair set equals the exact baseline's here (recall pinned 1.0
+      // by dedup_minhash_recall; the verify stage admits no false
+      // positives). Diverges only by finding MORE true pairs at other
+      // data — the declared fallback is rows-only, not a weaker sketch.
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncrementalSketch(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -759,6 +774,36 @@ object SparkEntry {
        FROM surv JOIN q USING (doc_id)
        WHERE q.n_tokens >= 30
        ORDER BY surv.doc_id"""
+
+  /** Exact-blocking incremental-dedup oracle (shared by the exact op
+    * and, on the fixture, its MinHash sketch twin). */
+  private val DedupIncrementalSql: String =
+    """WITH t AS (
+         SELECT doc_id, n_chars,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+         FROM documents),
+       u AS (
+         SELECT doc_id,
+                CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS sh
+         FROM t
+         QUALIFY row_number() OVER (
+           PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+           ORDER BY doc_id) <= 128),
+       fb AS (
+         SELECT doc_id, sh, unnest([bucket0 - 1, bucket0, bucket0 + 1]) AS bucket
+         FROM u WHERE doc_id >= 250),
+       victims AS (
+         SELECT DISTINCT b.doc_id
+         FROM u a JOIN fb b ON a.bucket0 = b.bucket AND a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5)
+       SELECT doc_id, lang, n_chars FROM documents
+       WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM victims)
+       ORDER BY doc_id"""
 
   /** clean_corpus oracle over a decontaminated corpus: the same chain
     * with `documents` swapped for the anti-joined CTE. Normalization
@@ -1207,34 +1252,11 @@ object SparkEntry {
          FROM p GROUP BY 1 ORDER BY bin_id""",
     // Victim = fresh doc with a similar lower-id partner within one
     // length bucket (the 3-bucket fresh fan-out ⇔ |bucket diff| ≤ 1),
-    // over the same capped shingle blocks the Spark side uses.
-    "dedup_incremental" ->
-      """WITH t AS (
-           SELECT doc_id, n_chars,
-                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
-                  list_distinct(list_transform(
-                    range(1, greatest(len(w) - 2, 1) + 1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
-         fb AS (
-           SELECT doc_id, sh, unnest([bucket0 - 1, bucket0, bucket0 + 1]) AS bucket
-           FROM u WHERE doc_id >= 250),
-         victims AS (
-           SELECT DISTINCT b.doc_id
-           FROM u a JOIN fb b ON a.bucket0 = b.bucket AND a.doc_id < b.doc_id
-           WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                   (len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5)
-         SELECT doc_id, lang, n_chars FROM documents
-         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM victims)
-         ORDER BY doc_id""",
+    // over the same capped shingle blocks the Spark side uses. The
+    // sketch twin shares the oracle on the fixture (sketch pair set ≡
+    // exact baseline's — see the query comment).
+    "dedup_incremental" -> DedupIncrementalSql,
+    "dedup_incremental_sketch" -> DedupIncrementalSql,
     "epoch_shuffle" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank

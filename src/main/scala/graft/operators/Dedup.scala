@@ -257,6 +257,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch twin of [[dedupIncremental]] — the path a continuous
+    * 100 TB ingest actually runs: the standing corpus contributes only
+    * its (precomputable) MinHash band keys and shingle sets; fresh
+    * docs bucket-join against them, candidates verify with exact
+    * Jaccard, and a fresh doc drops when a lower-id partner confirms.
+    * O(corpus) scan + O(candidates) verify, never corpus × corpus.
+    */
+  def dedupIncrementalSketch(corpus: DataFrame, fresh: DataFrame,
+                             shingleK: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
+    def hashed(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .repartition(col("doc_id"))
+    def buckets(h: DataFrame) = h
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.MinHashBandKeys
+          .minhash_band_keys(col("sh"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+    val hc = hashed(corpus)
+    val hf = hashed(fresh)
+    // all (lower-id, fresh) candidates: corpus↔fresh plus fresh↔fresh
+    val candidates = buckets(hc.unionByName(hf)).as("a")
+      .join(buckets(hf).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val sa = hc.unionByName(hf).select(col("doc_id").as("doc_id_a"),
+      col("sh").as("sh_a"), col("n_sh").as("n_a"))
+    val sb = hf.select(col("doc_id").as("doc_id_b"),
+      col("sh").as("sh_b"), col("n_sh").as("n_b"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    val victims = candidates
+      .join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .select(col("doc_id_b").as("doc_id"),
+        inter.as("i"), (col("n_a") + col("n_b")).as("t"))
+      .filter(col("t") > col("i") &&
+        col("i") / (col("t") - col("i")) >= threshold)
+      .select(col("doc_id")).distinct()
+    fresh.join(victims, Seq("doc_id"), "left_anti")
+  }
+
   /** Incremental near-dedup: drop every FRESH doc that near-duplicates
     * a lower-id doc (existing corpus or earlier fresh doc) — the
     * continuous-ingest flow, where the standing corpus must NOT be

@@ -71,6 +71,11 @@ class DedupSpec extends SparkSpec {
     assert(inc === full)
     // and the corpus itself is untouched (only fresh docs are dropped)
     assert(Dedup.dedupIncremental(corpus, fresh).count() <= fresh.count())
+    // the MinHash sketch twin agrees with the exact blocking here
+    // (the property its shared oracle depends on — cf. clean_corpus_sketch)
+    val sk = Dedup.dedupIncrementalSketch(corpus, fresh)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sk === inc)
   }
 
   test("minhash on the real corpus finds the driver-planted dup pairs") {
