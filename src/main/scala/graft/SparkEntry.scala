@@ -526,6 +526,16 @@ object SparkEntry {
     "dedup_embedding_near" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
+    "dedup_embedding_incremental" -> ((s, d) => {
+      // Incremental embedding dedup: fresh vectors (vec_id ≥ 250) vs
+      // the standing corpus — corpus never self-pairs; oracle is the
+      // plain lower-id BETWEEN-cosine victim set.
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineIncremental(
+          emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250), 0.45)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
     "embedding_near_recall" -> ((s, d) => {
       // SRP-LSH quality pin against the brute-force cosine baseline:
       // (1) STRUCTURAL — the exact-cosine verify stage admits only
@@ -1556,6 +1566,17 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
          ORDER BY vec_id_a, vec_id_b""",
+    "dedup_embedding_incremental" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         victims AS (
+           SELECT DISTINCT b.vec_id
+           FROM e a JOIN e b ON a.vec_id < b.vec_id AND b.vec_id >= 250
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id >= 250 AND vec_id NOT IN (SELECT vec_id FROM victims)
+         ORDER BY vec_id""",
     "doc_stats_by_lang" ->
       // Sums cast to BIGINT: DuckDB integer sum() returns HUGEINT
       // (int128), which hash-mismatches Spark's LongType.

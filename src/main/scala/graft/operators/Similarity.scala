@@ -223,6 +223,37 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Incremental embedding near-dedup, exact: drop every FRESH vector
+    * within `threshold` cosine of a lower-id vector (standing corpus
+    * or earlier fresh). The corpus NEVER self-pairs: compute is the
+    * corpus-block × fresh-block rectangle plus the fresh-only
+    * triangle — O(|corpus|·|fresh| + |fresh|²) distributed over
+    * broadcast block pairs, not O((N+M)²); at 100 TB the increment is
+    * what's small, and that's the only side that multiplies.
+    */
+  def cosineIncremental(corpus: DataFrame, fresh: DataFrame,
+                        threshold: Double, blocks: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val b = if (blocks > 0) blocks
+      else math.min(64, math.max(8,
+        math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt))
+    val grid = spark.range(b.toLong).select(col("id").as("block_a"))
+      .join(spark.range(b.toLong).select(col("id").as("block_b")))
+    val c = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      pmod(xxhash64(col("vec_id")), lit(b)).as("block_a"))
+    val f = fresh.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      pmod(xxhash64(col("vec_id")), lit(b)).as("block_b"))
+    val rectVictims = c.join(broadcast(grid), "block_a")
+      .join(f, "block_b")
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+    val triVictims = cosinePairsBrute(fresh, threshold, blocks)
+      .select(col("vec_id_b").as("vec_id"))
+    fresh.join(rectVictims.unionByName(triVictims).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed (the scale path):
     * candidates are pairs sharing an SRP bucket under at least one of
     * `tables` independent hyperplane sets (classic OR-amplification —

@@ -123,6 +123,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("incremental embedding dedup ≡ full-union brute restricted to fresh") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" < 250)
+    val fresh = emb.filter($"vec_id" >= 250)
+    val inc = Similarity.cosineIncremental(corpus, fresh, 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    val victims = Similarity.cosinePairsBrute(emb, 0.45)
+      .select("vec_id_b").as[Long].collect().toSet
+    val expected = fresh.select("vec_id").as[Long].collect().toSet -- victims
+    assert(inc === expected)
+  }
+
   test("embedding near-dup: lsh candidates are a subset of brute pairs") {
     val emb = tables.Tables.embeddings(spark, sf)
     val brute = Similarity.cosinePairsBrute(emb, 0.45)
