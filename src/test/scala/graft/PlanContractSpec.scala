@@ -118,6 +118,33 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("incremental dedup: only the fresh side fans out") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = tables.Tables.documents(spark, sf)
+      val exec = graft.operators.Dedup.dedupIncremental(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .queryExecution.executedPlan
+      val generates = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      // exactly one explode in the whole plan: the fresh 3-bucket
+      // fan-out; the corpus side must never multiply
+      assert(generates.length === 1, s"expected 1 Generate, got ${generates.length}")
+      // embeddings flavor: no explode at all, grid broadcast
+      val emb = tables.Tables.embeddings(spark, sf)
+      val embExec = graft.operators.Similarity.cosineIncremental(
+          emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250), 0.45)
+        .queryExecution.executedPlan
+      assert(embExec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty)
+      assert(embExec.toString.contains("BroadcastHashJoin") ||
+        embExec.toString.contains("BroadcastExchange"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the text-kernel hot paths") {
     // AQE wraps the plan and defers codegen until execution — turn it
     // off for this one inspection so the physical plan is final
