@@ -394,6 +394,14 @@ object SparkEntry {
             count(col("__hit")).cast("double") / count(lit(1)) >= 0.35)
             .as("recall_floor_met"))
     }),
+    "dedup_clusters" -> ((s, d) =>
+      // Near-dup families as connected components of the exact pair
+      // graph (min-label propagation); the oracle recomputes the
+      // closure with a DuckDB recursive CTE — an independent algorithm
+      // (fixed-point recursion vs iterative propagation) agreeing on
+      // every component is a strong structural pin.
+      operators.Components.nearDupClusters(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "dedup_incremental" -> ((s, d) => {
       // Continuous-ingest dedup: the standing corpus (doc_id < 250)
       // never re-pairs; the fresh batch (doc_id ≥ 250) is checked
@@ -1260,6 +1268,39 @@ object SparkEntry {
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
                 count(*) AS n_docs, sum(n_tokens) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    // Components of the same pair graph, computed by a DIFFERENT
+    // algorithm (fixed-point recursive CTE vs min-label propagation).
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         e AS (SELECT pa AS ea, pb AS eb FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
+         SELECT id AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     // Victim = fresh doc with a similar lower-id partner within one
     // length bucket (the 3-bucket fresh fan-out ⇔ |bucket diff| ≤ 1),
     // over the same capped shingle blocks the Spark side uses. The
