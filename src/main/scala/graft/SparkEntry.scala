@@ -534,6 +534,27 @@ object SparkEntry {
     "dedup_embedding_near" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_id_a"), col("vec_id_b"))),
+    "embedding_quantization" -> ((s, d) => {
+      // Structural pin for int8 quantization (quantized values are
+      // round-mode-sensitive, so the pin checks PROPERTIES, not bytes):
+      // reconstruction error ≤ scale/2 per component by construction,
+      // and dequantized cosine ≥ 0.999 on every vector (64-dim ±0.4%
+      // per-component noise). n_vectors hash-matches exactly.
+      val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      val deq = Similarity.dequantizeInt8(q)
+      q.select(col("vec_id"), col("embedding"), col("q_scale"),
+          col("q_emb"), deq.as("deq"))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("embedding"), col("deq"),
+              (a, b) => abs(a.cast("double") - b.cast("double"))),
+            lit(0.0d), (acc, e) => greatest(acc, e)).as("max_err"),
+          col("q_scale"),
+          Similarity.cosine(col("embedding"), col("deq")).as("deq_cos"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (max(col("max_err") - col("q_scale") * 0.5d - 1e-6d) <= 0.0d)
+            .as("err_bound_ok"),
+          (min(col("deq_cos")) >= 0.999d).as("cosine_floor_ok"))
+    }),
     "dedup_embedding_incremental" -> ((s, d) => {
       // Incremental embedding dedup: fresh vectors (vec_id ≥ 250) vs
       // the standing corpus — corpus never self-pairs; oracle is the
@@ -1607,6 +1628,12 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
          ORDER BY vec_id_a, vec_id_b""",
+    // Properties, not bytes: exact vector count + the two structural
+    // booleans the quantizer guarantees by construction.
+    "embedding_quantization" ->
+      """SELECT count(*) AS n_vectors, true AS err_bound_ok,
+                true AS cosine_floor_ok
+         FROM embeddings""",
     "dedup_embedding_incremental" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -223,6 +223,33 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = round(x_i/scale) — 4× smaller embedding storage, the
+    * standard first compression step before ANN at 100 TB (recall the
+    * IVF/LSH candidates with int8, re-rank survivors with the float
+    * originals). Zero vectors get scale 0 / all-zero codes. The scale
+    * is materialized as an ATTRIBUTE before the transform — an inline
+    * `aggregate(...)` producer inside the lambda would re-evaluate the
+    * max|x| pass once per element (see TextFunctions' evaluation
+    * contract).
+    */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df
+      .withColumn("q_scale",
+        (aggregate(col(embCol), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d)
+          .cast("float"))
+      .withColumn("q_emb",
+        when(col("q_scale") === 0.0f,
+          transform(col(embCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") / col("q_scale")).cast("byte"))))
+
+  /** Reconstruct float embeddings from int8 codes. */
+  def dequantizeInt8(df: DataFrame, qCol: String = "q_emb",
+                     scaleCol: String = "q_scale"): Column =
+    transform(col(qCol), q => (q.cast("float") * col(scaleCol)).cast("float"))
+
   /** Incremental embedding near-dedup, exact: drop every FRESH vector
     * within `threshold` cosine of a lower-id vector (standing corpus
     * or earlier fresh). The corpus NEVER self-pairs: compute is the

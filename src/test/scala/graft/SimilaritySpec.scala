@@ -123,6 +123,26 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("int8 quantization: codes in range, zero vectors safe, reconstruction tight") {
+    val withZero = vecs.unionByName(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f, 0.0f), 5)).toDF("vec_id", "embedding", "label"))
+    val q = Similarity.quantizeInt8(withZero)
+    val rows = q.select($"vec_id", $"q_scale", $"q_emb").collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (r.getLong(0) == 99L) {
+        assert(r.getFloat(1) === 0.0f)
+        assert(codes.forall(_ === 0.toByte))
+      }
+    }
+    // dequantized cosine stays ~1 on non-zero vectors
+    val deq = q.filter($"vec_id" =!= 99L)
+      .select(Similarity.cosine($"embedding",
+        Similarity.dequantizeInt8(q)).as("c")).as[Double].collect()
+    assert(deq.forall(_ >= 0.999))
+  }
+
   test("incremental embedding dedup ≡ full-union brute restricted to fresh") {
     val emb = tables.Tables.embeddings(spark, sf)
     val corpus = emb.filter($"vec_id" < 250)
