@@ -1269,9 +1269,11 @@ object SparkEntry {
                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          p AS (
+           -- DuckDB sum(BIGINT) yields HUGEINT; the driver hashes HUGEINT
+           -- differently than int64 even for equal values, so cast back.
            SELECT doc_id, n_tokens,
-                  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_tokens
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
            FROM t)
          SELECT doc_id, n_tokens, prefix_tokens,
                 CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
@@ -1283,11 +1285,11 @@ object SparkEntry {
            FROM documents),
          p AS (
            SELECT doc_id, n_tokens,
-                  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_tokens
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
            FROM t)
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
-                count(*) AS n_docs, sum(n_tokens) AS n_tokens
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
     // Components of the same pair graph, computed by a DIFFERENT
     // algorithm (fixed-point recursive CTE vs min-label propagation).
@@ -1546,7 +1548,7 @@ object SparkEntry {
          SELECT query_id,
                 CAST(count(*) AS BIGINT) AS n_exact,
                 CAST(count(*) AS BIGINT) AS n_match,
-                1.0 AS recall
+                CAST(1.0 AS DOUBLE) AS recall
          FROM ranked WHERE rn <= 10
          GROUP BY query_id ORDER BY query_id""",
     // n_exact is the genuine DuckDB brute-force pair count; n_detected
@@ -1575,7 +1577,7 @@ object SparkEntry {
                    len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5)
          SELECT CAST(count(*) AS BIGINT) AS n_exact,
                 CAST(count(*) AS BIGINT) AS n_detected,
-                1.0 AS recall
+                CAST(1.0 AS DOUBLE) AS recall
          FROM pairs""",
     // n_exact is the genuine DuckDB baseline pair count; the zero and
     // the boolean encode the pigeonhole guarantee + the recall floor.

@@ -17,6 +17,30 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB result types the driver's hasher encodes identically to the
+# Spark parquet output. Everything else (HUGEINT from sum(BIGINT),
+# DECIMAL from numeric literals / avg, UHUGEINT, ...) hashes differently
+# even when the VALUES are equal — r4 shipped two red rows exactly this
+# way because check_dtype=False hid the drift locally. Nested types are
+# checked on their element type.
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+              "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+              "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"}
+
+
+def unsafe_cols(con, sql):
+    """Columns of the oracle result whose DuckDB type the driver's
+    hasher may encode differently than the Spark parquet value."""
+    rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    bad = []
+    for name, t in zip(rel.columns, [str(t) for t in rel.types]):
+        base = t
+        while base.endswith("[]"):
+            base = base[:-2]
+        if base not in SAFE_TYPES:
+            bad.append((name, t))
+    return bad
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -47,6 +71,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({len(got)} rows)")
             n_skip += 1
+            continue
+        bad = unsafe_cols(con, oracle[name])
+        if bad:
+            n_fail += 1
+            print(f"FAIL {name}: oracle emits non-hasher-safe types {bad}")
             continue
         want = canon(con.sql(oracle[name]).df())
         status, detail = None, ""
