@@ -441,6 +441,36 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
         .orderBy(col("doc_id"))),
     "fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "fingerprint_check" -> ((s, d) => {
+      // Structural pin for the rolling-hash + bottom-k sketch (the
+      // hashes are xxhash64-based, not recomputable in DuckDB — same
+      // pattern as embedding_quantization): two INDEPENDENT plan
+      // instances must agree byte-for-byte on every doc (determinism
+      // across partitionings), every bottom-k sketch must be a
+      // sorted-distinct list of at most k elements, and the rolling
+      // hash must be non-null on every fixture doc. n_docs is the
+      // genuine join cardinality, recomputed by the oracle.
+      val a = TextAnalysis.fingerprints(Tables.documents(s, d))
+      val b = TextAnalysis.fingerprints(
+        Tables.documents(s, d).repartition(7, col("doc_id")))
+        .withColumnsRenamed(Map("fp_md5" -> "b_md5",
+          "fp_rolling" -> "b_rolling", "fp_bottomk" -> "b_bottomk"))
+      // ANSI-safe CSV→array<long>: fixture docs are never blank, but a
+      // blank doc would make split return [""] and the cast throw.
+      val arr = when(col("fp_bottomk") === "", array().cast("array<long>"))
+        .otherwise(split(col("fp_bottomk"), ",").cast("array<long>"))
+      a.join(b, "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("fp_md5") =!= col("b_md5") ||
+                col("fp_rolling") =!= col("b_rolling") ||
+                col("fp_bottomk") =!= col("b_bottomk"), 1L)
+            .otherwise(0L)).as("n_mismatch"),
+          bool_and(size(arr) <= lit(8)).as("bottomk_within_k"),
+          bool_and(arr === array_sort(array_distinct(arr)))
+            .as("bottomk_sorted_distinct"),
+          bool_and(col("fp_rolling").isNotNull).as("rolling_total"))
+    }),
     "doc_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) =>
@@ -1445,6 +1475,16 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // n_docs is the genuine corpus cardinality (pins that the twin
+    // fingerprint runs joined 1:1 with no drops); the zero and the
+    // booleans encode the determinism + sketch-structure contract.
+    "fingerprint_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(0 AS BIGINT) AS n_mismatch,
+                true AS bottomk_within_k,
+                true AS bottomk_sorted_distinct,
+                true AS rolling_total
+         FROM documents""",
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

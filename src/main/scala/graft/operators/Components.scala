@@ -50,6 +50,76 @@ object Components {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the production path. Converges in
+    * O(log n) rounds regardless of component diameter, where
+    * min-label propagation needs O(diameter) rounds, and uses ONE
+    * driver action per round pair (a (count, hash-sum) signature
+    * aggregate) instead of a join + isEmpty — the two scale concerns
+    * the label-prop variant documents. Kept alongside label-prop,
+    * which ComponentsSpec cross-checks it against on random graphs.
+    *
+    * Each round is two rewrites of the edge list: large-star hangs
+    * every strictly-larger neighbor of u onto min(Γ(u) ∪ u);
+    * small-star re-points every smaller neighbor (and u itself) to
+    * that minimum. The fixed point is a star per component rooted at
+    * the component's minimum id.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 16): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("mm"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("mm").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mm"))
+      val hung = dir.join(mins, "u")
+        .filter(col("v") =!= col("mm"))
+        .select(col("v").as("u"), col("mm").as("v"))
+      hung.unionByName(mins.select(col("u"), col("mm").as("v"))).distinct()
+    }
+    // Stability signature: same row count + same order-independent
+    // hash-xor ⇒ same edge set (whp; the edge list is distinct, so
+    // xor never self-cancels) — one aggregate action per round pair,
+    // no exceptAll join. bit_xor, not sum: ANSI mode makes a long
+    // overflow in sum() a job-killing error.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var last = sig(e)
+    var i = 0
+    var converged = e.isEmpty
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = sig(e)
+      converged = cur == last
+      last = cur
+      i += 1
+    }
+    // Fixed point: every non-root member has exactly one edge to its
+    // component min (groupBy-min is belt-and-braces for the maxIter
+    // cutoff); roots and singletons label themselves.
+    val labels = e.groupBy(col("u").as("id")).agg(min(col("v")).as("__c"))
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+  }
+
   /** Near-duplicate families over the exact n-gram pair graph:
     * (doc_id, cluster_id) for EVERY doc — singletons are their own
     * cluster; cluster_id is the component's minimum doc_id, i.e. the
@@ -59,7 +129,7 @@ object Components {
                       threshold: Double = 0.5): DataFrame = {
     val edges = Dedup.ngramJaccardPairs(docs, shingleK, threshold)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    connectedComponentsStar(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 }

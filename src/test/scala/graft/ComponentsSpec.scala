@@ -26,6 +26,41 @@ class ComponentsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L)) // one path component, min id 1
   }
 
+  test("large-star/small-star agrees with label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30L
+      val nodes = (1L to n).toDF("id")
+      val edges = Seq.fill(25)((rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val prop = Components.connectedComponents(nodes, edges, maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      val star = Components.connectedComponentsStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"trial $trial")
+    }
+  }
+
+  test("star variant converges on a long path in O(log n) rounds") {
+    // diameter 63 — label-prop needs ~63 rounds, star must land the
+    // single min-rooted component well inside its default maxIter=16.
+    val n = 64L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Components.connectedComponentsStar(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 64 && out.values.toSet === Set(1L))
+  }
+
+  test("star variant: empty edge set labels every node as itself") {
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Components.connectedComponentsStar(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out === (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("nearDupClusters: every doc labeled; cluster id is the min member") {
     val docs = tables.Tables.documents(spark, sf)
     val out = Components.nearDupClusters(docs)
