@@ -9,7 +9,9 @@ package graft
   * per-query MEDIAN over SUCCESSFUL reps only, plus min/max spread — a
   * single-run artifact is at the mercy of one GC pause or scheduler
   * hiccup, and a rep that throws early would otherwise feed its partial
-  * elapsed time into the median and make a broken query look fast. A
+  * elapsed time into the median and make a broken query look fast.
+  * Queries whose max exceeds 2x their median get up to 4 extra reps and
+  * a trimmed spread (one outlier dropped per side at >=5 reps). A
   * query with zero successful reps reports null. `failed` lists every
   * query with at least one failed rep; `failures` carries the per-query
   * failed-rep count, so "flaky on one rep" and "always broken" are
@@ -59,9 +61,24 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).sorted
-      if (ok.isEmpty) (name, None, None, None)
-      else (name, Some(ok(ok.length / 2)), Some(ok.head), Some(ok.last))
+      var ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).toVector
+      // Adaptive stabilization: a max > 2x the median is ambient noise
+      // (GC pause, scheduler hiccup), and with 3 reps one outlier
+      // drags the round-over-round comparison. Buy up to 4 extra reps
+      // for such queries; with >=5 successful reps the reported spread
+      // is trimmed (one outlier dropped each side) — the median is
+      // always over ALL successful reps.
+      var extra = 0
+      while (ok.nonEmpty && extra < 4 &&
+          ok.max > 2 * ok.sorted.apply(ok.length / 2)) {
+        ok ++= timeOnce(name, fn); extra += 1
+      }
+      val s = ok.sorted
+      if (s.isEmpty) (name, None, None, None)
+      else {
+        val trimmed = if (s.length >= 5) s.slice(1, s.length - 1) else s
+        (name, Some(s(s.length / 2)), Some(trimmed.head), Some(trimmed.last))
+      }
     }
     def f(d: Double): String = "%.4f".format(d)
     def fOpt(d: Option[Double]): String = d.map(f).getOrElse("null")
