@@ -441,6 +441,13 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
         .orderBy(col("doc_id"))),
     "fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "span_dedup" -> ((s, d) =>
+      // k=10 on the short synthetic docs (10-99 tokens) so span
+      // duplication across near-dup families genuinely fires; the
+      // operator defaults to k=20 for real corpora.
+      Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
     "fingerprint_check" -> ((s, d) => {
       // Structural pin for the rolling-hash + bottom-k sketch (the
       // hashes are xxhash64-based, not recomputable in DuckDB — same
@@ -1475,6 +1482,78 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // Span-duplication recomputed over the span TEXT (the engine
+    // groups on xxhash64 of the same spans — an 8-byte shuffle key vs
+    // the oracle's exact strings; identical counts absent a 64-bit
+    // collision).
+    "span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         sp AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 10 + 2),
+             i -> array_to_string(w[i:i+9], ' '))) AS span
+           FROM toks WHERE len(w) >= 10),
+         oc AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+         g AS (SELECT span, CAST(sum(c) AS BIGINT) AS gc FROM oc GROUP BY span),
+         pd AS (
+           SELECT o.doc_id,
+                  CAST(sum(o.c) AS BIGINT) AS n_spans,
+                  CAST(sum(CASE WHEN g.gc >= 2 THEN o.c ELSE 0 END) AS BIGINT) AS n_dup
+           FROM oc o JOIN g ON o.span = g.span GROUP BY o.doc_id)
+         SELECT d.doc_id,
+                COALESCE(p.n_spans, 0) AS n_spans,
+                COALESCE(p.n_dup, 0) AS n_dup_spans,
+                CASE WHEN COALESCE(p.n_spans, 0) > 0
+                     THEN CAST(p.n_dup AS DOUBLE) / p.n_spans
+                     ELSE CAST(0 AS DOUBLE) END AS dup_span_frac
+         FROM documents d
+         LEFT JOIN pd p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
+    // Line-dup masses and the top word-bigram recomputed from scratch
+    // (line split, per-doc histograms, UTF-8-order tie break); ratios
+    // are integer-count divisions so doubles match bit-for-bit.
+    "repetition_signals" ->
+      """WITH lines AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+           FROM documents),
+         lg AS (
+           SELECT doc_id, line, count(*) AS c, len(line) AS cl
+           FROM lines GROUP BY doc_id, line),
+         lagg AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_lines,
+                  CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+                  CAST(sum(c * cl) AS BIGINT) AS line_chars,
+                  CAST(sum((c - 1) * cl) AS BIGINT) AS dup_chars
+           FROM lg GROUP BY doc_id),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> array_to_string(w[i:i+1], ' '))) AS g
+           FROM toks WHERE len(w) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         top AS (
+           SELECT doc_id, g, c FROM bgc
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1)
+         SELECT d.doc_id,
+                COALESCE(l.n_lines, 0) AS n_lines,
+                CASE WHEN COALESCE(l.n_lines, 0) > 0
+                     THEN CAST(l.n_dup AS DOUBLE) / l.n_lines
+                     ELSE CAST(0 AS DOUBLE) END AS dup_line_frac,
+                CASE WHEN COALESCE(l.line_chars, 0) > 0
+                     THEN CAST(l.dup_chars AS DOUBLE) / l.line_chars
+                     ELSE CAST(0 AS DOUBLE) END AS dup_line_char_frac,
+                COALESCE(t.g, '') AS top_bigram,
+                CASE WHEN d.n_chars > 0 AND COALESCE(t.c, 0) > 0
+                     THEN CAST(t.c * len(t.g) AS DOUBLE) / d.n_chars
+                     ELSE CAST(0 AS DOUBLE) END AS top_bigram_char_frac
+         FROM documents d
+         LEFT JOIN lagg l ON d.doc_id = l.doc_id
+         LEFT JOIN top t ON d.doc_id = t.doc_id
+         ORDER BY d.doc_id""",
     // n_docs is the genuine corpus cardinality (pins that the twin
     // fingerprint runs joined 1:1 with no drops); the zero and the
     // booleans encode the determinism + sketch-structure contract.

@@ -264,6 +264,44 @@ object Dedup {
     * Jaccard, and a fresh doc drops when a lower-id partner confirms.
     * O(corpus) scan + O(candidates) verify, never corpus × corpus.
     */
+  /** Exact substring-duplication signal at k-token span granularity
+    * (the distributed approximation of suffix-array substring dedup,
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): for every doc, the fraction of its k-token
+    * spans that occur at least twice in the corpus — the signal a
+    * span-removal or doc-drop policy thresholds on.
+    *
+    * Scale shape: spans leave the row as 8-byte xxhash64 values, not
+    * strings — the explode carries (doc_id, hash), the within-doc
+    * pre-aggregation compresses repeats before the global count, and
+    * both shuffles key on the hash. Nothing document-sized crosses a
+    * shuffle. The per-span global count is corpus-wide, so a span
+    * repeated WITHIN one doc also counts as duplicated (matching the
+    * substring-dedup view that any recurrence is redundancy).
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgrams.word_ngrams(col("text"), k)).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val global = occ.groupBy(col("h")).agg(sum(col("c")).as("gc"))
+    val perDoc = occ.join(global, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("gc") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_spans"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupIncrementalSketch(corpus: DataFrame, fresh: DataFrame,
                              shingleK: Int = 3, numHashes: Int = 64,
                              bands: Int = 16, threshold: Double = 0.5): DataFrame = {

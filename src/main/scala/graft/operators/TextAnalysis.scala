@@ -99,6 +99,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    * standard public corpus-quality filters): duplicate-line
+    * fraction, duplicate-line character fraction, and the character
+    * mass of the most frequent word bigram. ONE native pass per row
+    * ([[graft.functions.RepetitionStats]]) emits integer counts; the
+    * ratios below are single guarded double divisions (ANSI: an
+    * unguarded 0/0 kills the job on blank docs).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val r = graft.functions.RepetitionStats.repetition_stats(col("text"))
+    docs.select(col("doc_id"), col("n_chars"), r.as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_lines").as("n_lines"),
+        when(col("r.n_lines") > 0,
+          col("r.n_dup_lines").cast("double") / col("r.n_lines").cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        when(col("r.line_chars") > 0,
+          col("r.dup_line_chars").cast("double") / col("r.line_chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("r.top_gram"), lit("")).as("top_bigram"),
+        when(col("n_chars") > 0 && col("r.top_gram_count") > 0,
+          (col("r.top_gram_count") * col("r.top_gram_len")).cast("double") /
+            col("n_chars").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digits / single non-space symbols — the shape of
     * byte-pair pretokenization).

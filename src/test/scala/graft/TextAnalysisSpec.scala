@@ -81,6 +81,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats.count() === 5)
   }
 
+  test("repetition signals: dup lines, top bigram, blank-doc totality") {
+    // doc 0: "x y\nx y\nz z" — line "x y" twice (3 non-empty lines,
+    // 1 dup; 9 line chars, 3 dup chars); bigrams: "x y"x2 (once per
+    // line — '\n' is a token break), "y x"x1, "z z"x1.
+    // doc 1: blank → all-zero, must not crash (ANSI 0/0).
+    // doc 2: "a b a b a b" — top bigram "a b" x3 of 5 bigrams.
+    val rows = TextAnalysis.repetitionSignals(Seq(
+        (0L, "x y\nx y\nz z", "en", "s", 11L),
+        (1L, "", "en", "s", 0L),
+        (2L, "a b a b a b", "en", "s", 11L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+    val r0 = rows(0)
+    assert(r0.getLong(1) === 3L)                       // n_lines
+    assert(math.abs(r0.getDouble(2) - 1.0 / 3) < 1e-12) // dup_line_frac
+    assert(math.abs(r0.getDouble(3) - 3.0 / 9) < 1e-12) // dup_line_char_frac
+    assert(r0.getString(4) === "x y")
+    assert(math.abs(r0.getDouble(5) - 2 * 3.0 / 11) < 1e-12)
+    val r1 = rows(1)
+    assert(r1.getLong(1) === 0L && r1.getDouble(2) === 0.0 &&
+      r1.getDouble(3) === 0.0 && r1.getString(4) === "" && r1.getDouble(5) === 0.0)
+    val r2 = rows(2)
+    assert(r2.getString(4) === "a b" && math.abs(r2.getDouble(5) - 9.0 / 11) < 1e-12)
+  }
+
+  test("repetition stats: tie on count breaks to UTF-8-smallest bigram") {
+    val r = TextAnalysis.repetitionSignals(Seq(
+        (0L, "b c a b", "en", "s", 7L) // bigrams "b c","c a","a b" all x1
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")).head()
+    assert(r.getString(4) === "a b")
+  }
+
+  test("duplicate spans: corpus-wide k-token span recurrence") {
+    import graft.operators.Dedup
+    // k=3: doc 0 and doc 1 share span "a b c"; doc 2 repeats its own
+    // span; doc 3 is too short for any span.
+    val out = Dedup.duplicateSpans(Seq(
+        (0L, "a b c x"), (1L, "q a b c"), (2L, "r s r s r s r s"), (3L, "t u")
+      ).toDF("doc_id", "text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((2L, 1L, 0.5)))  // "a b c","b c x" — 1 shared
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    // doc 2 spans: r s r, s r s, r s r, s r s, r s r, s r s — all recur
+    assert(out(2L) === ((6L, 6L, 1.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("top ngrams: known bigram frequencies, deterministic tie order") {
     val d = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.topNgrams(d, n = 2, k = 3)

@@ -78,6 +78,38 @@ class TextEdgePropertiesSpec extends SparkSpec {
     assert(byId(6L)._1 === 2000L)
   }
 
+  test("repetitionSignals is total on edge docs: blanks all-zero, no nulls") {
+    val rows = TextAnalysis.repetitionSignals(docs).collect()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => !r.anyNull))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Line contract: split on '\n', keep lines <> '' — a whitespace-
+    // only line IS a line (both engine and oracle agree); blank docs
+    // still have no tokens, hence no top bigram.
+    val texts = (edge ++ generated).toMap
+    rows.foreach { r =>
+      val expected = texts(r.getAs[Long]("doc_id"))
+        .split("\n", -1).count(_.nonEmpty).toLong
+      assert(r.getAs[Long]("n_lines") === expected, s"doc ${r.get(0)}")
+    }
+    blankIds.foreach(id => assert(byId(id).getAs[String]("top_bigram") === "", s"doc $id"))
+    // doc 6 ("tok " x2000): top bigram "tok tok" x1999 of 1999 bigrams
+    assert(byId(6L).getAs[String]("top_bigram") === "tok tok")
+    // doc 7 ("\n\n\n"): lines exist but are empty → excluded → 0 lines
+    assert(byId(7L).getAs[Long]("n_lines") === 0L)
+  }
+
+  test("duplicateSpans is total on edge docs; identical twins fully overlap") {
+    val rows = Dedup.duplicateSpans(docs, k = 3).collect()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => !r.anyNull))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_spans"), r.getAs[Double]("dup_span_frac"))).toMap
+    blankIds.foreach(id => assert(byId(id) === ((0L, 0.0)), s"doc $id"))
+    assert(byId(8L) === ((2L, 1.0)))   // twin of 9: every span recurs
+    assert(byId(9L) === ((2L, 1.0)))
+  }
+
   test("fingerprints are total, deterministic, and empty-set on blanks") {
     val a = TextAnalysis.fingerprints(docs).collect()
     val b = TextAnalysis.fingerprints(docs).collect()
