@@ -448,6 +448,31 @@ object SparkEntry {
       // duplication across near-dup families genuinely fires; the
       // operator defaults to k=20 for real corpora.
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
+    "interval_join_concurrency" -> ((s, d) => {
+      // Interval×interval overlap: per session, how many OTHER users'
+      // sessions overlap it in time (concurrency degree). The
+      // bucketized rewrite emits each overlapping pair exactly once
+      // (first-shared-bucket device) — the oracle runs the plain
+      // inequality self-join, pinning no loss and no dup.
+      val sess = Analytics.sessionize(Tables.events(s, d))
+      val a = sess.select(col("user_id").as("a_user"),
+        col("session_seq").as("a_seq"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = sess.select(col("user_id").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      val deg = operators.RangeJoin.intervalOverlap(
+          a, b, "a_start", "a_end", "b_start", "b_end")
+        .filter(col("a_user") =!= col("b_user"))
+        .groupBy(col("a_user"), col("a_seq"))
+        .agg(count(lit(1)).as("__n"))
+      sess.select(col("user_id"), col("session_seq"), col("session_start"))
+        .join(deg,
+          col("user_id") === col("a_user") && col("session_seq") === col("a_seq"),
+          "left")
+        .select(col("user_id"), col("session_seq"), col("session_start"),
+          coalesce(col("__n"), lit(0L)).as("n_concurrent"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     "fingerprint_check" -> ((s, d) => {
       // Structural pin for the rolling-hash + bottom-k sketch (the
       // hashes are xxhash64-based, not recomputable in DuckDB — same
@@ -1482,6 +1507,36 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // The plain inequality self-join over independently-recomputed
+    // sessions — the engine's bucketized overlap join must agree
+    // exactly (no pair lost, none double-counted).
+    "interval_join_concurrency" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         seq AS (
+           SELECT user_id, ts, event_id,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged),
+         sess AS (
+           SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                  min(ts) AS s, max(ts) AS e
+           FROM seq GROUP BY user_id, session_seq),
+         deg AS (
+           SELECT a.user_id, a.session_seq, CAST(count(*) AS BIGINT) AS n
+           FROM sess a JOIN sess b
+             ON b.user_id <> a.user_id AND a.s <= b.e AND b.s <= a.e
+           GROUP BY a.user_id, a.session_seq)
+         SELECT s.user_id, s.session_seq, s.s AS session_start,
+                COALESCE(d.n, 0) AS n_concurrent
+         FROM sess s
+         LEFT JOIN deg d ON s.user_id = d.user_id AND s.session_seq = d.session_seq
+         ORDER BY s.user_id, s.session_seq""",
     // Span-duplication recomputed over the span TEXT (the engine
     // groups on xxhash64 of the same spans — an 8-byte shuffle key vs
     // the oracle's exact strings; identical counts absent a 64-bit

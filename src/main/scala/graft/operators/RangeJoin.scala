@@ -34,4 +34,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join (both sides are real intervals; endpoints
+    * inclusive: overlap ⟺ lStart ≤ rEnd ∧ rStart ≤ lEnd). Same
+    * bucketization rewrite as [[pointInInterval]], with one extra
+    * device: an overlapping pair shares EVERY bucket of its
+    * intersection, so emitting from all of them would need a distinct
+    * pass over the full pair set. Instead a pair is emitted only from
+    * the intersection's FIRST bucket — the bucket of the later start,
+    * `greatest(bucket(lStart), bucket(rStart))`, which both sides
+    * provably cover — so each pair appears exactly once and no dedup
+    * shuffle exists. Callers must pre-alias clashing column names.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      equiKeys: Seq[String] = Nil,
+                      bucketWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    def bucketOf(c: String) =
+      floor(unix_micros(col(c).cast("timestamp")) / bucketWidthUs)
+    val lb = left.withColumn("__bucket",
+      explode(sequence(bucketOf(lStart), bucketOf(lEnd))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(bucketOf(rStart), bucketOf(rEnd))))
+    lb.join(rb, equiKeys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === greatest(bucketOf(lStart), bucketOf(rStart)))
+      .drop("__bucket")
+  }
 }

@@ -36,6 +36,29 @@ class RangeJoinPropertiesSpec extends SparkSpec {
       case ((u, s, l), i) => (100L + i, u, s, s + l)
     })
 
+  test("bucketized interval overlap ≡ naive inequality join, each pair once") {
+    for (seed <- 0 until 6) {
+      val ivsA = intervalsGen(Gen.Parameters.default, Seed(2000L + seed)).get
+        .map { case (id, u, s, e) =>
+          (id, u, new Timestamp(base + s), new Timestamp(base + e)) }
+      val ivsB = intervalsGen(Gen.Parameters.default, Seed(3000L + seed)).get
+        .map { case (id, u, s, e) =>
+          (200L + id, u, new Timestamp(base + s), new Timestamp(base + e)) }
+      val a = ivsA.toDF("a_id", "a_user", "a_s", "a_e")
+      val b = ivsB.toDF("b_id", "b_user", "b_s", "b_e")
+      // collect as a LIST: a duplicate emission would survive a Set
+      val got = RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+          bucketWidthUs = 3600L * 1000000L)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toList.sorted
+      val expected = (for {
+        (aid, _, as_, ae) <- ivsA
+        (bid, _, bs, be) <- ivsB
+        if !as_.after(be) && !bs.after(ae)  // aS <= bE && bS <= aE
+      } yield (aid, bid)).sorted
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("bucketized range join ≡ naive containment filter on random data") {
     for (seed <- 0 until 6) {
       val pts = pointsGen(Gen.Parameters.default, Seed(seed.toLong)).get
