@@ -448,6 +448,44 @@ object SparkEntry {
       // duplication across near-dup families genuinely fires; the
       // operator defaults to k=20 for real corpora.
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
+    "embedding_group_stats" -> ((s, d) =>
+      operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
+    "quantile_check" -> ((s, d) => {
+      // Tolerance pin for the quantile sketch (approx_percentile —
+      // Greenwald-Khanna, the one-pass bounded-state path a 100 TB
+      // scan uses where exact percentile would sort): the sketch's
+      // GUARANTEE is rank error ≤ n/accuracy, so the pin checks the
+      // RANK of the approx value, not its distance in value space
+      // (which the sketch never promises). Exact percentiles
+      // hash-match the oracle (percentile ≡ quantile_cont); the
+      // booleans encode the rank-bound contract. Same pattern as
+      // approx_distinct_check.
+      val acc = 100
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val agg = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.95)").as("p95_exact"),
+        expr(s"approx_percentile(value, 0.5, $acc)").as("__a50"),
+        expr(s"approx_percentile(value, 0.95, $acc)").as("__a95"))
+      val ranks = ev
+        .join(broadcast(agg.select(col("event_type"), col("__a50"), col("__a95"))),
+          "event_type")
+        .groupBy(col("event_type")).agg(
+          sum(when(col("value") <= col("__a50"), 1L).otherwise(0L)).as("__r50"),
+          sum(when(col("value") <= col("__a95"), 1L).otherwise(0L)).as("__r95"))
+      def rankOk(r: org.apache.spark.sql.Column, p: Double) = {
+        val nD = col("n").cast("double")
+        val slack = nD / lit(acc.toDouble) + lit(1.0)
+        (r.cast("double") >= lit(p) * nD - slack) &&
+          (r.cast("double") <= lit(p) * nD + slack)
+      }
+      agg.join(ranks, "event_type")
+        .select(col("event_type"), col("n"), col("p50_exact"), col("p95_exact"),
+          rankOk(col("__r50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("__r95"), 0.95).as("p95_rank_ok"))
+        .orderBy(col("event_type"))
+    }),
     "interval_join_concurrency" -> ((s, d) => {
       // Interval×interval overlap: per session, how many OTHER users'
       // sessions overlap it in time (concurrency degree). The
@@ -1507,6 +1545,34 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // Exact percentiles recomputed genuinely (quantile_cont ≡ Spark
+    // percentile); the booleans encode the sketch's rank-error
+    // contract, verified engine-side against the true ranks.
+    "quantile_check" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                quantile_cont(value, 0.5) AS p50_exact,
+                quantile_cont(value, 0.95) AS p95_exact,
+                true AS p50_rank_ok,
+                true AS p95_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Per-(label, dim) mean recomputed from scratch: identical
+    // integer quantization (round half-away-from-zero on exact
+    // float→double values), integer-domain sums, one final double
+    // division — order-independent on both engines.
+    "embedding_group_stats" ->
+      """WITH q AS (
+           SELECT e.label, CAST(r.range AS BIGINT) AS dim,
+                  CAST(round(CAST(e.embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+                    * 10000000.0) AS BIGINT) AS qv
+           FROM embeddings e CROSS JOIN range(64) r
+           WHERE e.embedding IS NOT NULL)
+         SELECT label, dim,
+                CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(sum(qv) AS BIGINT) AS sum_q,
+                CAST(sum(qv) AS DOUBLE) / (count(*) * 10000000.0) AS mean_val
+         FROM q GROUP BY label, dim
+         ORDER BY label, dim""",
     // The plain inequality self-join over independently-recomputed
     // sessions — the engine's bucketized overlap join must agree
     // exactly (no pair lost, none double-counted).

@@ -46,6 +46,34 @@ object Profile {
   def profileExact(df: DataFrame, cols: Seq[String]): DataFrame =
     shape(df, cols, c => countDistinct(col(c)))
 
+  /** Per-(label, dimension) mean of an embedding column — the feature
+    * drift monitor a training pipeline runs per source/label shard.
+    *
+    * Cross-engine float discipline: each component is quantized to an
+    * exact integer (round(x·1e7) — float→double is exact, both
+    * engines round half-away-from-zero) and summed in the INTEGER
+    * domain, so the group sum is order-independent and hash-exact;
+    * the mean is a single double division at the end. Summing the raw
+    * floats/doubles instead would make the result depend on shuffle
+    * arrival order.
+    *
+    * Scale shape: posexplode is row-local; the shuffle carries one
+    * partial (label, dim) pair per map partition after partial
+    * aggregation — G·D rows per partition, independent of corpus
+    * size; output is G·D rows.
+    */
+  def embeddingGroupStats(emb: DataFrame, quantScale: Double = 1e7): DataFrame =
+    emb.filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * lit(quantScale)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n_vectors"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_vectors").cast("double") * lit(quantScale))).as("mean_val"))
+      .orderBy(col("label"), col("dim"))
+
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
     shape(df, cols, c => approx_count_distinct(col(c), rsd))
 }

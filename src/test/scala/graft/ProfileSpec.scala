@@ -21,6 +21,23 @@ class ProfileSpec extends SparkSpec {
     assert(p("v") === ((4L, 1L, 2L, "10", "20")))
   }
 
+  test("embeddingGroupStats: integer-quantized exact means per (label, dim)") {
+    val emb = Seq(
+      (1L, Array(0.5f, -0.25f), 0),
+      (2L, Array(0.1f, 0.75f), 0),
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, null.asInstanceOf[Array[Float]], 1) // null vec: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Profile.embeddingGroupStats(emb)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0, 0L)) === ((2L, 6000000L, 0.3)))   // (0.5+0.1)/2
+    assert(out((0, 1L)) === ((2L, 5000000L, 0.25)))  // (-0.25+0.75)/2
+    assert(out((1, 0L)) === ((1L, 10000000L, 1.0)))
+    assert(out((1, 1L)) === ((1L, 0L, 0.0)))
+    assert(out.size === 4)
+  }
+
   test("profileApprox has the same shape; exact stats still exact; no Expand") {
     val ap = Profile.profileApprox(df, Seq("id", "s", "v"))
     val p = ap.collect().map(r => r.getString(0) ->
