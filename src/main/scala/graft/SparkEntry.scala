@@ -450,6 +450,41 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
+    "ann_int8_recall" -> ((s, d) => {
+      // End-to-end retrieval quality of int8 STORAGE: the corpus is
+      // quantized (4× smaller) and retrieval runs over the
+      // dequantized vectors against the ORIGINAL float queries; the
+      // pin is top-10 overlap vs the float-exact baseline. n_exact is
+      // hash-matched (genuine count), the boolean is total — an empty
+      // baseline can't null it (per-component error ≤ scale/2 keeps
+      // cosines within ~1e-3, so near-ties at the k boundary are the
+      // only divergence; the floor is deliberately conservative).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val qz = Similarity.quantizeInt8(emb)
+      val corpus8 = qz.select(col("vec_id"),
+        Similarity.dequantizeInt8(qz).as("embedding"), col("label"))
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val int8 = Similarity.bruteForceTopK(corpus8, q, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      exact.join(int8, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__match"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_exact") === 0 ||
+            col("__match").cast("double") / col("n_exact").cast("double") >= lit(0.8))
+            .as("recall_floor_met"))
+        .orderBy(col("query_id"))
+    }),
+    "contamination_score" -> ((s, d) => {
+      // Benchmark set = the same five fixture docs decontaminate
+      // uses, but scored by 5-gram overlap instead of binary
+      // containment — those docs score 1.0 against themselves, their
+      // near-dups score high, clean docs 0.
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationScore(docs, docs.filter(col("doc_id") < 5), k = 5)
+    }),
     "quantile_check" -> ((s, d) => {
       // Tolerance pin for the quantile sketch (approx_percentile —
       // Greenwald-Khanna, the one-pass bounded-state path a 100 TB
@@ -1545,6 +1580,52 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // n_exact is the genuine per-query exact-baseline count; the
+    // boolean encodes the int8-retrieval floor contract (measured
+    // recall 1.0 on the fixtures at all SFs; floor 0.8 leaves room
+    // for k-boundary near-ties under the ≤scale/2 dequant error).
+    "ann_int8_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.emb, q.query_emb) DESC,
+                             e.vec_id) AS rn
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                true AS recall_floor_met
+         FROM ranked WHERE rn <= 10
+         GROUP BY query_id ORDER BY query_id""",
+    // The full overlap computation redone from the text: benchmark
+    // 5-gram set, per-doc gram counts, left-join hit counting.
+    "contamination_score" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         dg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 5 + 2),
+             i -> array_to_string(w[i:i+4], ' '))) AS g
+           FROM toks WHERE len(w) >= 5),
+         bg AS (SELECT DISTINCT g FROM dg WHERE doc_id < 5),
+         sc AS (
+           SELECT dg.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
+           FROM dg LEFT JOIN bg ON dg.g = bg.g
+           GROUP BY dg.doc_id)
+         SELECT d.doc_id,
+                COALESCE(s.n_grams, 0) AS n_grams,
+                COALESCE(s.n_cont, 0) AS n_contaminated,
+                CASE WHEN COALESCE(s.n_grams, 0) > 0
+                     THEN CAST(s.n_cont AS DOUBLE) / s.n_grams
+                     ELSE CAST(0 AS DOUBLE) END AS contamination_frac
+         FROM documents d
+         LEFT JOIN sc s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
     // Exact percentiles recomputed genuinely (quantile_cont ≡ Spark
     // percentile); the booleans encode the sketch's rank-error
     // contract, verified engine-side against the true ranks.

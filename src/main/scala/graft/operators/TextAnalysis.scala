@@ -214,6 +214,40 @@ object TextAnalysis {
     docs.join(broadcast(phrases.select(col(phraseCol))),
       col(textCol).contains(col(phraseCol)), "left_anti")
 
+  /** Graded decontamination: where [[decontaminate]] binarily drops
+    * docs containing a benchmark phrase, this scores every doc by the
+    * fraction of its k-token n-grams that appear anywhere in the
+    * benchmark set — the thresholdable overlap signal used when
+    * exact-substring dropping is too blunt (n-gram overlap
+    * decontamination as popularized by the GPT-3/PaLM appendices).
+    *
+    * Scale shape: the benchmark set is small by definition — its
+    * distinct grams BROADCAST; the corpus explodes row-locally and
+    * joins against the broadcast set without shuffling the fan-out;
+    * only (doc_id, two counts) partials cross the wire. The corpus is
+    * scanned once.
+    */
+  def contaminationScore(docs: DataFrame, bench: DataFrame, k: Int = 5,
+                         benchTextCol: String = "text"): DataFrame = {
+    val grams = (c: Column) => graft.functions.WordNgrams.word_ngrams(c, k)
+    val bg = bench.select(explode(grams(col(benchTextCol))).as("g")).distinct()
+    val scored = docs
+      .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      .join(broadcast(bg.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing: replace email addresses and international-ish
     * phone numbers with typed placeholder tags — the redaction pass a
     * training corpus runs before anything else sees the text. Single
