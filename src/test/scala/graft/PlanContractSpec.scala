@@ -145,6 +145,55 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("span dedup: no shuffle carries span text — hashes only") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = graft.operators.Dedup
+        .duplicateSpans(tables.Tables.documents(spark, sf), k = 10)
+        .queryExecution.executedPlan
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("span") && !shuffledCols.contains("text"),
+        s"span/text strings crossed a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("contamination scoring broadcasts the benchmark grams, corpus never shuffles strings") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = tables.Tables.documents(spark, sf)
+      val exec = graft.operators.TextAnalysis
+        .contaminationScore(docs, docs.filter(col("doc_id") < 5), k = 5)
+        .queryExecution.executedPlan
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        "gram membership must join against a broadcast, not a shuffle")
+      // the benchmark side may shuffle its own grams for the distinct
+      // (bounded by benchmark size, under the BroadcastExchange); the
+      // CORPUS gram fan-out must not — outside broadcast subtrees no
+      // exchange carries a gram or text string
+      val broadcastSubtrees = exec.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      def inBroadcast(e: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        broadcastSubtrees.exists(_.exists(_ eq e))
+      val corpusShuffled = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !inBroadcast(e) => e.output.map(_.name)
+      }.flatten
+      assert(!corpusShuffled.contains("g") && !corpusShuffled.contains("text"),
+        s"corpus gram strings crossed a shuffle: $corpusShuffled")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("interval overlap join plans as an equi join, never a nested loop") {
+    val p = plan("interval_join_concurrency")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$p")
+  }
+
   test("whole-stage codegen covers the text-kernel hot paths") {
     // AQE wraps the plan and defers codegen until execution — turn it
     // off for this one inspection so the physical plan is final
