@@ -202,6 +202,24 @@ object SparkEntry {
         .filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
         .orderBy(col("hour"), col("event_type"))
     }),
+    "streaming_enrich" -> ((s, d) => {
+      // Stream-STATIC join (the one core streaming join shape the
+      // suite didn't yet pin): events replay through the 3-batch
+      // harness, each micro-batch broadcast-joins the static customer
+      // dim, then a watermarked hourly count per nation. Oracle = the
+      // plain batch join + GROUP BY.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").as("nation_key"))
+      graft.streaming.Replay.run(s, events, d)(
+          graft.streaming.Sessionize.enrichedHourly(_, dim))
+        // sentinel windows live in 2100 (see enrichedHourly doc)
+        .filter(col("hour") < lit("2099-01-01 00:00:00").cast("timestamp_ntz"))
+        .orderBy(col("hour"), col("nation_key"))
+    }),
     "streaming_dedup" -> ((s, d) => {
       // Stream ≡ batch for the dedup path: dropDuplicatesWithinWatermark
       // over (user_id, event_type) through the replay harness. All real
@@ -1145,6 +1163,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // The batch join + GROUP BY the stream-static execution must
+    // reproduce exactly on finalized windows.
+    "streaming_enrich" ->
+      """SELECT date_trunc('hour', e.ts) AS hour,
+                c.c_nationkey AS nation_key,
+                count(*) AS n
+         FROM events e
+         LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY hour, nation_key""",
     // The batch GROUP BY the streaming execution must reproduce on its
     // finalized windows.
     "streaming_hourly" ->

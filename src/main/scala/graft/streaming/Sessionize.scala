@@ -88,6 +88,32 @@ object Sessionize extends Serializable {
     if (ntzIn) agg.withColumn("hour", col("hour").cast("timestamp_ntz")) else agg
   }
 
+  /** Stream-static enrichment — the remaining core Structured
+    * Streaming join shape: the event stream joins a STATIC broadcast
+    * dimension (re-planned per micro-batch, so a dim refresh between
+    * batches is picked up) before the watermarked windowed
+    * aggregation. `dim` must be pre-projected to (user_id, dim cols).
+    *
+    * Sentinels are NOT filtered here: a pre-aggregation filter gets
+    * pushed below the EventTimeWatermark operator by Catalyst, so the
+    * sentinels would never advance event time and trailing windows
+    * would stay unfinalized (observed: the last watermark-delay's
+    * worth of hours silently missing). They flow through the join
+    * (null dim), land in their far-future window, and callers drop
+    * them by output hour.
+    */
+  def enrichedHourly(events: DataFrame, dim: DataFrame,
+                     watermark: String = "2 hours"): DataFrame = {
+    val ntzIn = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val agg = watermarked(events, "ts", watermark)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("nation_key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("nation_key"), col("n"))
+    if (ntzIn) agg.withColumn("hour", col("hour").cast("timestamp_ntz")) else agg
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already
     * seen, with state bounded by the watermark — the streaming twin of
     * `Dedup.exact` and the first pass of a continuous training-data

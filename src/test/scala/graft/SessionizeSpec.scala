@@ -64,6 +64,32 @@ class SessionizeSpec extends SparkSpec {
     assert(w.get.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("stream-static enrich joins the dim per micro-batch on an NTZ source") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.time.LocalDateTime
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((7L, 3), (8L, 5)).toDF("user_id", "nation_key")
+    val in = MemoryStream[NtzEvent]
+    val out = Sessionize.enrichedHourly(in.toDF(), dim, watermark = "10 minutes")
+    assert(out.schema("hour").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val q = out.writeStream.format("memory").queryName("enrich_ntz")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      NtzEvent(1, LocalDateTime.parse("2024-01-01T10:05:00"), 7, "click", 1.0),
+      NtzEvent(2, LocalDateTime.parse("2024-01-01T10:20:00"), 7, "click", 1.0),
+      NtzEvent(3, LocalDateTime.parse("2024-01-01T10:50:00"), 9, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(NtzEvent(4, LocalDateTime.parse("2024-01-01T12:00:00"), 8, "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM enrich_ntz").collect()
+    q.stop()
+    val byNation = rows.map(r =>
+      (if (r.isNullAt(1)) -1 else r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(byNation(3) === 2L)   // user 7 → nation 3, two events
+    assert(byNation(-1) === 1L)  // user 9 has no dim row → null nation
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
