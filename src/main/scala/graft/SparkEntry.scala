@@ -807,6 +807,15 @@ object SparkEntry {
     "pack_bin_stats" -> ((s, d) =>
       operators.Packing.binStats(
         operators.Packing.packBins(Tables.documents(s, d), "doc_id", 2000L))),
+    "pack_bins_grouped" -> ((s, d) =>
+      // Group-scoped packing: each language packs its own bin
+      // sequence (group-pure shards); oracle is the per-group global
+      // window cumsum.
+      operators.Packing.packBinsGrouped(
+          Tables.documents(s, d), "lang", "doc_id", 2000L)
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          col("prefix_tokens"), col("bin_id"))
+        .orderBy(col("lang"), col("doc_id"))),
 
     // ---- training-data extensions: deterministic sampling ----------
     "hash_split" -> ((s, d) =>
@@ -1453,6 +1462,19 @@ object SparkEntry {
          SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    "pack_bins_grouped" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM t)
+         SELECT lang, doc_id, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY lang, doc_id""",
     // Components of the same pair graph, computed by a DIFFERENT
     // algorithm (fixed-point recursive CTE vs min-label propagation).
     "dedup_clusters" ->

@@ -63,6 +63,44 @@ object Packing {
       .withColumn("bin_id", floor(col("prefix_tokens") / binTokens))
   }
 
+  /** Group-scoped packing — the multilingual/sharded variant: every
+    * group (language, source, …) packs its own bin sequence starting
+    * at prefix 0, so shards stay group-pure (the layout a
+    * per-language training mixture consumes). Same two-level prefix
+    * sum as [[packBins]] with one twist: the range shuffle keys on
+    * (group, key), so a group's rows are CONTIGUOUS across ordered
+    * partitions and the level-1 offsets window partitions by group
+    * over the same tiny (partition × groups-touching-it) relation —
+    * still bounded by cluster width × group count, never data-sized.
+    */
+  def packBinsGrouped(docs: DataFrame, groupCol: String, keyCol: String,
+                      binTokens: Long, partitions: Int = 32): DataFrame = {
+    val grp = col(groupCol)
+    val key = col(keyCol)
+    val toked = docs
+      .repartitionByRange(partitions, grp, key)
+      .sortWithinPartitions(grp, key)
+      .select(grp, key, size(tokens(col("text"))).cast("long").as("n_tokens"),
+        spark_partition_id().as("__pid"))
+
+    val offsets = toked.groupBy(col("__pid"), grp)
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal")).over(
+          Window.partitionBy(grp).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__ptotal")
+
+    val wLocal = Window.partitionBy(col("__pid"), grp).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toked
+      .join(broadcast(offsets), Seq("__pid", groupCol))
+      .select(grp, key, col("n_tokens"),
+        (col("__offset") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+          .as("prefix_tokens"))
+      .withColumn("bin_id", floor(col("prefix_tokens") / binTokens))
+  }
+
   /** Bin-level summary: docs per bin and filled tokens — the shape a
     * shard-writer consumes (`partitionBy(bin_id)` on write).
     */

@@ -34,6 +34,29 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("grouped packing ≡ per-group global cumsum, independent of partitioning") {
+    import graft.functions.TextFunctions.tokens
+    val expected = docs
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("prefix_tokens"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (parts <- Seq(4, 9)) {
+      val got = Packing
+        .packBinsGrouped(docs.repartition(7), "lang", "doc_id", 500L, parts)
+        .select(col("lang"), col("doc_id"), col("prefix_tokens"))
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"partitions=$parts")
+    }
+    // each group restarts at 0: the min prefix per lang is 0
+    val firstPerLang = expected.groupBy(_._1._1).map { case (l, m) => l -> m.values.min }
+    assert(firstPerLang.values.forall(_ === 0L))
+  }
+
   test("bins are contiguous in key order and fill to the budget") {
     val packed = Packing.packBins(docs, "doc_id", 500L)
       .select("doc_id", "n_tokens", "bin_id")
