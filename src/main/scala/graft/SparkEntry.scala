@@ -881,6 +881,31 @@ object SparkEntry {
         Dedup.dedupNear(_))
     }),
 
+    "clean_corpus_v2" -> ((s, d) => {
+      // v2 prep flow: the r5 doc-local quality caps (Gopher repetition
+      // signals + span-duplication fraction) run AHEAD of the full
+      // normalize → decontaminate → sketch-dedup → quality → scrub
+      // chain — cheap row-local/sketch filters first, pair-generating
+      // dedup on the survivors. Both caps genuinely fire on the
+      // fixture (bigram cap and span cap each drop docs).
+      val docs = Tables.documents(s, d)
+      val repOk = TextAnalysis.repetitionSignals(docs)
+        .filter(col("dup_line_frac") <= 0.3 &&
+          col("top_bigram_char_frac") <= 0.15)
+        .select(col("doc_id"))
+      val spanOk = Dedup.duplicateSpans(docs, k = 10)
+        .filter(col("dup_span_frac") <= 0.5)
+        .select(col("doc_id"))
+      val kept = docs.join(repOk, "doc_id").join(spanOk, "doc_id")
+      val ndocs = TextAnalysis.normalizeText(kept)
+      // benchmark phrases come from the ORIGINAL corpus — the
+      // blocklist is external input, not subject to the caps
+      val phrases = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("phrase"))
+      cleanCorpusPlan(TextAnalysis.decontaminate(ndocs, phrases),
+        Dedup.dedupNear(_))
+    }),
+
     // ---- training-data extensions: multimodal ----------------------
     "multimodal_feature_stats" -> ((s, d) =>
       // Per-kind feature aggregation over the decode path (rows-only:
@@ -1015,6 +1040,65 @@ object SparkEntry {
   private val CleanCorpusFullSql: String =
     """WITH docs_dc AS (
          SELECT d.* FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents b
+           WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
+    """ + CleanCorpusSql.trim.stripPrefix("WITH")
+      .replace("FROM documents", "FROM docs_dc")
+
+  /** DuckDB mirror of the v2 chain: the repetition + span caps
+    * recomputed from scratch (same CTEs as their standalone oracles),
+    * then the decontaminate + clean chain over the capped doc set.
+    */
+  private val CleanCorpusV2Sql: String =
+    """WITH lines0 AS (
+         SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+         FROM documents),
+       lg0 AS (
+         SELECT doc_id, line, count(*) AS c, len(line) AS cl
+         FROM lines0 GROUP BY doc_id, line),
+       lagg0 AS (
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_lines,
+                CAST(sum(c) - count(*) AS BIGINT) AS n_dup
+         FROM lg0 GROUP BY doc_id),
+       toks0 AS (
+         SELECT doc_id, n_chars, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+         FROM documents),
+       bg0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           i -> array_to_string(w[i:i+1], ' '))) AS g
+         FROM toks0 WHERE len(w) >= 2),
+       bgc0 AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY doc_id, g),
+       top0 AS (
+         SELECT doc_id, g, c FROM bgc0
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+       sp0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(w) - 10 + 2),
+           i -> array_to_string(w[i:i+9], ' '))) AS span
+         FROM toks0 WHERE len(w) >= 10),
+       oc0 AS (SELECT doc_id, span, count(*) AS c FROM sp0 GROUP BY doc_id, span),
+       gl0 AS (SELECT span, CAST(sum(c) AS BIGINT) AS gc FROM oc0 GROUP BY span),
+       pd0 AS (
+         SELECT o.doc_id,
+                CAST(sum(o.c) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN gl0.gc >= 2 THEN o.c ELSE 0 END) AS BIGINT) AS n_dup
+         FROM oc0 o JOIN gl0 ON o.span = gl0.span GROUP BY o.doc_id),
+       capped AS (
+         SELECT d.* FROM documents d
+         LEFT JOIN lagg0 l ON d.doc_id = l.doc_id
+         LEFT JOIN top0 t ON d.doc_id = t.doc_id
+         LEFT JOIN pd0 p ON d.doc_id = p.doc_id
+         WHERE (CASE WHEN COALESCE(l.n_lines, 0) > 0
+                     THEN CAST(l.n_dup AS DOUBLE) / l.n_lines
+                     ELSE CAST(0 AS DOUBLE) END) <= 0.3
+           AND (CASE WHEN d.n_chars > 0 AND COALESCE(t.c, 0) > 0
+                     THEN CAST(t.c * len(t.g) AS DOUBLE) / d.n_chars
+                     ELSE CAST(0 AS DOUBLE) END) <= 0.15
+           AND (CASE WHEN COALESCE(p.n_spans, 0) > 0
+                     THEN CAST(p.n_dup AS DOUBLE) / p.n_spans
+                     ELSE CAST(0 AS DOUBLE) END) <= 0.5),
+       docs_dc AS (
+         SELECT d.* FROM capped d
          WHERE NOT EXISTS (SELECT 1 FROM documents b
            WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
     """ + CleanCorpusSql.trim.stripPrefix("WITH")
@@ -1340,6 +1424,7 @@ object SparkEntry {
     // false positives), so both pipelines drop the same victims.
     "clean_corpus_sketch" -> CleanCorpusSql,
     "clean_corpus_full" -> CleanCorpusFullSql,
+    "clean_corpus_v2" -> CleanCorpusV2Sql,
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
