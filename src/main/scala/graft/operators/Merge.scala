@@ -120,18 +120,32 @@ object Merge {
     * Plan shape: the store-side max is a full-agg (partial agg per
     * partition, one row out) joined back by literal-true broadcast —
     * NO driver action, the id base resolves inside the same job. The
-    * row_number over the new batch runs in a single partition: fine
-    * for point appends (the reference appends ≤100 rows per sync);
-    * a bulk backfill should use `monotonically_increasing_id`-style
-    * sparse ids instead, which is why this helper is append-scoped.
+    * dense rank over the new batch is the same TWO-LEVEL formulation
+    * as `Packing.packBins` (range shuffle on the order key, local
+    * row_number + per-partition count offsets over a cluster-width
+    * relation), so a bulk backfill no longer funnels through one
+    * partition the way the r1-r4 single global window did.
     */
   def appendWithSerial(current: DataFrame, rows: DataFrame, idCol: String,
-                       orderCols: Seq[String]): DataFrame = {
+                       orderCols: Seq[String], partitions: Int = 32): DataFrame = {
     val base = current.agg(coalesce(max(col(idCol)), lit(0L)).as("__graft_base"))
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val withIds = rows.crossJoin(broadcast(base))
-      .withColumn(idCol, (col("__graft_base") + row_number().over(w)).cast("long"))
-      .drop("__graft_base")
+    val ordered = rows
+      .repartitionByRange(partitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ordered.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pn")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pn")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    val withIds = ordered
+      .join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(base))
+      .withColumn(idCol,
+        (col("__graft_base") + col("__poff") + row_number().over(wLocal)).cast("long"))
+      .drop("__poff", "__pid", "__graft_base")
     current.unionByName(withIds, allowMissingColumns = true)
   }
 }
