@@ -220,6 +220,18 @@ object SparkEntry {
         .filter(col("hour") < lit("2099-01-01 00:00:00").cast("timestamp_ntz"))
         .orderBy(col("hour"), col("nation_key"))
     }),
+    "streaming_join" -> ((s, d) => {
+      // Stream-STREAM join (completing the streaming join matrix):
+      // click→purchase attribution, both sides watermarked, the
+      // event-time range bounding the join state. Replayed through
+      // the 3-batch harness; oracle = the plain batch range join.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Replay.run(s, events, d)(
+          graft.streaming.StreamJoin.attribution(_))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
     "streaming_dedup" -> ((s, d) => {
       // Stream ≡ batch for the dedup path: dropDuplicatesWithinWatermark
       // over (user_id, event_type) through the replay harness. All real
@@ -1256,6 +1268,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // The plain batch range join the stream-stream execution must
+    // reproduce exactly.
+    "streaming_join" ->
+      """SELECT c.event_id AS click_id,
+                c.user_id AS user_id,
+                p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, purchase_id""",
     // The batch join + GROUP BY the stream-static execution must
     // reproduce exactly on finalized windows.
     "streaming_enrich" ->

@@ -90,6 +90,30 @@ class SessionizeSpec extends SparkSpec {
     assert(byNation(-1) === 1L)  // user 9 has no dim row → null nation
   }
 
+  test("stream-stream attribution joins within the window, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.time.LocalDateTime
+    val in = MemoryStream[NtzEvent]
+    val q = graft.streaming.StreamJoin.attribution(in.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      NtzEvent(1, LocalDateTime.parse("2024-01-01T10:00:00"), 7, "click", 0.0),
+      NtzEvent(2, LocalDateTime.parse("2024-01-01T10:10:00"), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    in.addData( // cross-batch match: click from batch 0 state
+      NtzEvent(3, LocalDateTime.parse("2024-01-01T10:20:00"), 7, "purchase", 5.0),
+      // outside the 30-min window → no match
+      NtzEvent(4, LocalDateTime.parse("2024-01-01T11:00:00"), 7, "purchase", 5.0),
+      // different user → no match
+      NtzEvent(5, LocalDateTime.parse("2024-01-01T10:05:00"), 8, "purchase", 5.0))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT click_id, purchase_id FROM attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs === Set((1L, 2L), (1L, 3L)))
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
