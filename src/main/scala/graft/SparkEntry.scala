@@ -507,6 +507,11 @@ object SparkEntry {
             .as("recall_floor_met"))
         .orderBy(col("query_id"))
     }),
+    "chunk_documents" -> ((s, d) =>
+      // Overlapping token-window chunking (50-token chunks, 10-token
+      // overlap): the step between cleaning and packing. Fixture docs
+      // (10-99 tokens) produce 1-3 chunks each.
+      TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "contamination_score" -> ((s, d) => {
       // Benchmark set = the same five fixture docs decontaminate
       // uses, but scored by 5-gram overlap instead of binary
@@ -1757,6 +1762,22 @@ object SparkEntry {
                 true AS recall_floor_met
          FROM ranked WHERE rn <= 10
          GROUP BY query_id ORDER BY query_id""",
+    // Chunk boundaries, lengths, and exact chunk text recomputed via
+    // list slicing (stride 40, window 50 — same arithmetic).
+    "chunk_documents" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, w,
+                  CAST(ceil(CAST(greatest(len(w) - 10, 1) AS DOUBLE) / 40.0) AS BIGINT) AS n_chunks
+           FROM t WHERE len(w) > 0),
+         e AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         SELECT doc_id,
+                CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(least(50, len(w) - chunk_idx * 40) AS BIGINT) AS n_tokens,
+                array_to_string(w[(chunk_idx * 40 + 1):(chunk_idx * 40 + 50)], ' ') AS chunk_text
+         FROM e ORDER BY doc_id, chunk_idx""",
     // The full overlap computation redone from the text: benchmark
     // 5-gram set, per-doc gram counts, left-join hit counting.
     "contamination_score" ->

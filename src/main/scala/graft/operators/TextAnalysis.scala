@@ -214,6 +214,38 @@ object TextAnalysis {
     docs.join(broadcast(phrases.select(col(phraseCol))),
       col(textCol).contains(col(phraseCol)), "left_anti")
 
+  /** Token-window chunking: split each document into overlapping
+    * `chunkTokens`-token windows at stride `chunkTokens - overlap` —
+    * the standard pretraining/RAG preprocessing step between cleaning
+    * and packing. Row-local end to end: the token array materializes
+    * ONCE as an attribute (an inline `tokens(text)` inside the chunk
+    * lambda would re-tokenize per chunk — the r1 lambda-inlining
+    * pitfall), the chunk index explodes, and each chunk slices the
+    * attribute. Blank docs yield no chunks by contract.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 50,
+                     overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens)
+    val stride = chunkTokens - overlap
+    val withToks = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val nChunks = ceil(
+      greatest(size(col("__toks")) - lit(overlap), lit(1)).cast("double") /
+        lit(stride.toDouble)).cast("int")
+    withToks
+      .select(col("doc_id"), col("lang"), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens),
+          size(col("__toks")) - col("chunk_idx") * stride).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Graded decontamination: where [[decontaminate]] binarily drops
     * docs containing a benchmark phrase, this scores every doc by the
     * fraction of its k-token n-grams that appear anywhere in the

@@ -129,6 +129,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("chunking: exact boundaries, overlap, tail chunk, blank docs dropped") {
+    val docs = Seq(
+      (0L, (1 to 7).map(i => s"t$i").mkString(" "), "en", "s", 0L), // 7 toks
+      (1L, "only three tokens", "en", "s", 0L),
+      (2L, "", "en", "s", 0L) // blank: no chunks
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc 0: stride 2 → ceil((7-2)/2)=3 chunks: [t1..t4],[t3..t6],[t5..t7]
+    assert(out((0L, 0L)) === ((4L, "t1 t2 t3 t4")))
+    assert(out((0L, 1L)) === ((4L, "t3 t4 t5 t6")))
+    assert(out((0L, 2L)) === ((3L, "t5 t6 t7")))
+    // doc 1: 3 tokens < window → one whole-doc chunk
+    assert(out((1L, 0L)) === ((3L, "only three tokens")))
+    assert(out.size === 4) // doc 2 contributes nothing
+  }
+
   test("top ngrams: known bigram frequencies, deterministic tie order") {
     val d = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
     val out = TextAnalysis.topNgrams(d, n = 2, k = 3)
