@@ -480,6 +480,17 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
+    "ann_index_persisted" -> ((s, d) => {
+      // Build-once-query-many: the IVF index persists to parquet
+      // (cells PARTITIONED BY centroid_id — a probe reads only its
+      // cells' partitions) and the query runs over the RELOADED
+      // index. Full probe ≡ exact, so the oracle is the same DuckDB
+      // brute-force ranking as ann_cosine_topk — pinning that the
+      // persist → reload → probe cycle loses nothing.
+      val dir = vectorIndexDir(s, d)
+      tables.VectorIndex.topK(s, dir,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
+    }),
     "ann_int8_recall" -> ((s, d) => {
       // End-to-end retrieval quality of int8 STORAGE: the corpus is
       // quantized (4× smaller) and retrieval runs over the
@@ -953,6 +964,24 @@ object SparkEntry {
     * dedup, oracle-mirrorable at any scale) and clean_corpus_sketch
     * (MinHash dedup, the 100 TB path): dedup → quality floor → PII
     * scrub in ONE plan. */
+  /** Once-per-(process, sf dir) persisted IVF index build (temp tree
+    * removed on JVM exit) — bench reps and Verify measure the QUERY
+    * over the reloaded index, not a rebuild per invocation.
+    */
+  private val vindexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vectorIndexDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.VectorIndex.write(Tables.embeddings(s, d), dir.toString, nlist = 16)
+      dir.toString
+    })
+
   private def cleanCorpusPlan(docs: DataFrame,
                               dedup: DataFrame => DataFrame): DataFrame = {
     val deduped = dedup(docs)
@@ -1742,6 +1771,24 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // Same brute-force ranking as ann_cosine_topk: the persisted
+    // full-probe index must reproduce the exact baseline bit-for-bit.
+    "ann_index_persisted" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     // n_exact is the genuine per-query exact-baseline count; the
     // boolean encodes the int8-retrieval floor contract (measured
     // recall 1.0 on the fixtures at all SFs; floor 0.8 leaves room

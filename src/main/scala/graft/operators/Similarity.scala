@@ -74,6 +74,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, refine: Int = 0): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, refine)
+    ivfProbe(centroids, ivfAssign(corpus, centroids), queries, k, nprobe)
+  }
+
+  /** IVF coarse quantizer: `nlist` deterministic pseudo-random seed
+    * centroids (smallest xxhash64 of vec_id) plus optional Lloyd
+    * sweeps. Public so a persisted index ([[graft.tables.VectorIndex]])
+    * can build once and query many times.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16,
+                   refine: Int = 0): DataFrame = {
     val sampled = corpus
       // a null embedding sampled as a seed would be a dead centroid (it
       // can never win the argmin) — and its cell id would NPE-bait every
@@ -82,23 +93,30 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    val centroids = (1 to refine).foldLeft(sampled)((c, _) =>
-      refineCentroids(corpus, c))
+    (1 to refine).foldLeft(sampled)((c, _) => refineCentroids(corpus, c))
+  }
 
-    // Assign every corpus vector to its nearest centroid: the nlist
-    // centroids collapse to a single broadcast row and the argmin runs
-    // row-locally in codegen (NearestCentroid is order-independent, so
-    // collect_list's nondeterministic ordering is immaterial). The
-    // coalesce(-1) makes the output non-nullable, so the probe join
-    // infers no isnotnull(centroid_id) — which would be pushed below
-    // this projection and re-run the argmin kernel per filter eval;
-    // null-embedding rows get cell -1, which no probe ever matches.
-    val assigned = corpus.crossJoin(packedCentroids(centroids))
+  /** Assign every corpus vector to its nearest centroid: the nlist
+    * centroids collapse to a single broadcast row and the argmin runs
+    * row-locally in codegen (NearestCentroid is order-independent, so
+    * collect_list's nondeterministic ordering is immaterial). The
+    * coalesce(-1) makes the output non-nullable, so the probe join
+    * infers no isnotnull(centroid_id) — which would be pushed below
+    * this projection and re-run the argmin kernel per filter eval;
+    * null-embedding rows get cell -1, which no probe ever matches.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(packedCentroids(centroids))
       .select(col("vec_id"), col("label"), col("embedding"),
         coalesce(graft.functions.NearestCentroid
           .nearest_centroid(col("embedding"), col("cents")), lit(-1L))
           .as("centroid_id"))
 
+  /** Probe half of the IVF search, over any (centroids, assigned)
+    * pair — in-flight or reloaded from a persisted index.
+    */
+  def ivfProbe(centroids: DataFrame, assigned: DataFrame,
+               queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // Each query probes its nprobe nearest cells (query side is tiny —
     // the window shuffles only Q·nlist rows; centroid_id breaks exact
     // cosine ties so the probe set is partitioning-independent).

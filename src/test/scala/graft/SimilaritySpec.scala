@@ -167,6 +167,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("persisted IVF index: partitioned cells; reload+probe ≡ in-flight") {
+    import graft.tables.VectorIndex
+    val emb = tables.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("vindex_test").toString
+    try {
+      VectorIndex.write(emb, dir, nlist = 8)
+      // cells land partitioned by centroid_id — the layout probe
+      // pruning depends on
+      val parts = new java.io.File(s"$dir/cells").list()
+      assert(parts.exists(_.startsWith("centroid_id=")), parts.mkString(","))
+      val q = emb.filter($"vec_id" < 3)
+      val persisted = VectorIndex.topK(spark, dir, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      val inflight = graft.operators.Similarity
+        .ivfTopK(emb, q, 5, nlist = 8, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      assert(persisted === inflight)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivf: probes return valid ranked neighbours with decent recall") {
     val emb = tables.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 3)
