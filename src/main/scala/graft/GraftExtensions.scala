@@ -86,6 +86,10 @@ object GraftExtensions {
       "nearest_centroid(emb, cents) - centroid_id of max-cosine centroid") {
       args => NearestCentroid(args(0), args(1))
     },
+    entry("repetition_stats",
+      "repetition_stats(text) - line-dup counts + top word-bigram struct") {
+      args => RepetitionStats(args(0))
+    },
     entry("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC normalization") {
       args => NfcNormalize(args(0))

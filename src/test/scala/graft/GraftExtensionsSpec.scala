@@ -41,6 +41,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val sh2 = spark.sql(
       "SELECT simhash64(word_shingle_hashes('a b c d', 3)) AS h").as[Long].head()
     assert(sh === sh2)
+
+    val rep = spark.sql(
+      "SELECT repetition_stats('x y\nx y') AS r").select("r.n_lines", "r.top_gram")
+      .collect().head
+    assert(rep.getLong(0) === 2L && rep.getString(1) === "x y")
   }
 
   test("SQL functions agree with the Column API") {
@@ -70,7 +75,7 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
       "cosine_similarity", "minhash_band_keys", "nearest_centroid",
-      "nfc_normalize", "rolling_hash", "simhash64",
+      "nfc_normalize", "repetition_stats", "rolling_hash", "simhash64",
       "sorted_intersect_count", "srp_buckets", "word_ngrams",
       "word_shingle_hashes"))
     // the injection class instantiates cleanly (deployment path:

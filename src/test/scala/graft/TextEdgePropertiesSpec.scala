@@ -110,6 +110,33 @@ class TextEdgePropertiesSpec extends SparkSpec {
     assert(byId(9L) === ((2L, 1.0)))
   }
 
+  test("chunkDocuments is total on edge docs: blanks dropped, tokens conserved") {
+    val rows = TextAnalysis.chunkDocuments(docs, chunkTokens = 8, overlap = 2)
+      .collect()
+    assert(rows.forall(r => !r.anyNull))
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    blankIds.foreach(id => assert(!byDoc.contains(id), s"doc $id chunked"))
+    // stride-6 windows of width 8: chunk n_tokens sums to
+    // n + overlap * (chunks - 1) — token conservation incl. overlap
+    val texts = (edge ++ generated).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = texts(id).split("\\s+").count(_.nonEmpty).toLong
+      val total = chunks.map(_.getAs[Long]("n_tokens")).sum
+      assert(total === n + 2L * (chunks.length - 1), s"doc $id")
+    }
+  }
+
+  test("contaminationScore is total on edge docs; blanks score 0") {
+    val bench = docs.filter(col("doc_id") === 8L) // "alpha beta gamma delta"
+    val rows = TextAnalysis.contaminationScore(docs, bench, k = 4).collect()
+    assert(rows.length === nDocs)
+    assert(rows.forall(r => !r.anyNull))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("contamination_frac")).toMap
+    blankIds.foreach(id => assert(byId(id) === 0.0, s"doc $id"))
+    assert(byId(8L) === 1.0 && byId(9L) === 1.0) // twin of the benchmark doc
+  }
+
   test("fingerprints are total, deterministic, and empty-set on blanks") {
     val a = TextAnalysis.fingerprints(docs).collect()
     val b = TextAnalysis.fingerprints(docs).collect()
