@@ -480,6 +480,16 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
+    "ann_ivf_refined" -> ((s, d) => {
+      // One Lloyd sweep then FULL probe: refinement moves centroids
+      // but cells must still partition the corpus exactly (every
+      // vector assigned once, probe join lossless) — pinned against
+      // the same DuckDB brute-force ranking. The approximate nprobe<
+      // nlist behavior stays in the rows-only ann_ivf_topk.
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10,
+        nlist = 16, nprobe = 16, refine = 1)
+    }),
     "ann_index_persisted" -> ((s, d) => {
       // Build-once-query-many: the IVF index persists to parquet
       // (cells PARTITIONED BY centroid_id — a probe reads only its
@@ -1771,6 +1781,24 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    // Same brute-force ranking: full probe over REFINED centroids
+    // must still reproduce the exact baseline bit-for-bit.
+    "ann_ivf_refined" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
     "ann_index_persisted" ->
