@@ -362,6 +362,8 @@ object SparkEntry {
     "order_percentiles" -> ((s, d) => Analytics.orderPercentiles(Tables.orders(s, d))),
     "user_retention" -> ((s, d) => Analytics.userRetention(Tables.events(s, d))),
     "value_moving_avg" -> ((s, d) => Analytics.movingAvg(Tables.events(s, d))),
+    "value_moving_avg_time" -> ((s, d) =>
+      Analytics.movingAvgTime(Tables.events(s, d))),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
     "median_value_by_type" -> ((s, d) =>
       Tables.events(s, d)
@@ -1447,6 +1449,17 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts, event_id""",
+    // RANGE (time-offset) frame on epoch micros — peers on equal ts,
+    // so the result is tie-order independent on both engines.
+    "value_moving_avg_time" ->
+      """SELECT event_id, user_id, ts,
+                CAST(count(*) OVER w AS BIGINT) AS n_window,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) /
+                  CAST(count(*) OVER w AS DOUBLE) AS avg_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "order_percentiles" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
                 percent_rank() OVER w AS pct_rank,

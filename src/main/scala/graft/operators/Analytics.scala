@@ -252,6 +252,26 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** TIME-based trailing window (RANGE frame, not ROWS): the
+    * 1-hour-lookback running aggregate a rate monitor computes. Spark
+    * range frames need a numeric order key, so the frame orders on
+    * epoch micros with a [-3600s, 0] offset — rows with equal ts are
+    * peers on both engines (SQL RANGE semantics), so results don't
+    * depend on tie order. Decimal-exact sum, one final double
+    * division (oracle parity).
+    */
+  def movingAvgTime(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_window"),
+        (sum(dec2(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Distribution window functions over orders within each status:
     * percent_rank / cume_dist / quartile bucket by price. One window
     * shuffle on the status key serves all three.
