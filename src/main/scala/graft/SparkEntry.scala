@@ -364,6 +364,28 @@ object SparkEntry {
     "value_moving_avg" -> ((s, d) => Analytics.movingAvg(Tables.events(s, d))),
     "value_moving_avg_time" -> ((s, d) =>
       Analytics.movingAvgTime(Tables.events(s, d))),
+    "approx_distinct_mergeable" -> ((s, d) => {
+      // MERGEABLE-sketch pattern — the 100 TB pre-aggregation idiom:
+      // per-(type, day) HLL sketches built in one scan (the expensive
+      // pass a daily job persists), then merged per type by a cheap
+      // re-aggregation over ~30 sketch rows per type — no second
+      // corpus scan. Datasketches HLL (lgK 12 ≈ 1.6% rsd); the pin is
+      // the same exact-twin tolerance shape as approx_distinct_check.
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__approx"))
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= lit(0.05))
+            .as("within_tolerance"))
+        .orderBy(col("event_type"))
+    }),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
     "median_value_by_type" -> ((s, d) =>
       Tables.events(s, d)
@@ -1449,6 +1471,14 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts, event_id""",
+    // n_exact recomputed genuinely; the boolean encodes the merged
+    // sketch's tolerance contract (day-sketch union ≡ one-shot HLL by
+    // the datasketches merge property, bounded by the lgK-12 rsd).
+    "approx_distinct_mergeable" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                true AS within_tolerance
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // RANGE (time-offset) frame on epoch micros — peers on equal ts,
     // so the result is tie-order independent on both engines.
     "value_moving_avg_time" ->
