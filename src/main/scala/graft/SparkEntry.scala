@@ -364,6 +364,10 @@ object SparkEntry {
     "value_moving_avg" -> ((s, d) => Analytics.movingAvg(Tables.events(s, d))),
     "value_moving_avg_time" -> ((s, d) =>
       Analytics.movingAvgTime(Tables.events(s, d))),
+    "q5_region_volume" -> ((s, d) =>
+      Analytics.q5RegionVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
     "approx_distinct_mergeable" -> ((s, d) => {
       // MERGEABLE-sketch pattern — the 100 TB pre-aggregation idiom:
       // per-(type, day) HLL sketches built in one scan (the expensive
@@ -1471,6 +1475,22 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts, event_id""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+                count(*) AS n_lineitems
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     // n_exact recomputed genuinely; the boolean encodes the merged
     // sketch's tolerance contract (day-sketch union ≡ one-shot HLL by
     // the datasketches merge property, bounded by the lgK-12 rsd).

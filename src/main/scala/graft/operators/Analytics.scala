@@ -252,6 +252,36 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** TPC-H Q5 shape — the 6-table join chain (region → nation →
+    * customer → orders → lineitem → supplier) with the local-supplier
+    * constraint (s_nationkey = c_nationkey). Fully declarative:
+    * Catalyst reorders the chain, the dimension sides broadcast, the
+    * date filter pushes into the orders scan, and only the two
+    * fact-sized relations meet in a shuffled join. Revenue is
+    * DECIMAL-exact then rounded once (oracle parity, same discipline
+    * as Q1).
+    */
+  def q5RegionVolume(region: DataFrame, nation: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame,
+                     regionName: String = "ASIA"): DataFrame =
+    region.filter(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(dec2(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast(DecimalType(6, 4)))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** TIME-based trailing window (RANGE frame, not ROWS): the
     * 1-hour-lookback running aggregate a rate monitor computes. Spark
     * range frames need a numeric order key, so the frame orders on

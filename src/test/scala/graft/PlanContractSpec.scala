@@ -188,6 +188,14 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q5 join chain: dimensions broadcast, date filter reaches the orders scan") {
+    val p = plan("q5_region_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "region/nation/customer/supplier sides must broadcast")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("o_orderdate >="), s"date filter not pushed:\n$p")
+  }
+
   test("interval overlap join plans as an equi join, never a nested loop") {
     val p = plan("interval_join_concurrency")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
