@@ -368,6 +368,31 @@ object SparkEntry {
       Analytics.q5RegionVolume(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
+    "orders_semi_join" -> ((s, d) => {
+      // EXISTS as a LEFT SEMI join: orders having at least one
+      // returned lineitem — the fact side streams through the join
+      // once, no duplication from multiple matches (the semantic
+      // difference vs inner join this row pins).
+      val o = Tables.orders(s, d)
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "events_unpivot" -> ((s, d) =>
+      // UNPIVOT (melt): the hourly per-type counts fold back into
+      // (hour, event_type, n) long form — the inverse of
+      // pivot_hourly_types, via the same Expand operator Spark plans
+      // for stack().
+      Analytics.hourlyTypePivot(Tables.events(s, d),
+          Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("hour"),
+          expr("stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event_type, n)"))
+        .filter(col("n") > 0)
+        .orderBy(col("hour"), col("event_type"))),
     "approx_distinct_mergeable" -> ((s, d) => {
       // MERGEABLE-sketch pattern — the 100 TB pre-aggregation idiom:
       // per-(type, day) HLL sketches built in one scan (the expensive
@@ -1475,6 +1500,19 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts, event_id""",
+    // Long-form counts, equal to the direct GROUP BY — which is
+    // exactly the pivot→unpivot round-trip claim.
+    "events_unpivot" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n
+         FROM events GROUP BY 1, 2
+         ORDER BY hour, event_type""",
+    "orders_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         ORDER BY o_orderkey""",
     "q5_region_volume" ->
       """SELECT n_name,
                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
