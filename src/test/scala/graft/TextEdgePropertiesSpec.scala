@@ -184,6 +184,30 @@ class TextEdgePropertiesSpec extends SparkSpec {
     assert(ids.toSet.intersect(blankIds) === Set.empty)
   }
 
+  test("supplementary-plane text: code-point counting end to end, no crashes") {
+    // U+1F600 is a surrogate PAIR in the JVM's UTF-16 — a code-unit
+    // (String.length-based) counter would double-count every emoji.
+    // Both the engine kernels and DuckDB len() count CODE POINTS.
+    val e = "😀" // 😀
+    val text = s"$e$e $e$e\n$e$e $e$e"
+    val docs2 = Seq((0L, text, "xx", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = TextAnalysis.repetitionSignals(docs2).head()
+    assert(rep.getLong(1) === 2L)                       // two identical lines
+    assert(math.abs(rep.getDouble(2) - 0.5) < 1e-12)    // dup_line_frac
+    assert(math.abs(rep.getDouble(3) - 0.5) < 1e-12)    // 5 of 10 cp dup
+    assert(rep.getString(4) === s"$e$e $e$e")           // top bigram
+    // 4 tokens → 3 (overlapping) occurrences of the one bigram; cp len
+    // 5 — the frac legitimately exceeds 1 on degenerate repetition
+    assert(math.abs(rep.getDouble(5) - 3 * 5.0 / 11) < 1e-12)
+    val chunks = TextAnalysis.chunkDocuments(docs2, chunkTokens = 3, overlap = 1)
+      .collect()
+    assert(chunks.length === 2 &&
+      chunks(0).getString(3) === s"$e$e $e$e $e$e")     // 4 ws-tokens → 2 chunks
+    val tok = TextAnalysis.tokenCounts(docs2).head()
+    assert(tok.getLong(1) === 4L)                       // ws tokens
+  }
+
   test("langId on zero-signal docs predicts the tie-break lang with confidence 0") {
     val rows = TextAnalysis.langId(docs).collect()
     assert(rows.length === nDocs)
