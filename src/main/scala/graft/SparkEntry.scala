@@ -586,6 +586,20 @@ object SparkEntry {
       // overlap): the step between cleaning and packing. Fixture docs
       // (10-99 tokens) produce 1-3 chunks each.
       TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "chunk_pack_pipeline" -> ((s, d) => {
+      // The end-to-end training-sequence build: chunk every doc, then
+      // pack the CHUNKS into token-budget bins with the same
+      // two-level prefix sum — chunks order on a dense composite key
+      // (doc_id·1000 + chunk_idx; chunk counts are < 1000 by the
+      // window arithmetic) so the bin layout is deterministic.
+      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+          col("chunk_text").as("text"))
+      operators.Packing.packBins(chunks, "chunk_key", 2000L)
+        .select(col("chunk_key"), col("n_tokens"), col("prefix_tokens"),
+          col("bin_id"))
+        .orderBy(col("chunk_key"))
+    }),
     "contamination_score" -> ((s, d) => {
       // Benchmark set = the same five fixture docs decontaminate
       // uses, but scored by 5-gram overlap instead of binary
@@ -1954,6 +1968,30 @@ object SparkEntry {
                 CAST(least(50, len(w) - chunk_idx * 40) AS BIGINT) AS n_tokens,
                 array_to_string(w[(chunk_idx * 40 + 1):(chunk_idx * 40 + 50)], ' ') AS chunk_text
          FROM e ORDER BY doc_id, chunk_idx""",
+    // Chunks recomputed, then the packing cumsum over the chunk keys
+    // — the engine's two-level prefix sum over CHUNKS must equal the
+    // global window.
+    "chunk_pack_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, w,
+                  CAST(ceil(CAST(greatest(len(w) - 10, 1) AS DOUBLE) / 40.0) AS BIGINT) AS n_chunks
+           FROM t WHERE len(w) > 0),
+         e AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS ci FROM c),
+         ch AS (
+           SELECT doc_id * 1000 + ci AS chunk_key,
+                  CAST(least(50, len(w) - ci * 40) AS BIGINT) AS n_tokens
+           FROM e),
+         p AS (
+           SELECT chunk_key, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY chunk_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM ch)
+         SELECT chunk_key, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY chunk_key""",
     // The full overlap computation redone from the text: benchmark
     // 5-gram set, per-doc gram counts, left-join hit counting.
     "contamination_score" ->
