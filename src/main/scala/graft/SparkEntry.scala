@@ -24,6 +24,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Reads.page(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "event_id", 20, 10)
 
+  /** Per-language char-budget fractions for the mixture-sampling rows
+    * (en downsampled hard, the tail kept nearly whole) — shared by
+    * `mixture_sample` and `mixture_stats` so the pins agree.
+    */
+  private val MixtureFractions = Map(
+    "en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 reads ------------------------------------------------
@@ -185,6 +192,11 @@ object SparkEntry {
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
+    "events_hopping" -> ((s, d) =>
+      // Hopping 1h/15m windows in batch — each event fans into 4
+      // windows via a row-local Expand with map-side partial agg; the
+      // oracle rebuilds all 4 epoch-aligned window starts per event.
+      Analytics.hoppingCounts(Tables.events(s, d))),
     "streaming_hourly" -> ((s, d) => {
       // Stream ≡ batch, executed for REAL: the events table replays
       // through a file source → watermarked windowed agg
@@ -701,6 +713,10 @@ object SparkEntry {
     }),
     "doc_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
+    "tfidf_by_lang" -> ((s, d) =>
+      // Distinguishing vocabulary per language slice; score = tf·N/df
+      // (log-free so the oracle reproduces the doubles bit-exactly).
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) =>
       // The synthetic corpus carries no PII, so the query injects a
       // deterministic email+phone per doc before scrubbing — the
@@ -951,6 +967,42 @@ object SparkEntry {
       // reproduces the exact permutation from md5 alone.
       operators.Sampling.epochShuffleRank(Tables.documents(s, d), "doc_id", 1)
         .orderBy(col("doc_id"))),
+    "sample_uniform_n" -> ((s, d) =>
+      // Exact-N uniform sample as a TakeOrderedAndProject over the
+      // hash order — never a global sort; the oracle recomputes the
+      // identical 200-row set from md5 alone.
+      operators.Sampling.uniformSampleN(Tables.documents(s, d), "doc_id", 200)
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy(col("sample_key"))),
+    "mixture_sample" -> ((s, d) =>
+      // Training-mix construction: per-language char budgets (en
+      // downsampled hard, the tail kept nearly whole) applied by
+      // bucket-granular hash thresholding. The only window runs over
+      // the langs×buckets relation; the corpus broadcast-semi-joins
+      // the kept bucket set — exact row membership pinned by the
+      // oracle.
+      operators.Sampling.mixtureByBudget(
+          Tables.documents(s, d), "lang", "doc_id", "n_chars", MixtureFractions)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    "mixture_stats" -> ((s, d) => {
+      // Realized mixture audit: kept docs/chars vs domain totals and
+      // the achieved fraction — the report a mixing run ships with.
+      val kept = operators.Sampling.mixtureByBudget(
+          Tables.documents(s, d), "lang", "doc_id", "n_chars", MixtureFractions)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_chars")).as("kept_chars"))
+      val totals = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("total_chars"))
+      totals.join(kept, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+          col("total_chars"),
+          (coalesce(col("kept_chars"), lit(0L)).cast("double") /
+            col("total_chars").cast("double")).as("realized_frac"))
+        .orderBy(col("lang"))
+    }),
 
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
@@ -1379,6 +1431,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // Every event belongs to exactly 4 epoch-aligned 1h/15m hops
+    // (floor bucket minus i·15m, i ∈ 0..3) — rebuilt here explicitly;
+    // Spark's window() uses the same epoch-0 alignment.
+    "events_hopping" ->
+      """WITH h AS (
+           SELECT make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - i) * 900)
+                                 * 1000000) AS window_start,
+                  value
+           FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+         SELECT window_start, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM h GROUP BY 1 ORDER BY window_start""",
     // The plain batch range join the stream-stream execution must
     // reproduce exactly.
     "streaming_join" ->
@@ -1830,6 +1894,79 @@ object SparkEntry {
          WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
                              WHEN 'es' THEN 40 WHEN 'zh' THEN 10 ELSE 0 END
          ORDER BY doc_id""",
+    // Identical 200-row set from the md5 order alone.
+    "sample_uniform_n" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+         FROM documents ORDER BY sample_key LIMIT 200""",
+    // Bucket-granular budget thresholding, recomputed end-to-end:
+    // md5 buckets, per-(lang,bucket) char costs, the exclusive window
+    // cumsum (CAST to BIGINT — DuckDB sum(BIGINT) is HUGEINT), and
+    // the same single-rounding double comparison as the engine.
+    "mixture_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS b
+           FROM documents),
+         pb AS (
+           SELECT lang, b, CAST(sum(n_chars) AS BIGINT) AS cost
+           FROM h GROUP BY 1, 2),
+         kept AS (
+           SELECT lang, b FROM (
+             SELECT lang, b,
+                    CAST(COALESCE(sum(cost) OVER (PARTITION BY lang ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS cum_before,
+                    CAST(sum(cost) OVER (PARTITION BY lang) AS BIGINT) AS total
+             FROM pb)
+           WHERE CAST(cum_before AS DOUBLE) <
+                 (CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.6
+                            WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 0.0 END)
+                 * CAST(total AS DOUBLE))
+         SELECT h.doc_id, h.lang
+         FROM h JOIN kept ON h.lang = kept.lang AND h.b = kept.b
+         ORDER BY h.doc_id""",
+    "mixture_stats" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS b
+           FROM documents),
+         pb AS (
+           SELECT lang, b, CAST(sum(n_chars) AS BIGINT) AS cost
+           FROM h GROUP BY 1, 2),
+         kept AS (
+           SELECT lang, b FROM (
+             SELECT lang, b,
+                    CAST(COALESCE(sum(cost) OVER (PARTITION BY lang ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS cum_before,
+                    CAST(sum(cost) OVER (PARTITION BY lang) AS BIGINT) AS total
+             FROM pb)
+           WHERE CAST(cum_before AS DOUBLE) <
+                 (CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.6
+                            WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 0.0 END)
+                 * CAST(total AS DOUBLE)),
+         k AS (
+           SELECT h.lang, count(*) AS n_docs_kept,
+                  CAST(sum(h.n_chars) AS BIGINT) AS kept_chars
+           FROM h JOIN kept ON h.lang = kept.lang AND h.b = kept.b
+           GROUP BY 1),
+         t AS (
+           SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY 1)
+         SELECT t.lang,
+                CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+                CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+                t.total_chars,
+                CAST(COALESCE(k.kept_chars, 0) AS DOUBLE) / CAST(t.total_chars AS DOUBLE)
+                  AS realized_frac
+         FROM t LEFT JOIN k ON t.lang = k.lang
+         ORDER BY t.lang""",
     // The fixture's kind assignment is doc_id mod 3, and EVERY encoded
     // payload must decode through its real codec: n_real_decoded pins
     // to the full per-kind count, n_fallback to zero.
@@ -2173,6 +2310,27 @@ object SparkEntry {
          SELECT ngram, count(*) AS n_occurrences
          FROM g GROUP BY ngram
          ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+    // tf·N/df with one int→double cast and one IEEE divide on both
+    // engines — bit-exact, unlike a libm log.
+    "tfidf_by_lang" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT term, doc_id FROM w) GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (
+           SELECT lang, term, tf, df,
+                  CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC, term)
+                    AS rk
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT lang, term, tf, df, tfidf FROM s WHERE rk <= 5
+         ORDER BY lang, tfidf DESC, term""",
     "pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

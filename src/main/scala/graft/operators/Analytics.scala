@@ -98,6 +98,23 @@ object Analytics {
         dsum(dec2(col("value"))).as("sum_value"))
       .orderBy(col("hour"))
 
+  /** Hopping (sliding) window rollup — the batch shape of a streaming
+    * `window(ts, dur, slide)` aggregation: every event lands in
+    * `dur/slide` overlapping windows (4 for 1h/15m). Spark plans the
+    * fan-out as a row-local Expand feeding a partial-aggregated hash
+    * aggregate, so the shuffle carries one row per (window, partition),
+    * not `dur/slide`× the event count — the same plan shape a 100 TB
+    * hourly/15-min SLA dashboard needs. Window starts are epoch-aligned
+    * (identical in Spark and the oracle's floor-arithmetic mirror).
+    */
+  def hoppingCounts(events: DataFrame, windowDur: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(dec2(col("value"))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"))
+
   /** Per-type breakdown with exact-decimal average. */
   def eventTypeBreakdown(events: DataFrame): DataFrame =
     events

@@ -63,6 +63,66 @@ object Sampling {
         .cast("long").as("shuffle_rank"))
   }
 
+  /** Deterministic exact-N uniform sample: order by md5(key), take N.
+    * The plan is a TakeOrderedAndProject — each partition keeps its
+    * local top-N by hash and the driver merges partition heads — never
+    * a global sort, so "give me exactly 200k uniformly sampled docs
+    * from 100 TB" costs one scan plus an N-row merge. Because the
+    * order key is a content hash, the prefix of the hash order IS a
+    * uniform sample, and the same N rows come back on every run and
+    * every engine (the DuckDB oracle recomputes the identical set).
+    */
+  def uniformSampleN(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.withColumn("sample_key", md5(col(keyCol).cast("string")))
+      .orderBy(col("sample_key"))
+      .limit(n)
+
+  /** Token/char-budget mixture sampling — the "data mixing" step of a
+    * training run: per domain, keep documents until the domain's cost
+    * budget (`fraction` × its total cost) is reached, deterministically
+    * and reproducibly. The mechanism is hash-threshold sampling at
+    * bucket granularity:
+    *
+    *   1. one small aggregate: cost per (domain, hash-bucket);
+    *   2. a window cumsum over that DOMAINS×BUCKETS-row relation picks,
+    *      per domain, the set of buckets whose preceding cumulative
+    *      cost is still under budget;
+    *   3. the corpus keeps a row iff its (domain, bucket) is selected —
+    *      a broadcast semi-join, so the corpus is scanned once and
+    *      never shuffled.
+    *
+    * Budget adherence is exact at bucket granularity (±1 bucket ≈
+    * 1/`buckets` of a domain); membership is a pure function of the
+    * key hash, so retries, repartitioning, and other engines (the
+    * oracle) reproduce the exact row set. This is the 100 TB shape:
+    * the only window runs over the tiny bucket relation, never the
+    * corpus — contrast a per-domain cumsum over documents, which would
+    * range-shuffle the corpus into per-domain ordered partitions.
+    */
+  def mixtureByBudget(df: DataFrame, domainCol: String, keyCol: String,
+                      costCol: String, fractions: Map[String, Double],
+                      buckets: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0))
+    val withB = df.withColumn("__b", hashBucket(col(keyCol), buckets))
+    val perBucket = withB.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col(costCol)).as("__cost"))
+    val cumBefore = Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val domainTotal = Window.partitionBy(col(domainCol))
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (dom, f)) => when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    }
+    val kept = perBucket
+      .withColumn("__before", coalesce(sum(col("__cost")).over(cumBefore), lit(0L)))
+      .withColumn("__total", sum(col("__cost")).over(domainTotal))
+      // Same single-rounding comparison on both engines: each side is
+      // one int→double cast (exact below 2^53) and one IEEE multiply.
+      .filter(col("__before").cast("double") < frac * col("__total").cast("double"))
+      .select(col(domainCol), col("__b"))
+    withB.join(broadcast(kept), Seq(domainCol, "__b")).drop("__b")
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket
     * falls under its stratum's fraction. Strata missing from
     * `fractions` are dropped (fraction 0). One codegen'd filter —

@@ -182,6 +182,41 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /** TF-IDF top terms per language — the corpus-characterization query
+    * (what vocabulary distinguishes each slice). tf = term occurrences
+    * within the language; df = documents (corpus-wide) containing the
+    * term; score = tf·N/df with N the corpus doc count — the classic
+    * shape minus the log (a transcendental whose last-ulp differs
+    * across libm implementations; the ranking is identical and the
+    * oracle can reproduce the score bit-exactly).
+    *
+    * Scale shape: the explode is row-local; both aggregates are
+    * partially (map-side) combined, so the shuffles carry one row per
+    * distinct (lang, term) / (term, doc) per partition, not one per
+    * occurrence; N broadcasts as a 1-row relation; df joins tf at
+    * vocabulary size, not corpus size; and the per-language top-k is a
+    * WindowGroupLimit (rank pushed below the exchange), never a global
+    * sort of the vocabulary.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val tf = words.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val score = (col("tf") * col("__n")).cast("double") / col("df").cast("double")
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(score.desc, col("term")))
+    tf.join(df, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf", score)
+      .withColumn("__rk", rk)
+      .filter(col("__rk") <= k)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("lang"), col("tfidf").desc, col("term"))
+  }
+
   /** Text normalization — the canonical first pass of corpus prep:
     * Unicode NFC (composed forms, via the native
     * [[graft.functions.NfcNormalize]] — without it visually identical

@@ -145,6 +145,34 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("uniform exact-N sample is a TakeOrderedAndProject, never a global sort") {
+    assert(plan("sample_uniform_n").contains("TakeOrderedAndProject"))
+  }
+
+  test("mixture sampling: kept-bucket set broadcasts; corpus text never shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("mixture_sample")(spark, sf)
+        .queryExecution.executedPlan
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("text"),
+        s"corpus text crossed a shuffle: $shuffledCols")
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        "kept (domain, bucket) relation must broadcast onto the corpus")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hopping windows: row-local Expand with map-side partial aggregation") {
+    val p = plan("events_hopping")
+    assert(p.contains("Expand"),
+      "window fan-out must plan as Expand, not a join against a hop table")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"hop counts must partially aggregate before the exchange:\n$p")
+  }
+
   test("span dedup: no shuffle carries span text — hashes only") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -59,4 +59,62 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("uniformSampleN: exact N, hash-prefix membership, partitioning-independent") {
+    val n = 37
+    val got = Sampling.uniformSampleN(docs, "doc_id", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size === n)
+    // membership = the first N doc_ids in md5 order, brute-forced
+    val expected = docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .as[(Long, String)].collect().sortBy(_._2).take(n).map(_._1).toSet
+    assert(got === expected)
+    val reparted = Sampling.uniformSampleN(docs.repartition(13), "doc_id", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reparted === got)
+  }
+
+  test("mixtureByBudget: membership matches the brute bucket cumsum; budget bound holds") {
+    val fr = Map("en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
+    val kept = Sampling.mixtureByBudget(docs, "lang", "doc_id", "n_chars", fr)
+      .select("doc_id").as[Long].collect().toSet
+
+    // brute recompute: per (lang, bucket) cost, exclusive cumsum < frac·total
+    val rows = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        Sampling.hashBucket(col("doc_id")).as("b"))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+      val perBucket = rs.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = perBucket.map(_._2).sum
+      val keptBuckets = perBucket.scanLeft((0L, 0L)) {
+        case ((_, cum), (b, c)) => (b, cum + c)
+      }.tail.zip(perBucket).collect {
+        case ((b, cumAfter), (_, c))
+          if (cumAfter - c).toDouble < fr(lang) * total.toDouble => b
+      }.toSet
+      rs.filter(r => keptBuckets(r._4)).map(_._1).toSeq
+    }.toSet
+    assert(kept === expected)
+
+    // budget adherence at bucket granularity: kept cost stays under
+    // frac·total + the largest single bucket of that domain
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val total = rs.map(_._3).sum.toDouble
+      val keptCost = rs.filter(r => kept(r._1)).map(_._3).sum.toDouble
+      val maxBucket = rs.groupBy(_._4).values.map(_.map(_._3).sum).max.toDouble
+      assert(keptCost > 0.0, s"$lang kept nothing")
+      assert(keptCost < fr(lang) * total + maxBucket,
+        s"$lang overshot: kept=$keptCost budget=${fr(lang) * total}")
+    }
+
+    // stable under repartitioning; unknown domains are dropped
+    val reparted = Sampling.mixtureByBudget(
+        docs.repartition(13), "lang", "doc_id", "n_chars", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reparted === kept)
+    val dropped = Sampling.mixtureByBudget(
+      docs.withColumn("lang", lit("xx")), "lang", "doc_id", "n_chars", fr)
+    assert(dropped.count() === 0L)
+  }
 }

@@ -155,6 +155,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("tfidf top terms: hand-computed scores, per-lang top-k, tie order") {
+    // N=4 docs. "shared" appears in all 4 docs (df=4); "ena"/"enb" only
+    // in en (df=1); "dea" only in de (df=1).
+    val d = Seq(
+      (0L, "en", "ena shared"),
+      (1L, "en", "ena enb shared"),
+      (2L, "de", "dea shared"),
+      (3L, "de", "dea dea shared")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, k = 2)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // de: dea tf=3 df=2 → 3·4/2=6; shared tf=2 df=4 → 2
+    // en: ena tf=2 df=2 → 4 ties enb tf=1 df=1 → 4; tie breaks on term
+    //     (shared 2·4/4=2 ranks below k)
+    assert(out === Seq(
+      ("de", "dea", 3L, 2L, 6.0), ("de", "shared", 2L, 4L, 2.0),
+      ("en", "ena", 2L, 2L, 4.0), ("en", "enb", 1L, 1L, 4.0)))
+  }
+
   test("pii scrub redacts emails and phone numbers, leaves clean text") {
     val d = Seq(
       (0L, "write to jane.doe+x@corp.example.org today"),
