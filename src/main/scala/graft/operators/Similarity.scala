@@ -268,6 +268,139 @@ object Similarity {
                      scaleCol: String = "q_scale"): Column =
     transform(col(qCol), q => (q.cast("float") * col(scaleCol)).cast("float"))
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the embedding
+    * splits into `m` subspaces of dim/m components; each subspace gets
+    * a `ksub`-entry codebook. Codebook entries are the sub-slices of
+    * the same deterministic hash sample [[ivfCentroids]] uses (smallest
+    * xxhash64(vec_id) — stable across runs, partitionings, and engines),
+    * with dense codes 0..ksub-1 in hash order. Output: (sub_idx,
+    * centroid_id, centroid) — m·ksub rows, broadcastable by nature.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                  dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sd = dim / m
+    val seeds = corpus.filter(col("embedding").isNotNull)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id"), col("embedding"))
+    // dense 0-based codes in the same hash order (ksub rows — the
+    // window is trivial and never sees corpus data)
+    val coded = seeds.select(col("embedding"),
+      (row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id")))
+        .cast("long") - 1L).as("centroid_id"))
+    coded
+      .select(col("centroid_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_idx"))
+      .select(col("sub_idx"), col("centroid_id"),
+        slice(col("embedding"), col("sub_idx") * sd + 1, lit(sd)).as("centroid"))
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` codebook codes —
+    * 8 bytes of codes per 256-byte float64-dim vector (32× smaller
+    * storage, the memory tier below [[quantizeInt8]]'s 4×). All m
+    * codebooks pack into ONE broadcast map row and each subspace code
+    * is the row-local native [[graft.functions.NearestCentroid]] argmin
+    * over that subspace's entries — the corpus is never exchanged,
+    * exactly the IVF-assignment shape. Null embeddings encode as all
+    * -1 (no codebook entry matches them downstream).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
+               dim: Int = 64): DataFrame = {
+    val sd = dim / m
+    val packed = broadcast(codebooks
+      .groupBy(col("sub_idx"))
+      .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("cents"))
+      .agg(map_from_entries(collect_list(struct(col("sub_idx"), col("cents"))))
+        .as("__cb")))
+    corpus.crossJoin(packed).select(col("vec_id"), col("label"),
+      array((0 until m).map { j =>
+        coalesce(graft.functions.NearestCentroid.nearest_centroid(
+          slice(col("embedding"), j * sd + 1, sd),
+          element_at(col("__cb"), lit(j))), lit(-1L))
+      }: _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query
+    * stays float; each encoded vector scores as cos(query,
+    * reconstruction) assembled from per-subspace partial dot products
+    * and centroid norms looked up in a per-query table.
+    *
+    * Scale shape — the point of PQ at 100 TB: retrieval NEVER touches
+    * the original embeddings. The LUT (query × subspace × code:
+    * Q·m·ksub rows of two doubles) computes from the broadcast
+    * codebooks and BROADCASTS; the corpus side is the skinny exploded
+    * (vec_id, sub_idx, code) relation joining that LUT, and partial
+    * aggregation folds each vector's m terms back together map-side —
+    * the shuffle carries Q skinny partial rows per vector, no arrays.
+    * Exact cosine re-ranking of the survivors (the standard second
+    * stage) is [[bruteForceTopK]] over the top-k ∪ query set.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val sd = dim / m
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    val codebooks = pqCodebooks(corpus, m, ksub, dim)
+    val enc = pqEncode(corpus, codebooks, m, dim)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    // interpreted HOF math is fine here: Q·m·ksub rows, not the corpus
+    val lut = q.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("sub_idx"),
+        col("centroid_id").as("code"),
+        dot(slice(col("query_emb"), col("sub_idx") * sd + 1, lit(sd)),
+          col("centroid")).as("pdot"),
+        dot(col("centroid"), col("centroid")).as("pnorm"))
+    val qnorm = q.select(col("query_id"),
+      sqrt(dot(col("query_emb"), col("query_emb"))).as("__qn"))
+    val skinny = enc.select(col("vec_id"), col("label"),
+      posexplode(col("codes")).as(Seq("sub_idx", "code")))
+    val scored = skinny.join(broadcast(lut), Seq("sub_idx", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("label"))
+      .agg(sum(col("pdot")).as("__dot"), sum(col("pnorm")).as("__n2"))
+      .join(broadcast(qnorm), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        when(col("__qn") > 0 && col("__n2") > 0,
+          col("__dot") / (col("__qn") * sqrt(col("__n2"))))
+          .otherwise(lit(0.0)).as("cosine_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_adc").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine_adc").desc, col("vec_id"))
+  }
+
+  /** The full two-stage PQ pipeline: ADC over codes generates
+    * `candidates` per query, then ONLY those rows fetch their original
+    * float vectors (a broadcast of the Q·candidates id set onto the
+    * corpus scan — no corpus shuffle) and exact cosine re-ranks the
+    * top-k. This is how PQ actually deploys at 100 TB: the 32×-smaller
+    * code table absorbs the scan, the float tier serves point reads
+    * for a few hundred rows per query.
+    */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+                     candidates: Int = 200, m: Int = 16, ksub: Int = 64,
+                     dim: Int = 64): DataFrame = {
+    val cand = pqTopK(corpus, queries, candidates, m, ksub, dim)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val rescored = corpus.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Incremental embedding near-dedup, exact: drop every FRESH vector
     * within `threshold` cosine of a lower-id vector (standing corpus
     * or earlier fresh). The corpus NEVER self-pairs: compute is the

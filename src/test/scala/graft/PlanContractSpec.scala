@@ -145,6 +145,22 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pq adc scoring: no shuffle carries an embedding — codes and partials only") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = tables.Tables.embeddings(spark, sf)
+      val exec = graft.operators.Similarity
+        .pqTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), 10)
+        .queryExecution.executedPlan
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("embedding") && !shuffledCols.contains("query_emb"),
+        s"embeddings crossed a shuffle in the ADC path: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("uniform exact-N sample is a TakeOrderedAndProject, never a global sort") {
     assert(plan("sample_uniform_n").contains("TakeOrderedAndProject"))
   }

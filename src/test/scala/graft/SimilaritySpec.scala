@@ -203,4 +203,68 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (qid, vid) => qid != vid })
     assert((ivf intersect exact).nonEmpty)
   }
+
+  test("pq encode: m codes per vector, all in range, partitioning-independent") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val (m, ksub) = (16, 64)
+    val cb = Similarity.pqCodebooks(emb, m, ksub)
+    // every subspace has a full, dense codebook
+    val bySub = cb.groupBy($"sub_idx").count().as[(Int, Long)].collect().toMap
+    assert(bySub.keySet === (0 until m).toSet)
+    assert(bySub.values.forall(_ == ksub.toLong))
+    val enc = Similarity.pqEncode(emb, cb, m)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    assert(enc.values.forall(c => c.length == m && c.forall(x => x >= 0 && x < ksub)))
+    val enc2 = Similarity.pqEncode(emb.repartition(13), cb, m)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    assert(enc2 === enc)
+  }
+
+  test("pq adc score equals cosine against the codebook reconstruction") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val (m, ksub, dim) = (16, 64, 64)
+    val sd = dim / m
+    val cb = Similarity.pqCodebooks(emb, m, ksub)
+      .as[(Int, Long, Seq[Float])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codes = Similarity.pqEncode(emb, Similarity.pqCodebooks(emb, m, ksub), m)
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    val byId = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val got = Similarity.pqTopK(emb, emb.filter($"vec_id" < 2), 5, m, ksub)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, vid, _, adc) =>
+      val recon = codes(vid).zipWithIndex.flatMap { case (c, s) => cb((s, c)) }
+      val q = byId(qid)
+      val dot = recon.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val expected = dot / (math.sqrt(recon.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(q.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(adc - expected) < 1e-9,
+        s"adc=$adc expected=$expected for ($qid,$vid)")
+    }
+  }
+
+  test("pq rerank: exact cosines for survivors, recall ≥ pure adc") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.pqTopKReranked(emb, q, 10, candidates = 100)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rr.forall { case (qid, vid, _, _) => qid != vid })
+    // survivors carry their TRUE cosine (the float tier re-scored them)
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    rr.take(10).foreach { case (qid, vid, _, c) =>
+      val (a, b) = (byId(qid), byId(vid))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val expected = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(c - expected) < 1e-6)
+    }
+    val rrSet = rr.map { case (qid, vid, _, _) => (qid, vid) }.toSet
+    val adcSet = Similarity.pqTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((rrSet intersect exact).size >= (adcSet intersect exact).size)
+  }
 }
