@@ -32,6 +32,57 @@ class LayoutSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("z-order layout: box predicates touch fewer files than a linear sort") {
+    val events = tables.Tables.events(spark, sf)
+      .select("event_id", "user_id", "value")
+    val zDir = Files.createTempDirectory("graft_zorder_").toString
+    val linDir = Files.createTempDirectory("graft_linear_").toString
+    Layout.writeZOrdered(events, zDir, "user_id", "value", files = 16)
+    // linear baseline: same file count, sorted on user_id only
+    events.repartitionByRange(16, $"user_id")
+      .sortWithinPartitions($"user_id")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file min/max envelopes (what parquet stats pruning sees)
+    def overlapping(dir: String, uLo: Long, uHi: Long,
+                    vLo: Double, vHi: Double): (Int, Int) = {
+      val env = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("value").as("vlo"), max("value").as("vhi"))
+        .as[(String, Long, Long, Double, Double)].collect()
+      val hit = env.count { case (_, ulo, uhi, vlo, vhi) =>
+        ulo <= uHi && uhi >= uLo && vlo <= vHi && vhi >= vLo }
+      (hit, env.length)
+    }
+    val uMax = events.agg(max("user_id")).as[Long].head()
+    val vMax = events.agg(max("value")).as[Double].head()
+    // the case linear layout cannot prune: a slice on the dimension it
+    // is NOT sorted by (every linear file spans the full value range).
+    // The fixture's value column is right-skewed, so slice by DATA MASS
+    // (bottom decile), not by a fraction of the range — a range-based
+    // slice would legitimately cover half the rows and prove nothing.
+    val vP10 = events.select("value").as[Double].collect().sorted
+      .apply((events.count() / 10).toInt)
+    val (zHitV, zAll) = overlapping(zDir, 0L, uMax, 0.0, vP10)
+    val (lHitV, lAll) = overlapping(linDir, 0L, uMax, 0.0, vP10)
+    // range partitioning may leave a boundary partition empty — file
+    // counts land near 16, not exactly on it
+    assert(zAll >= 8 && lAll >= 8)
+    assert(lHitV >= lAll - 1,
+      s"random fixture: linear files span the value range ($lHitV/$lAll)")
+    assert(zHitV * 2 < lHitV,
+      s"z-order must prune the value slice: z=$zHitV/$zAll linear=$lHitV/$lAll")
+    // and z-order still prunes the user dimension too (not as tightly
+    // as the dedicated linear sort, but it must beat a full scan)
+    val (zHitU, _) = overlapping(zDir, 0L, uMax / 8, 0.0, vMax)
+    assert(zHitU < zAll, s"z-order should prune a user slice: $zHitU/$zAll")
+    // correctness: layout changes nothing about the data
+    val back = spark.read.parquet(zDir).as[(Long, Long, Double)].collect().toSet
+    val base = events.as[(Long, Long, Double)].collect().toSet
+    assert(back === base)
+  }
+
   test("compact: shrinks a small-files table without changing its rows") {
     val dir = Files.createTempDirectory("graft_compact_").toString
     val docs = tables.Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
