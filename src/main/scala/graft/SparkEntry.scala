@@ -60,6 +60,15 @@ object SparkEntry {
     "r10_keys_for_user" -> ((s, d) =>
       Reads.byColumn(Tables.events(s, d), "user_id", lit(7L))
         .orderBy(col("event_id"))),
+    "csv_roundtrip" -> ((s, d) =>
+      // CSV interchange fidelity: the full events table (NTZ micros,
+      // doubles, JSON-bearing props with quotes/commas) written as CSV
+      // and parsed back must equal the parquet original row-for-row.
+      sources.Formats.csvRoundTrip(Tables.events(s, d), s"events:$d")
+        .orderBy(col("event_id"))),
+    "orc_roundtrip" -> ((s, d) =>
+      sources.Formats.orcRoundTrip(Tables.events(s, d), s"events:$d")
+        .orderBy(col("event_id"))),
     "sync_incremental" -> ((s, d) =>
       Reads.since(Tables.events(s, d), "ts",
           to_timestamp_ntz(lit("2024-01-20 00:00:00")))
@@ -1349,6 +1358,9 @@ object SparkEntry {
       "SELECT * FROM events WHERE user_id = 7 ORDER BY event_id",
     "sync_incremental" ->
       "SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
+    // Round trips must reproduce the parquet original exactly.
+    "csv_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+    "orc_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
     "join_dashboard" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
          FROM (SELECT * FROM customer WHERE c_custkey < 50) c
