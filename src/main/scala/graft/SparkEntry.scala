@@ -201,6 +201,12 @@ object SparkEntry {
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
+    "corr_qty_price" -> ((s, d) =>
+      // Grouped correlation/covariance/slope from exact decimal moment
+      // sums — engine-independent where native corr/covar_samp's
+      // streaming accumulation isn't (oracle recomputes bit-exactly).
+      Analytics.corrByGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
     "events_hopping" -> ((s, d) =>
       // Hopping 1h/15m windows in batch — each event fans into 4
       // windows via a row-local Expand with map-side partial agg; the
@@ -1487,6 +1493,33 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // Five exact decimal moment sums (scale-4 products round(...,2)
+    // like every dsum mirror), then the textbook two-pass formulas in
+    // double in the identical operation order.
+    "corr_qty_price" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                 * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxy,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))
+                                 * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxx,
+                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                CASE WHEN n > 1
+                     THEN (n * sxy - sx * sy) / (n * (n - 1)) ELSE 0.0 END AS covar_samp,
+                CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                     THEN (n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     ELSE 0.0 END AS corr,
+                CASE WHEN (n * sxx - sx * sx) > 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     ELSE 0.0 END AS slope
+         FROM a ORDER BY l_returnflag""",
     // Sketch counts are exact below tracked-item capacity (1.5k users
     // vs 10k), so plain exact SQL is the oracle for BOTH sketch paths.
     "heavy_hitters" ->

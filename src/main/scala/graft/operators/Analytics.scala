@@ -161,6 +161,37 @@ object Analytics {
         (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
       .orderBy(col("event_type"))
 
+  /** Grouped correlation / covariance / regression slope from
+    * EXACT decimal moment sums — the engine-independent formulation.
+    * Spark's native `corr`/`covar_samp` stream Welford-style updates
+    * whose float accumulation order differs from DuckDB's, so the
+    * last ulp diverges; here the five moment sums (Σx Σy Σxy Σx² Σy²)
+    * are exact decimals rounded to scale 2 (unscaled values stay
+    * under 2^53 — the dsum contract), and the textbook two-pass
+    * formulas run in double arithmetic in the SAME operation order on
+    * both engines. One partial-aggregated pass; ANSI-guarded against
+    * zero variance.
+    */
+  def corrByGroup(df: DataFrame, groupCol: String,
+                  xCol: String, yCol: String): DataFrame = {
+    val (x, y) = (dec2(col(xCol)), dec2(col(yCol)))
+    val agged = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      dsum(x).as("__sx"), dsum(y).as("__sy"),
+      dsum(x * y).as("__sxy"), dsum(x * x).as("__sxx"),
+      dsum(y * y).as("__syy"))
+    val covN   = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varXN  = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val varYN  = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    agged.select(col(groupCol), col("__n").cast("long").as("n"),
+        when(col("__n") > 1, covN / (col("__n") * (col("__n") - 1)))
+          .otherwise(lit(0.0)).as("covar_samp"),
+        when(varXN > 0 && varYN > 0, covN / (sqrt(varXN) * sqrt(varYN)))
+          .otherwise(lit(0.0)).as("corr"),
+        when(varXN > 0, covN / varXN).otherwise(lit(0.0)).as("slope"))
+      .orderBy(col(groupCol))
+  }
+
   /** Top-N events per user by value: partitioned window, no global
     * sort; the row_number rank is dropped from the output (int-width
     * differences between engines) — ordering carries the semantics.
