@@ -523,6 +523,14 @@ object SparkEntry {
       // every component is a strong structural pin.
       operators.Components.nearDupClusters(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "dedup_crossmodal_clusters" -> ((s, d) =>
+      // Lexical ∪ semantic pair graph → ONE set of keep-one families
+      // (doc_id ≡ vec_id in the fixtures); the oracle recomputes both
+      // pair sets and the closure with a recursive CTE — an
+      // independent algorithm agreeing on every component.
+      operators.Components.crossModalClusters(
+          Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(col("doc_id"))),
     "dedup_incremental" -> ((s, d) => {
       // Continuous-ingest dedup: the standing corpus (doc_id < 250)
       // never re-pairs; the fresh batch (doc_id ≥ 250) is checked
@@ -1928,6 +1936,47 @@ object SparkEntry {
            WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
              AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                    len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         e AS (SELECT pa AS ea, pb AS eb FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
+         SELECT id AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+    // The dedup_clusters closure over the UNION of the lexical pair
+    // set and the embedding-cosine pair set.
+    "dedup_crossmodal_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         tp AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         emb AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         ep AS (
+           SELECT a.vec_id AS pa, b.vec_id AS pb
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45),
+         pairs AS (SELECT pa, pb FROM tp UNION SELECT pa, pb FROM ep),
          e AS (SELECT pa AS ea, pb AS eb FROM pairs
                UNION ALL SELECT pb, pa FROM pairs),
          reach AS (

@@ -132,4 +132,27 @@ object Components {
     connectedComponentsStar(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  /** Cross-signal dup families — the realistic corpus-dedup policy:
+    * lexical near-dups (n-gram Jaccard — boilerplate, templated spins)
+    * and semantic near-dups (embedding cosine — paraphrases the
+    * shingles miss) are ONE equivalence relation, so the edge sets
+    * UNION before the components run. A doc lexically tied to one
+    * neighbour and semantically to another collapses all three into a
+    * single keep-one family — running the two dedups separately keeps
+    * a transitive duplicate either pass alone would keep. Both pair
+    * generators keep their own scale shapes (capped blocks / block
+    * triangle); the union adds nothing but the edge concat.
+    */
+  def crossModalClusters(docs: DataFrame, embeddings: DataFrame,
+                         shingleK: Int = 3, jaccard: Double = 0.5,
+                         cosine: Double = 0.45): DataFrame = {
+    val textEdges = Dedup.ngramJaccardPairs(docs, shingleK, jaccard)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val embEdges = graft.operators.Similarity.cosinePairsBrute(embeddings, cosine)
+      .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
+    connectedComponentsStar(docs.select(col("doc_id").as("id")),
+        textEdges.unionByName(embEdges))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
 }

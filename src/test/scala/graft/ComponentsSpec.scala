@@ -72,4 +72,29 @@ class ComponentsSpec extends SparkSpec {
       assert(members.map(_._1).min === c) // min member IS the label
     }
   }
+
+  test("cross-modal clusters merge families neither signal merges alone") {
+    // doc 0 ~ doc 1 lexically (shared text, disjoint embeddings);
+    // doc 1 ~ doc 2 semantically (identical embeddings, disjoint text)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words about gardening and soup recipes"),
+      (3L, "an unrelated singleton that matches nothing at all here")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),  // identical to 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cross = Components.crossModalClusters(docs, embs)
+      .as[(Long, Long)].collect().toMap
+    assert(cross === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    // each single-signal pass keeps a transitive duplicate
+    val lexOnly = Components.nearDupClusters(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(lexOnly(2L) === 2L) // semantics-only dup survives lexical pass
+    assert(lexOnly(1L) === 0L)
+  }
 }
