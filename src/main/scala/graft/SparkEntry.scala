@@ -311,6 +311,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("reject_reason"))
     }),
+    "streaming_session_window" -> ((s, d) => {
+      // Native session_window under the same 3-batch replay: the
+      // built-in merging-window state must reproduce the batch
+      // lag/cumsum sessionization exactly (exact-gap merges — see
+      // session_window_native). Sentinels land in far-future windows
+      // and are dropped by key.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Replay.run(s, events, d) { src =>
+        graft.streaming.Sessionize.sessionWindowCounts(src)
+      }
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "streaming_sessions" -> ((s, d) => {
       // Stream ≡ batch for the STATEFUL path: gap sessionization via
       // flatMapGroupsWithState + event-time timeouts, replayed through
@@ -796,6 +811,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "event_sessions" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d))),
+    "session_window_native" -> ((s, d) =>
+      // Spark's native session_window (merging event-time windows) in
+      // batch, pinned against an independent lag/cumsum recomputation.
+      // Boundary semantics measured, not assumed: a gap of EXACTLY
+      // 30min still MERGES (sessions split only on gap strictly
+      // greater — SessionizeSpec pins it), matching the lag > gap
+      // convention.
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
     "skew_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation, oracle-pinned against the plain
       // GROUP BY: the value pre-casts to exact DECIMAL so the salt
@@ -2527,6 +2555,46 @@ object SparkEntry {
            ON e.user_id = s.user_id
           AND e.ts BETWEEN s.session_start AND s.session_end
          ORDER BY e.event_id""",
+    // The streaming replay of the native session windows shares the
+    // batch oracle — stream ≡ batch by hash.
+    "streaming_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS seq
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, seq
+         ORDER BY user_id, session_start""",
+    // Boundary measured: diff == gap still merges → same > convention
+    // as event_sessions (see SessionizeSpec's exact-gap pin).
+    "session_window_native" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS seq
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, seq
+         ORDER BY user_id, session_start""",
     "event_sessions" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

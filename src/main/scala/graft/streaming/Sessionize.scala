@@ -114,6 +114,31 @@ object Sessionize extends Serializable {
     if (ntzIn) agg.withColumn("hour", col("hour").cast("timestamp_ntz")) else agg
   }
 
+  /** Native merging session windows in streaming — the built-in
+    * alternative to [[sessions]]' explicit flatMapGroupsWithState:
+    * `session_window` merges overlapping [ts, ts+gap) windows in the
+    * state store and append mode emits a session once the watermark
+    * passes its end. Boundary semantics (measured, spec-pinned): a gap
+    * of EXACTLY `gapMinutes` still MERGES — sessions split only on a
+    * strictly greater gap, the same `>` convention as the lag/cumsum
+    * batch sessionization and [[sessions]]' explicit state.
+    */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "2 hours"): DataFrame = {
+    val ntzIn = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val agg = watermarked(events, "ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    if (ntzIn)
+      agg.withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+    else agg
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already
     * seen, with state bounded by the watermark — the streaming twin of
     * `Dedup.exact` and the first pass of a continuous training-data

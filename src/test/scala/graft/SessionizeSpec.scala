@@ -176,6 +176,36 @@ class SessionizeSpec extends SparkSpec {
     assert(out(1) === Session(7L, ts(40), ts(42), 2L, 9.0))
   }
 
+  test("native session_window: exact-gap merges, strictly-greater gap splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.sessionWindowCounts(in.toDF(), gapMinutes = 10,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("swnative")
+      .outputMode(OutputMode.Append()).start()
+    // 10:05 merges (5 < 10); 10:15 is EXACTLY 10 after 10:05 and still
+    // MERGES (measured — split is strictly greater, same convention as
+    // the lag/cumsum batch oracle); 10:26 is 11 after 10:15 → splits.
+    in.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "view", 2.0),
+      Event(3, ts(15), 7, "click", 3.0),
+      Event(4, ts(26), 7, "view", 4.0))
+    q.processAllAvailable()
+    in.addData(Event(5, Instant.parse("2024-01-01T13:00:00Z"), 99, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(6, Instant.parse("2024-01-01T15:00:00Z"), 99, "click", 0.0))
+    q.processAllAvailable()
+    val out = spark.sql(
+        "SELECT session_start, session_end, n_events FROM swnative " +
+        "WHERE user_id = 7 ORDER BY session_start")
+      .as[(Instant, Instant, Long)].collect()
+    q.stop()
+    assert(out.length === 2)
+    assert(out(0) === ((ts(0), ts(25), 3L)))   // end = last event + gap
+    assert(out(1) === ((ts(26), ts(36), 1L)))
+  }
+
   test("session totals are exact at DECIMAL(12,2) regardless of event order") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
