@@ -799,6 +799,18 @@ object SparkEntry {
       // Distinguishing vocabulary per language slice; score = tf·N/df
       // (log-free so the oracle reproduces the doubles bit-exactly).
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "vocab_top" -> ((s, d) =>
+      // Frequency-ranked vocabulary, ids dense 1..V, deterministic
+      // ties — the id assignment the encode step depends on.
+      TextAnalysis.buildVocab(Tables.documents(s, d), 500)
+        .orderBy(col("token_id"))),
+    "tokenize_ids" -> ((s, d) => {
+      // Corpus → token-id sequences against the broadcast top-500
+      // vocab (OOV → 0): the tokenize step between cleaning and
+      // chunking/packing, reassembled in document order.
+      val docs = Tables.documents(s, d)
+      TextAnalysis.encodeTokenIds(docs, TextAnalysis.buildVocab(docs, 500))
+    }),
     "pii_scrub" -> ((s, d) =>
       // The synthetic corpus carries no PII, so the query injects a
       // deterministic email+phone per doc before scrubbing — the
@@ -2502,6 +2514,42 @@ object SparkEntry {
          SELECT ngram, count(*) AS n_occurrences
          FROM g GROUP BY ngram
          ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+    "vocab_top" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         c AS (SELECT term, count(*) AS n FROM w GROUP BY 1)
+         SELECT term, n,
+                row_number() OVER (ORDER BY n DESC, term) AS token_id
+         FROM c ORDER BY n DESC, term LIMIT 500""",
+    // The same vocabulary joined back onto every positioned token;
+    // OOV coalesces to 0; per-doc reassembly in token order.
+    "tokenize_ids" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         wp AS (
+           SELECT doc_id, u['pos'] AS pos, u['term'] AS term
+           FROM (SELECT doc_id,
+                        unnest([{'pos': i, 'term': w[i]}
+                                for i in range(1, len(w) + 1)]) AS u
+                 FROM t)),
+         wc AS (
+           SELECT term, count(*) AS n FROM wp GROUP BY 1),
+         vocab AS (
+           SELECT term, row_number() OVER (ORDER BY n DESC, term) AS token_id
+           FROM wc ORDER BY n DESC, term LIMIT 500),
+         enc AS (
+           SELECT wp.doc_id,
+                  string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ','
+                             ORDER BY wp.pos) AS token_ids
+           FROM wp LEFT JOIN vocab v ON wp.term = v.term
+           GROUP BY wp.doc_id)
+         SELECT d.doc_id, COALESCE(enc.token_ids, '') AS token_ids
+         FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+         ORDER BY d.doc_id""",
     // tf·N/df with one int→double cast and one IEEE divide on both
     // engines — bit-exact, unlike a libm log.
     "tfidf_by_lang" ->

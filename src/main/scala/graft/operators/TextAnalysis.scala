@@ -217,6 +217,54 @@ object TextAnalysis {
       .orderBy(col("lang"), col("tfidf").desc, col("term"))
   }
 
+  /** Frequency-ranked vocabulary: the top `size` words by corpus
+    * count, ids 1..size in (count desc, word) order — deterministic
+    * ties, id 0 reserved for OOV. One partial-agg'd wordcount; the
+    * final ranking is a TakeOrderedAndProject + a size-bounded window
+    * (vocabulary-sized, never corpus-sized).
+    */
+  def buildVocab(docs: DataFrame, size: Int = 1000): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(size)
+      .select(col("term"), col("n"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))).cast("long").as("token_id"))
+
+  /** Encode documents as vocabulary token-id sequences (OOV → 0) —
+    * the tokenize step between cleaning and chunking/packing. The
+    * vocab BROADCASTS (bounded by `size`, not the corpus); tokens
+    * explode row-locally with their position, join the broadcast
+    * vocab, and reassemble in order via a sorted collect per doc — the
+    * shuffle carries (doc_id, pos, id) skinny rows. Emitted as a CSV
+    * string (array result columns break the driver comparer); blank
+    * docs encode as the empty string.
+    */
+  def encodeTokenIds(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode_outer(tokens(col("text")))
+        .as(Seq("pos", "term")))
+    val joined = toks
+      .join(broadcast(vocab.select(col("term"), col("token_id"))), Seq("term"), "left")
+      // blank docs: posexplode_outer emitted a (null, null) placeholder
+      // row (outer keeps the inferred-filter pushdown off the tokenizer);
+      // drop it here and re-attach via the left join below so every doc
+      // stays present, encoding to the empty string
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("id"))
+    val encoded = joined
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        s => s.getField("id")).cast("array<string>"), ",").as("token_ids"))
+    docs.select(col("doc_id"))
+      .join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("token_ids"), lit("")).as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text normalization — the canonical first pass of corpus prep:
     * Unicode NFC (composed forms, via the native
     * [[graft.functions.NfcNormalize]] — without it visually identical

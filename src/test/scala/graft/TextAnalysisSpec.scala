@@ -174,6 +174,18 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", "ena", 2L, 2L, 4.0), ("en", "enb", 1L, 1L, 4.0)))
   }
 
+  test("token-id encoding: vocab ranks, OOV zero, blank doc empty, order kept") {
+    // counts: b=4 → id 1, a=3 → id 2; c and zz fall outside top-2 → OOV
+    val d = Seq((0L, "b a b c b a"), (1L, "a zz b"), (2L, "  "))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(d, 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(vocab === Seq(("b", 4L, 1L), ("a", 3L, 2L)))
+    val enc = TextAnalysis.encodeTokenIds(d, TextAnalysis.buildVocab(d, 2))
+      .as[(Long, String)].collect().toMap
+    assert(enc === Map(0L -> "1,2,1,0,1,2", 1L -> "2,0,1", 2L -> ""))
+  }
+
   test("pii scrub redacts emails and phone numbers, leaves clean text") {
     val d = Seq(
       (0L, "write to jane.doe+x@corp.example.org today"),
