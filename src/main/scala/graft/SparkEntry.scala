@@ -101,6 +101,23 @@ object SparkEntry {
     "a3_delete_activity" -> ((s, d) =>
       Merge.delete(Tables.events(s, d), col("event_id") === 42L)
         .orderBy(col("event_id"))),
+    "scd2_dimension" -> ((s, d) => {
+      // Slowly-changing dimension, Type 2: a balance-change batch for
+      // every 15th customer closes the open version and appends the
+      // new one; history + untouched keys pass through. One store
+      // scan, broadcast batch (contract shared with upsert).
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .withColumn("valid_from", to_timestamp_ntz(lit("2024-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 15 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0d).as("c_acctbal"))
+        .withColumn("valid_from", to_timestamp_ntz(lit("2024-06-01 00:00:00")))
+      Merge.scd2(dim, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
     "u1_create_user" -> ((s, d) => {
       val row = s.range(1).select(
         lit(999999L).as("c_custkey"), lit("newuser").as("c_name"),
@@ -1984,6 +2001,26 @@ object SparkEntry {
            SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
          SELECT id AS doc_id, min(label) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    // Closed version for updated keys + the new open version unioned in.
+    "scd2_dimension" ->
+      """WITH dim AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                  CAST(NULL AS TIMESTAMP) AS valid_to
+           FROM customer),
+         u AS (
+           SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+                  TIMESTAMP '2024-06-01 00:00:00' AS valid_from
+           FROM customer WHERE c_custkey % 15 = 0)
+         SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+                CASE WHEN u.c_custkey IS NOT NULL
+                     THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+         FROM dim d LEFT JOIN u ON d.c_custkey = u.c_custkey
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to
+         FROM u
+         ORDER BY c_custkey, valid_from""",
     // The dedup_clusters closure over the UNION of the lexical pair
     // set and the embedding-cosine pair set.
     "dedup_crossmodal_clusters" ->

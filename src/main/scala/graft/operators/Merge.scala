@@ -148,4 +148,34 @@ object Merge {
       .drop("__poff", "__pid", "__graft_base")
     current.unionByName(withIds, allowMissingColumns = true)
   }
+
+  /** SCD Type 2 merge: apply one batch of dimension updates, closing
+    * each updated key's OPEN version (`valid_to` = the update's
+    * `valid_from`) and appending the update as the new open version.
+    * History rows (valid_to already set) and untouched keys pass
+    * through unchanged; keys new to the dimension simply insert.
+    *
+    * Contract: `updates` carries the dimension's columns minus
+    * `valid_to`, with `valid_from` as the effective time, at most one
+    * row per key (run [[latestPerKey]] first for multi-version
+    * batches; cross-batch ordering is the caller's ingest discipline).
+    *
+    * Plan shape: ONE scan of the store + a broadcast left join against
+    * the (small by nature) update batch + the union of the batch —
+    * the same no-store-shuffle discipline as [[upsert]]; a windowed
+    * versions-per-key formulation would range-shuffle the whole
+    * dimension on every merge.
+    */
+  def scd2(dim: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val eff = updates.select(
+      (keys.map(col) :+ col("valid_from").as("__eff")): _*)
+    val closedOrSame = dim.join(broadcast(eff), keys, "left")
+      .withColumn("valid_to",
+        when(col("__eff").isNotNull && col("valid_to").isNull, col("__eff"))
+          .otherwise(col("valid_to")))
+      .drop("__eff")
+    val inserts = updates
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+    closedOrSame.unionByName(inserts.select(dim.columns.map(col): _*))
+  }
 }

@@ -70,4 +70,24 @@ class MergeSpec extends SparkSpec {
     val out = Merge.appendWithSerial(current.filter($"id" < 0L), rows, "id", Seq("value"))
     assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("scd2: versions chain across batches; history immutable; new keys insert") {
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val dim0 = Seq((1L, "a", ts("2024-01-01T00:00"), null.asInstanceOf[java.time.LocalDateTime]),
+        (2L, "b", ts("2024-01-01T00:00"), null.asInstanceOf[java.time.LocalDateTime]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val b1 = Seq((1L, "a2", ts("2024-02-01T00:00"))).toDF("k", "attr", "valid_from")
+    val b2 = Seq((1L, "a3", ts("2024-03-01T00:00")),
+        (3L, "c", ts("2024-03-01T00:00"))).toDF("k", "attr", "valid_from")
+    val out = Merge.scd2(Merge.scd2(dim0, b1, Seq("k")), b2, Seq("k"))
+      .orderBy($"k", $"valid_from")
+      .as[(Long, String, java.time.LocalDateTime, Option[java.time.LocalDateTime])]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, "a", ts("2024-01-01T00:00"), Some(ts("2024-02-01T00:00"))),   // history immutable
+      (1L, "a2", ts("2024-02-01T00:00"), Some(ts("2024-03-01T00:00"))),  // closed by b2
+      (1L, "a3", ts("2024-03-01T00:00"), None),                          // open
+      (2L, "b", ts("2024-01-01T00:00"), None),                           // untouched
+      (3L, "c", ts("2024-03-01T00:00"), None)))                          // new key
+  }
 }
