@@ -816,6 +816,39 @@ object SparkEntry {
       // Distinguishing vocabulary per language slice; score = tf·N/df
       // (log-free so the oracle reproduces the doubles bit-exactly).
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "dataset_card" -> ((s, d) => {
+      // The per-source summary a corpus release ships with: volume,
+      // language spread, mean quality, exact-dup and contamination
+      // counts — one composition over the existing kernels. Mean
+      // quality aggregates in the INTEGER domain (round(q·1e6)) so
+      // the result is independent of float summation order — the same
+      // trick as the streaming cents state.
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val hashed = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text"), md5(col("text")).as("__h"))
+      val keepers = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"))
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("__phrase"))
+      val contaminated = docs
+        .join(broadcast(phrases), col("text").contains(col("__phrase")), "left_semi")
+        .select(col("doc_id")).withColumn("__cont", lit(1L))
+      hashed.join(keepers, "__h")
+        .join(q, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          (sum(round(col("quality_score") * 1e6).cast("long")).cast("double")
+            / 1e6 / count(lit(1))).as("mean_quality"),
+          sum(when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L))
+            .as("n_exact_dups"),
+          sum(coalesce(col("__cont"), lit(0L))).as("n_contaminated"))
+        .orderBy(col("source"))
+    }),
     "vocab_top" -> ((s, d) =>
       // Frequency-ranked vocabulary, ids dense 1..V, deterministic
       // ties — the id assignment the encode step depends on.
@@ -2551,6 +2584,49 @@ object SparkEntry {
          SELECT ngram, count(*) AS n_occurrences
          FROM g GROUP BY ngram
          ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+    // Full card recomputation: quality formula (same as quality_score),
+    // md5 dup groups, decontaminate's phrase convention; mean quality
+    // summed in the integer domain (round(q·1e6)) on both sides.
+    "dataset_card" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS n_toks,
+                  CAST(length(text) AS DOUBLE) AS n_chars_d,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(toks,
+                       x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE) AS stops,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nows
+           FROM w),
+         q AS (
+           SELECT doc_id,
+                  0.4 * least(n_toks / 100.0, 1.0) + 0.3 * (stops / n_toks)
+                    + 0.2 * least((nows / n_toks) / 10.0, 1.0)
+                    + 0.1 * (1.0 - punct / n_chars_d) AS quality_score
+           FROM t),
+         h AS (
+           SELECT doc_id, source, lang, n_chars, text, md5(text) AS hh
+           FROM documents),
+         k AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY 1),
+         c AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN documents b ON b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))
+         SELECT h.source,
+                count(*) AS n_docs,
+                CAST(sum(h.n_chars) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT h.lang) AS BIGINT) AS n_langs,
+                CAST(sum(CAST(round(q.quality_score * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 / count(*) AS mean_quality,
+                CAST(sum(CASE WHEN h.doc_id <> k.keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_dups,
+                CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated
+         FROM h JOIN k ON h.hh = k.hh JOIN q ON h.doc_id = q.doc_id
+         LEFT JOIN c ON h.doc_id = c.doc_id
+         GROUP BY 1 ORDER BY 1""",
     "vocab_top" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),

@@ -161,6 +161,51 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("scd2: the store never shuffles for the merge — batch broadcasts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("scd2_dimension")(spark, sf)
+        .queryExecution.executedPlan
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        "update batch must broadcast onto the store scan")
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 1, // only the final presentation sort
+        s"scd2 must not shuffle the store for the merge: ${shuffles.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("token-id encode: vocab broadcasts; document text never shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("tokenize_ids")(spark, sf)
+        .queryExecution.executedPlan
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        "the vocabulary must broadcast onto the positioned tokens")
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("text"),
+        s"document text crossed a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dataset card: one corpus pass per branch, text never shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("dataset_card")(spark, sf)
+        .queryExecution.executedPlan
+      val shuffledCols = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      assert(!shuffledCols.contains("text"),
+        s"document text crossed a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("uniform exact-N sample is a TakeOrderedAndProject, never a global sort") {
     assert(plan("sample_uniform_n").contains("TakeOrderedAndProject"))
   }
