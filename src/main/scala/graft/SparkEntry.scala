@@ -1131,6 +1131,17 @@ object SparkEntry {
       operators.Sampling.uniformSampleN(Tables.documents(s, d), "doc_id", 200)
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy(col("sample_key"))),
+    "negative_samples" -> ((s, d) => {
+      // Contrastive-pair construction: 4 deterministic negatives per
+      // anchor, with the embedding near-dup pair set excluded so no
+      // semantic positive is ever drawn as a negative. The oracle
+      // recomputes the near-pair set AND the md5 draw.
+      val emb = Tables.embeddings(s, d)
+      operators.Sampling.negativeSamples(
+        emb, emb.filter(col("vec_id") < 5), 4,
+        exclude = Similarity.cosinePairsBrute(emb, 0.45)
+          .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b")))
+    }),
     "mixture_sample" -> ((s, d) =>
       // Training-mix construction: per-language char budgets (en
       // downsampled hard, the tail kept nearly whole) applied by
@@ -2150,6 +2161,33 @@ object SparkEntry {
          WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
                              WHEN 'es' THEN 40 WHEN 'zh' THEN 10 ELSE 0 END
          ORDER BY doc_id""",
+    // The same md5(anchor:candidate) draw with the cosine≥0.45 pair
+    // set (either orientation) excluded.
+    "negative_samples" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         np AS (
+           SELECT a.vec_id AS lo, b.vec_id AS hi
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45),
+         cand AS (
+           SELECT a.vec_id AS anchor_id, c.vec_id AS candidate_id
+           FROM embeddings a CROSS JOIN embeddings c
+           WHERE a.vec_id < 5 AND c.vec_id <> a.vec_id
+             AND NOT EXISTS (
+               SELECT 1 FROM np
+               WHERE np.lo = least(a.vec_id, c.vec_id)
+                 AND np.hi = greatest(a.vec_id, c.vec_id))),
+         ranked AS (
+           SELECT anchor_id, candidate_id,
+                  row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':' ||
+                                 CAST(candidate_id AS VARCHAR))) AS rank
+           FROM cand)
+         SELECT anchor_id, candidate_id, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 4
+         ORDER BY anchor_id, rank""",
     // Identical 200-row set from the md5 order alone.
     "sample_uniform_n" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key

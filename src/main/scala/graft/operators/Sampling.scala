@@ -123,6 +123,51 @@ object Sampling {
     withB.join(broadcast(kept), Seq(domainCol, "__b")).drop("__b")
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws `k` negatives as the candidates with the smallest
+    * md5(anchor ":" candidate) — a per-anchor-independent uniform draw
+    * that any engine reproduces, with `exclude` (typically the
+    * near-duplicate pair set) anti-joined out first so a semantic
+    * POSITIVE can never be sampled as a negative.
+    *
+    * Scale shape: anchors broadcast (a training batch, small by
+    * nature); the corpus contributes one skinny (anchor, candidate,
+    * hash) row per pair, and the per-anchor top-k runs as a
+    * WindowGroupLimit — per-partition pruning to k before the
+    * exchange, so the shuffle carries ~partitions·anchors·k rows, not
+    * anchors·N.
+    */
+  def negativeSamples(corpus: DataFrame, anchors: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      exclude: DataFrame = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id")))
+    val base = corpus.select(col(idCol).as("candidate_id"))
+      .crossJoin(a)
+      .filter(col("candidate_id") =!= col("anchor_id"))
+    val eligible = if (exclude == null) base else {
+      // exclude is an unordered pair set (id_a < id_b); anti-join both
+      // orientations via the normalized key
+      val ex = broadcast(exclude.select(
+        least(col("id_a"), col("id_b")).as("__lo"),
+        greatest(col("id_a"), col("id_b")).as("__hi")))
+      base.join(ex,
+        least(col("anchor_id"), col("candidate_id")) === col("__lo") &&
+          greatest(col("anchor_id"), col("candidate_id")) === col("__hi"),
+        "left_anti")
+    }
+    val key = md5(concat(col("anchor_id").cast("string"), lit(":"),
+      col("candidate_id").cast("string")))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(key)
+    eligible
+      .withColumn("sample_key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("anchor_id"), col("candidate_id"),
+        col("__rn").cast("long").as("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** Deterministic stratified sample: keep a row iff its hash bucket
     * falls under its stratum's fraction. Strata missing from
     * `fractions` are dropped (fraction 0). One codegen'd filter —

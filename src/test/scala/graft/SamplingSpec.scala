@@ -74,6 +74,31 @@ class SamplingSpec extends SparkSpec {
     assert(reparted === got)
   }
 
+  test("negativeSamples: k per anchor, excluded pairs never drawn, deterministic") {
+    val corpus = (0L to 9L).toDF("vec_id")
+    val anchors = corpus.filter(col("vec_id") < 2)
+    val exclude = Seq((0L, 3L), (7L, 1L)).toDF("id_a", "id_b")
+    val out = Sampling.negativeSamples(corpus, anchors, 3, exclude = exclude)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.count(_._1 == 0L) === 3)
+    assert(out.count(_._1 == 1L) === 3)
+    assert(out.forall { case (a, c, _) => a != c })       // never self
+    val drawn = out.map(r => (r._1, r._2)).toSet
+    assert(!drawn.contains((0L, 3L)) && !drawn.contains((1L, 7L)),
+      "excluded (near-dup) pairs must never be drawn in either orientation")
+    // the draw is a pure hash function: stable under repartitioning
+    val again = Sampling.negativeSamples(corpus.repartition(7), anchors, 3,
+        exclude = exclude)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again === out)
+    // brute recompute of anchor 0's draw
+    val expect0 = (1L to 9L).filter(_ != 3L)
+      .sortBy(c => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(3)
+    assert(out.filter(_._1 == 0L).map(_._2) === expect0)
+  }
+
   test("mixtureByBudget: membership matches the brute bucket cumsum; budget bound holds") {
     val fr = Map("en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
     val kept = Sampling.mixtureByBudget(docs, "lang", "doc_id", "n_chars", fr)
