@@ -216,4 +216,39 @@ class TextEdgePropertiesSpec extends SparkSpec {
       assert(r.getAs[Double]("confidence") === 0.0)
     }
   }
+
+  test("vocab + token-id encode are total on edge docs; id conservation holds") {
+    val vocab = TextAnalysis.buildVocab(docs, 50)
+    val v = vocab.collect()
+    assert(v.length <= 50)
+    assert(v.forall(r => r.getAs[String]("term").nonEmpty)) // no empty terms
+    val enc = TextAnalysis.encodeTokenIds(docs, vocab).collect()
+    assert(enc.length === nDocs)                            // every doc present
+    enc.foreach { r =>
+      val ids = r.getAs[String]("token_ids")
+      assert(ids != null)
+      if (blankIds(r.getAs[Long]("doc_id"))) assert(ids === "")
+    }
+    // conservation: encoded length == whitespace token count, per doc
+    val tokCounts = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+    enc.foreach { r =>
+      val n = r.getAs[String]("token_ids") match {
+        case "" => 0L
+        case s => s.count(_ == ',').toLong + 1L
+      }
+      assert(n === tokCounts(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("tfidf is total on edge docs: no nulls, every score positive and finite") {
+    val rows = TextAnalysis.tfidfTopTerms(docs, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.anyNull)
+      val s = r.getAs[Double]("tfidf")
+      assert(s > 0.0 && !s.isNaN && !s.isInfinite)
+      assert(r.getAs[Long]("tf") >= 1L && r.getAs[Long]("df") >= 1L)
+    }
+  }
 }
