@@ -83,6 +83,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("o_orderkey"))
     }),
 
+    "snapshot_diff" -> ((s, d) => {
+      // Nightly-audit reconciliation: FULL OUTER diff of two store
+      // versions, emitting only added/removed/changed rows. The
+      // "after" snapshot drops ids ≥ 9000, adds value+1000 on the
+      // %100 ids, and everything else is identical (filtered out).
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val before = ev.filter(col("event_id") < 9000)
+      val after = ev
+        .withColumn("value",
+          when(col("event_id") % 100 === 0, col("value") + 1000.0d)
+            .otherwise(col("value")))
+        .filter(col("event_id") >= 2000)
+      Reads.snapshotDiff(before, after, "event_id", "value")
+    }),
+
     // ---- §2.2 point writes (merge kernel) --------------------------
     "a1_upsert_activities" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -2045,6 +2060,21 @@ object SparkEntry {
            SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
          SELECT id AS doc_id, min(label) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "snapshot_diff" ->
+      """WITH b AS (
+           SELECT event_id, value FROM events WHERE event_id < 9000),
+         a AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END AS value
+           FROM events WHERE event_id >= 2000)
+         SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+                CASE WHEN a.event_id IS NULL THEN 'removed'
+                     WHEN b.event_id IS NULL THEN 'added'
+                     ELSE 'changed' END AS status,
+                b.value AS old_value, a.value AS new_value
+         FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+         WHERE a.event_id IS NULL OR b.event_id IS NULL OR b.value <> a.value
+         ORDER BY event_id""",
     // Closed version for updated keys + the new open version unioned in.
     "scd2_dimension" ->
       """WITH dim AS (
