@@ -233,6 +233,46 @@ object SparkEntry {
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
+    "events_hourly_dense" -> ((s, d) => {
+      // Gap filling: a generated hourly calendar (sequence between the
+      // observed bounds — one tiny agg, exploded row-locally) left-
+      // joins the sparse aggregate so silent holes become explicit
+      // zeros. The value>250 filter makes the series genuinely sparse
+      // (~60 hit hours in a 720-hour span at sf0.01).
+      val sparse = Tables.events(s, d).filter(col("value") > 250.0d)
+      val hourly = sparse
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val cal = sparse
+        .agg(min(date_trunc("hour", col("ts"))).as("__lo"),
+          max(date_trunc("hour", col("ts"))).as("__hi"))
+        .select(explode(sequence(col("__lo"), col("__hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      cal.join(hourly, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour"))
+    }),
+    "ivm_hourly" -> ((s, d) => {
+      // Incremental view maintenance: the standing hourly aggregate
+      // (base partials) merges the new day's delta by re-aggregating
+      // PARTIALS — O(agg size + delta), never a base rescan. Counts
+      // and decimal sums are mergeable; the oracle is the plain full
+      // aggregate, so the pin says incremental ≡ recompute.
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp_ntz(lit("2024-01-25 00:00:00"))
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .as("__s"))
+      partial(ev.filter(col("ts") < cut))
+        .unionByName(partial(ev.filter(col("ts") >= cut)))
+        .groupBy(col("hour"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__s")).cast(org.apache.spark.sql.types.DecimalType(28, 2))
+            .cast("double").as("sum_value"))
+        .orderBy(col("hour"))
+    }),
     "corr_qty_price" -> ((s, d) =>
       // Grouped correlation/covariance/slope from exact decimal moment
       // sums — engine-independent where native corr/covar_samp's
@@ -1100,6 +1140,19 @@ object SparkEntry {
     "pack_bin_stats" -> ((s, d) =>
       operators.Packing.binStats(
         operators.Packing.packBins(Tables.documents(s, d), "doc_id", 2000L))),
+    "pack_epoch" -> ((s, d) => {
+      // Epoch-ordered packing: the SAME two-level prefix sum over the
+      // epoch-2 shuffle permutation instead of doc_id order — each
+      // epoch's bins are a different, fully reproducible packing (the
+      // composition a multi-epoch training run performs: shuffle key →
+      // range shuffle → pack).
+      val docs = Tables.documents(s, d)
+        .withColumn("__ek", operators.Sampling.epochShuffleKey(col("doc_id"), 2))
+      operators.Packing.packBins(docs, "__ek", 2000L)
+        .join(docs.select(col("__ek"), col("doc_id")), "__ek")
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    }),
     "pack_bins_grouped" -> ((s, d) =>
       // Group-scoped packing: each language packs its own bin
       // sequence (group-pure shards); oracle is the per-group global
@@ -1617,6 +1670,38 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    "events_hourly_dense" ->
+      """WITH s AS (SELECT * FROM events WHERE value > 250.0),
+         h AS (
+           SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM s GROUP BY 1),
+         cal AS (
+           SELECT unnest(generate_series(
+             (SELECT min(date_trunc('hour', ts)) FROM s),
+             (SELECT max(date_trunc('hour', ts)) FROM s),
+             INTERVAL 1 HOUR)) AS hour)
+         SELECT cal.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+         FROM cal LEFT JOIN h ON cal.hour = h.hour
+         ORDER BY cal.hour""",
+    // Incremental ≡ recompute: the oracle is the plain full aggregate.
+    "ivm_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY hour""",
+    // pack_bins' two-level prefix sum over the epoch-2 md5 permutation.
+    "pack_epoch" ->
+      """WITH t AS (
+           SELECT doc_id, md5('2:' || CAST(doc_id AS VARCHAR)) AS ek,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY ek
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY doc_id""",
     // Five exact decimal moment sums (scale-4 products round(...,2)
     // like every dsum mirror), then the textbook two-pass formulas in
     // double in the identical operation order.
