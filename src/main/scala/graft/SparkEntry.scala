@@ -233,6 +233,26 @@ object SparkEntry {
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
+    "multimodal_image_dups" -> ((s, d) => {
+      // Perceptual (aHash) duplicate image groups over the encoded
+      // media corpus + byte-identical copies planted at id+10000.
+      // Group membership reflects PIXEL similarity (tiny same-size
+      // gradient fixtures legitimately collide beyond the planted
+      // copies), so the rows are engine-internal → rows-only; the
+      // oracle-checked twin is multimodal_image_dup_check.
+      Multimodal.imageDupGroups(plantedImageMedia(s, d))
+    }),
+    "multimodal_image_dup_check" -> ((s, d) => {
+      // The pinnable property: EVERY planted byte-identical copy lands
+      // in the same group as its original — 5 of 5, always.
+      val g = Multimodal.imageDupGroups(plantedImageMedia(s, d))
+      val planted = g.filter(col("media_id") >= 10000L)
+        .select(col("group_rep"), (col("media_id") - 10000L).as("media_id"))
+      planted.join(g, Seq("group_rep", "media_id"))
+        .agg(count(lit(1)).as("n_planted_grouped"))
+        .select(col("n_planted_grouped"),
+          (col("n_planted_grouped") === 5L).as("all_planted_grouped"))
+    }),
     "approx_distinct_intersect" -> ((s, d) => {
       // Sketch ALGEBRA: |A∩B| by inclusion-exclusion over HLL sketches
       // (est(A)+est(B)−est(A∪B)) — the audience-overlap query that
@@ -1379,6 +1399,19 @@ object SparkEntry {
       dir.toString
     })
 
+  /** Encoded media over the first 100 docs plus byte-identical copies
+    * of the 5 lowest image ids planted at media_id + 10000 — shared by
+    * the image-dup rows so the group set and the pin agree.
+    */
+  private def plantedImageMedia(s: SparkSession, d: String): DataFrame = {
+    val media = operators.Multimodal.syntheticMediaEncoded(
+      Tables.documents(s, d).filter(col("doc_id") < 100))
+    val planted = media
+      .filter(col("kind") === "image" && col("media_id") < 13)
+      .withColumn("media_id", col("media_id") + 10000L)
+    media.unionByName(planted)
+  }
+
   private def cleanCorpusPlan(docs: DataFrame,
                               dedup: DataFrame => DataFrame): DataFrame = {
     val deduped = dedup(docs)
@@ -1702,6 +1735,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // 5 byte-identical copies are planted by construction; the decoder
+    // + hash must reunite every one with its original (a decode
+    // regression or hash instability breaks the count).
+    "multimodal_image_dup_check" ->
+      """SELECT CAST(5 AS BIGINT) AS n_planted_grouped,
+                true AS all_planted_grouped""",
     // The exact overlap is the hash-matched half; the tolerance
     // boolean is engine-side (measured estimate error ≪ 10% at lgK
     // 14 on every SF — see the query comment).

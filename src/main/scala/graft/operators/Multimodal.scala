@@ -439,6 +439,63 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average hash (aHash) of a decoded image: luminance sampled
+    * on an 8×8 grid, one bit per cell = sample > grid mean. The
+    * standard cheap perceptual fingerprint — byte-identical payloads
+    * always collide, re-encodes/resizes of the same picture usually
+    * do, unrelated pictures rarely. None when the payload doesn't
+    * decode as an image.
+    */
+  private[operators] def aHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val samples = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+        samples(i) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        i += 1
+      }
+      val mean = samples.sum / 64.0
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (samples(i) > mean) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Perceptual-duplicate image groups: decode per partition (payloads
+    * never shuffle — only the 8-byte hash does), group by aHash, emit
+    * (group_rep, media_id) for every member of a >1 group. The
+    * multimodal twin of [[graft.operators.Dedup.dedupExact]]: the
+    * dedup key comes from pixels, so byte-level re-encodes of the same
+    * picture still collapse.
+    */
+  def imageDupGroups(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(r =>
+        if (r.kind != "image") None
+        else aHash64(r.payload).map(h => (r.media_id, h)))
+    }.toDF("media_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("group_rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    hashed.join(broadcast(groups.drop("__n")), "ahash")
+      .select(col("group_rep"), col("media_id"))
+      .orderBy(col("group_rep"), col("media_id"))
+  }
+
   case class DecodePath(media_id: Long, kind: String, codec: String, real: Boolean)
 
   /** Per-payload decode dispatch record: which container [[sniff]]

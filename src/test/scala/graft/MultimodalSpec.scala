@@ -192,4 +192,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.media_id).map(_.features.toSeq).toSeq ===
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
+
+  test("image dup groups: identical payloads always reunite; non-images ignored") {
+    val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 60)
+    val media = Multimodal.syntheticMediaEncoded(docs)
+    val copies = media.filter($"kind" === "image" && $"media_id" < 10)
+      .withColumn("media_id", $"media_id" + 1000L)
+    val out = Multimodal.imageDupGroups(media.unionByName(copies))
+      .as[(Long, Long)].collect().toSeq
+    // every planted copy shares a group with its original
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val planted = out.map(_._2).filter(_ >= 1000L)
+    assert(planted.nonEmpty)
+    planted.foreach { c =>
+      val g = out.find(_._2 == c).get._1
+      assert(byGroup(g).contains(c - 1000L),
+        s"copy $c not grouped with its original")
+    }
+    // only image rows participate (audio/video ids: id % 3 != 0)
+    assert(out.forall { case (_, m) => (m % 3 == 0) || (m >= 1000L && (m - 1000L) % 3 == 0) })
+    // deterministic under repartitioning
+    val again = Multimodal.imageDupGroups(
+      media.unionByName(copies).repartition(7))
+      .as[(Long, Long)].collect().toSeq
+    assert(again.sorted === out.sorted)
+  }
 }
