@@ -76,4 +76,25 @@ object Profile {
 
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
     shape(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  /** Attach operational counters to a plan via `observe`: row count,
+    * null count of a guarded column, and an exact decimal sum —
+    * collected DURING the action by accumulator, so the audit costs
+    * ZERO extra passes (contrast a separate `.count()`/agg, which
+    * rescans the input; at 100 TB the difference is the whole job).
+    * Read the metrics from the returned observation after an action
+    * ran: `Profile.observed(df, "stage") → (df2, obs)`;
+    * `obs.get("n_rows")`.
+    */
+  def observed(df: DataFrame, name: String, guardCol: String,
+               sumCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val out = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(guardCol).isNull, 1L).otherwise(0L)).as("n_null_guard"),
+      sum(col(sumCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+        .cast("double").as("sum_value"))
+    (out, obs)
+  }
 }

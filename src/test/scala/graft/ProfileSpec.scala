@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, sum, when}
+
 import graft.operators.Profile
 
 class ProfileSpec extends SparkSpec {
@@ -50,5 +52,20 @@ class ProfileSpec extends SparkSpec {
     val exactPlan = Profile.profileExact(df, Seq("id", "s", "v"))
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand")) // documents the exact twin's cost
+  }
+
+  test("observed: counters collect during the action, no extra pass, exact sum") {
+    val events = tables.Tables.events(spark, sf)
+      .withColumn("props", when($"event_id" % 10 === 0, lit(null)).otherwise($"props"))
+    val (df, obs) = Profile.observed(events, s"audit-${System.nanoTime()}", "props", "value")
+    val kept = df.filter($"value" > 100.0).count()   // ONE action drives both
+    val m = obs.get
+    assert(m("n_rows") === events.count())           // observed BEFORE the filter
+    assert(m("n_null_guard") === events.filter($"event_id" % 10 === 0).count())
+    val exact = events.agg(
+      sum($"value".cast("decimal(12,2)")).cast("decimal(28,2)").cast("double"))
+      .as[Double].head()
+    assert(m("sum_value") === exact)                 // decimal-exact, order-free
+    assert(kept > 0)
   }
 }
