@@ -489,6 +489,19 @@ object SparkEntry {
       operators.AsOfJoin.asOf(clicks, signups, "user_id", "ts", Seq("signup_value"))
         .orderBy(col("event_id"))
     }),
+    "asof_join_forward" -> ((s, d) => {
+      // The lookahead twin: each click attaches the NEXT signup value
+      // at or after it (label-at-horizon shape) — same one-shuffle
+      // union/window plan, mirrored. DuckDB's ASOF with <= is the
+      // independent oracle.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      operators.AsOfJoin.asOfForward(clicks, signups, "user_id", "ts", Seq("signup_value"))
+        .orderBy(col("event_id"))
+    }),
     "range_join_sessions" -> ((s, d) => {
       // Point-in-interval: map every event to the session interval
       // containing it (user equi-key + ts BETWEEN start AND end) via
@@ -2068,6 +2081,12 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events WHERE event_type = 'signup') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.signup_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value AS signup_value FROM events WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
     "set_ops" ->
       """SELECT user_id, 'union' AS op FROM

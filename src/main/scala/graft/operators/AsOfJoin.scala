@@ -58,4 +58,32 @@ object AsOfJoin {
       .filter(col(side) === 1)
       .drop(side, pay)
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key — the lookahead twin of
+    * [[asOf]] (next reading, next price tick, label-at-horizon).
+    * Identical plan shape and cost: the union/window trick mirrored —
+    * right rows order AFTER left rows at an equal timestamp (so the
+    * inclusive tie is ahead of the probe in frame direction) and
+    * `first(..., ignoreNulls)` over the forward frame latches the
+    * next right payload. Same leakage discipline, opposite direction:
+    * backward as-of never reads the future, forward as-of reads ONLY
+    * the future (plus the inclusive tie).
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val side = "__graft_side"
+    val pay = "__graft_payload"
+    val l = left.withColumn(side, lit(0))
+    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*).withColumn(side, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val payload = when(col(side) === 1, struct(valueCols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(side), payload)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned.withColumn(pay, first(payload, ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled) { (df, c) => df.withColumn(c, col(pay).getField(c)) }
+      .filter(col(side) === 0)
+      .drop(side, pay)
+  }
 }
