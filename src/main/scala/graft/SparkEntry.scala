@@ -325,6 +325,31 @@ object SparkEntry {
             .cast("double").as("sum_value"))
         .orderBy(col("hour"))
     }),
+    "user_recency_score" -> ((s, d) =>
+      // Exponential time decay in the integer domain (halve the cents
+      // once per elapsed week) — the recency-weighted leaderboard,
+      // deterministic where pow(0.5, age)·float-sum is not.
+      Analytics.recencyScores(Tables.events(s, d), "2024-01-31 00:00:00")),
+    "fuzzy_lookup" -> ((s, d) => {
+      // Edit-distance entity resolution: 5 corrupted probes (e→3 over
+      // the 30-char prefix) each find their nearest document prefix by
+      // levenshtein — probes broadcast, per-probe argmin is a
+      // WindowGroupLimit, the DP metric is engine-independent.
+      val docs = Tables.documents(s, d)
+      val probes = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"),
+          regexp_replace(substring(col("text"), 1, 30), "e", "3").as("probe"))
+      val cand = docs.select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("dist"), col("doc_id"))
+      cand.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("doc_id"),
+          levenshtein(col("prefix"), col("probe")).as("dist"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .orderBy(col("probe_id"))
+    }),
     "corr_qty_price" -> ((s, d) =>
       // Grouped correlation/covariance/slope from exact decimal moment
       // sums — engine-independent where native corr/covar_samp's
@@ -1795,6 +1820,40 @@ object SparkEntry {
          SELECT doc_id, n_tokens, prefix_tokens,
                 CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
          FROM p ORDER BY doc_id""",
+    // Integer-domain exponential decay: cents halve once per elapsed
+    // week (floor over an EXACT power-of-two division), summed as
+    // BIGINT — order-free on both engines.
+    "user_recency_score" ->
+      """WITH t AS (
+           SELECT user_id,
+                  CAST(round(value * 100.0) AS BIGINT) AS cents,
+                  least(CAST(floor(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                    - epoch_us(ts)) / 86400000000) / 7) AS BIGINT), 50) AS k
+           FROM events
+           WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'),
+         s AS (
+           SELECT user_id,
+                  CAST(sum(CAST(floor(CAST(cents AS DOUBLE) / power(2.0, k)) AS BIGINT)) AS BIGINT) AS sc,
+                  count(*) AS n_events
+           FROM t GROUP BY 1)
+         SELECT user_id, n_events,
+                CAST(sc AS DOUBLE) / 100.0 AS recency_score
+         FROM s ORDER BY recency_score DESC, user_id LIMIT 20""",
+    // Same 30-char-prefix probes, same DP metric, same argmin ties.
+    "fuzzy_lookup" ->
+      """WITH p AS (
+           SELECT doc_id AS probe_id,
+                  replace(substr(text, 1, 30), 'e', '3') AS probe
+           FROM documents WHERE doc_id < 5),
+         c AS (SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents),
+         r AS (
+           SELECT p.probe_id, c.doc_id,
+                  CAST(levenshtein(c.prefix, p.probe) AS INTEGER) AS dist,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY levenshtein(c.prefix, p.probe), c.doc_id) AS rn
+           FROM c CROSS JOIN p)
+         SELECT probe_id, doc_id, dist FROM r WHERE rn = 1
+         ORDER BY probe_id""",
     // Five exact decimal moment sums (scale-4 products round(...,2)
     // like every dsum mirror), then the textbook two-pass formulas in
     // double in the identical operation order.

@@ -192,6 +192,38 @@ object Analytics {
       .orderBy(col(groupCol))
   }
 
+  /** Recency-weighted engagement: value · 2^(−age_weeks) summed per
+    * user — exponential time decay computed ENTIRELY in integers so it
+    * is engine- and order-independent: cents = round(value·100),
+    * halved once per elapsed week by integer division (2^k is exact in
+    * double far past any real horizon, so the divisor round-trips the
+    * cast), summed as BIGINT, surfaced as a double only at the end.
+    * The naive `value * pow(0.5, age/7.0)` is unpinnable twice over:
+    * libm pow differs in the last ulp across engines AND float
+    * summation order differs across partitionings.
+    */
+  def recencyScores(events: DataFrame, asOf: String, k: Int = 20): DataFrame = {
+    val asOfTs = to_timestamp_ntz(lit(asOf))
+    val ageDays = floor((unix_micros(asOfTs.cast("timestamp")) -
+      unix_micros(col("ts").cast("timestamp"))) / lit(86400000000L))
+    val halvings = least(floor(ageDays / 7).cast("long"), lit(50L))
+    val cents = round(col("value") * 100.0d).cast("long")
+    // cents / 2^k is EXACT in double (an exponent shift — cents < 2^53,
+    // 2^k exactly representable), so floor() is true integer halving
+    // on both engines.
+    events
+      .filter(col("ts") <= asOfTs)
+      .withColumn("__k", halvings)
+      .withColumn("__term",
+        floor(cents.cast("double") / pow(lit(2.0d), col("__k"))).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__term")).as("__sc"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (col("__sc").cast("double") / 100.0d).as("recency_score"))
+      .orderBy(col("recency_score").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** Top-N events per user by value: partitioned window, no global
     * sort; the row_number rank is dropped from the output (int-width
     * differences between engines) — ordering carries the semantics.
