@@ -325,6 +325,39 @@ object SparkEntry {
             .cast("double").as("sum_value"))
         .orderBy(col("hour"))
     }),
+    "sliding_week_users" -> ((s, d) => {
+      // Sliding 7-day DISTINCT users — the query naive engines rescan
+      // raw events 7× for. Scale shape: distinct collapses to day
+      // grain ONCE (30 rows/month per user set), the 30-row day
+      // calendar broadcasts into a range join, and the window's exact
+      // count comes from the day-grain pairs. The approx twin (same
+      // join over per-day HLL sketches, hll_union_agg per window)
+      // is the 100 TB path — sketches merge, raw data never re-reads;
+      // its estimate is pinned against the exact count in-row.
+      val ev = Tables.events(s, d)
+      val du = ev.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+        .select(col("day").as("win_day"))
+      val exact = du.join(broadcast(days),
+          col("day") >= col("win_day") - expr("INTERVAL 6 DAYS") &&
+            col("day") <= col("win_day"))
+        .groupBy(col("win_day"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      val daily = ev.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val approx = daily.join(broadcast(days),
+          col("day") >= col("win_day") - expr("INTERVAL 6 DAYS") &&
+            col("day") <= col("win_day"))
+        .groupBy(col("win_day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("__est"))
+      exact.join(approx, "win_day")
+        .select(col("win_day"), col("n_users"),
+          (abs(col("__est") - col("n_users").cast("double"))
+            / col("n_users").cast("double") <= 0.05).as("sketch_tolerance_met"))
+        .orderBy(col("win_day"))
+    }),
     "user_recency_score" -> ((s, d) =>
       // Exponential time decay in the integer domain (halve the cents
       // once per elapsed week) — the recency-weighted leaderboard,
@@ -631,6 +664,7 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     "cube_orders" -> ((s, d) => Analytics.cubeOrders(Tables.orders(s, d))),
+    "grouping_sets_orders" -> ((s, d) => Analytics.marginalsOrders(Tables.orders(s, d))),
     "median_value_by_type" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -1820,6 +1854,19 @@ object SparkEntry {
          SELECT doc_id, n_tokens, prefix_tokens,
                 CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
          FROM p ORDER BY doc_id""",
+    // Exact sliding-window distinct recomputed at day grain; the
+    // sketch boolean is engine-side (HLL rsd ≈ 0.8% at lgK 14, floor
+    // 5% — generous).
+    "sliding_week_users" ->
+      """WITH du AS (
+           SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day AS win_day FROM du)
+         SELECT d.win_day,
+                CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users,
+                true AS sketch_tolerance_met
+         FROM days d JOIN du
+           ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
+         GROUP BY d.win_day ORDER BY d.win_day""",
     // Integer-domain exponential decay: cents halve once per elapsed
     // week (floor over an EXACT power-of-two division), summed as
     // BIGINT — order-free on both engines.
@@ -2134,6 +2181,12 @@ object SparkEntry {
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.signup_value

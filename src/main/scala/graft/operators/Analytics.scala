@@ -442,6 +442,22 @@ object Analytics {
         dsum(dec2(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Explicit GROUPING SETS (the Spark 4 `Dataset.groupingSets` API):
+    * the per-dimension marginals plus the grand total WITHOUT the
+    * cross-dimension cells a full cube pays for — at high-cardinality
+    * dimensions the cube's cross products dominate its cost, so
+    * hand-picked sets are the production shape. Same single-pass
+    * Expand plan as cube/rollup, one row group per requested set.
+    */
+  def marginalsOrders(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(dec2(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
   /** JSON property normalization (ingest-side schema-on-read, the
     * `activityToMap` shape — reference `internal/strava/strava.go:86-100`):
     * parse the `props` JSON string with an explicit schema.
