@@ -358,6 +358,11 @@ object SparkEntry {
             / col("n_users").cast("double") <= 0.05).as("sketch_tolerance_met"))
         .orderBy(col("win_day"))
     }),
+    "funnel_signup_click_purchase" -> ((s, d) =>
+      // Ordered conversion funnel: click counts only at/after the
+      // user's first signup, purchase only at/after that click — the
+      // oracle recomputes each stage's conditional minimum.
+      Analytics.funnel(Tables.events(s, d), Seq("signup", "click", "purchase"))),
     "user_recency_score" -> ((s, d) =>
       // Exponential time decay in the integer domain (halve the cents
       // once per elapsed week) — the recency-weighted leaderboard,
@@ -1867,6 +1872,28 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    // Staged conditional minima: each stage's earliest qualifying
+    // event must sit at/after the previous stage's time.
+    "funnel_signup_click_purchase" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (
+           SELECT u.user_id, min(CASE WHEN e.event_type = 'signup' THEN e.ts END) AS t0
+           FROM u LEFT JOIN events e ON u.user_id = e.user_id
+           GROUP BY u.user_id),
+         s2 AS (
+           SELECT s1.user_id, s1.t0,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t0 THEN e.ts END) AS t1
+           FROM s1 LEFT JOIN events e ON s1.user_id = e.user_id
+           GROUP BY s1.user_id, s1.t0),
+         s3 AS (
+           SELECT s2.user_id, s2.t0, s2.t1,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t1 THEN e.ts END) AS t2
+           FROM s2 LEFT JOIN events e ON s2.user_id = e.user_id
+           GROUP BY s2.user_id, s2.t0, s2.t1)
+         SELECT CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+         FROM s3""",
     // Integer-domain exponential decay: cents halve once per elapsed
     // week (floor over an EXACT power-of-two division), summed as
     // BIGINT — order-free on both engines.

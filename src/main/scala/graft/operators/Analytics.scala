@@ -192,6 +192,31 @@ object Analytics {
       .orderBy(col(groupCol))
   }
 
+  /** Ordered funnel: how many users reach each stage IN ORDER —
+    * stage n counts only if its earliest qualifying event is at or
+    * after the user's stage n−1 time (a purchase before the signup
+    * does not convert). Three conditional-min aggregations over the
+    * fact table, each joined back on the (small) user relation — no
+    * window over raw events, partial aggs throughout.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val perUser = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id")).distinct()) { case (acc, (stage, i)) =>
+      val cond = if (i == 0) col("event_type") === stage
+        else col("event_type") === stage && col("ts") >= col(s"__t${i - 1}")
+      val agged = events.join(acc.select((col("user_id") +:
+          (0 until i).map(j => col(s"__t$j"))): _*), "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(cond, col("ts"))).as(s"__t$i"))
+        .select(col("user_id"), col(s"__t$i"))
+      acc.join(agged, Seq("user_id"), "left")
+    }
+    val counts = stages.indices.map(i =>
+      sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"n_${stages(i)}"))
+    perUser.agg(counts.head, counts.tail: _*)
+  }
+
   /** Recency-weighted engagement: value · 2^(−age_weeks) summed per
     * user — exponential time decay computed ENTIRELY in integers so it
     * is engine- and order-independent: cents = round(value·100),
