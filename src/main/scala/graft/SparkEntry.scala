@@ -358,6 +358,11 @@ object SparkEntry {
             / col("n_users").cast("double") <= 0.05).as("sketch_tolerance_met"))
         .orderBy(col("win_day"))
     }),
+    "value_anomalies" -> ((s, d) =>
+      // Data-quality gate: per-type z>3 outlier counts with mean/std
+      // from exact decimal moments — thresholds bit-identical on both
+      // engines, so the COUNTS pin exactly (native stddev couldn't).
+      Analytics.anomalyCounts(Tables.events(s, d), "event_type", "value")),
     "funnel_signup_click_purchase" -> ((s, d) =>
       // Ordered conversion funnel: click counts only at/after the
       // user's first signup, purchase only at/after that click — the
@@ -1872,6 +1877,31 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    // Mean/std from the identical exact moment sums and double ops;
+    // the z comparison is then deterministic per row.
+    "value_anomalies" ->
+      """WITH a AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                  CAST(round(sum(CAST(value AS DECIMAL(12,2))
+                                 * CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sxx
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT event_type, n, sx / n AS mean_value,
+                  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                       THEN sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+                       ELSE 0.0 END AS std_value
+           FROM a)
+         SELECT e.event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                max(s.mean_value) AS mean_value,
+                max(s.std_value) AS std_value,
+                CAST(sum(CASE WHEN s.std_value > 0
+                              AND abs(e.value - s.mean_value) > 3.0 * s.std_value
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         FROM events e JOIN s ON e.event_type = s.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
     // Staged conditional minima: each stage's earliest qualifying
     // event must sit at/after the previous stage's time.
     "funnel_signup_click_purchase" ->

@@ -192,6 +192,38 @@ object Analytics {
       .orderBy(col(groupCol))
   }
 
+  /** Per-group z-score anomaly counts: rows whose value sits more than
+    * `zMax` sample standard deviations from the group mean. The
+    * mean/std derive from the same exact decimal moment sums as
+    * [[corrByGroup]] (native stddev's streaming accumulation is
+    * engine-dependent), so the flag thresholds — and therefore the
+    * counts — are bit-identical on any engine and partitioning. The
+    * group-stats relation is tiny and broadcasts back onto the fact
+    * scan for the flagging pass.
+    */
+  def anomalyCounts(events: DataFrame, groupCol: String, valueCol: String,
+                    zMax: Double = 3.0): DataFrame = {
+    val v = dec2(col(valueCol))
+    val stats = events.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      dsum(v).as("__sx"), dsum(v * v).as("__sxx"))
+    val varN = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val enriched = stats.select(col(groupCol), col("__n"),
+      (col("__sx") / col("__n")).as("__mean"),
+      when(col("__n") > 1 && varN > 0,
+        sqrt(varN / (col("__n") * (col("__n") - 1)))).otherwise(lit(0.0))
+        .as("__std"))
+    events.join(broadcast(enriched), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__mean")).as("mean_value"),
+        max(col("__std")).as("std_value"),
+        sum(when(col("__std") > 0 &&
+          abs(col(valueCol).cast("double") - col("__mean")) > lit(zMax) * col("__std"),
+          1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col(groupCol))
+  }
+
   /** Ordered funnel: how many users reach each stage IN ORDER —
     * stage n counts only if its earliest qualifying event is at or
     * after the user's stage n−1 time (a purchase before the signup
