@@ -358,6 +358,36 @@ object SparkEntry {
             / col("n_users").cast("double") <= 0.05).as("sketch_tolerance_met"))
         .orderBy(col("win_day"))
     }),
+    "daily_growth" -> ((s, d) => {
+      // Day-over-day deltas: lag over the (tiny) daily aggregate, not
+      // raw events; pct change guarded (ANSI) and computed with one
+      // division on both engines.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(col("day"), col("n"),
+          (col("n") - coalesce(col("prev_n"), col("n"))).as("delta"),
+          when(col("prev_n").isNotNull && col("prev_n") > 0,
+            (col("n") - col("prev_n")).cast("double") / col("prev_n").cast("double"))
+            .otherwise(lit(0.0)).as("pct_change"))
+        .orderBy(col("day"))
+    }),
+    "share_by_type" -> ((s, d) => {
+      // Percent-of-total: the window ratio runs over the 5-row
+      // aggregate, never the fact table.
+      val agg = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      agg.select(col("event_type"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+            .as("share"))
+        .orderBy(col("event_type"))
+    }),
     "value_anomalies" -> ((s, d) =>
       // Data-quality gate: per-type z>3 outlier counts with mean/std
       // from exact decimal moments — thresholds bit-identical on both
@@ -1877,6 +1907,22 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    "daily_growth" ->
+      """WITH d AS (
+           SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT day, n,
+                CAST(n - COALESCE(lag(n) OVER (ORDER BY day), n) AS BIGINT) AS delta,
+                CASE WHEN lag(n) OVER (ORDER BY day) > 0
+                     THEN CAST(n - lag(n) OVER (ORDER BY day) AS DOUBLE)
+                          / CAST(lag(n) OVER (ORDER BY day) AS DOUBLE)
+                     ELSE 0.0 END AS pct_change
+         FROM d ORDER BY day""",
+    "share_by_type" ->
+      """WITH a AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+         SELECT event_type, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+         FROM a ORDER BY event_type""",
     // Mean/std from the identical exact moment sums and double ops;
     // the z comparison is then deterministic per row.
     "value_anomalies" ->
