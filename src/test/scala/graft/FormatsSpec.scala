@@ -27,6 +27,24 @@ class FormatsSpec extends SparkSpec {
     assert(normalize(got) === normalize(want))
   }
 
+  test("schema evolution: mergeSchema unions writer versions, old rows null-fill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    // v1 writer: (id, name); v2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("batch", "id", "name", "score"))
+    val rows = merged.select($"id", $"score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // default read (no mergeSchema) picks ONE file's schema — the trap
+    // this spec documents: old batches silently lose the new column
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
+
   test("csv and orc round trips reproduce the events table exactly") {
     val events = tables.Tables.events(spark, sf)
     val base = events.orderBy($"event_id").collect().toSeq
