@@ -44,4 +44,29 @@ object Partitioned {
     spark.read.parquet(dir)
       .filter(col("event_date") >= to_date(lit(sinceTs)) &&
         col("ts") >= to_timestamp_ntz(lit(sinceTs)))
+
+  /** Idempotent backfill: overwrite ONLY the partitions present in
+    * `batch`, leaving every other day untouched — dynamic partition
+    * overwrite, the write mode that makes re-running a day's job safe.
+    * The default (static) overwrite mode would DROP the whole table
+    * first; the conf is set per-write and restored, so the session's
+    * global behavior is unchanged.
+    */
+  def backfillDays(batch: DataFrame, dir: String, tsCol: String = "ts"): Unit = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try
+      batch
+        .withColumn("event_date", to_date(col(tsCol)))
+        .repartition(col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

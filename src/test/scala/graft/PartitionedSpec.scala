@@ -40,4 +40,31 @@ class PartitionedSpec extends SparkSpec {
     assert(scan.toString.contains("PartitionFilters") &&
       scan.toString.contains("event_date"))
   }
+
+  test("backfillDays overwrites only the batch's partitions (idempotent re-run)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_backfill").toString + "/by_date"
+    val events = Tables.events(spark, sf)
+    Partitioned.writeByDate(events, dir)
+    val before = spark.read.parquet(dir)
+      .groupBy($"event_date").count().as[(java.sql.Date, Long)].collect().toMap
+    assert(before.size > 1)
+
+    // re-run one day's job with a modified batch (half the rows)
+    val day = before.keys.minBy(_.getTime)
+    val batch = events
+      .filter(to_date($"ts") === lit(day) && $"event_id" % 2 === 0)
+    val expectedDay = batch.count()
+    Partitioned.backfillDays(batch, dir)
+
+    val after = spark.read.parquet(dir)
+      .groupBy($"event_date").count().as[(java.sql.Date, Long)].collect().toMap
+    assert(after(day) === expectedDay)              // target day replaced
+    assert((after - day) === (before - day))        // every other day untouched
+    // re-running the identical backfill changes nothing (idempotent)
+    Partitioned.backfillDays(batch, dir)
+    val again = spark.read.parquet(dir)
+      .groupBy($"event_date").count().as[(java.sql.Date, Long)].collect().toMap
+    assert(again === after)
+  }
 }
