@@ -774,6 +774,22 @@ object SparkEntry {
       // every component is a strong structural pin.
       operators.Components.nearDupClusters(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "dup_graph_degrees" -> ((s, d) => {
+      // Degree histogram of the near-dup pair graph — the shape audit
+      // run before clustering (a heavy-tailed degree distribution
+      // means a hub document, e.g. boilerplate, is about to glue
+      // unrelated families together). Degrees from the exact pair set;
+      // docs with no pairs count at degree 0.
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      val incid = pairs.select(col("doc_id_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__deg"))
+      docs.select(col("doc_id")).join(incid, Seq("doc_id"), "left")
+        .select(coalesce(col("__deg"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("degree"))
+    }),
     "dedup_crossmodal_clusters" -> ((s, d) =>
       // Lexical ∪ semantic pair graph → ONE set of keep-one families
       // (doc_id ≡ vec_id in the fixtures); the oracle recomputes both
@@ -830,6 +846,35 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
+    "label_centroid_sim" -> ((s, d) => {
+      // Cross-label centroid cosine matrix (the cluster-drift /
+      // class-separation report). Exactness trick: cosine of MEANS is
+      // scale-free, so the 1/(n·10^7) factors cancel and the whole
+      // similarity computes from integer component sums — exact,
+      // order-free numerators in the decimal domain, ONE double
+      // division at the end (mirrored in HUGEINT by the oracle).
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      val q = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          round(col("v").cast("double") * 1e7).cast("long").as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("sq"))
+      val a = q.select(col("label").as("label_a"), col("dim"), col("sq").as("sqa"))
+      val b = q.select(col("label").as("label_b"), col("dim"), col("sq").as("sqb"))
+      a.join(b, Seq("dim"))
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(dec(col("sqa")) * dec(col("sqb"))).as("__dot"),
+          sum(dec(col("sqa")) * dec(col("sqa"))).as("__na2"),
+          sum(dec(col("sqb")) * dec(col("sqb"))).as("__nb2"))
+        .select(col("label_a"), col("label_b"),
+          (col("__dot").cast("double") /
+            (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
+            .as("centroid_cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
     "ann_ivf_refined" -> ((s, d) => {
       // One Lloyd sweep then FULL probe: refinement moves centroids
       // but cells must still partition the corpus exactly (every
@@ -2494,6 +2539,61 @@ object SparkEntry {
                 CAST(NULL AS TIMESTAMP) AS valid_to
          FROM u
          ORDER BY c_custkey, valid_from""",
+    // The same integer component sums in HUGEINT; one double division.
+    "label_centroid_sim" ->
+      """WITH e AS (
+           SELECT label,
+                  -- CAST the float component to DOUBLE BEFORE the
+                  -- multiply: FLOAT x DECIMAL-literal arithmetic
+                  -- diverges from Spark's double math
+                  unnest([{'dim': i - 1,
+                           'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (
+           SELECT label, u['dim'] AS dim, CAST(sum(u['q']) AS BIGINT) AS sq
+           FROM e GROUP BY 1, 2),
+         j AS (
+           SELECT a.label AS label_a, b.label AS label_b,
+                  CAST(sum(CAST(a.sq AS HUGEINT) * b.sq) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(a.sq AS HUGEINT) * a.sq) AS DOUBLE) AS na2,
+                  CAST(sum(CAST(b.sq AS HUGEINT) * b.sq) AS DOUBLE) AS nb2
+           FROM q a JOIN q b ON a.dim = b.dim AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT label_a, label_b, dot / (sqrt(na2) * sqrt(nb2)) AS centroid_cosine
+         FROM j ORDER BY label_a, label_b""",
+    // Same capped-block pair set as dedup_clusters; degree = incident
+    // edge count, zero-degree docs included via the left join.
+    "dup_graph_degrees" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         inc AS (SELECT pa AS doc_id FROM pairs UNION ALL SELECT pb FROM pairs),
+         deg AS (
+           SELECT d.doc_id, CAST(count(inc.doc_id) AS BIGINT) AS degree
+           FROM documents d LEFT JOIN inc ON d.doc_id = inc.doc_id
+           GROUP BY d.doc_id)
+         SELECT degree, count(*) AS n_docs
+         FROM deg GROUP BY 1 ORDER BY degree""",
     // The dedup_clusters closure over the UNION of the lexical pair
     // set and the embedding-cosine pair set.
     "dedup_crossmodal_clusters" ->
