@@ -774,6 +774,46 @@ object SparkEntry {
       // every component is a strong structural pin.
       operators.Components.nearDupClusters(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "split_leakage" -> ((s, d) => {
+      // The QA gate a train/test split must pass: near-duplicate pairs
+      // must not straddle the split (a test doc with a train near-dup
+      // is leakage). Composes the deterministic splitter with the
+      // exact pair set; the oracle recomputes both and the straddle
+      // counts per pair-of-splits.
+      val docs = Tables.documents(s, d)
+      val split = docs.select(col("doc_id"),
+        operators.Sampling.splitColumn(col("doc_id")).as("split"))
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      pairs
+        .join(split.withColumnRenamed("doc_id", "doc_id_a")
+          .withColumnRenamed("split", "split_a"), "doc_id_a")
+        .join(split.withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("split", "split_b"), "doc_id_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+    "pack_utilization" -> ((s, d) => {
+      // Packing-efficiency report: per-bin fill against the token
+      // budget — the histogram that tells you whether the bin size
+      // fits the document length distribution.
+      operators.Packing.packBins(Tables.documents(s, d), "doc_id", 2000L)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+          (col("bin_tokens").cast("double") / 2000.0d).as("fill_ratio"))
+        .orderBy(col("bin_id"))
+    }),
+    "pps_sample" -> ((s, d) =>
+      // Probability-proportional-to-size sampling: keep a doc iff its
+      // md5-uniform draw falls under n_chars/400 (docs at 400+ chars
+      // are certain) — deterministic importance sampling, exact row
+      // membership pinned.
+      Tables.documents(s, d)
+        .filter(operators.Sampling.hashBucket(col("doc_id"), 1000)
+          .cast("double") / 1000.0d < col("n_chars").cast("double") / 400.0d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     "dup_graph_degrees" -> ((s, d) => {
       // Degree histogram of the near-dup pair graph — the shape audit
       // run before clustering (a heavy-tailed degree distribution
@@ -2562,6 +2602,73 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT label_a, label_b, dot / (sqrt(na2) * sqrt(nb2)) AS centroid_cosine
          FROM j ORDER BY label_a, label_b""",
+    // Split labels + the capped-block pair set, both recomputed; the
+    // gate reads the off-diagonal cells.
+    "split_leakage" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t
+           QUALIFY row_number() OVER (
+             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+             ORDER BY doc_id) <= 128),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        list_reduce([strpos('0123456789abcdef', x) - 1
+                                     for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                               for i in range(1, 9)]],
+                                    (a, b) -> a * 16 + b) % 100 AS b
+                 FROM documents))
+         SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+         FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
+         JOIN sp sb ON pairs.pb = sb.doc_id
+         GROUP BY 1, 2 ORDER BY split_a, split_b""",
+    // Per-bin totals over the same two-level prefix sum.
+    "pack_utilization" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM t)
+         SELECT CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                CAST(sum(n_tokens) AS DOUBLE) / 2000.0 AS fill_ratio
+         FROM p GROUP BY 1 ORDER BY bin_id""",
+    // The same uniform md5 draw under the size-proportional threshold.
+    "pps_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 1000 AS b
+           FROM documents)
+         SELECT doc_id, lang, n_chars FROM h
+         WHERE CAST(b AS DOUBLE) / 1000.0 < CAST(n_chars AS DOUBLE) / 400.0
+         ORDER BY doc_id""",
     // Same capped-block pair set as dedup_clusters; degree = incident
     // edge count, zero-degree docs included via the left join.
     "dup_graph_degrees" ->
