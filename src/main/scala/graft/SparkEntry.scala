@@ -774,6 +774,10 @@ object SparkEntry {
       // every component is a strong structural pin.
       operators.Components.nearDupClusters(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "containment_pairs" -> ((s, d) =>
+      // Asymmetric quote/inclusion detection over the shingle inverted
+      // index — directional (contained, container) pairs at C ≥ 0.8.
+      Dedup.containmentPairs(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => {
       // The QA gate a train/test split must pass: near-duplicate pairs
       // must not straddle the split (a test doc with a train near-dup
@@ -2602,6 +2606,42 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT label_a, label_b, dot / (sqrt(na2) * sqrt(nb2)) AS centroid_cosine
          FROM j ORDER BY label_a, label_b""",
+    // Same inverted-index candidates (string shingles instead of the
+    // engine's hashes — counts agree collision-free) and the same
+    // directional containment ratios.
+    "containment_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         cap AS (
+           SELECT doc_id, g FROM (
+             SELECT doc_id, g,
+                    row_number() OVER (PARTITION BY g ORDER BY doc_id) AS rn
+             FROM inv)
+           WHERE rn <= 64),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM cap a JOIN cap b ON a.g = b.g AND a.doc_id < b.doc_id),
+         sc AS (
+           SELECT da, db,
+                  CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS i,
+                  CAST(len(ta.sh) AS DOUBLE) AS na,
+                  CAST(len(tb.sh) AS DOUBLE) AS nb
+           FROM cand JOIN sh ta ON da = ta.doc_id JOIN sh tb ON db = tb.doc_id)
+         SELECT doc_id, container_id, containment FROM (
+           SELECT da AS doc_id, db AS container_id, i / na AS containment
+           FROM sc WHERE na > 0 AND i / na >= 0.8
+           UNION ALL
+           SELECT db, da, i / nb FROM sc WHERE nb > 0 AND i / nb >= 0.8)
+         ORDER BY doc_id, container_id""",
     // Split labels + the capped-block pair set, both recomputed; the
     // gate reads the off-diagonal cells.
     "split_leakage" ->

@@ -218,6 +218,56 @@ object Dedup {
       .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ `threshold`
+    * — the quote/inclusion detector symmetric Jaccard structurally
+    * misses (a 10-token doc quoted inside a 90-token doc has Jaccard
+    * ≈ 0.1 but containment 1.0). Length-bucket blocking is therefore
+    * WRONG here (the target pairs differ wildly in length); candidates
+    * come from a shingle-hash inverted index instead, with hot
+    * shingles capped at `maxPerShingle` postings (the standard
+    * boilerplate guard — a shingle shared by everything generates no
+    * usable signal and quadratic candidates). Shuffles carry only
+    * (8-byte hash, doc_id) postings and skinny candidate ids; the
+    * verify pass re-joins the sorted-hash arrays and runs the native
+    * merge-intersect once per candidate. Output is DIRECTIONAL:
+    * (doc_id, container_id, containment).
+    */
+  def containmentPairs(docs: DataFrame, shingleK: Int = 3,
+                       threshold: Double = 0.8,
+                       maxPerShingle: Int = 64): DataFrame = {
+    val withSh = docs.select(col("doc_id"),
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val wCap = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val postings = withSh
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxPerShingle)
+      .select(col("doc_id"), col("h"))
+    val cand = postings.as("a")
+      .join(postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    val scored = cand
+      .join(withSh.select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("n_sh").as("na")), "da")
+      .join(withSh.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"), inter.as("i"),
+        col("na").cast("double").as("na"), col("nb").cast("double").as("nb"))
+    val aInB = scored.filter(col("na") > 0 && col("i") / col("na") >= threshold)
+      .select(col("da").as("doc_id"), col("db").as("container_id"),
+        (col("i") / col("na")).as("containment"))
+    val bInA = scored.filter(col("nb") > 0 && col("i") / col("nb") >= threshold)
+      .select(col("db").as("doc_id"), col("da").as("container_id"),
+        (col("i") / col("nb")).as("containment"))
+    aInB.unionByName(bInA).orderBy(col("doc_id"), col("container_id"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
                         threshold: Double = 0.5, bucketWidth: Int = 16,
                         maxBlock: Int = 128): DataFrame = {

@@ -88,4 +88,21 @@ class DedupSpec extends SparkSpec {
     val brute = Dedup.ngramJaccardPairs(real, threshold = 0.5)
     assert(n === brute.count()) // sketch recall == exact baseline here
   }
+
+  test("containment finds asymmetric inclusion that Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, quote),                      // short doc
+      (1L, s"$filler $quote"),          // long doc QUOTING doc 0 verbatim
+      (2L, "totally unrelated words about nothing shared at all here")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    // doc 0's shingles ⊆ doc 1's → containment 1.0, directional
+    val cont = Dedup.containmentPairs(d, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((0L, 1L, 1.0)))
+    // symmetric Jaccard can't see it at any usable threshold
+    val jac = Dedup.ngramJaccardPairs(d, threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
 }
