@@ -575,6 +575,45 @@ object SparkEntry {
     }),
     "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),
     "top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables.events(s, d), 3)),
+    "user_best_event" -> ((s, d) =>
+      // Deterministic argmax without a window over the facts: max of a
+      // (value, event_id) struct is ONE partial-agg'd aggregation and
+      // breaks value ties on event_id — max_by alone is
+      // tie-nondeterministic and unpinnable.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("value"), col("event_id"))).as("__best"))
+        .select(col("user_id"), col("__best.event_id").as("event_id"),
+          col("__best.value").as("value"))
+        .orderBy(col("user_id"))),
+    "session_cooccurrence" -> ((s, d) => {
+      // Basket analysis: which event types co-occur within a session
+      // (the lag/cumsum sessionization reused); per-session DISTINCT
+      // types pair up (a < b) and count across sessions.
+      // per-event session ids via the same lag/cumsum convention as
+      // Analytics.sessionize, then per-session distinct types pair up
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val prev = lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)
+      val isNew = when(prev.isNull ||
+        unix_micros(col("ts").cast("timestamp")) - prev > 30L * 60L * 1000000L, 1L)
+        .otherwise(0L)
+      val st = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__new", isNew)
+        .withColumn("session_seq", sum(col("__new")).over(run))
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct()
+      st.as("a").join(st.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_seq") === col("b.session_seq") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
     "user_activity_rollup" -> ((s, d) =>
       Analytics.userActivityRollup(Tables.customer(s, d), Tables.events(s, d))),
     "running_user_total" -> ((s, d) => Analytics.runningUserTotal(Tables.events(s, d))),
@@ -1996,6 +2035,35 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    // Lexicographic struct max ≡ (value desc, event_id desc) rank 1.
+    "user_best_event" ->
+      """SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    // The event_sessions lag/cumsum convention, then distinct
+    // (session, type) pairs joined a < b.
+    "session_cooccurrence" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         st AS (
+           SELECT DISTINCT user_id, event_type,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS seq
+           FROM flagged)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_sessions
+         FROM st a JOIN st b
+           ON a.user_id = b.user_id AND a.seq = b.seq
+          AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY type_a, type_b""",
     "daily_growth" ->
       """WITH d AS (
            SELECT date_trunc('day', ts) AS day, count(*) AS n
