@@ -913,6 +913,13 @@ object SparkEntry {
 
     // ---- training-data extensions: text analysis -------------------
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "lang_id_confusion" -> ((s, d) =>
+      // Classifier QA: labeled × predicted counts — per-language
+      // accuracy and the specific confusions fall out of the matrix.
+      TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("labeled_lang"), col("predicted_lang"))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "fingerprint_md5" -> ((s, d) =>
@@ -3019,6 +3026,29 @@ object SparkEntry {
     // chars are adjacent, and the native kernel's ASCII-only lowering
     // coincides with lower(). Ties break on the LARGER lang string
     // (Spark's array_max over (score, lang) structs) — hence lang DESC.
+    // The oracle-green lang_id mirror, grouped into the confusion
+    // matrix (accuracy per labeled language falls out of the rows).
+    "lang_id_confusion" ->
+      """WITH b AS (
+           SELECT doc_id, lang AS labeled_lang,
+                  list_distinct([substr(lower(text), i, 2) for i in range(1, length(text))]) AS bgs
+           FROM documents),
+         scored AS (
+           SELECT doc_id, labeled_lang, unnest([
+             {'score': len(list_intersect(bgs, ['th','he','in','er','an','re','on','at','en','nd']))/10.0, 'lang': 'en'},
+             {'score': len(list_intersect(bgs, ['en','er','ch','de','ei','nd','te','in','ie','ge']))/10.0, 'lang': 'de'},
+             {'score': len(list_intersect(bgs, ['de','la','os','en','ar','el','es','ra','as','on']))/10.0, 'lang': 'es'},
+             {'score': len(list_intersect(bgs, ['es','le','de','en','on','nt','re','ou','ai','it']))/10.0, 'lang': 'fr'},
+             {'score': len(list_intersect(bgs, ['zh','sh','ng','ia','uo','ji','xi','qi','an','ua']))/10.0, 'lang': 'zh'}
+           ]) AS sl
+           FROM b),
+         ranked AS (
+           SELECT doc_id, labeled_lang, sl.lang AS predicted_lang,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
+           FROM scored)
+         SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+         FROM ranked WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang""",
     "lang_id" ->
       """WITH b AS (
            SELECT doc_id, lang AS labeled_lang,
