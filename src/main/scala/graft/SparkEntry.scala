@@ -116,6 +116,29 @@ object SparkEntry {
     "a3_delete_activity" -> ((s, d) =>
       Merge.delete(Tables.events(s, d), col("event_id") === 42L)
         .orderBy(col("event_id"))),
+    "cdc_apply" -> ((s, d) => {
+      // Debezium-shaped changelog against the events store: per key
+      // the latest (by seq) op wins — updates bump value, a trailing
+      // delete removes the row, inserts add new ids. The oracle
+      // replays the same log with window SQL.
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("event_id"), col("user_id"), col("value"))
+      // deterministic changelog: two ops per affected key, seq 1..2
+      val log1 = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id"), col("user_id"),
+          (col("value") + 1.0d).as("value"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val log2 = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("user_id"),
+          lit(0.0d).as("value"), lit(2L).as("seq"),
+          when(col("event_id") % 200 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val inserts = ev.filter(col("event_id") < 3)
+        .select((col("event_id") + 1000000L).as("event_id"), col("user_id"),
+          lit(9.99d).as("value"), lit(1L).as("seq"), lit("I").as("op"))
+      Merge.applyChangelog(base, log1.unionByName(log2).unionByName(inserts),
+          Seq("event_id"), "seq", "op")
+        .orderBy(col("event_id"))
+    }),
     "scd2_dimension" -> ((s, d) => {
       // Slowly-changing dimension, Type 2: a balance-change batch for
       // every 15th customer closes the open version and appends the
@@ -2637,6 +2660,35 @@ object SparkEntry {
                 b.value AS old_value, a.value AS new_value
          FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
          WHERE a.event_id IS NULL OR b.event_id IS NULL OR b.value <> a.value
+         ORDER BY event_id""",
+    // Replay of the same changelog: latest seq per key wins; D drops,
+    // I/U replace or insert.
+    "cdc_apply" ->
+      """WITH base AS (SELECT event_id, user_id, value FROM events),
+         log AS (
+           SELECT event_id, user_id, value + 1.0 AS value, 1 AS seq, 'U' AS op
+           FROM events WHERE event_id % 50 = 0
+           UNION ALL
+           SELECT event_id, user_id, 0.0, 2,
+                  CASE WHEN event_id % 200 = 0 THEN 'D' ELSE 'U' END
+           FROM events WHERE event_id % 100 = 0
+           UNION ALL
+           SELECT event_id + 1000000, user_id, 9.99, 1, 'I'
+           FROM events WHERE event_id < 3),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_id
+               ORDER BY seq DESC) AS rn FROM log)
+           WHERE rn = 1),
+         merged AS (
+           SELECT l.event_id, l.user_id, l.value
+           FROM latest l WHERE l.op <> 'D'
+           UNION ALL
+           SELECT b.event_id, b.user_id, b.value FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.event_id = b.event_id))
+         SELECT m.* FROM merged m
+         WHERE NOT EXISTS (
+           SELECT 1 FROM latest l WHERE l.op = 'D' AND l.event_id = m.event_id)
          ORDER BY event_id""",
     // Closed version for updated keys + the new open version unioned in.
     "scd2_dimension" ->

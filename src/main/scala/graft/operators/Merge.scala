@@ -149,6 +149,25 @@ object Merge {
     current.unionByName(withIds, allowMissingColumns = true)
   }
 
+  /** Apply a CDC changelog (op ∈ I/U/D with a per-key sequence) to a
+    * store: each key's LATEST change wins — upserts (I/U) replace the
+    * stored row, a trailing D removes it. The window LWW runs on the
+    * (small) changelog only; the store-side work is the same
+    * broadcast anti-join + union as [[upsert]] plus one anti-join for
+    * the deletes — the store never shuffles. This is the generalized
+    * merge every CDC sink (Debezium-style) needs.
+    */
+  def applyChangelog(store: DataFrame, log: DataFrame, keys: Seq[String],
+                     seqCol: String, opCol: String): DataFrame = {
+    val latest = latestPerKey(log, keys, seqCol)
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(store.columns.map(col): _*)
+    val deletes = latest.filter(col(opCol) === "D")
+      .select(keys.map(col): _*)
+    upsert(store, upserts, keys)
+      .join(broadcast(deletes), keys, "left_anti")
+  }
+
   /** SCD Type 2 merge: apply one batch of dimension updates, closing
     * each updated key's OPEN version (`valid_to` = the update's
     * `valid_from`) and appending the update as the new open version.

@@ -71,6 +71,19 @@ class MergeSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("cdc: latest op per key wins — U/U, U/D, D/U, insert, untouched") {
+    val store = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"),  // double update → a2
+      (2L, "x", 1L, "U"), (2L, "x", 2L, "D"),    // update then delete → gone
+      (3L, "c9", 2L, "U"), (3L, "zz", 1L, "D"),  // delete superseded → c9
+      (9L, "new", 1L, "I")                        // fresh key
+    ).toDF("k", "v", "seq", "op")
+    val out = Merge.applyChangelog(store, log, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a2", 3L -> "c9", 4L -> "d", 9L -> "new"))
+  }
+
   test("scd2: versions chain across batches; history immutable; new keys insert") {
     def ts(s: String) = java.time.LocalDateTime.parse(s)
     val dim0 = Seq((1L, "a", ts("2024-01-01T00:00"), null.asInstanceOf[java.time.LocalDateTime]),
