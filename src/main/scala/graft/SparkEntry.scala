@@ -571,6 +571,27 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "streaming_leaderboard" -> ((s, d) => {
+      // Complete output mode — the remaining cell of the output-mode
+      // matrix (append: hourly/sessions/dedup; complete: this): an
+      // unwatermarked running per-user leaderboard whose state NEVER
+      // ages out; after the 3-batch replay the complete table must
+      // equal the batch aggregate exactly (decimal-exact sums, so
+      // batch boundaries can't leak into the values).
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      graft.streaming.Replay.runComplete(s, events, d) { src =>
+        src.filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+              .cast("double").as("total_value"))
+      }
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"))
+    }),
     "streaming_sessions" -> ((s, d) => {
       // Stream ≡ batch for the STATEFUL path: gap sessionization via
       // flatMapGroupsWithState + event-time timeouts, replayed through
@@ -2005,6 +2026,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // Complete-mode final table ≡ the plain batch aggregate.
+    "streaming_leaderboard" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY user_id""",
     // 5 byte-identical copies are planted by construction; the decoder
     // + hash must reunite every one with its original (a decode
     // regression or hash instability breaks the count).

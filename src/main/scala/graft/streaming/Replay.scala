@@ -106,4 +106,36 @@ object Replay {
     deleteTree(ck)
     spark.read.parquet(out.toString)
   }
+
+  /** Complete-output-mode replay: the same 3-batch harness through a
+    * memory sink (a file sink cannot take complete mode — every
+    * trigger re-emits the FULL result). Returns the final complete
+    * table, i.e. the state after the last micro-batch, which must
+    * equal the batch computation over everything — the pin for
+    * unwatermarked running aggregations (leaderboards, totals) whose
+    * state deliberately never ages out.
+    */
+  def runComplete(spark: SparkSession, events: DataFrame, key: String)
+                 (op: DataFrame => DataFrame): DataFrame = {
+    val base = stagedEvents(spark, events, key)
+    val n = runSeq.incrementAndGet()
+    val name = s"graft_complete_$n"
+    val ck = base.resolve(s"ck_$n")
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.resolve("stage").toString)
+    val q = op(src).writeStream.format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteTree(ck)
+    // materialize off the memory sink before the next run overwrites it
+    val rows = spark.table(name)
+    val out = rows.cache()
+    out.count()
+    out
+  }
 }
