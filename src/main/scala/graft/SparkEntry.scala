@@ -571,6 +571,31 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "streaming_update_log" -> ((s, d) => {
+      // UPDATE output mode: per trigger only changed per-user rows
+      // emit; foreachBatch stamps the batch id into a parquet
+      // changelog (what a downstream upsert sink consumes). Final
+      // state = latest emission per user — must equal the batch
+      // aggregate exactly, closing the append/complete/update matrix.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val log = graft.streaming.Replay.runUpdate(s, events, d) { src =>
+        src.filter(col("event_type") =!= graft.streaming.Replay.SentinelType)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+              .cast("double").as("total_value"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__batch").desc)
+      log.filter(col("user_id") =!= -1L)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"))
+    }),
     "streaming_leaderboard" -> ((s, d) => {
       // Complete output mode — the remaining cell of the output-mode
       // matrix (append: hourly/sessions/dedup; complete: this): an
@@ -2026,6 +2051,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour""",
+    // Latest update-mode emission per key ≡ the plain batch aggregate.
+    "streaming_update_log" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY user_id""",
     // Complete-mode final table ≡ the plain batch aggregate.
     "streaming_leaderboard" ->
       """SELECT user_id, count(*) AS n_events,

@@ -138,4 +138,35 @@ object Replay {
     out.count()
     out
   }
+
+  /** Update-output-mode replay: per trigger only CHANGED aggregate
+    * rows emit; `foreachBatch` stamps each emission with its batch id
+    * and appends to parquet (the changelog a downstream upsert sink
+    * consumes). Returns the emission log — callers reconstruct final
+    * state as latest-emission-per-key and pin it against batch. This
+    * is the third cell of the output-mode matrix (append = finalized
+    * windows, complete = whole table, update = changed rows).
+    */
+  def runUpdate(spark: SparkSession, events: DataFrame, key: String)
+               (op: DataFrame => DataFrame): DataFrame = {
+    val base = stagedEvents(spark, events, key)
+    val n = runSeq.incrementAndGet()
+    val out = base.resolve(s"upd_$n")
+    val ck = base.resolve(s"ck_$n")
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.resolve("stage").toString)
+    val q = op(src).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("__batch", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(out.toString)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteTree(ck)
+    spark.read.parquet(out.toString)
+  }
 }
