@@ -416,6 +416,27 @@ object SparkEntry {
       // from exact decimal moments — thresholds bit-identical on both
       // engines, so the COUNTS pin exactly (native stddev couldn't).
       Analytics.anomalyCounts(Tables.events(s, d), "event_type", "value")),
+    "conversion_latency" -> ((s, d) => {
+      // Signup→purchase latency distribution (ordered, per the funnel
+      // convention): per converting user the seconds from first signup
+      // to the first purchase at/after it; exact interpolated
+      // percentiles over the converters.
+      val ev = Tables.events(s, d)
+      val t0 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("__t0"))
+      val lat = ev.join(t0, "user_id")
+        .groupBy(col("user_id"), col("__t0"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("__t0"),
+          col("ts"))).as("__t1"))
+        .filter(col("__t0").isNotNull && col("__t1").isNotNull)
+        // DIV, not `/`: Spark's slash on longs is DOUBLE division
+        // (fractional seconds) where DuckDB's // truncates
+        .select(expr("(unix_micros(CAST(__t1 AS TIMESTAMP)) " +
+          "- unix_micros(CAST(__t0 AS TIMESTAMP))) DIV 1000000").as("latency_s"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        expr("percentile(latency_s, 0.5)").as("p50_s"),
+        expr("percentile(latency_s, 0.9)").as("p90_s"))
+    }),
     "funnel_signup_click_purchase" -> ((s, d) =>
       // Ordered conversion funnel: click counts only at/after the
       // user's first signup, purchase only at/after that click — the
@@ -1560,6 +1581,19 @@ object SparkEntry {
       // reproduces the exact permutation from md5 alone.
       operators.Sampling.epochShuffleRank(Tables.documents(s, d), "doc_id", 1)
         .orderBy(col("doc_id"))),
+    "sample_per_group" -> ((s, d) =>
+      // Exactly 20 docs per language by the md5 order — per-group
+      // exact-N sampling as a WindowGroupLimit (per-partition pruning
+      // to N before the exchange), the grouped twin of
+      // sample_uniform_n.
+      Tables.documents(s, d)
+        .withColumn("sample_key", md5(col("doc_id").cast("string")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("sample_key"))))
+        .filter(col("__rn") <= 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
     "sample_uniform_n" -> ((s, d) =>
       // Exact-N uniform sample as a TakeOrderedAndProject over the
       // hash order — never a global sort; the oracle recomputes the
@@ -2191,6 +2225,25 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
          FROM events e JOIN s ON e.event_type = s.event_type
          GROUP BY e.event_type ORDER BY e.event_type""",
+    // Same staged minima; integer-seconds latencies; quantile_cont
+    // matches Spark's exact interpolated percentile.
+    "conversion_latency" ->
+      """WITH t0 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+           FROM events GROUP BY 1),
+         lat AS (
+           SELECT (epoch_us(min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t0.t0
+                                     THEN e.ts END))
+                   - epoch_us(t0.t0)) // 1000000 AS latency_s
+           FROM t0 JOIN events e ON t0.user_id = e.user_id
+           WHERE t0.t0 IS NOT NULL
+           GROUP BY t0.user_id, t0.t0
+           HAVING min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t0.t0
+                           THEN e.ts END) IS NOT NULL)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                quantile_cont(latency_s, 0.5) AS p50_s,
+                quantile_cont(latency_s, 0.9) AS p90_s
+         FROM lat""",
     // Staged conditional minima: each stage's earliest qualifying
     // event must sit at/after the previous stage's time.
     "funnel_signup_click_purchase" ->
@@ -3047,6 +3100,13 @@ object SparkEntry {
          SELECT anchor_id, candidate_id, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 4
          ORDER BY anchor_id, rank""",
+    "sample_per_group" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, doc_id""",
     // Identical 200-row set from the md5 order alone.
     "sample_uniform_n" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
