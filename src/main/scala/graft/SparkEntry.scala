@@ -381,6 +381,26 @@ object SparkEntry {
             / col("n_users").cast("double") <= 0.05).as("sketch_tolerance_met"))
         .orderBy(col("win_day"))
     }),
+    "trending_types" -> ((s, d) => {
+      // Ops monitoring: per (type, day), today's count against the
+      // trailing 7-day average (excluding today) — ratio > 2 flags a
+      // spike. The window runs over the type×day aggregate (150
+      // rows), never the facts.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("__avg7",
+          avg(col("n").cast("double")).over(w))
+        .select(col("event_type"), col("day"), col("n"),
+          coalesce(col("__avg7"), lit(0.0)).as("trailing_avg"),
+          (col("__avg7").isNotNull && col("__avg7") > 0 &&
+            col("n").cast("double") > lit(2.0) * col("__avg7")).as("spike"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     "daily_growth" -> ((s, d) => {
       // Day-over-day deltas: lag over the (tiny) daily aggregate, not
       // raw events; pct change guarded (ANSI) and computed with one
@@ -1256,6 +1276,36 @@ object SparkEntry {
     }),
     "doc_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
     "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(Tables.documents(s, d))),
+    "top_ngrams_by_lang" -> ((s, d) =>
+      // The grouped variant: top-5 bigrams per language via
+      // WindowGroupLimit (partial group pruning below the exchange).
+      Tables.documents(s, d)
+        .select(col("lang"), explode(graft.functions.WordNgrams
+          .word_ngrams(col("text"), 2)).as("ngram"))
+        .groupBy(col("lang"), col("ngram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("n_occurrences").desc, col("ngram"))))
+        .filter(col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy(col("lang"), col("n_occurrences").desc, col("ngram"))),
+    "corpus_diff" -> ((s, d) => {
+      // Release-to-release corpus audit: the snapshot-diff pattern on
+      // content hashes — v2 drops high-ids, rewrites every 25th text
+      // (simulating a re-clean); changed = same doc_id, different
+      // md5(text).
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val v2 = Tables.documents(s, d)
+        .filter(col("doc_id") < 450)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 25 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+      Reads.snapshotDiff(v1, v2, "doc_id", "h")
+        .withColumnRenamed("old_value", "old_hash")
+        .withColumnRenamed("new_value", "new_hash")
+    }),
     "tfidf_by_lang" -> ((s, d) =>
       // Distinguishing vocabulary per language slice; score = tf·N/df
       // (log-free so the oracle reproduces the doubles bit-exactly).
@@ -2184,6 +2234,21 @@ object SparkEntry {
            ON a.user_id = b.user_id AND a.seq = b.seq
           AND a.event_type < b.event_type
          GROUP BY 1, 2 ORDER BY type_a, type_b""",
+    // Trailing-average window over the type×day aggregate; boolean
+    // spike threshold from the same doubles.
+    "trending_types" ->
+      """WITH d AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+                COALESCE(avg(CAST(n AS DOUBLE)) OVER w, 0.0) AS trailing_avg,
+                (avg(CAST(n AS DOUBLE)) OVER w IS NOT NULL
+                 AND avg(CAST(n AS DOUBLE)) OVER w > 0
+                 AND CAST(n AS DOUBLE) > 2.0 * avg(CAST(n AS DOUBLE)) OVER w) AS spike
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+         ORDER BY event_type, day""",
     "daily_growth" ->
       """WITH d AS (
            SELECT date_trunc('day', ts) AS day, count(*) AS n
@@ -3643,6 +3708,37 @@ object SparkEntry {
          SELECT d.doc_id, COALESCE(enc.token_ids, '') AS token_ids
          FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
          ORDER BY d.doc_id""",
+    "top_ngrams_by_lang" ->
+      """WITH t AS (
+           SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT lang, unnest(list_transform(range(1, len(w)),
+             i -> array_to_string(w[i:i+1], ' '))) AS ngram
+           FROM t),
+         c AS (SELECT lang, ngram, count(*) AS n_occurrences FROM g GROUP BY 1, 2)
+         SELECT lang, ngram, n_occurrences FROM (
+           SELECT lang, ngram, n_occurrences,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_occurrences DESC, ngram) AS rn
+           FROM c)
+         WHERE rn <= 5 ORDER BY lang, n_occurrences DESC, ngram""",
+    // The snapshot-diff pattern over content hashes: v2 drops ids ≥
+    // 450 and rewrites every 25th text.
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 25 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id < 450)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.doc_id IS NULL THEN 'added'
+                     ELSE 'changed' END AS status,
+                v1.h AS old_hash, v2.h AS new_hash
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+         ORDER BY doc_id""",
     // tf·N/df with one int→double cast and one IEEE divide on both
     // engines — bit-exact, unlike a libm log.
     "tfidf_by_lang" ->
