@@ -1343,6 +1343,47 @@ object SparkEntry {
           sum(coalesce(col("__cont"), lit(0L))).as("n_contaminated"))
         .orderBy(col("source"))
     }),
+    "vocab_overlap_langs" -> ((s, d) => {
+      // Pairwise vocabulary Jaccard across language slices — the
+      // slice-level similarity audit (shared terms are cross-lingual
+      // tokens: numbers, names, code). Distinct (lang, term) pairs
+      // self-join on term; counts are integers, one division.
+      val vt = Tables.documents(s, d)
+        .select(col("lang"), explode(graft.functions.TextFunctions
+          .tokens(col("text"))).as("term"))
+        .distinct()
+      val sizes = vt.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val shared = vt.as("a").join(vt.as("b"),
+          col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("lang").as("lang_a"), col("n").as("__na")), "lang_a")
+        .join(sizes.select(col("lang").as("lang_b"), col("n").as("__nb")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+            .as("vocab_jaccard"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+    "oov_rate_by_lang" -> ((s, d) => {
+      // OOV-rate report against the top-500 vocabulary: the
+      // tokenizer-coverage metric that decides whether the vocab is
+      // big enough per slice.
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.buildVocab(docs, 500)
+      docs.select(col("lang"), explode(graft.functions.TextFunctions
+          .tokens(col("text"))).as("term"))
+        .join(broadcast(vocab.select(col("term"), lit(1L).as("__in"))),
+          Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
     "vocab_top" -> ((s, d) =>
       // Frequency-ranked vocabulary, ids dense 1..V, deterministic
       // ties — the id assignment the encode step depends on.
@@ -3672,6 +3713,38 @@ object SparkEntry {
          FROM h JOIN k ON h.hh = k.hh JOIN q ON h.doc_id = q.doc_id
          LEFT JOIN c ON h.doc_id = c.doc_id
          GROUP BY 1 ORDER BY 1""",
+    "vocab_overlap_langs" ->
+      """WITH vt AS (
+           SELECT DISTINCT lang,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         sizes AS (SELECT lang, count(*) AS n FROM vt GROUP BY 1),
+         shared AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+           FROM vt a JOIN vt b ON a.term = b.term AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT s.lang_a, s.lang_b, s.n_shared,
+                CAST(s.n_shared AS DOUBLE)
+                  / CAST(na.n + nb.n - s.n_shared AS DOUBLE) AS vocab_jaccard
+         FROM shared s
+         JOIN sizes na ON s.lang_a = na.lang
+         JOIN sizes nb ON s.lang_b = nb.lang
+         ORDER BY lang_a, lang_b""",
+    "oov_rate_by_lang" ->
+      """WITH w AS (
+           SELECT lang,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         wc AS (SELECT term, count(*) AS n FROM w GROUP BY 1),
+         vocab AS (SELECT term FROM wc ORDER BY n DESC, term LIMIT 500)
+         SELECT w.lang, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM w LEFT JOIN vocab v ON w.term = v.term
+         GROUP BY w.lang ORDER BY w.lang""",
     "vocab_top" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
