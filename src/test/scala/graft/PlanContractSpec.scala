@@ -234,6 +234,48 @@ class PlanContractSpec extends SparkSpec {
       s"hop counts must partially aggregate before the exchange:\n$p")
   }
 
+  test("global audit: every query plans without an unexpected nested-loop join") {
+    // Queries whose CONSTRUCTION runs side effects (streaming replays
+    // await termination; index/staging builders write) are skipped —
+    // their plan shapes are pinned by their own dedicated contracts.
+    val effectful = (n: String) =>
+      n.startsWith("streaming_") || n == "ann_index_persisted" ||
+        n == "csv_roundtrip" || n == "orc_roundtrip"
+    // BNLJ is legitimate ONLY with a broadcast-tiny side: block-pair
+    // grids, phrase/benchmark lists, per-anchor probes, day calendars.
+    val bnljAllowed = Set(
+      "dedup_embedding_pairs", "dedup_embedding_near", "dedup_near_exact",
+      "dedup_embedding_incremental", "dedup_clusters", "dedup_crossmodal_clusters",
+      "decontaminate", "clean_corpus", "clean_corpus_sketch", "clean_corpus_full",
+      "clean_corpus_v2", "dataset_card", "embedding_near_recall",
+      "sliding_week_users", "fuzzy_lookup", "negative_samples",
+      "ann_cosine_topk", "ann_recall", "ann_int8_recall", "ann_pq_recall",
+      "split_leakage", "dup_graph_degrees", "ngram_jaccard_pairs",
+      "dedup_minhash_recall", "simhash_recall", "dedup_near", "dedup_incremental",
+      "dedup_incremental_sketch", "range_join_sessions", "interval_join_concurrency",
+      "asof_join", "asof_join_forward", "conversion_latency",
+      "funnel_signup_click_purchase", "events_hourly_dense",
+      // single-row broadcast crosses: packed centroid/codebook rows,
+      // 1-row aggregates (corpus count, sketch pair, serial base)
+      "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
+      "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq
+        .filterNot { case (n, _) => effectful(n) }
+        .flatMap { case (name, fn) =>
+          val p = fn(spark, sf).queryExecution.executedPlan.toString
+          val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+          val cart = "CartesianProduct".r.findAllIn(p).length
+          if (cart > 0 && !bnljAllowed(name)) Some(s"$name: CartesianProduct")
+          else if (bnlj > 0 && !bnljAllowed(name)) Some(s"$name: BNLJ x$bnlj")
+          else None
+        }
+      assert(offenders.isEmpty,
+        s"unexpected nested-loop plans:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("span dedup: no shuffle carries span text — hashes only") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
