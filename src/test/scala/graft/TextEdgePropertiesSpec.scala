@@ -217,6 +217,23 @@ class TextEdgePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs is total on edge docs; identical twins contain both ways") {
+    val out = graft.operators.Dedup.containmentPairs(docs, threshold = 0.99)
+      .collect()
+    out.foreach { r =>
+      assert(!r.anyNull)
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.99 && c <= 1.0 && !c.isNaN)
+    }
+    // the identical twins (8, 9) contain each other exactly
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((8L, 9L)) && pairs.contains((9L, 8L)))
+    // blank docs (empty shingle sets) never pair — the na>0 guard
+    out.foreach { r =>
+      assert(!blankIds(r.getLong(0)) && !blankIds(r.getLong(1)))
+    }
+  }
+
   test("vocab + token-id encode are total on edge docs; id conservation holds") {
     val vocab = TextAnalysis.buildVocab(docs, 50)
     val v = vocab.collect()
