@@ -255,6 +255,12 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) =>
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
+    "q14_promo_share" -> ((s, d) =>
+      // TPC-H Q14 shape over the part dimension (broadcast into the
+      // filtered fact scan): promo revenue share, exact-decimal sums,
+      // one double division.
+      Analytics.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
+        "1995-09-01 00:00:00", "1995-10-01 00:00:00")),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(Tables.events(s, d))),
     "multimodal_image_dups" -> ((s, d) => {
       // Perceptual (aHash) duplicate image groups over the encoded
@@ -2687,6 +2693,29 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Same decimal discipline as q1: scale-4+ product sums round to
+    // 2 before the double cast; the share is one double division.
+    "q14_promo_share" ->
+      """SELECT
+           CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                               ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+             AS total_revenue,
+           CASE WHEN sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(6,4)))) > 0
+                THEN 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                                ELSE 0 END), 2) AS DOUBLE)
+                     / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+                ELSE 0.0 END AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""",
     "grouping_sets_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total

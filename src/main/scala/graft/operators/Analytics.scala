@@ -87,6 +87,28 @@ object Analytics {
       .limit(n)
   }
 
+  /** TPC-H Q14-shaped promo revenue share: the part dimension
+    * broadcasts into the filtered lineitem scan; both revenue sums run
+    * exact-decimal and the percentage is one double division — the
+    * conditional-aggregation-over-a-join shape.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        from: String, until: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * oneMinus(dec4(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit(from)) &&
+        col("l_shipdate") < to_timestamp_ntz(lit(until)))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(rev).as("total_revenue"),
+        dsum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(2, 0)))).as("promo_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        when(col("total_revenue") > 0,
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .otherwise(lit(0.0)).as("promo_pct"))
+  }
+
   /** Hourly event rollup (time-bucketed aggregation over the fact
     * stream — the batch shape of a streaming windowed agg).
     */
