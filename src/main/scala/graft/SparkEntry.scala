@@ -1427,6 +1427,38 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
+    "skew_report" -> ((s, d) => {
+      // The audit that decides whether a key needs salting: per
+      // candidate shuffle key, the distinct-key count and the heaviest
+      // key's share of the table (>1/parallelism means one reducer
+      // drags the stage). All from tiny per-key aggregates.
+      val ev = Tables.events(s, d)
+      // total = sum over the per-key aggregate — no driver-side count()
+      def dim(keyCol: String) = ev.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .agg(lit(keyCol).as("dimension"),
+          count(lit(1)).as("n_keys"),
+          (max(col("n")).cast("double") / sum(col("n")).cast("double"))
+            .as("max_key_share"))
+      dim("user_id").unionByName(dim("event_type"))
+        .orderBy(col("dimension"))
+    }),
+    "split_balance" -> ((s, d) =>
+      // Uniformity audit of the md5 splitter: realized split shares
+      // against the 80/10/10 targets with a generous tolerance (the
+      // boolean catches a broken hash, not sampling noise).
+      Tables.documents(s, d)
+        .withColumn("split", operators.Sampling.splitColumn(col("doc_id")))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .withColumn("__total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("split"), col("n"),
+          (col("n").cast("double") / col("__total").cast("double")).as("share"),
+          (abs(col("n").cast("double") / col("__total").cast("double") -
+            when(col("split") === "train", 0.8)
+              .when(col("split") === "val", 0.1).otherwise(0.1)) < 0.05)
+            .as("within_tolerance"))
+        .orderBy(col("split"))),
     "skew_salted_agg" -> ((s, d) => {
       // Two-phase salted aggregation, oracle-pinned against the plain
       // GROUP BY: the value pre-casts to exact DECIMAL so the salt
@@ -2281,6 +2313,35 @@ object SparkEntry {
            ON a.user_id = b.user_id AND a.seq = b.seq
           AND a.event_type < b.event_type
          GROUP BY 1, 2 ORDER BY type_a, type_b""",
+    "skew_report" ->
+      """WITH u AS (
+           SELECT 'user_id' AS dimension, CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS max_key_share
+           FROM (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+                 FROM events GROUP BY 1)),
+         t AS (
+           SELECT 'event_type', CAST(count(*) AS BIGINT),
+                  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+           FROM (SELECT event_type AS key, count(*) AS n
+                 FROM events GROUP BY 1))
+         SELECT * FROM u UNION ALL SELECT * FROM t ORDER BY dimension""",
+    "split_balance" ->
+      """WITH h AS (
+           SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT list_reduce([strpos('0123456789abcdef', x) - 1
+                          for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                    for i in range(1, 9)]],
+                         (a, b) -> a * 16 + b) % 100 AS b
+                 FROM documents)),
+         c AS (SELECT split, count(*) AS n FROM h GROUP BY 1)
+         SELECT split, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+                (abs(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                     - CASE WHEN split = 'train' THEN 0.8
+                            WHEN split = 'val' THEN 0.1 ELSE 0.1 END) < 0.05)
+                  AS within_tolerance
+         FROM c ORDER BY split""",
     // Trailing-average window over the type×day aggregate; boolean
     // spike threshold from the same doubles.
     "trending_types" ->
