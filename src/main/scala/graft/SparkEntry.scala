@@ -691,6 +691,43 @@ object SparkEntry {
     }),
     "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),
     "top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables.events(s, d), 3)),
+    "customers_without_orders" -> ((s, d) =>
+      // LEFT ANTI — the dormant-customers report: no order since the
+      // cutoff (unscoped, every fixture customer has SOME order and
+      // the result is vacuously empty; the date scope makes the
+      // anti-join genuinely select).
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp_ntz(lit("1998-01-01 00:00:00")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "user_first_last" -> ((s, d) =>
+      // argmin AND argmax in one partial-agg'd pass via struct
+      // ordering — first/last event per user with deterministic ties.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("__f"),
+          max(struct(col("ts"), col("event_id"))).as("__l"))
+        .select(col("user_id"),
+          col("__f.event_id").as("first_event_id"), col("__f.ts").as("first_ts"),
+          col("__l.event_id").as("last_event_id"), col("__l.ts").as("last_ts"))
+        .orderBy(col("user_id"))),
+    "value_mad_by_type" -> ((s, d) => {
+      // Robust spread: median absolute deviation per type — exact
+      // interpolated percentiles both passes (the outlier-resistant
+      // twin of value_anomalies' std).
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("__med"))
+      ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("__med")).as("median_value"),
+          expr("percentile(abs(value - __med), 0.5)").as("mad"))
+        .orderBy(col("event_type"))
+    }),
     "user_best_event" -> ((s, d) =>
       // Deterministic argmax without a window over the facts: max of a
       // (value, event_id) struct is ONE partial-agg'd aggregation and
@@ -2284,6 +2321,36 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+         ORDER BY c_custkey""",
+    // Struct min/max ≡ (ts, event_id) lexicographic extremes.
+    "user_first_last" ->
+      """WITH r AS (
+           SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+           FROM events)
+         SELECT f.user_id,
+                f.event_id AS first_event_id, f.ts AS first_ts,
+                l.event_id AS last_event_id, l.ts AS last_ts
+         FROM (SELECT * FROM r WHERE rf = 1) f
+         JOIN (SELECT * FROM r WHERE rl = 1) l ON f.user_id = l.user_id
+         ORDER BY f.user_id""",
+    // Same exact interpolated percentile both passes.
+    "value_mad_by_type" ->
+      """WITH m AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+                max(m.med) AS median_value,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         FROM events e JOIN m ON e.event_type = m.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
     // Lexicographic struct max ≡ (value desc, event_id desc) rank 1.
     "user_best_event" ->
       """SELECT user_id, event_id, value FROM (
