@@ -691,6 +691,25 @@ object SparkEntry {
     }),
     "event_type_breakdown" -> ((s, d) => Analytics.eventTypeBreakdown(Tables.events(s, d))),
     "top_events_per_user" -> ((s, d) => Analytics.topEventsPerUser(Tables.events(s, d), 3)),
+    "null_safe_join" -> ((s, d) => {
+      // <=> (null-safe equality) joins NULL keys to each other where
+      // plain = silently drops them — the dimension-with-unknown-key
+      // case every warehouse hits. Keys nulled on every 10th id on
+      // both sides; the oracle uses IS NOT DISTINCT FROM.
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_id") < 100)
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("k"))
+      val r = ev.filter(col("event_id") >= 100 && col("event_id") < 200)
+        .select(col("event_id").as("r_event_id"),
+          when(col("event_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("k"))
+      l.join(r, l("k") <=> r("k"))
+        .groupBy(l("k").as("k"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
     "customers_without_orders" -> ((s, d) =>
       // LEFT ANTI — the dormant-customers report: no order since the
       // cutoff (unscoped, every fixture customer has SOME order and
@@ -2321,6 +2340,18 @@ object SparkEntry {
          FROM days d JOIN du
            ON du.day >= d.win_day - INTERVAL 6 DAY AND du.day <= d.win_day
          GROUP BY d.win_day ORDER BY d.win_day""",
+    "null_safe_join" ->
+      """WITH l AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS k
+           FROM events WHERE event_id < 100),
+         r AS (
+           SELECT event_id AS r_event_id,
+                  CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS k
+           FROM events WHERE event_id >= 100 AND event_id < 200)
+         SELECT l.k, count(*) AS n_matches
+         FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+         GROUP BY l.k ORDER BY l.k NULLS FIRST""",
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (
