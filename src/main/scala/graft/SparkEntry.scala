@@ -3062,7 +3062,8 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 b.value AS old_value, a.value AS new_value
          FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
-         WHERE a.event_id IS NULL OR b.event_id IS NULL OR b.value <> a.value
+         WHERE a.event_id IS NULL OR b.event_id IS NULL
+            OR b.value IS DISTINCT FROM a.value
          ORDER BY event_id""",
     // Replay of the same changelog: latest seq per key wins; D drops,
     // I/U replace or insert.
@@ -3998,7 +3999,8 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 v1.h AS old_hash, v2.h AS new_hash
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-         WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+         WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+            OR v1.h IS DISTINCT FROM v2.h
          ORDER BY doc_id""",
     // tf·N/df with one int→double cast and one IEEE divide on both
     // engines — bit-exact, unlike a libm log.

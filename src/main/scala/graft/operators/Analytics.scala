@@ -137,6 +137,33 @@ object Analytics {
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"))
 
+  /** Tie-aware top-k cut over a sketch's over-fetched output. The
+    * sketch's choice among items TIED at the fetch boundary is
+    * arbitrary, so the deterministic (count desc, key) re-rank is only
+    * trustworthy when the k-th count strictly exceeds the boundary
+    * count (no excluded item could displace the top k). Inspecting
+    * that takes one bounded driver action over the ≤`fetch`-row sketch
+    * output — not a corpus collect — and when the boundary IS
+    * ambiguous we fall back to the exact GROUP BY instead of betting
+    * on `fetch` out-running every possible tie.
+    */
+  private def certainTopK(sketchTopK: DataFrame, k: Int, fetch: Int)
+                         (exact: => DataFrame): DataFrame = {
+    val fetched = sketchTopK.collect() // ordered (count desc, key), ≤ fetch rows
+    val certain = fetched.length < fetch ||  // sketch returned everything
+      (fetched.length >= k && fetched(k - 1).getLong(1) > fetched.last.getLong(1))
+    if (certain) {
+      import scala.jdk.CollectionConverters._
+      sketchTopK.sparkSession.createDataFrame(
+        fetched.take(k).toSeq.asJava, sketchTopK.schema)
+    } else exact
+  }
+
+  private def exactTopK(events: DataFrame, keyCol: String, k: Int): DataFrame =
+    events.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol))
+      .limit(k)
+
   /** Heavy hitters via the ApproxTopK frequent-items sketch (Spark
     * 4.1 built-in, datasketches-backed): one pass, bounded state,
     * mergeable. While the tracked-item capacity exceeds the true
@@ -144,18 +171,20 @@ object Analytics {
     * vs 10k capacity — so the oracle can hash-match); past capacity it
     * degrades to approximate gracefully, which is the 100 TB contract.
     * The sketch's own top-k boundary order is not deterministic under
-    * ties, so we over-fetch (`fetch` ≥ every possible boundary tie),
-    * re-rank deterministically by (count desc, key), and cut to k
-    * OUTSIDE the sketch.
+    * ties, so we over-fetch, re-rank deterministically by (count desc,
+    * key) outside the sketch, and cut to k through [[certainTopK]] —
+    * which detects a tie reaching the fetch boundary and falls back to
+    * the exact path rather than silently diverging.
     */
   def heavyHitters(events: DataFrame, keyCol: String, k: Int = 10,
                    fetch: Int = 50, capacity: Int = 10000): DataFrame =
-    events
-      .select(expr(s"approx_top_k($keyCol, $fetch, $capacity)").as("tk"))
-      .select(explode(col("tk")).as("e"))
-      .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
-      .orderBy(col("n_events").desc, col(keyCol))
-      .limit(k)
+    certainTopK(
+      events
+        .select(expr(s"approx_top_k($keyCol, $fetch, $capacity)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col(keyCol)),
+      k, fetch)(exactTopK(events, keyCol, k))
 
   /** The merge path of the same sketch — per-day partial sketches
     * combined into one estimate, the pre-aggregate-then-merge shape a
@@ -164,15 +193,16 @@ object Analytics {
     */
   def heavyHittersMergeable(events: DataFrame, keyCol: String, k: Int = 10,
                             fetch: Int = 50, capacity: Int = 10000): DataFrame =
-    events
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(expr(s"approx_top_k_accumulate($keyCol, $capacity)").as("sk"))
-      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $capacity), $fetch)")
-        .as("tk"))
-      .select(explode(col("tk")).as("e"))
-      .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
-      .orderBy(col("n_events").desc, col(keyCol))
-      .limit(k)
+    certainTopK(
+      events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr(s"approx_top_k_accumulate($keyCol, $capacity)").as("sk"))
+        .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $capacity), $fetch)")
+          .as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as(keyCol), col("e.count").as("n_events"))
+        .orderBy(col("n_events").desc, col(keyCol)),
+      k, fetch)(exactTopK(events, keyCol, k))
 
   /** Per-type breakdown with exact-decimal average. */
   def eventTypeBreakdown(events: DataFrame): DataFrame =

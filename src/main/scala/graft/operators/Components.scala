@@ -24,8 +24,13 @@ object Components {
   /** (id) nodes + (a, b) undirected edges → (id, component) where
     * component = min node id reachable. `maxIter` bounds runaway
     * graphs; convergence usually lands in a handful of rounds.
+    *
+    * Test-scope only (`private[graft]`): ComponentsSpec cross-checks
+    * [[connectedComponentsStar]] against it on random graphs. The
+    * O(diameter) round count and per-iteration join+isEmpty make it
+    * the wrong production path — no query should reach it.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))

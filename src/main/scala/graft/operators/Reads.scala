@@ -95,13 +95,19 @@ object Reads {
     */
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    key: String, valueCol: String): DataFrame = {
-    val l = before.select(col(key), col(valueCol).as("__old"))
-    val r = after.select(col(key), col(valueCol).as("__new"))
+    // Presence is marked explicitly per side (lit(true)), never inferred
+    // from the value column's nullness: a key present on both sides with
+    // a NULL value is "same"/"changed" — not a phantom add/remove — even
+    // when the diffed column is nullable.
+    val l = before.select(col(key), col(valueCol).as("__old"),
+      lit(true).as("__in_old"))
+    val r = after.select(col(key), col(valueCol).as("__new"),
+      lit(true).as("__in_new"))
     l.join(r, Seq(key), "full_outer")
       .withColumn("status",
-        when(col("__new").isNull, lit("removed"))
-          .when(col("__old").isNull, lit("added"))
-          .when(col("__old") =!= col("__new"), lit("changed"))
+        when(col("__in_new").isNull, lit("removed"))
+          .when(col("__in_old").isNull, lit("added"))
+          .when(!(col("__old") <=> col("__new")), lit("changed"))
           .otherwise(lit("same")))
       .filter(col("status") =!= "same")
       .select(col(key), col("status"),

@@ -49,8 +49,17 @@ object Formats {
     // silently corrupts padded strings — disable both sides; the
     // default timestampNTZFormat only carries millis — pin micros or
     // the round trip silently truncates event times.
+    // nullValue must be distinct or the contract is a lie: under
+    // Spark's default (empty) nullValue, NULL and "" both land as an
+    // empty field and an empty field reads back as NULL. With the
+    // classic `\N` dump sentinel, null → `\N` while the writer's
+    // default emptyValue keeps "" as a QUOTED empty field — the two
+    // stay distinct through the round trip. (Precondition: no string
+    // VALUE is the literal `\N` — acceptable for interchange, and
+    // FormatsSpec pins both cases explicitly.)
     val opts = Map("header" -> "true", "escape" -> "\"", "multiLine" -> "true",
       "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false",
+      "nullValue" -> "\\N",
       "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     val dir = stage(s"csv:$key") { base =>
       df.write.options(opts).csv(base.resolve("data").toString)

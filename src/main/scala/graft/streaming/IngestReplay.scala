@@ -84,9 +84,11 @@ object IngestReplay {
       val store = base.resolve(s"store_$n").toString
       val ck = base.resolve(s"ck_$n")
       val rejects = base.resolve(s"rejects_$n").toString
-      val q = Ingest.start(spark, base.resolve("stage").toString, store,
-        ck.toString, maxFilesPerTrigger = Some(1), rejectsDir = Some(rejects))
-      q.awaitTermination()
+      Replay.withReplayShuffle(spark) {
+        val q = Ingest.start(spark, base.resolve("stage").toString, store,
+          ck.toString, maxFilesPerTrigger = Some(1), rejectsDir = Some(rejects))
+        q.awaitTermination()
+      }
       deleteTree(ck)
       (store, rejects)
     })

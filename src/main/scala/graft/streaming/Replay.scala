@@ -55,10 +55,13 @@ object Replay {
         .foreach(f => Files.deleteIfExists(f))
 
   /** Stage `events` (schema: event_id, ts TIMESTAMP_NTZ, user_id,
-    * event_type, value) for replay, once per (process, `key`).
+    * event_type, value) for replay, once per (process, `key`, schema).
+    * The schema fingerprint is part of the memo key so a call site
+    * passing a different projection under the same dataset key stages
+    * its own copy instead of silently replaying the first caller's.
     */
   def stagedEvents(spark: SparkSession, events: DataFrame, key: String): Path =
-    staged.getOrElseUpdate(key, {
+    staged.getOrElseUpdate(s"$key#${events.schema.catalogString.hashCode}", {
       val base = Files.createTempDirectory("graft_replay_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
       val stage = base.resolve("stage")
@@ -82,6 +85,24 @@ object Replay {
       base
     })
 
+  /** Streaming state-store commit cost is per (store × shuffle
+    * partition × micro-batch); at replay scale (3 batches, toy state)
+    * the session's 32 shuffle partitions are pure fixed overhead —
+    * each commit fsyncs 32 near-empty store deltas. Every replay
+    * scopes the conf down for the duration of its own query (each
+    * starts from a fresh checkpoint, so the store partition count is
+    * free to differ per run); results are partition-count-independent,
+    * pinned by SessionizeSpec/PackingSpec and the stream ≡ batch
+    * hash comparisons themselves.
+    */
+  private[streaming] def withReplayShuffle[A](spark: SparkSession)(body: => A): A = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "8")
+    try body
+    finally prev.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+  }
+
   /** Replay the staged copy of `events` through streaming operator `op`
     * (three ordered micro-batches, see object doc) into a parquet sink,
     * and return a batch DataFrame over the sink's finalized output.
@@ -93,16 +114,18 @@ object Replay {
     val n = runSeq.incrementAndGet()
     val out = base.resolve(s"out_$n")
     val ck = base.resolve(s"ck_$n")
-    val src = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(base.resolve("stage").toString)
-    val q = op(src).writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ck.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayShuffle(spark) {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve("stage").toString)
+      val q = op(src).writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     deleteTree(ck)
     spark.read.parquet(out.toString)
   }
@@ -121,16 +144,18 @@ object Replay {
     val n = runSeq.incrementAndGet()
     val name = s"graft_complete_$n"
     val ck = base.resolve(s"ck_$n")
-    val src = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(base.resolve("stage").toString)
-    val q = op(src).writeStream.format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayShuffle(spark) {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve("stage").toString)
+      val q = op(src).writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     deleteTree(ck)
     // materialize off the memory sink before the next run overwrites it
     val rows = spark.table(name)
@@ -153,19 +178,21 @@ object Replay {
     val n = runSeq.incrementAndGet()
     val out = base.resolve(s"upd_$n")
     val ck = base.resolve(s"ck_$n")
-    val src = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(base.resolve("stage").toString)
-    val q = op(src).writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ck.toString)
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        df.withColumn("__batch", org.apache.spark.sql.functions.lit(id))
-          .write.mode("append").parquet(out.toString)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayShuffle(spark) {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve("stage").toString)
+      val q = op(src).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("__batch", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out.toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     deleteTree(ck)
     spark.read.parquet(out.toString)
   }

@@ -21,10 +21,11 @@ class FormatsSpec extends SparkSpec {
       .orderBy($"id")
     val got = back.as[(Long, Option[String])].collect().toSeq
     val want = tricky.orderBy($"id").as[(Long, Option[String])].collect().toSeq
-    // CSV cannot distinguish null from empty string; both sides empty-ish
-    val normalize = (xs: Seq[(Long, Option[String])]) =>
-      xs.map { case (i, s) => (i, s.filter(_.nonEmpty)) }
-    assert(normalize(got) === normalize(want))
+    // exact — the explicit nullValue/emptyValue options keep NULL ≠ ""
+    // through the round trip (row 4 must come back None, row 5 Some(""))
+    assert(got === want)
+    assert(got(4)._2 === None)
+    assert(got(5)._2 === Some(""))
   }
 
   test("schema evolution: mergeSchema unions writer versions, old rows null-fill") {
