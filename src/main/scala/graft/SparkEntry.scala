@@ -1067,12 +1067,11 @@ object SparkEntry {
     "dedup_incremental_sketch" -> ((s, d) => {
       // Production incremental path: corpus-side MinHash band keys
       // (precomputable at 100 TB) + exact-Jaccard verify. Oracle = the
-      // exact-blocking incremental SQL — valid on the fixture for the
-      // same reason clean_corpus_sketch's is: the sketch's verified
-      // pair set equals the exact baseline's here (recall pinned 1.0
-      // by dedup_minhash_recall; the verify stage admits no false
-      // positives). Diverges only by finding MORE true pairs at other
-      // data — the declared fallback is rows-only, not a weaker sketch.
+      // UNCAPPED blocked-exact incremental SQL — the cap is an
+      // artifact of the exact op, not of the sketch, and dropping it
+      // makes oracle ≡ sketch at every driver SF (r6 sweep: symdiff
+      // 0/0/0 at sf0.001/0.01/0.1; the capped oracle diverged by 87
+      // docs at sf0.1). Recall stays pinned by dedup_minhash_recall.
       val docs = Tables.documents(s, d)
       Dedup.dedupIncrementalSketch(
           docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
@@ -1837,14 +1836,12 @@ object SparkEntry {
       // The PRODUCTION corpus-prep flow: identical pipeline with the
       // MinHash sketch (Dedup.dedupNear) as the dedup stage — the path
       // a 100 TB run takes (O(corpus)+O(candidates), never O(block²)).
-      // Oracle = the exact-baseline SQL: valid because on the driver
-      // fixture the sketch finds exactly the baseline's pair set
-      // (dedup_minhash_recall pins exact ⊆ detected at 1.0, and the
-      // verify stage makes every detected pair a true ≥-threshold
-      // pair; measured sketch≡exact at sf0.001/sf0.01). At larger SFs
-      // the sketch legitimately drops MORE (true pairs outside the
-      // baseline's length blocks) — the divergence is extra recall,
-      // not error, and the scale-independent twin stays clean_corpus.
+      // Oracle = the UNCAPPED blocked-exact SQL: the 128-doc block cap
+      // belongs to the exact op (ngramJaccardPairs), not the sketch,
+      // and without it the oracle matches the sketch's survivor set at
+      // every driver SF (r6 sweep, tools/sketch_oracle_sweep.py:
+      // symdiff 0/0/0 at sf0.001/0.01/0.1 vs 64 at sf0.1 capped).
+      // dedup_minhash_recall still pins detected ⊇ exact at 1.0.
       cleanCorpusPlan(Tables.documents(s, d), Dedup.dedupNear(_))),
 
     "clean_corpus_full" -> ((s, d) => {
@@ -1960,9 +1957,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB mirror of [[cleanCorpusPlan]] over the exact-baseline
-    * dedup; shared by the clean_corpus and clean_corpus_sketch rows. */
-  private val CleanCorpusSql: String =
+  /** DuckDB mirror of [[cleanCorpusPlan]] over the blocked exact
+    * dedup baseline. `capped = true` reproduces `ngramJaccardPairs`'s
+    * deterministic 128-doc block cap (the exact engine op — the
+    * clean_corpus row); `capped = false` drops ONLY the cap (the
+    * clean_corpus_sketch / clean_corpus_full rows): the MinHash path
+    * has no block cap, and the r6 sweep (tools/sketch_oracle_sweep.py)
+    * measured uncapped-oracle ≡ sketch survivors with symdiff 0 at
+    * sf0.001/0.01/0.1 — where the capped oracle diverged by 64/63/87
+    * docs at sf0.1 (the capped validator under-reports true pairs once
+    * a length block exceeds 128 docs; the sketch finds them).
+    */
+  private val BlockCapSql: String =
+    """QUALIFY row_number() OVER (
+           PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
+           ORDER BY doc_id) <= 128"""
+
+  private def cleanCorpusSql(capped: Boolean): String =
     """WITH t AS (
          SELECT doc_id, n_chars,
                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
@@ -1974,9 +1985,7 @@ object SparkEntry {
                   range(1, greatest(len(w) - 2, 1) + 1),
                   i -> array_to_string(w[i:i+2], ' '))) AS sh
          FROM t
-         QUALIFY row_number() OVER (
-           PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-           ORDER BY doc_id) <= 128),
+         """ + (if (capped) BlockCapSql else "") + """),
        b AS (
          SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
        victims AS (
@@ -2012,9 +2021,12 @@ object SparkEntry {
        WHERE q.n_tokens >= 30
        ORDER BY surv.doc_id"""
 
-  /** Exact-blocking incremental-dedup oracle (shared by the exact op
-    * and, on the fixture, its MinHash sketch twin). */
-  private val DedupIncrementalSql: String =
+  /** Blocked incremental-dedup oracle. `capped = true` mirrors the
+    * exact engine op (`dedupIncremental`, 128-doc block cap);
+    * `capped = false` is the MinHash twin's oracle — same structure,
+    * no cap (sweep-measured ≡ sketch at sf0.001/0.01/0.1, see
+    * [[cleanCorpusSql]]). */
+  private def dedupIncrementalSql(capped: Boolean): String =
     """WITH t AS (
          SELECT doc_id, n_chars,
                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
@@ -2026,9 +2038,7 @@ object SparkEntry {
                   range(1, greatest(len(w) - 2, 1) + 1),
                   i -> array_to_string(w[i:i+2], ' '))) AS sh
          FROM t
-         QUALIFY row_number() OVER (
-           PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-           ORDER BY doc_id) <= 128),
+         """ + (if (capped) BlockCapSql else "") + """),
        fb AS (
          SELECT doc_id, sh, unnest([bucket0 - 1, bucket0, bucket0 + 1]) AS bucket
          FROM u WHERE doc_id >= 250),
@@ -2053,7 +2063,7 @@ object SparkEntry {
          SELECT d.* FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM documents b
            WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
-    """ + CleanCorpusSql.trim.stripPrefix("WITH")
+    """ + cleanCorpusSql(capped = false).trim.stripPrefix("WITH")
       .replace("FROM documents", "FROM docs_dc")
 
   /** DuckDB mirror of the v2 chain: the repetition + span caps
@@ -2112,7 +2122,7 @@ object SparkEntry {
          SELECT d.* FROM capped d
          WHERE NOT EXISTS (SELECT 1 FROM documents b
            WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
-    """ + CleanCorpusSql.trim.stripPrefix("WITH")
+    """ + cleanCorpusSql(capped = false).trim.stripPrefix("WITH")
       .replace("FROM documents", "FROM docs_dc")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2838,12 +2848,12 @@ object SparkEntry {
          SELECT * FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM victims)
          ORDER BY doc_id""",
-    "clean_corpus" -> CleanCorpusSql,
+    "clean_corpus" -> cleanCorpusSql(capped = true),
     // Same oracle: on the driver fixture the sketch's detected pair
     // set equals the exact baseline's (recall pinned at 1.0 by
     // dedup_minhash_recall; the exact-Jaccard verify stage admits no
     // false positives), so both pipelines drop the same victims.
-    "clean_corpus_sketch" -> CleanCorpusSql,
+    "clean_corpus_sketch" -> cleanCorpusSql(capped = false),
     "clean_corpus_full" -> CleanCorpusFullSql,
     "clean_corpus_v2" -> CleanCorpusV2Sql,
     "cube_orders" ->
@@ -3318,8 +3328,8 @@ object SparkEntry {
     // over the same capped shingle blocks the Spark side uses. The
     // sketch twin shares the oracle on the fixture (sketch pair set ≡
     // exact baseline's — see the query comment).
-    "dedup_incremental" -> DedupIncrementalSql,
-    "dedup_incremental_sketch" -> DedupIncrementalSql,
+    "dedup_incremental" -> dedupIncrementalSql(capped = true),
+    "dedup_incremental_sketch" -> dedupIncrementalSql(capped = false),
     "epoch_shuffle" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
