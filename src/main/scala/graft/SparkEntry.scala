@@ -1568,6 +1568,57 @@ object SparkEntry {
           (col("n_match").cast("double") / col("n_exact")).as("recall"))
         .orderBy(col("query_id"))
     }),
+    "ann_lsh_recall" -> ((s, d) => {
+      // Retrieval-quality pin for LSH top-k — the one ANN family that
+      // had none (IVF: ann_recall, int8: ann_int8_recall, PQ:
+      // ann_pq_recall). Two planted probes in one row:
+      //  (1) STRUCTURAL self-recall on the SHIPPED config (8 planes,
+      //      single probe): 5 queries are exact copies of corpus
+      //      vectors (vec_id + 10000) — an identical vector hashes to
+      //      the identical SRP bucket ALWAYS, so each query must
+      //      retrieve its source at cosine ≈ 1.0 at ANY scale; this
+      //      gates bucket-hash symmetry, the probe join, and the
+      //      ranking end to end (recall 1.0 by construction, like
+      //      ann_recall's full-probe ≡ brute).
+      //  (2) EMPIRICAL twin floor on a recall-oriented config
+      //      (3 planes + multi-probe r=1 ⇒ 4 of 8 buckets probed):
+      //      queries are the 5 lowest-id members of the planted
+      //      near-dup families (brute ≥0.45 pairs — the
+      //      embedding_near_recall construction); their twins must
+      //      come back in the top-10 at ≥ 0.25 (measured 0.8/0.4/1.0
+      //      at sf0.001/0.01/0.1; the θ≈62° fixture pairs make high
+      //      single-probe recall at 8 planes theoretically impossible
+      //      — per-twin collision ≈ 0.655⁸ ≈ 3% — so the floor pins
+      //      the config whose expected recall is real).
+      // n_queries/n_twins hash-match DuckDB's brute recomputation.
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosinePairsBrute(emb, 0.45)
+      val qIds = pairs.select(col("vec_id_a").as("vec_id"))
+        .unionAll(pairs.select(col("vec_id_b").as("vec_id")))
+        .distinct().orderBy(col("vec_id")).limit(5)
+      val fam = emb.join(broadcast(qIds), "vec_id")
+      val twins = pairs
+        .select(col("vec_id_a").as("query_id"), col("vec_id_b").as("vec_id"))
+        .unionAll(pairs
+          .select(col("vec_id_b").as("query_id"), col("vec_id_a").as("vec_id")))
+        .join(broadcast(qIds.select(col("vec_id").as("query_id"))), "query_id")
+      val mp = Similarity.lshTopK(emb, fam, 10, planes = 3, probeHamming = 1)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__mp"))
+      val twinStats = twins.join(mp, Seq("query_id", "vec_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_twins"),
+          (count(col("__mp")).cast("double") / count(lit(1)).cast("double")
+            >= 0.25).as("twin_recall_floor_met"))
+      val copies = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(10000L))
+      val self = Similarity.lshTopK(emb, copies, 10)
+        .filter(col("vec_id") === col("query_id") - lit(10000L) &&
+          col("cosine") >= 0.9999d)
+        .agg((count(lit(1)) === 5).as("self_recall_ok"))
+      twinStats.crossJoin(self)
+        .select(col("n_queries"), col("n_twins"),
+          col("self_recall_ok"), col("twin_recall_floor_met"))
+    }),
     "dedup_minhash_recall" -> ((s, d) => {
       // Recall of the banded MinHash sketch against the exact n-gram
       // Jaccard baseline. The verify stage re-checks candidates with
@@ -4220,6 +4271,27 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS n_missed_ham3,
                 true AS recall_floor_met
          FROM pairs""",
+    // n_queries/n_twins are the genuine DuckDB brute-force
+    // recomputation over the planted near-dup families; the booleans
+    // pin structural self-recall (exact copies always co-bucket) and
+    // the measured twin-recall floor of the multiprobe config.
+    "ann_lsh_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45),
+         m AS (SELECT DISTINCT v FROM (SELECT va AS v FROM p UNION ALL SELECT vb FROM p)),
+         q AS (SELECT v FROM m ORDER BY v LIMIT 5),
+         tw AS (SELECT va AS query_id, vb AS vec_id FROM p
+                UNION ALL SELECT vb, va FROM p)
+         SELECT CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+                CAST(count(*) AS BIGINT) AS n_twins,
+                true AS self_recall_ok,
+                true AS twin_recall_floor_met
+         FROM tw t JOIN q ON t.query_id = q.v""",
     // n_exact is the genuine DuckDB brute-force pair count; the zero
     // encodes detected ⊆ exact (verify-stage guarantee), the boolean
     // the recall floor.

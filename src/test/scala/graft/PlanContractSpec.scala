@@ -250,6 +250,7 @@ class PlanContractSpec extends SparkSpec {
       "clean_corpus_v2", "dataset_card", "embedding_near_recall",
       "sliding_week_users", "fuzzy_lookup", "negative_samples",
       "ann_cosine_topk", "ann_recall", "ann_int8_recall", "ann_pq_recall",
+      "ann_lsh_recall",
       "split_leakage", "dup_graph_degrees", "ngram_jaccard_pairs",
       "dedup_minhash_recall", "simhash_recall", "dedup_near", "dedup_incremental",
       "dedup_incremental_sketch", "range_join_sessions", "interval_join_concurrency",
