@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Bpe, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +30,95 @@ object SparkEntry {
     */
   private val MixtureFractions = Map(
     "en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
+
+  /** BPE merge depth for the bpe_vocab / bpe_encode rows. 24 is deep
+    * enough to exercise multi-level merges (merged symbols re-merging)
+    * while every round's best pair stays far above minFreq at all
+    * three driver SFs (measured ≥ 900 at round 40), so the engine's
+    * early-stop never fires and the fixed-depth oracle chain below
+    * mirrors the sequence exactly.
+    */
+  private val BpeNumMerges = 24
+
+  /** Generated DuckDB mirror of the BPE trainer: the shared CTE chain
+    * w0 (word counts) → s0 (char-seeded double-delimited states) →
+    * [p_i (pair counts) → b_i (argmax with the engine's exact tie
+    * order) → s_i (literal-replace merge)] × numMerges. MATERIALIZED
+    * keeps DuckDB from inlining the chain exponentially. The merge
+    * semantics match the engine bit-for-bit because both sides apply
+    * ONE leftmost non-overlapping literal replace on the same
+    * double-delimited state string (see [[graft.operators.Bpe]]).
+    */
+  private def bpeOracleStages(numMerges: Int): String = {
+    val S = Bpe.Sep
+    val S2 = Bpe.Sep2
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+           FROM documents) GROUP BY 1),
+       s0 AS MATERIALIZED (
+         SELECT word, freq,
+                '$S2' || array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], '$S2') || '$S2' AS state
+         FROM w0)"""
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      sb ++= s""",
+       p$i AS MATERIALIZED (
+         SELECT u['l'] AS lft, u['r'] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))]) AS u
+           FROM (SELECT freq, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms FROM s$p))
+         GROUP BY 1, 2),
+       b$i AS MATERIALIZED (
+         SELECT lft, rgt, cnt FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       s$i AS MATERIALIZED (
+         SELECT word, freq,
+                replace(state,
+                  '$S' || (SELECT lft FROM b$i) || '$S2' || (SELECT rgt FROM b$i) || '$S',
+                  '$S' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || '$S') AS state
+         FROM s$p)"""
+    }
+    sb.toString
+  }
+
+  private def bpeVocabSql(numMerges: Int): String =
+    bpeOracleStages(numMerges) + "\n" +
+      (1 to numMerges).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_rank, lft AS "left", rgt AS "right",
+              lft || rgt AS merged, cnt AS n FROM b$i""")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  private def bpeEncodeSql(numMerges: Int): String = {
+    val S2 = Bpe.Sep2
+    bpeOracleStages(numMerges) + s""",
+       wsyms AS MATERIALIZED (
+         SELECT word, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms
+         FROM s$numMerges),
+       vocab AS MATERIALIZED (
+         SELECT sym, row_number() OVER (ORDER BY sym) AS tid
+         FROM (SELECT DISTINCT unnest(syms) AS sym FROM wsyms)),
+       t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents),
+       wp AS (
+         SELECT doc_id, u['pos'] AS wpos, u['term'] AS term FROM (
+           SELECT doc_id, unnest([{'pos': i, 'term': w[i]} for i in range(1, len(w) + 1)]) AS u
+           FROM t)),
+       sp AS (
+         SELECT doc_id, wpos, u['spos'] AS spos, u['sym'] AS sym FROM (
+           SELECT wp.doc_id, wp.wpos,
+                  unnest([{'spos': j, 'sym': ws.syms[j]} for j in range(1, len(ws.syms) + 1)]) AS u
+           FROM wp JOIN wsyms ws ON wp.term = ws.word)),
+       enc AS (
+         SELECT sp.doc_id,
+                string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY sp.wpos, sp.spos) AS token_ids
+         FROM sp JOIN vocab v ON sp.sym = v.sym
+         GROUP BY sp.doc_id)
+       SELECT d.doc_id, COALESCE(enc.token_ids, '') AS token_ids
+       FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+       ORDER BY d.doc_id"""
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1456,6 +1545,30 @@ object SparkEntry {
       // chunking/packing, reassembled in document order.
       val docs = Tables.documents(s, d)
       TextAnalysis.encodeTokenIds(docs, TextAnalysis.buildVocab(docs, 500))
+    }),
+    "bpe_vocab" -> ((s, d) => {
+      // Subword BPE merge training (Sennrich et al. 2016): 24 rounds of
+      // distributed pair-count → deterministic argmax → row-local merge
+      // over the vocabulary-sized word table. The oracle re-derives the
+      // ENTIRE merge sequence in DuckDB (24 generated CTE stages with
+      // the identical (count DESC, left, right) tie order and the same
+      // literal-replace merge semantics) — full engine independence for
+      // an iterative trainer. Training memoized per dataset (bounded,
+      // deterministic — the IngestReplay discipline).
+      import scala.jdk.CollectionConverters._
+      val rows = Bpe.trainedMergeRows(Tables.documents(s, d), d, BpeNumMerges)
+      s.createDataFrame(new java.util.ArrayList(rows.asJava), Bpe.MergeSchema)
+        .orderBy(col("merge_rank"))
+    }),
+    "bpe_encode" -> ((s, d) => {
+      // Corpus → subword token-id sequences under the trained merges:
+      // the merge chain runs once per DISTINCT word, docs reassemble
+      // from skinny (doc_id, wpos, spos, id) rows; ids dense by symbol
+      // sort order so the oracle recomputes them from scratch.
+      val docs = Tables.documents(s, d)
+      val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
+        .map(r => (r.getString(1), r.getString(2)))
+      Bpe.bpeEncode(docs, m)
     }),
     "pii_scrub" -> ((s, d) =>
       // The synthetic corpus carries no PII, so the query injects a
@@ -4006,6 +4119,10 @@ object SparkEntry {
          FROM c ORDER BY n DESC, term LIMIT 500""",
     // The same vocabulary joined back onto every positioned token;
     // OOV coalesces to 0; per-doc reassembly in token order.
+    // Generated 24-stage CTE chains re-deriving the full BPE merge
+    // sequence (and the encoding under it) from scratch in DuckDB.
+    "bpe_vocab" -> bpeVocabSql(BpeNumMerges),
+    "bpe_encode" -> bpeEncodeSql(BpeNumMerges),
     "tokenize_ids" ->
       """WITH t AS (
            SELECT doc_id,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("classic fixture: merges follow frequency with deterministic ties") {
+    // 'lo' appears in low(x5), lower(x2), lowest(x1) → pair (l,o) freq 8
+    // beats everything; then (lo,w) freq 8; then 'er' in lower+newer...
+    val docs = docsOf(
+      "low low low low low",
+      "lower lower newer newer newer",
+      "lowest wider")
+    val merges = Bpe.bpeTrain(docs, 4)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // pair counts round 1: (l,o)=8 [5 low + 2 lower + 1 lowest],
+    // (o,w)=8, (w,e)=4 [2 lower,1 lowest? lowest=l o w e s t yes, +newer? n e w e r: (w,e)=1 ×3 = 3 → total 2+1+3=6],
+    // (e,r)=5 [2 lower + 3 newer], (n,e)=3, (e,w)=3, (e,s)=1,(s,t)=1,
+    // (w,i)=1,(i,d)=1,(d,e)=1
+    // → best = (l,o) 8, tie with (o,w) 8 → (l,o) wins on left asc.
+    assert(merges(0)._2 === "l" && merges(0)._3 === "o" && merges(0)._5 === 8L)
+    // round 2: (lo,w)=8 best
+    assert(merges(1)._2 === "lo" && merges(1)._3 === "w" && merges(1)._5 === 8L)
+    // round 3: (e,r)=6 best [2 lower + 3 newer + 1 wider]
+    assert(merges(2)._2 === "e" && merges(2)._3 === "r" && merges(2)._5 === 6L)
+  }
+
+  test("abutting occurrences merge in one round (double-delimiter replace)") {
+    val docs = docsOf("abab abab abab")
+    val merges = Bpe.bpeTrain(docs, 2)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // round 1: (a,b)=6, (b,a)=3 → (a,b) merges BOTH occurrences per word
+    assert(merges(0)._2 === "a" && merges(0)._3 === "b" && merges(0)._5 === 6L)
+    // round 2: state is [ab, ab] ×3 words→1 distinct (freq 3): (ab,ab)=3
+    assert(merges(1)._2 === "ab" && merges(1)._3 === "ab" && merges(1)._5 === 3L)
+  }
+
+  test("overlapping same-symbol runs merge leftmost non-overlapping") {
+    val docs = docsOf("aaa aaa")
+    val merges = Bpe.bpeTrain(docs, 1)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // (a,a) count: per word [a,a,a] has 2 adjacent pairs ×2 words = 4
+    assert(merges(0)._2 === "a" && merges(0)._3 === "a" && merges(0)._5 === 4L)
+    // after merge: [aa, a] — verify via encode vocabulary
+    val syms = Bpe.wordSymbols(docs, Seq(("a", "a")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(syms("aaa") === Seq("aa", "a"))
+  }
+
+  test("encode: ids dense by symbol order, doc reassembled in order") {
+    val docs = docsOf("low lower", "low")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // word symbols: low → [low]; lower → [low, e, r]
+    // vocab sorted: e→1, low→2, r→3
+    val enc = Bpe.bpeEncode(docs, merges)
+      .as[(Long, String)].collect().toMap
+    assert(enc(0L) === "2,2,1,3")
+    assert(enc(1L) === "2")
+  }
+
+  test("early stop: no pair reaches minFreq on all-distinct chars") {
+    val docs = docsOf("ab cd")
+    val merges = Bpe.bpeTrain(docs, 5, minFreq = 2L).collect()
+    assert(merges.isEmpty)
+  }
+
+  test("training is stable under repartitioning") {
+    val docs = docsOf(
+      "the cat sat on the mat", "the bat and the rat", "cats bats rats")
+    val a = Bpe.bpeTrain(docs, 8).collect().toSeq
+    val b = Bpe.bpeTrain(docs.repartition(7), 8).collect().toSeq
+    assert(a === b)
+  }
+}
