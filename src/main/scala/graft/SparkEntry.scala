@@ -1082,12 +1082,15 @@ object SparkEntry {
       // The QA gate a train/test split must pass: near-duplicate pairs
       // must not straddle the split (a test doc with a train near-dup
       // is leakage). Composes the deterministic splitter with the
-      // exact pair set; the oracle recomputes both and the straddle
-      // counts per pair-of-splits.
+      // MinHash pair set — the path the 100 TB audit runs (r6: was the
+      // O(block²) brute baseline, ~3s of pure validator re-run); the
+      // oracle recomputes the UNCAPPED blocked-exact pair set, which
+      // the verified sketch matches at every driver SF (same
+      // measurement as clean_corpus_sketch, r6 sweep symdiff 0/0/0).
       val docs = Tables.documents(s, d)
       val split = docs.select(col("doc_id"),
         operators.Sampling.splitColumn(col("doc_id")).as("split"))
-      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      val pairs = Dedup.minhashPairs(docs)
       pairs
         .join(split.withColumnRenamed("doc_id", "doc_id_a")
           .withColumnRenamed("split", "split_a"), "doc_id_a")
@@ -1122,10 +1125,12 @@ object SparkEntry {
       // Degree histogram of the near-dup pair graph — the shape audit
       // run before clustering (a heavy-tailed degree distribution
       // means a hub document, e.g. boilerplate, is about to glue
-      // unrelated families together). Degrees from the exact pair set;
-      // docs with no pairs count at degree 0.
+      // unrelated families together). Degrees from the MinHash pair
+      // set (r6: was the brute validator, ~3s re-run per audit); docs
+      // with no pairs count at degree 0. Oracle = the uncapped
+      // blocked-exact pair set (≡ verified sketch at all driver SFs).
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      val pairs = Dedup.minhashPairs(docs)
       val incid = pairs.select(col("doc_id_a").as("doc_id"))
         .unionAll(pairs.select(col("doc_id_b").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("__deg"))
@@ -3347,8 +3352,10 @@ object SparkEntry {
            UNION ALL
            SELECT db, da, i / nb FROM sc WHERE nb > 0 AND i / nb >= 0.8)
          ORDER BY doc_id, container_id""",
-    // Split labels + the capped-block pair set, both recomputed; the
-    // gate reads the off-diagonal cells.
+    // Split labels + the UNCAPPED blocked-exact pair set, both
+    // recomputed (the engine runs the verified MinHash sketch, which
+    // matches it at every driver SF); the gate reads the off-diagonal
+    // cells.
     "split_leakage" ->
       """WITH t AS (
            SELECT doc_id, n_chars,
@@ -3360,10 +3367,7 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
+           FROM t),
          bk AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
          pairs AS (
@@ -3414,8 +3418,9 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM h
          WHERE CAST(b AS DOUBLE) / 1000.0 < CAST(n_chars AS DOUBLE) / 400.0
          ORDER BY doc_id""",
-    // Same capped-block pair set as dedup_clusters; degree = incident
-    // edge count, zero-degree docs included via the left join.
+    // The UNCAPPED blocked-exact pair set (≡ the engine's verified
+    // MinHash sketch at every driver SF); degree = incident edge
+    // count, zero-degree docs included via the left join.
     "dup_graph_degrees" ->
       """WITH t AS (
            SELECT doc_id, n_chars,
@@ -3427,10 +3432,7 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
+           FROM t),
          bk AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
          pairs AS (
