@@ -1067,12 +1067,16 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
     "dedup_clusters" -> ((s, d) =>
-      // Near-dup families as connected components of the exact pair
-      // graph (min-label propagation); the oracle recomputes the
-      // closure with a DuckDB recursive CTE — an independent algorithm
-      // (fixed-point recursion vs iterative propagation) agreeing on
-      // every component is a strong structural pin.
-      operators.Components.nearDupClusters(Tables.documents(s, d))
+      // Near-dup families as connected components of the verified
+      // MinHash pair graph (r6: was the O(block²) brute baseline —
+      // this is now the production clustering end to end: sketch pair
+      // generation + large-star/small-star components). The oracle
+      // recomputes the UNCAPPED blocked-exact pair set (≡ the sketch
+      // at every driver SF) and closes it with a DuckDB recursive CTE
+      // — an independent algorithm (fixed-point recursion vs star
+      // contraction) agreeing on every component.
+      operators.Components.nearDupClusters(Tables.documents(s, d),
+          sketch = true)
         .orderBy(col("doc_id"))),
     "containment_pairs" -> ((s, d) =>
       // Asymmetric quote/inclusion detection over the shingle inverted
@@ -1141,11 +1145,13 @@ object SparkEntry {
     }),
     "dedup_crossmodal_clusters" -> ((s, d) =>
       // Lexical ∪ semantic pair graph → ONE set of keep-one families
-      // (doc_id ≡ vec_id in the fixtures); the oracle recomputes both
-      // pair sets and the closure with a recursive CTE — an
-      // independent algorithm agreeing on every component.
+      // (doc_id ≡ vec_id in the fixtures). r6: the lexical side runs
+      // the verified MinHash sketch (production path); the oracle
+      // recomputes the UNCAPPED blocked-exact lexical pairs plus the
+      // brute cosine pairs and closes the union with a recursive CTE
+      // — an independent algorithm agreeing on every component.
       operators.Components.crossModalClusters(
-          Tables.documents(s, d), Tables.embeddings(s, d))
+          Tables.documents(s, d), Tables.embeddings(s, d), sketch = true)
         .orderBy(col("doc_id"))),
     "dedup_incremental" -> ((s, d) => {
       // Continuous-ingest dedup: the standing corpus (doc_id < 250)
@@ -1574,6 +1580,46 @@ object SparkEntry {
       val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
         .map(r => (r.getString(1), r.getString(2)))
       Bpe.bpeEncode(docs, m)
+    }),
+    "bpe_pack_pipeline" -> ((s, d) => {
+      // The subword training-sequence build end to end: BPE token
+      // counts per doc (merge chain over distinct words → per-doc
+      // symbol count) feed the two-level prefix-sum packer via
+      // packBinsCounted — proving the tokenizer composes with the
+      // packing chain the way a real pipeline runs it (budget in
+      // SUBWORD tokens, not whitespace words).
+      val docs = Tables.documents(s, d)
+      val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
+        .map(r => (r.getString(1), r.getString(2)))
+      val wsyms = Bpe.wordSymbols(docs, m)
+      val counts = docs.select(col("doc_id"),
+          posexplode_outer(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("wpos", "word")))
+        .filter(col("wpos").isNotNull)
+        .join(wsyms, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("syms"))).cast("long").as("n_bpe"))
+      val full = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      operators.Packing.packBinsCounted(full, "doc_id", "n_bpe", 2000L)
+        .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"),
+          col("prefix_tokens"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "bpe_roundtrip" -> ((s, d) => {
+      // Total-correctness pin for the subword segmentation: BPE only
+      // merges adjacent symbols, so every word's symbol sequence must
+      // concatenate back to the word EXACTLY — n_lossless must equal
+      // n_words, and DuckDB recomputes both from its own merge chain
+      // (a genuine cross-engine recomputation, not a literal TRUE).
+      val docs = Tables.documents(s, d)
+      val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
+        .map(r => (r.getString(1), r.getString(2)))
+      Bpe.wordSymbols(docs, m)
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(array_join(col("syms"), "") === col("word"), 1L)
+            .otherwise(0L)).as("n_lossless"))
     }),
     "pii_scrub" -> ((s, d) =>
       // The synthetic corpus carries no PII, so the query injects a
@@ -2293,6 +2339,48 @@ object SparkEntry {
            WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
     """ + cleanCorpusSql(capped = false).trim.stripPrefix("WITH")
       .replace("FROM documents", "FROM docs_dc")
+
+  private def bpePackSql(numMerges: Int): String = {
+    val S2 = Bpe.Sep2
+    bpeOracleStages(numMerges) + s""",
+       wsyms AS MATERIALIZED (
+         SELECT word, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms
+         FROM s$numMerges),
+       t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents),
+       wp AS (
+         SELECT doc_id, unnest(w) AS term FROM t),
+       cnt AS (
+         SELECT wp.doc_id, CAST(sum(len(ws.syms)) AS BIGINT) AS n
+         FROM wp JOIN wsyms ws ON wp.term = ws.word
+         GROUP BY wp.doc_id),
+       np AS (
+         SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
+         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id),
+       p AS (
+         SELECT doc_id, n_bpe_tokens,
+                CAST(COALESCE(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS prefix_tokens
+         FROM np)
+       SELECT doc_id, n_bpe_tokens, prefix_tokens,
+              CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+       FROM p ORDER BY doc_id"""
+  }
+
+  private def bpeRoundtripSql(numMerges: Int): String = {
+    val S2 = Bpe.Sep2
+    bpeOracleStages(numMerges) + s""",
+       wsyms AS MATERIALIZED (
+         SELECT word, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms
+         FROM s$numMerges)
+       SELECT CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(CASE WHEN array_to_string(syms, '') = word
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless
+       FROM wsyms"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3208,10 +3296,7 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
+           FROM t),
          bk AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
          pairs AS (
@@ -3461,10 +3546,7 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t
-           QUALIFY row_number() OVER (
-             PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
-             ORDER BY doc_id) <= 128),
+           FROM t),
          bk AS (
            SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
          tp AS (
@@ -4122,9 +4204,12 @@ object SparkEntry {
     // The same vocabulary joined back onto every positioned token;
     // OOV coalesces to 0; per-doc reassembly in token order.
     // Generated 24-stage CTE chains re-deriving the full BPE merge
-    // sequence (and the encoding under it) from scratch in DuckDB.
+    // sequence (and the encoding/packing/roundtrip under it) from
+    // scratch in DuckDB.
     "bpe_vocab" -> bpeVocabSql(BpeNumMerges),
     "bpe_encode" -> bpeEncodeSql(BpeNumMerges),
+    "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
+    "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),
     "tokenize_ids" ->
       """WITH t AS (
            SELECT doc_id,

@@ -125,15 +125,25 @@ object Components {
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
-  /** Near-duplicate families over the exact n-gram pair graph:
+  /** Near-duplicate families over the n-gram Jaccard pair graph:
     * (doc_id, cluster_id) for EVERY doc — singletons are their own
     * cluster; cluster_id is the component's minimum doc_id, i.e. the
     * representative a keep-one policy retains.
+    *
+    * `sketch = true` (the 100 TB path) generates the pair graph with
+    * the verified MinHash sketch — O(corpus)+O(candidates) — instead
+    * of the O(block²) capped brute baseline; every candidate is still
+    * exact-Jaccard verified, so the edge set equals the uncapped
+    * blocked-exact pair set wherever the sketch's recall holds
+    * (measured 1.0 at all driver SFs).
     */
   def nearDupClusters(docs: DataFrame, shingleK: Int = 3,
-                      threshold: Double = 0.5): DataFrame = {
-    val edges = Dedup.ngramJaccardPairs(docs, shingleK, threshold)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+                      threshold: Double = 0.5,
+                      sketch: Boolean = false): DataFrame = {
+    val pairs =
+      if (sketch) Dedup.minhashPairs(docs, shingleK, threshold = threshold)
+      else Dedup.ngramJaccardPairs(docs, shingleK, threshold)
+    val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     connectedComponentsStar(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
@@ -151,8 +161,12 @@ object Components {
     */
   def crossModalClusters(docs: DataFrame, embeddings: DataFrame,
                          shingleK: Int = 3, jaccard: Double = 0.5,
-                         cosine: Double = 0.45): DataFrame = {
-    val textEdges = Dedup.ngramJaccardPairs(docs, shingleK, jaccard)
+                         cosine: Double = 0.45,
+                         sketch: Boolean = false): DataFrame = {
+    val textPairs =
+      if (sketch) Dedup.minhashPairs(docs, shingleK, threshold = jaccard)
+      else Dedup.ngramJaccardPairs(docs, shingleK, jaccard)
+    val textEdges = textPairs
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val embEdges = graft.operators.Similarity.cosinePairsBrute(embeddings, cosine)
       .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))

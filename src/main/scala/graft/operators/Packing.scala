@@ -33,12 +33,24 @@ object Packing {
     * lands in) — splitting oversized docs is a tokenizer-side concern.
     */
   def packBins(docs: DataFrame, keyCol: String, binTokens: Long,
-               partitions: Int = 32): DataFrame = {
+               partitions: Int = 32): DataFrame =
+    packBinsCounted(
+      docs.select(col(keyCol),
+        size(tokens(col("text"))).cast("long").as("__nt")),
+      keyCol, "__nt", binTokens, partitions)
+
+  /** [[packBins]] over a PRE-COUNTED token column — the entry point
+    * when the budget isn't whitespace words (BPE/subword counts, char
+    * budgets, multimodal frame counts). Same two-level prefix sum,
+    * same output schema (`n_tokens` = the supplied counts).
+    */
+  def packBinsCounted(rows: DataFrame, keyCol: String, tokensCol: String,
+                      binTokens: Long, partitions: Int = 32): DataFrame = {
     val key = col(keyCol)
-    val toked = docs
+    val toked = rows
       .repartitionByRange(partitions, key)
       .sortWithinPartitions(key)
-      .select(key, size(tokens(col("text"))).cast("long").as("n_tokens"),
+      .select(key, col(tokensCol).cast("long").as("n_tokens"),
         spark_partition_id().as("__pid"))
 
     // Level 1: per-partition subtotals — one row per partition, so the
