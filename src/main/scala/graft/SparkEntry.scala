@@ -1078,6 +1078,28 @@ object SparkEntry {
       operators.Components.nearDupClusters(Tables.documents(s, d),
           sketch = true)
         .orderBy(col("doc_id"))),
+    "dedup_clusters_incremental" -> ((s, d) => {
+      // Continuous-ingest clustering: the standing corpus (doc_id <
+      // 250) contributes ONLY its stored labels (one contracted edge
+      // per non-root member — it never re-pairs); the fresh batch
+      // contributes its incremental sketch pairs (corpus↔fresh +
+      // fresh↔fresh, fresh side fans out). The result must equal the
+      // from-scratch clustering of the full corpus — the oracle IS
+      // dedup_clusters' recursive-CTE closure over the full uncapped
+      // pair set, so the equality pins the whole incremental
+      // machinery (label-edge contraction + star rounds + pair gen).
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+      val prior = operators.Components.nearDupClusters(corpus, sketch = true)
+        .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+      val freshEdges = Dedup.minhashPairsIncremental(corpus, fresh)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      operators.Components.connectedComponentsIncremental(
+          docs.select(col("doc_id").as("id")), prior, freshEdges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     "containment_pairs" -> ((s, d) =>
       // Asymmetric quote/inclusion detection over the shingle inverted
       // index — directional (contained, container) pairs at C ≥ 0.8.
@@ -2382,6 +2404,40 @@ object SparkEntry {
        FROM wsyms"""
   }
 
+  /** Recursive-CTE closure of the uncapped blocked-exact pair set —
+    * the independent-algorithm pin shared by dedup_clusters (sketch
+    * pair gen + star contraction) and dedup_clusters_incremental
+    * (label-edge contraction + incremental pair gen + star), both of
+    * which must reproduce the from-scratch components exactly. */
+  private val DedupClustersSql: String =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, n_chars,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                list_distinct(list_transform(
+                  range(1, greatest(len(w) - 2, 1) + 1),
+                  i -> array_to_string(w[i:i+2], ' '))) AS sh
+         FROM t),
+       bk AS (
+         SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+         FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+           AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+       e AS (SELECT pa AS ea, pb AS eb FROM pairs
+             UNION ALL SELECT pb, pa FROM pairs),
+       reach AS (
+         SELECT doc_id AS id, doc_id AS label FROM documents
+         UNION
+         SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
+       SELECT id AS doc_id, min(label) AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -3285,34 +3341,10 @@ object SparkEntry {
          FROM p ORDER BY lang, doc_id""",
     // Components of the same pair graph, computed by a DIFFERENT
     // algorithm (fixed-point recursive CTE vs min-label propagation).
-    "dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, n_chars,
-                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
-                  list_distinct(list_transform(
-                    range(1, greatest(len(w) - 2, 1) + 1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS sh
-           FROM t),
-         bk AS (
-           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
-           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
-             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
-                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
-         e AS (SELECT pa AS ea, pb AS eb FROM pairs
-               UNION ALL SELECT pb, pa FROM pairs),
-         reach AS (
-           SELECT doc_id AS id, doc_id AS label FROM documents
-           UNION
-           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
-         SELECT id AS doc_id, min(label) AS cluster_id
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_clusters" -> DedupClustersSql,
+    // Incremental clustering must equal the from-scratch closure — the
+    // oracle is literally the dedup_clusters SQL.
+    "dedup_clusters_incremental" -> DedupClustersSql,
     "snapshot_diff" ->
       """WITH b AS (
            SELECT event_id, value FROM events WHERE event_id < 9000),

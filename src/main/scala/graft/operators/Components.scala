@@ -125,6 +125,36 @@ object Components {
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
+  /** Incremental connected components — the continuous-ingest flow:
+    * extend a previously-computed labeling with a fresh increment
+    * WITHOUT re-pairing the standing corpus. The prior labels are an
+    * already-contracted star (one `id → component` edge per non-root
+    * member preserves every prior connection), so the input graph is
+    * |corpus| contracted edges plus only the NEW pairs the increment
+    * generates — the star rounds then run over a graph that is already
+    * mostly collapsed, and at 100 TB the labeling is the thing you
+    * store and roll forward batch over batch.
+    *
+    * Equivalence: components of (prior-label edges ∪ new edges) equal
+    * components of (all original edges ∪ new edges), because label
+    * edges and original edges induce identical connectivity on the
+    * corpus; min-ids are preserved since the node set is unchanged.
+    * ComponentsSpec pins incremental ≡ full recomputation on random
+    * graph sequences.
+    *
+    * @param nodes       (id) — corpus ∪ fresh
+    * @param priorLabels (id, component) for the standing corpus
+    * @param newEdges    (a, b) pairs involving the increment
+    */
+  def connectedComponentsIncremental(nodes: DataFrame, priorLabels: DataFrame,
+                                     newEdges: DataFrame,
+                                     maxIter: Int = 16): DataFrame = {
+    val priorEdges = priorLabels
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("a"), col("component").as("b"))
+    connectedComponentsStar(nodes, priorEdges.unionByName(newEdges), maxIter)
+  }
+
   /** Near-duplicate families over the n-gram Jaccard pair graph:
     * (doc_id, cluster_id) for EVERY doc — singletons are their own
     * cluster; cluster_id is the component's minimum doc_id, i.e. the

@@ -352,9 +352,17 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  def dedupIncrementalSketch(corpus: DataFrame, fresh: DataFrame,
-                             shingleK: Int = 3, numHashes: Int = 64,
-                             bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+  /** Verified MinHash near-dup pairs INVOLVING the fresh increment:
+    * (doc_id_a < doc_id_b, jaccard) where doc_id_b is fresh —
+    * corpus↔fresh plus fresh↔fresh; the corpus NEVER self-pairs and
+    * contributes only its (precomputable) band keys + shingle sets.
+    * The pair relation [[dedupIncrementalSketch]] drops victims from
+    * and [[Components.connectedComponentsIncremental]] extends the
+    * standing dup-graph with.
+    */
+  def minhashPairsIncremental(corpus: DataFrame, fresh: DataFrame,
+                              shingleK: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
     def hashed(docs: DataFrame) = docs
@@ -384,13 +392,24 @@ object Dedup {
       col("sh").as("sh_b"), col("n_sh").as("n_b"))
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
-    val victims = candidates
+    candidates
       .join(sa, "doc_id_a").join(sb, "doc_id_b")
-      .select(col("doc_id_b").as("doc_id"),
+      .select(col("doc_id_a"), col("doc_id_b"),
         inter.as("i"), (col("n_a") + col("n_b")).as("t"))
-      .filter(col("t") > col("i") &&
-        col("i") / (col("t") - col("i")) >= threshold)
-      .select(col("doc_id")).distinct()
+      // same guarded division as minhashPairs: two blank docs can
+      // co-bucket and their 0/0 union is an ANSI error, not a 0 score
+      .select(col("doc_id_a"), col("doc_id_b"),
+        when(col("t") > col("i"), col("i") / (col("t") - col("i")))
+          .otherwise(lit(0.0)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def dedupIncrementalSketch(corpus: DataFrame, fresh: DataFrame,
+                             shingleK: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val victims = minhashPairsIncremental(corpus, fresh, shingleK,
+        numHashes, bands, threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
     fresh.join(victims, Seq("doc_id"), "left_anti")
   }
 

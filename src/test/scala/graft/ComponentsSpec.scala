@@ -42,6 +42,30 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental labeling equals full recomputation on random graph growth") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nCorpus = 20L
+      val nAll = 35L
+      val allNodes = (1L to nAll).toDF("id")
+      // corpus-internal edges, then an increment whose edges all touch
+      // a fresh node (the incremental pair-gen contract: b is fresh)
+      val corpusEdges = Seq.fill(15)((rnd.nextLong(nCorpus) + 1, rnd.nextLong(nCorpus) + 1))
+        .filter { case (a, b) => a != b }.toDF("a", "b")
+      val freshEdges = Seq.fill(12)((rnd.nextLong(nAll) + 1, rnd.nextLong(nAll - nCorpus) + nCorpus + 1))
+        .filter { case (a, b) => a != b }.toDF("a", "b")
+      val prior = Components.connectedComponentsStar(
+        (1L to nCorpus).toDF("id"), corpusEdges)
+      val incr = Components.connectedComponentsIncremental(
+          allNodes, prior, freshEdges)
+        .as[(Long, Long)].collect().toMap
+      val full = Components.connectedComponentsStar(
+          allNodes, corpusEdges.unionByName(freshEdges))
+        .as[(Long, Long)].collect().toMap
+      assert(incr === full, s"trial $trial")
+    }
+  }
+
   test("star variant converges on a long path in O(log n) rounds") {
     // diameter 63 — label-prop needs ~63 rounds, star must land the
     // single min-rooted component well inside its default maxIter=16.

@@ -245,7 +245,8 @@ class PlanContractSpec extends SparkSpec {
     // grids, phrase/benchmark lists, per-anchor probes, day calendars.
     val bnljAllowed = Set(
       "dedup_embedding_pairs", "dedup_embedding_near", "dedup_near_exact",
-      "dedup_embedding_incremental", "dedup_clusters", "dedup_crossmodal_clusters",
+      "dedup_embedding_incremental", "dedup_clusters", "dedup_clusters_incremental",
+      "dedup_crossmodal_clusters",
       "decontaminate", "clean_corpus", "clean_corpus_sketch", "clean_corpus_full",
       "clean_corpus_v2", "dataset_card", "embedding_near_recall",
       "sliding_week_users", "fuzzy_lookup", "negative_samples",
