@@ -40,6 +40,9 @@ object SparkEntry {
     */
   private val BpeNumMerges = 24
 
+  /** Depth for the per-language trainer row (5 langs × 12 rounds). */
+  private val BpeGroupedMerges = 12
+
   /** Generated DuckDB mirror of the BPE trainer: the shared CTE chain
     * w0 (word counts) → s0 (char-seeded double-delimited states) →
     * [p_i (pair counts) → b_i (argmax with the engine's exact tie
@@ -1603,6 +1606,22 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2)))
       Bpe.bpeEncode(docs, m)
     }),
+    "bpe_vocab_by_lang" -> ((s, d) => {
+      // Per-language BPE vocabularies, ALL languages trained in one
+      // distributed merge loop (pair counts grouped by (lang, pair),
+      // per-lang argmax through one window over the tiny aggregate,
+      // broadcast merge map back) — not |langs| sequential trainer
+      // runs. Oracle: generated per-round CTEs with a per-group
+      // QUALIFY argmax and a LEFT-JOIN-driven replace, re-deriving
+      // every language's merge sequence from scratch.
+      import scala.jdk.CollectionConverters._
+      val rows = Bpe.trainedGroupedMergeRows(
+        Tables.documents(s, d), d, "lang", BpeGroupedMerges)
+      s.createDataFrame(new java.util.ArrayList(rows.asJava),
+          Bpe.GroupedMergeSchema)
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"), col("merge_rank"))
+    }),
     "bpe_pack_pipeline" -> ((s, d) => {
       // The subword training-sequence build end to end: BPE token
       // counts per doc (merge chain over distinct words → per-doc
@@ -2361,6 +2380,53 @@ object SparkEntry {
            WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))),
     """ + cleanCorpusSql(capped = false).trim.stripPrefix("WITH")
       .replace("FROM documents", "FROM docs_dc")
+
+  /** Generated DuckDB mirror of the GROUPED BPE trainer: per round, a
+    * per-group QUALIFY argmax (WHERE cnt ≥ 2 first — top-1 of the
+    * filtered set equals top-1 of the full set whenever one exists)
+    * and a LEFT-JOIN replace that leaves exhausted groups' states
+    * untouched — exactly the engine's skip semantics.
+    */
+  private def bpeGroupedVocabSql(numMerges: Int): String = {
+    val S = Bpe.Sep
+    val S2 = Bpe.Sep2
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+         SELECT lang AS grp, w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT lang,
+                  unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+           FROM documents) GROUP BY 1, 2),
+       s0 AS MATERIALIZED (
+         SELECT grp, word, freq,
+                '$S2' || array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], '$S2') || '$S2' AS state
+         FROM w0)"""
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      sb ++= s""",
+       p$i AS MATERIALIZED (
+         SELECT grp, u['l'] AS lft, u['r'] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT grp, freq, unnest([{'l': syms[j], 'r': syms[j+1]} for j in range(1, len(syms))]) AS u
+           FROM (SELECT grp, freq, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms FROM s$p))
+         GROUP BY 1, 2, 3),
+       b$i AS MATERIALIZED (
+         SELECT grp, lft, rgt, cnt FROM p$i
+         WHERE cnt >= 2
+         QUALIFY row_number() OVER (PARTITION BY grp
+           ORDER BY cnt DESC, lft, rgt) = 1),
+       s$i AS MATERIALIZED (
+         SELECT s.grp, s.word, s.freq,
+                CASE WHEN b.lft IS NULL THEN s.state
+                     ELSE replace(s.state,
+                       '$S' || b.lft || '$S2' || b.rgt || '$S',
+                       '$S' || b.lft || b.rgt || '$S') END AS state
+         FROM s$p s LEFT JOIN b$i b ON s.grp = b.grp)"""
+    }
+    sb.toString +
+      (1 to numMerges).map(i =>
+        s"""SELECT grp AS lang, CAST($i AS BIGINT) AS merge_rank, lft AS "left",
+              rgt AS "right", lft || rgt AS merged, cnt AS n FROM b$i""")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY lang, merge_rank")
+  }
 
   private def bpePackSql(numMerges: Int): String = {
     val S2 = Bpe.Sep2
@@ -4242,6 +4308,7 @@ object SparkEntry {
     "bpe_encode" -> bpeEncodeSql(BpeNumMerges),
     "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
     "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),
+    "bpe_vocab_by_lang" -> bpeGroupedVocabSql(BpeGroupedMerges),
     "tokenize_ids" ->
       """WITH t AS (
            SELECT doc_id,

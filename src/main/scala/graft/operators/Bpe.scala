@@ -67,6 +67,20 @@ object Bpe {
     StructField("merged", StringType, nullable = false),
     StructField("n", LongType, nullable = false)))
 
+  /** The per-group merge-table schema [[bpeTrainGrouped]] emits. */
+  val GroupedMergeSchema: StructType = StructType(
+    StructField("grp", StringType, nullable = false) +: MergeSchema.fields.toSeq)
+
+  private val trainedGrouped =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Row]]
+
+  /** Memoized [[bpeTrainGrouped]] rows in (grp, merge_rank) order. */
+  def trainedGroupedMergeRows(docs: DataFrame, key: String, groupCol: String,
+                              numMerges: Int, minFreq: Long = 2L): Seq[Row] =
+    trainedGrouped.getOrElseUpdate(s"$key#$groupCol#$numMerges#$minFreq",
+      bpeTrainGrouped(docs, groupCol, numMerges, minFreq)
+        .orderBy(col("grp"), col("merge_rank")).collect().toSeq)
+
   /** word → initial state: per-char symbols, double-delimited. */
   private def initState(word: org.apache.spark.sql.Column) =
     concat(lit(Sep2),
@@ -126,6 +140,82 @@ object Bpe {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .BufferHasAsJava(merges).asJava), MergeSchema)
+  }
+
+  /** Per-GROUP BPE training (per-language vocabularies) — every group
+    * trains simultaneously in ONE distributed merge loop: each round
+    * is a single pair count grouped by (group, l, r), a per-group
+    * argmax via one window over the tiny (groups × distinct pairs)
+    * aggregate, one bounded ≤|groups|-row driver action, and one
+    * row-local merge rewrite driven by a broadcast (group → merge)
+    * join — NOT |groups| sequential trainer runs. A group whose best
+    * pair drops below `minFreq` simply stops merging (its state is a
+    * fixed point, so it stays stopped); training ends early when every
+    * group is exhausted.
+    *
+    * Output: (grp, merge_rank, left, right, merged, n) in (grp, rank)
+    * order — per-group merge tables of possibly different lengths.
+    */
+  def bpeTrainGrouped(docs: DataFrame, groupCol: String, numMerges: Int,
+                      minFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    var state = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("grp"), col("word"), col("freq"),
+        initState(col("word")).as("state"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val best = state
+        .select(col("grp"), col("freq"), symsOf(col("state")).as("syms"))
+        .select(col("grp"), col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("grp"), col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("grp"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))))
+        .filter(col("__rn") === 1 && col("cnt") >= minFreq)
+        .select(col("grp"), col("l"), col("r"), col("cnt"))
+        .collect()
+        .sortBy(r => r.getString(0))
+      if (best.isEmpty) done = true
+      else {
+        merges ++= best.map(r => Row(r.getString(0), rank.toLong,
+          r.getString(1), r.getString(2),
+          r.getString(1) + r.getString(2), r.getLong(3)))
+        val roundMerges = broadcast(spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .BufferHasAsJava(scala.collection.mutable.ArrayBuffer(
+              best.map(r => Row(r.getString(0), r.getString(1),
+                r.getString(2))): _*)).asJava),
+          StructType(Seq(
+            StructField("grp", StringType, nullable = false),
+            StructField("__l", StringType, nullable = false),
+            StructField("__r", StringType, nullable = false)))))
+        state = state.join(roundMerges, Seq("grp"), "left")
+          .withColumn("state",
+            when(col("__l").isNull, col("state"))
+              .otherwise(org.apache.spark.sql.functions.replace(col("state"),
+                concat(lit(Sep), col("__l"), lit(Sep2), col("__r"), lit(Sep)),
+                concat(lit(Sep), col("__l"), col("__r"), lit(Sep)))))
+          .drop("__l", "__r")
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .BufferHasAsJava(merges).asJava), schema)
   }
 
   /** Per-word subword decomposition under a merge list: the N chained

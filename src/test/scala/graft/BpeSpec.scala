@@ -73,6 +73,39 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("edge docs are total: blank text, 1-char words, whitespace runs") {
+    val docs = docsOf("", "a b a b a", "  \t\n  ", "x")
+    val merges = Bpe.bpeTrain(docs, 4)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // only 1-char words exist → no intra-word pairs → no merges at all
+    assert(merges.isEmpty)
+    val enc = Bpe.bpeEncode(docs, Seq.empty).as[(Long, String)].collect().toMap
+    assert(enc(0L) === "" && enc(2L) === "")       // blank docs → empty
+    assert(enc(3L).nonEmpty)                        // 1-char doc encodes
+    // vocab: distinct syms = {a, b, x} sorted → a=1, b=2, x=3
+    assert(enc(1L) === "1,2,1,2,1")
+  }
+
+  test("grouped training: each group matches its own solo trainer run") {
+    val docs = Seq(
+      (0L, "en", "low low low lower lowest"),
+      (1L, "en", "low lower newer"),
+      (2L, "de", "baum baum baume"),
+      (3L, "zz", "q w e r t y")  // all 1-char words: exhausts at once
+    ).toDF("doc_id", "lang", "text")
+    val grouped = Bpe.bpeTrainGrouped(docs, "lang", 5)
+      .as[(String, Long, String, String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t =>
+        (t._2, t._3, t._4, t._5, t._6)).sortBy(_._1).toSeq).toMap
+    for (lang <- Seq("en", "de")) {
+      val solo = Bpe.bpeTrain(docs.filter($"lang" === lang), 5)
+        .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(grouped(lang) === solo, lang)
+    }
+    assert(!grouped.contains("zz")) // no intra-word pairs → no merges
+  }
+
   test("training is stable under repartitioning") {
     val docs = docsOf(
       "the cat sat on the mat", "the bat and the rat", "cats bats rats")
