@@ -1796,8 +1796,11 @@ object SparkEntry {
       //      — per-twin collision ≈ 0.655⁸ ≈ 3% — so the floor pins
       //      the config whose expected recall is real).
       // n_queries/n_twins hash-match DuckDB's brute recomputation.
+      // The brute pair set feeds THREE consumers (query ids, twins ×2
+      // union branches) — localCheckpoint materializes it once instead
+      // of re-running the block-triangle join per consumer.
       val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.cosinePairsBrute(emb, 0.45)
+      val pairs = Similarity.cosinePairsBrute(emb, 0.45).localCheckpoint()
       val qIds = pairs.select(col("vec_id_a").as("vec_id"))
         .unionAll(pairs.select(col("vec_id_b").as("vec_id")))
         .distinct().orderBy(col("vec_id")).limit(5)
