@@ -1994,6 +1994,43 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_tokens"),
           col("prefix_tokens"), col("bin_id"))
         .orderBy(col("lang"), col("doc_id"))),
+    "pack_harmonic" -> ((s, d) =>
+      // No-split packing (each doc stays whole in one padded training
+      // sequence): harmonic bucketing — k = floor(budget/len) docs per
+      // bin, parallel across buckets, 1.691×-optimal worst case. The
+      // oracle recomputes bucket + per-bucket rank in DuckDB; the
+      // engine's two-level rank must produce the identical layout.
+      operators.Packing.packHarmonic(Tables.documents(s, d), "doc_id", 2000L)
+        .orderBy(col("doc_id"))),
+    "pack_harmonic_stats" -> ((s, d) =>
+      operators.Packing.harmonicStats(
+        operators.Packing.packHarmonic(Tables.documents(s, d), "doc_id", 2000L),
+        2000L)),
+    "pack_sorted_batches" -> ((s, d) =>
+      // Length-sorted batching: rank by (len desc, id), fixed 32-doc
+      // batches, pad to batch max — the padding-minimizing layout for
+      // padded (non-packed) training batches.
+      operators.Packing.sortedBatchStats(Tables.documents(s, d), "doc_id", 32)),
+    "pack_sorted_savings" -> ((s, d) => {
+      // The sorted layout's padding win vs arrival order, as one
+      // oracle-checked row — the measured number, not a claim. Single
+      // union+conditional-agg (no join) keeps the plan BNLJ-free.
+      val sorted = operators.Packing
+        .sortedBatchStats(Tables.documents(s, d), "doc_id", 32)
+        .select(lit("sorted").as("variant"), col("padding"))
+      val arrival = operators.Packing
+        .arrivalBatchStats(Tables.documents(s, d), "doc_id", 32)
+        .select(lit("arrival").as("variant"), col("padding"))
+      sorted.unionByName(arrival)
+        .agg(
+          sum(when(col("variant") === "sorted", col("padding")))
+            .as("sorted_padding"),
+          sum(when(col("variant") === "arrival", col("padding")))
+            .as("arrival_padding"))
+        .select(col("sorted_padding"), col("arrival_padding"),
+          ((col("arrival_padding") - col("sorted_padding")).cast("double") /
+            col("arrival_padding").cast("double")).as("saved_frac"))
+    }),
 
     // ---- training-data extensions: deterministic sampling ----------
     "hash_split" -> ((s, d) =>
@@ -3408,6 +3445,88 @@ object SparkEntry {
          SELECT lang, doc_id, n_tokens, prefix_tokens,
                 CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
          FROM p ORDER BY lang, doc_id""",
+    "pack_harmonic" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens,
+                  GREATEST(1, CAST(floor(2000.0 / GREATEST(n_tokens, 1)) AS BIGINT)) AS bucket_k
+           FROM t),
+         r AS (
+           SELECT doc_id, n_tokens, bucket_k,
+                  row_number() OVER (PARTITION BY bucket_k ORDER BY doc_id) - 1 AS rk
+           FROM b)
+         SELECT doc_id, n_tokens, bucket_k,
+                CAST(floor(rk / CAST(bucket_k AS DOUBLE)) AS BIGINT) AS bin_idx
+         FROM r ORDER BY doc_id""",
+    "pack_harmonic_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens,
+                  GREATEST(1, CAST(floor(2000.0 / GREATEST(n_tokens, 1)) AS BIGINT)) AS bucket_k
+           FROM t),
+         r AS (
+           SELECT doc_id, n_tokens, bucket_k,
+                  row_number() OVER (PARTITION BY bucket_k ORDER BY doc_id) - 1 AS rk
+           FROM b),
+         p AS (
+           SELECT bucket_k,
+                  CAST(floor(rk / CAST(bucket_k AS DOUBLE)) AS BIGINT) AS bin_idx,
+                  n_tokens
+           FROM r)
+         SELECT bucket_k, bin_idx, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+                GREATEST(0, 2000 - CAST(sum(n_tokens) AS BIGINT)) AS padding
+         FROM p GROUP BY 1, 2 ORDER BY bucket_k, bin_idx""",
+    "pack_sorted_batches" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT n_tokens,
+                  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+           FROM t)
+         SELECT CAST(floor(rk / 32.0) AS BIGINT) AS batch_id,
+                count(*) AS n_docs,
+                CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+                CAST(max(n_tokens) AS BIGINT) * count(*)
+                  - CAST(sum(n_tokens) AS BIGINT) AS padding
+         FROM r GROUP BY 1 ORDER BY batch_id""",
+    "pack_sorted_savings" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (
+           SELECT n_tokens,
+                  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+           FROM t),
+         sb AS (
+           SELECT CAST(max(n_tokens) AS BIGINT) * count(*)
+                    - CAST(sum(n_tokens) AS BIGINT) AS padding
+           FROM s GROUP BY CAST(floor(rk / 32.0) AS BIGINT)),
+         a AS (
+           SELECT n_tokens,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS rk
+           FROM t),
+         ab AS (
+           SELECT CAST(max(n_tokens) AS BIGINT) * count(*)
+                    - CAST(sum(n_tokens) AS BIGINT) AS padding
+           FROM a GROUP BY CAST(floor(rk / 32.0) AS BIGINT)),
+         tot AS (
+           SELECT (SELECT CAST(sum(padding) AS BIGINT) FROM sb) AS sorted_padding,
+                  (SELECT CAST(sum(padding) AS BIGINT) FROM ab) AS arrival_padding)
+         SELECT sorted_padding, arrival_padding,
+                CAST(arrival_padding - sorted_padding AS DOUBLE)
+                  / CAST(arrival_padding AS DOUBLE) AS saved_frac
+         FROM tot""",
     // Components of the same pair graph, computed by a DIFFERENT
     // algorithm (fixed-point recursive CTE vs min-label propagation).
     "dedup_clusters" -> DedupClustersSql,

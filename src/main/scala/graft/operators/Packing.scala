@@ -120,4 +120,128 @@ object Packing {
     packed.groupBy(col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("bin_id"))
+
+  // ---- no-split (padded) packing ---------------------------------------
+
+  /** 0-based global rank under `sortCols` via the same two-level scheme
+    * as [[packBinsCounted]]: one range shuffle, per-partition counts
+    * (one row per partition) windowed for offsets, broadcast back, local
+    * rank added. No data-sized single-partition window anywhere.
+    */
+  private def withGlobalRank(rows: DataFrame, partitions: Int,
+                             sortCols: Column*): DataFrame = {
+    val placed = rows
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = placed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__pcnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pcnt")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    placed
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__rank", col("__offset") + count(lit(1)).over(wLocal))
+      .drop("__pid", "__offset")
+  }
+
+  /** Harmonic no-split packing (Lee & Lee 1985): each doc keeps its
+    * whole token run in ONE bin (a padded training sequence), bins hold
+    * docs of similar length. Bucket `k = max(1, floor(binTokens/len))`
+    * is exactly how many docs of that length class fit a bin —
+    * `len ∈ (C/(k+1), C/k]` implies k docs sum ≤ C — so within a bucket
+    * the packing is just rank/k: embarrassingly parallel across buckets,
+    * deterministic, and worst-case 1.691× optimal bins (the harmonic
+    * bound). Docs longer than the budget get singleton bins (k clipped
+    * to 1) — splitting is [[packBins]]' contiguous regime instead.
+    *
+    * Scale shape: bucket assignment is row-local arithmetic; the
+    * per-bucket rank reuses the two-level prefix idiom with the level-1
+    * relation bounded by partitions × distinct buckets (≤ partitions ×
+    * binTokens rows — cluster-width-sized, never data-sized).
+    *
+    * Output: (key, n_tokens, bucket_k, bin_idx) — a bin is the pair
+    * (bucket_k, bin_idx); global ids are a downstream dense-rank over
+    * bins if a flat numbering is ever needed.
+    */
+  def packHarmonic(docs: DataFrame, keyCol: String, binTokens: Long,
+                   partitions: Int = 32): DataFrame = {
+    val key = col(keyCol)
+    val bucketed = docs.select(key,
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket_k",
+        greatest(lit(1L), floor(lit(binTokens) /
+          greatest(col("n_tokens"), lit(1L))).cast("long")))
+    val placed = bucketed
+      .repartitionByRange(partitions, col("bucket_k"), key)
+      .sortWithinPartitions(col("bucket_k"), key)
+      .withColumn("__pid", spark_partition_id())
+    // Level 1: (partition, bucket) counts — each partition touches a
+    // contiguous bucket range, so this stays cluster-width-sized.
+    val offsets = placed.groupBy(col("__pid"), col("bucket_k"))
+      .agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__pcnt")).over(
+          Window.partitionBy(col("bucket_k")).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pcnt")
+    val wLocal = Window.partitionBy(col("__pid"), col("bucket_k")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    placed
+      .join(broadcast(offsets), Seq("__pid", "bucket_k"))
+      .select(key, col("n_tokens"), col("bucket_k"),
+        floor((col("__offset") + count(lit(1)).over(wLocal)) / col("bucket_k"))
+          .as("bin_idx"))
+  }
+
+  /** Per-bin fill for [[packHarmonic]] output: padding is the unfilled
+    * budget (0 for oversized singleton bins — truncation is a
+    * tokenizer-side concern, as in [[packBins]]).
+    */
+  def harmonicStats(packed: DataFrame, binTokens: Long): DataFrame =
+    packed.groupBy(col("bucket_k"), col("bin_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"))
+      .withColumn("padding",
+        greatest(lit(0L), lit(binTokens) - col("fill_tokens")))
+      .orderBy(col("bucket_k"), col("bin_idx"))
+
+  /** Length-sorted batching: rank docs by (length desc, key), cut into
+    * fixed `batchSize` batches, pad every sequence in a batch to the
+    * batch max. Sorting first is THE padding minimizer for this layout
+    * — similar lengths land in the same batch, so max−len ≈ 0. Returns
+    * per-batch stats: (batch_id, n_docs, max_tokens, fill_tokens,
+    * padding). Rank is the two-level scheme — no global window.
+    */
+  def sortedBatchStats(docs: DataFrame, keyCol: String, batchSize: Int,
+                       partitions: Int = 32): DataFrame =
+    batchStats(docs, keyCol, batchSize, partitions, sortByLength = true)
+
+  /** Arrival-order (key-order) batching — the layout a pipeline gets by
+    * NOT sorting; exists so the sorted variant's padding win is a
+    * measured, oracle-checked number rather than a claim.
+    */
+  def arrivalBatchStats(docs: DataFrame, keyCol: String, batchSize: Int,
+                        partitions: Int = 32): DataFrame =
+    batchStats(docs, keyCol, batchSize, partitions, sortByLength = false)
+
+  private def batchStats(docs: DataFrame, keyCol: String, batchSize: Int,
+                         partitions: Int, sortByLength: Boolean): DataFrame = {
+    val key = col(keyCol)
+    val toked = docs.select(key,
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val sortCols =
+      if (sortByLength) Seq(col("n_tokens").desc, key) else Seq(key)
+    withGlobalRank(toked, partitions, sortCols: _*)
+      .withColumn("batch_id", floor(col("__rank") / batchSize))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("fill_tokens"))
+      .withColumn("padding",
+        col("max_tokens") * col("n_docs") - col("fill_tokens"))
+      .orderBy(col("batch_id"))
+  }
 }

@@ -73,4 +73,45 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(stats.map(_._2).sum === packed.length.toLong)
   }
+
+  test("harmonic packing: capacity holds, buckets are right, totality") {
+    val budget = 500L
+    val packed = Packing.packHarmonic(docs, "doc_id", budget)
+      .select("doc_id", "n_tokens", "bucket_k", "bin_idx")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length.toLong === docs.count()) // every doc placed once
+    // bucket_k is exactly how many docs of that length fit the budget
+    packed.foreach { case (_, n, k, _) =>
+      assert(k === math.max(1L, budget / math.max(n, 1L)))
+    }
+    // no bin of docs that individually fit the budget exceeds it
+    packed.filter(_._2 <= budget).groupBy(r => (r._3, r._4)).foreach {
+      case ((k, _), rows) =>
+        assert(rows.map(_._2).sum <= budget)
+        assert(rows.length <= k)
+    }
+    // stable under input partitioning / partition-count changes
+    val a = Packing.packHarmonic(docs.repartition(3), "doc_id", budget, 4)
+      .select("doc_id", "bucket_k", "bin_idx")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Packing.packHarmonic(docs.repartition(17), "doc_id", budget, 9)
+      .select("doc_id", "bucket_k", "bin_idx")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("length-sorted batching pads no more than arrival order") {
+    val sorted = Packing.sortedBatchStats(docs, "doc_id", 16)
+      .agg(sum(col("padding"))).as[Long].head()
+    val arrival = Packing.arrivalBatchStats(docs, "doc_id", 16)
+      .agg(sum(col("padding"))).as[Long].head()
+    assert(sorted <= arrival, s"sorted=$sorted arrival=$arrival")
+    // padding is non-negative and each batch's max bounds its members
+    val stats = Packing.sortedBatchStats(docs, "doc_id", 16)
+      .select("n_docs", "max_tokens", "fill_tokens", "padding")
+      .as[(Long, Long, Long, Long)].collect()
+    stats.foreach { case (n, mx, fill, pad) =>
+      assert(pad >= 0L && fill <= mx * n && pad === mx * n - fill)
+    }
+  }
 }
