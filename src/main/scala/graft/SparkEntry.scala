@@ -1883,6 +1883,24 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
+    "kmeans_assign" -> ((s, d) =>
+      // Distributed k-means (md5 seeds + one EXACT integer-domain
+      // Lloyd sweep): the oracle replays seeding, the quantized means,
+      // and the argmax in DuckDB — per-vector assignment AND winning
+      // cosine must match bit-for-bit. Assignment is row-local codegen
+      // (NearestCentroid over broadcast centroids); the corpus never
+      // shuffles in the whole chain.
+      Similarity.kmeansAssign(Tables.embeddings(s, d),
+          Similarity.kmeansCentroids(
+            Tables.embeddings(s, d).filter(col("embedding").isNotNull), 16, 1))
+        .orderBy(col("vec_id"))),
+    "semantic_dedup" -> ((s, d) =>
+      // SemDeDup: k-means cells bound the quadratic — near-dedup runs
+      // within clusters only (O(N²/k)), survivors keep the lower
+      // vec_id. Exact-reproducible clustering makes the full survivor
+      // set oracle-checkable, not just a recall pin.
+      Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.45)
+        .orderBy(col("vec_id"))),
     "embedding_near_recall" -> ((s, d) => {
       // SRP-LSH quality pin against the brute-force cosine baseline:
       // (1) STRUCTURAL — the exact-cosine verify stage admits only
@@ -4060,6 +4078,103 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
          ORDER BY query_id, cosine DESC, vec_id""",
+    // Full replay of the exact-reproducible k-means: md5 seeding, the
+    // integer-domain Lloyd means (HUGEINT sums, one double division,
+    // one FLOAT quantization), and the argmax — assignment and winning
+    // cosine must match the engine bit-for-bit.
+    "kmeans_assign" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT e.vec_id, s.centroid_id,
+                  list_cosine_similarity(e.emb, s.centroid) AS cos
+           FROM e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(e.embedding) + 1)]) AS u
+           FROM a1 JOIN e USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         s2 AS (
+           SELECT e.vec_id, e.label, c.centroid_id,
+                  list_cosine_similarity(e.emb, c.centroid) AS cos
+           FROM e CROSS JOIN c2 c),
+         a2 AS (
+           SELECT vec_id, label, centroid_id, cos FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s2) WHERE rn = 1)
+         SELECT vec_id, label, centroid_id, cos FROM a2 ORDER BY vec_id""",
+    // The same k-means replay, then within-cluster pairs ≥ 0.45 and
+    // the lower-id survivor rule — the full SemDeDup survivor set.
+    "semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT e.vec_id, s.centroid_id,
+                  list_cosine_similarity(e.emb, s.centroid) AS cos
+           FROM e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(e.embedding) + 1)]) AS u
+           FROM a1 JOIN e USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         s2 AS (
+           SELECT e.vec_id, c.centroid_id,
+                  list_cosine_similarity(e.emb, c.centroid) AS cos
+           FROM e CROSS JOIN c2 c),
+         a2 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s2) WHERE rn = 1),
+         victims AS (
+           SELECT DISTINCT y.vec_id AS vb
+           FROM a2 x JOIN a2 y
+             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_cosine_similarity(ex.emb, ey.emb) >= 0.45)
+         SELECT e.vec_id, e.label FROM e
+         WHERE e.vec_id NOT IN (SELECT vb FROM victims)
+         ORDER BY vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
     "ann_index_persisted" ->

@@ -184,6 +184,96 @@ object Similarity {
         s => s.getField("mean_c").cast("float")).as("centroid"))
   }
 
+  // ---- k-means / semantic (SemDeDup) dedup -----------------------------
+
+  /** Deterministic, engine-portable k-means seeding: the k live
+    * vectors with the smallest (md5(vec_id), vec_id). md5 — not
+    * xxhash64 — on purpose: Spark's xxhash64 is engine-specific, so a
+    * DuckDB oracle could never reproduce [[ivfCentroids]]' seed set;
+    * md5 is universal (the same reasoning as
+    * [[Sampling.hashBucket]]). orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-k, never a global sort.
+    */
+  def kmeansSeeds(corpus: DataFrame, k: Int): DataFrame =
+    corpus.filter(col("embedding").isNotNull)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+  /** One Lloyd sweep with EXACT integer-domain means: components
+    * quantize to round(v·1e7) longs, sum order-free, then ONE double
+    * division and ONE float cast — so the refined centroids are
+    * bit-identical under any partitioning AND reproducible by the
+    * DuckDB oracle (HUGEINT sums, same division) — the
+    * `label_centroid_sim` trick applied to Lloyd iteration.
+    * [[refineCentroids]] (plain double avg) stays the IVF production
+    * path; this variant is what makes refined k-means oracle-checkable.
+    *
+    * Scale shape: identical to [[refineCentroids]] — row-local argmin
+    * assignment, then the skinny exploded (centroid, pos) aggregate
+    * with map-side partials; the corpus never shuffles.
+    */
+  def refineCentroidsExact(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus.filter(col("embedding").isNotNull), centroids)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "c")))
+      .select(col("centroid_id"), col("pos"),
+        round(col("c").cast("double") * 1e7d).cast("long").as("q"))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("pos"),
+        (col("sq").cast("double") / (lit(1e7d) * col("n").cast("double")))
+          .cast("float").as("mean_c"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_c")))),
+        s => s.getField("mean_c")).as("centroid"))
+
+  /** Exact-reproducible k-means: md5 seeds + `sweeps` integer-domain
+    * Lloyd iterations. Returns the centroid relation.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, sweeps: Int): DataFrame =
+    (1 to sweeps).foldLeft(kmeansSeeds(corpus, k))(
+      (c, _) => refineCentroidsExact(corpus, c))
+
+  /** Per-vector assignment report against a centroid set: the
+    * row-local argmax plus the winning cosine (centroids ride back in
+    * by broadcast — the corpus side never exchanges).
+    */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus.filter(col("embedding").isNotNull), centroids)
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        cosine(col("embedding"), col("centroid")).as("cos"))
+
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    * k-means, then near-dedup WITHIN clusters only — the cluster
+    * granularity bounds the quadratic, turning O(N²) cosine dedup
+    * into O(N²/k) with negligible recall loss (near-dups land in the
+    * same cell by construction). Survivors keep the smallest vec_id of
+    * each detected pair — the same lower-id rule every other dedup
+    * path uses.
+    *
+    * Scale shape: assignment is row-local; the only data-sized
+    * exchange is ONE shuffle of the corpus by centroid_id for the
+    * within-cluster self-join (the canonical SemDeDup layout). `k`
+    * scales with the corpus — pick k ≈ N/targetCellSize so cells stay
+    * executor-sized; the per-cell pair work is then flat in N.
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, threshold: Double,
+                    sweeps: Int = 1): DataFrame = {
+    val live = corpus.filter(col("embedding").isNotNull)
+    val assigned = ivfAssign(live, kmeansCentroids(live, k, sweeps))
+    val a = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    val victims = a.join(b, "centroid_id")
+      .filter(col("vec_id_a") < col("vec_id_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+    live.join(victims, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native
     * codegen'd [[graft.functions.SrpBuckets]] — the HOF chain this
     * replaces (`aggregate(zip_with(...))` per plane) re-walked the

@@ -260,6 +260,7 @@ class PlanContractSpec extends SparkSpec {
       // single-row broadcast crosses: packed centroid/codebook rows,
       // 1-row aggregates (corpus count, sketch pair, serial base)
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
+      "kmeans_assign", "semantic_dedup",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -267,4 +267,35 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert((rrSet intersect exact).size >= (adcSet intersect exact).size)
   }
+
+  test("exact k-means: partitioning-independent centroids and assignment") {
+    val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val a = Similarity.kmeansAssign(emb.repartition(3),
+        Similarity.kmeansCentroids(emb.repartition(3), 8, 2))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val b = Similarity.kmeansAssign(emb.repartition(17),
+        Similarity.kmeansCentroids(emb.repartition(17), 8, 2))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.keySet.size.toLong === emb.count()) // every live vector assigned
+    assert(a.values.toSet.subsetOf(
+      Similarity.kmeansSeeds(emb, 8).select("centroid_id")
+        .as[Long].collect().toSet)) // ids come from the seed set
+  }
+
+  test("semantic dedup: victims ⊆ brute victims; survivors + victims partition") {
+    val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val survivors = Similarity.semanticDedup(emb, 16, 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val victims = all diff survivors
+    // precision: every semantic victim is a true ≥-threshold near-dup
+    // victim under the GLOBAL brute pair set (within-cluster pairs are
+    // a subset of all pairs, so this must hold exactly)
+    val bruteVictims = Similarity.cosinePairsBrute(emb, 0.45)
+      .select("vec_id_b").as[Long].collect().toSet
+    assert(victims.subsetOf(bruteVictims),
+      s"false positives: ${victims diff bruteVictims}")
+    assert(survivors.union(victims) === all)
+  }
 }
