@@ -1217,6 +1217,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("labeled_lang"), col("predicted_lang"))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "lm_bigram_counts" -> ((s, d) =>
+      // Bigram LM training table, top-50 head (count desc, bigram) —
+      // TakeOrderedAndProject, never a global sort.
+      TextAnalysis.lmBigramCounts(Tables.documents(s, d))
+        .orderBy(col("c_bg").desc, col("bigram")).limit(50)),
+    "lm_doc_scores" -> ((s, d) =>
+      // Per-doc log-perplexity under the corpus's own add-1/2 bigram
+      // model (the CCNet-style quality signal). Exact: quantized
+      // integer NLL terms, order-free sums, one double division —
+      // the oracle replays training AND scoring bit-for-bit.
+      TextAnalysis.lmDocScores(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    "lm_quality_filter" -> ((s, d) =>
+      // The perplexity gate at 3.40 (between the corpus median ~3.39
+      // and p75 ~3.41 at every SF — a real split, not all-or-nothing).
+      TextAnalysis.lmQualityFilter(Tables.documents(s, d), 3.40)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "fingerprint_md5" -> ((s, d) =>
       Tables.documents(s, d)
@@ -4028,6 +4046,87 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, labeled_lang, predicted_lang, confidence
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    // Full replay of bigram-LM training: positional bigrams (with
+    // multiplicity), corpus counts, top-50 head.
+    "lm_bigram_counts" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w)
+         SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1
+         ORDER BY c_bg DESC, bigram LIMIT 50""",
+    // Training + scoring replay. The quantized-integer NLL terms make
+    // the double log_ppl bit-reproducible across engines (see
+    // TextAnalysis.lmDocScores).
+    "lm_doc_scores" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cc AS (
+           SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
+           FROM bc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT t) AS v_size
+           FROM (SELECT unnest(toks) AS t FROM w)),
+         q AS (
+           SELECT g.doc_id,
+                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+           FROM bg g
+           JOIN bc USING (bigram)
+           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+           CROSS JOIN v),
+         s AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
+           FROM q GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(COALESCE(s.nll_q_sum, 0) AS BIGINT) AS nll_q_sum,
+                CASE WHEN s.n_bigrams > 0
+                     THEN CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_bigrams)
+                END AS log_ppl
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    // The same exact scores under the same 3.40 gate.
+    "lm_quality_filter" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cc AS (
+           SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
+           FROM bc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT t) AS v_size
+           FROM (SELECT unnest(toks) AS t FROM w)),
+         q AS (
+           SELECT g.doc_id,
+                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+           FROM bg g
+           JOIN bc USING (bigram)
+           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+           CROSS JOIN v),
+         s AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
+           FROM q GROUP BY 1)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN s USING (doc_id)
+         WHERE s.n_bigrams > 0
+           AND CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_bigrams) <= 3.40
+         ORDER BY d.doc_id""",
     "quality_score" ->
       """WITH w AS (
            SELECT doc_id, text,

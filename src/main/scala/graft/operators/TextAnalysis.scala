@@ -374,4 +374,93 @@ object TextAnalysis {
         regexp_replace(col(textCol),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\+?[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"))
+
+  // ---- bigram language-model (perplexity-style) quality scoring ------
+
+  /** Positional (multiplicity-preserving) word bigrams per doc — NOT
+    * [[graft.functions.TextFunctions.wordShingles]], which
+    * deduplicates: an LM counts every occurrence. Docs under two
+    * tokens emit no rows (explode of an empty array).
+    */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array())).as("bigram"))
+
+  /** Bigram LM training table: corpus-wide occurrence counts. One
+    * explode + one map-side-combined groupBy over skinny strings —
+    * the standard distributed n-gram count at any corpus size.
+    */
+  def lmBigramCounts(docs: DataFrame): DataFrame =
+    docBigrams(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+
+  /** Per-doc LM negative-log-likelihood scores — the CCNet/KenLM-style
+    * perplexity quality signal, re-expressed exactly. Add-½ smoothed
+    * bigram model trained on the corpus itself:
+    *   P(w2|w1) = (c(w1,w2) + ½) / (c(w1·) + ½V)
+    * and a doc's score is its mean −ln P over all token transitions
+    * (log-perplexity).
+    *
+    * EXACTNESS contract: each term quantizes to
+    * round((ln(2·c_ctx + V) − ln(2·c_bg + 1)) · 1e12) as a LONG —
+    * integer sums are order-free, so the score is independent of
+    * partitioning AND bit-reproducible by the DuckDB oracle (whose
+    * `ln` differs from Java's `Math.log` by 1 ulp on ~3e-5 of integer
+    * inputs — measured; a raw double sum would drift, the per-term
+    * quantum makes a flip a ≤1e-8-per-distinct-count event). One
+    * double division at the end.
+    *
+    * Scale shape: train = one skinny-string groupBy; score = two
+    * equi-joins of the exploded bigrams against the count relations
+    * (both map-side-combinable) and one groupBy(doc_id) — every
+    * exchange carries (hashable string, long) rows, never documents.
+    * V rides in as a broadcast 1-row aggregate.
+    */
+  def lmDocScores(docs: DataFrame): DataFrame = {
+    val bi = docBigrams(docs)
+    val bgCounts = lmBigramCounts(docs)
+    // c(w1·) = Σ_w2 c(w1,w2): derived from the (much smaller) count
+    // relation, not a second corpus pass.
+    val ctxCounts = bgCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_size"))
+    val nllq = bi
+      .join(bgCounts, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(ctxCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round((log((col("c_ctx") * 2 + col("v_size")).cast("double")) -
+          log((col("c_bg") * 2 + 1).cast("double"))) * 1e12d)
+          .cast("long").as("nll_q"))
+    val scores = nllq.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_q_sum"))
+    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q_sum"), lit(0L)).as("nll_q_sum"),
+        when(col("n_bigrams") > 0,
+          col("nll_q_sum").cast("double") /
+            (lit(1e12d) * col("n_bigrams").cast("double"))).as("log_ppl"))
+  }
+
+  /** The LM quality gate: keep docs whose log-perplexity clears the
+    * threshold (low = natural, high = noise/garble under the corpus
+    * model). Since [[lmDocScores]] is exactly reproducible, the kept
+    * SET is too — no boundary jitter. Docs too short to score (no
+    * bigrams) are dropped, the conservative choice for a quality gate.
+    */
+  def lmQualityFilter(docs: DataFrame, maxLogPpl: Double): DataFrame =
+    docs.join(
+      lmDocScores(docs)
+        .filter(col("n_bigrams") > 0 && col("log_ppl") <= maxLogPpl)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 }

@@ -198,4 +198,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) === "call <PHONE> now")
     assert(out(2) === "nothing sensitive here 42")
   }
+
+  test("bigram LM: known counts, smoothing arithmetic, short-doc totality") {
+    val d = Seq(
+      (0L, "a b a b"),     // bigrams: "a b", "b a", "a b"
+      (1L, "a b c"),       // "a b", "b c"
+      (2L, "solo"),        // no bigrams
+      (3L, "")             // no tokens at all
+    ).toDF("doc_id", "text")
+    val counts = TextAnalysis.lmBigramCounts(d)
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    val scores = TextAnalysis.lmDocScores(d)
+      .select("doc_id", "n_bigrams", "log_ppl")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(scores.map(r => r._1 -> r._2).toMap ===
+      Map(0L -> 3L, 1L -> 2L, 2L -> 0L, 3L -> 0L))
+    assert(scores.filter(_._2 === 0L).forall(_._3.isEmpty)) // unscored, not 0.0
+    // hand-check doc 1: V=4 (a,b,c,solo); c_ctx(a)=3, c_ctx(b)=2;
+    // terms: ln(2*3+4)-ln(2*3+1) and ln(2*2+4)-ln(2*1+1)
+    val t1 = math.log(10) - math.log(7)
+    val t2 = math.log(8) - math.log(3)
+    val q = (math.round(t1 * 1e12) + math.round(t2 * 1e12)).toDouble / (1e12 * 2)
+    assert(math.abs(scores(1)._3.get - q) < 1e-15)
+  }
+
+  test("bigram LM scores are independent of partitioning; gate is consistent") {
+    val docs = tables.Tables.documents(spark, sf)
+    val a = TextAnalysis.lmDocScores(docs.repartition(3))
+      .select("doc_id", "nll_q_sum").as[(Long, Long)].collect().toMap
+    val b = TextAnalysis.lmDocScores(docs.repartition(17))
+      .select("doc_id", "nll_q_sum").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    val kept = TextAnalysis.lmQualityFilter(docs, 3.40)
+      .select("doc_id").as[Long].collect().toSet
+    val scored = TextAnalysis.lmDocScores(docs)
+      .select("doc_id", "n_bigrams", "log_ppl")
+      .as[(Long, Long, Option[Double])].collect()
+    val expected = scored.filter(r => r._2 > 0 && r._3.exists(_ <= 3.40))
+      .map(_._1).toSet
+    assert(kept === expected)
+  }
 }
