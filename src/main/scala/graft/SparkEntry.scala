@@ -1919,6 +1919,22 @@ object SparkEntry {
       // set oracle-checkable, not just a recall pin.
       Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.45)
         .orderBy(col("vec_id"))),
+    "cluster_diversity_sample" -> ((s, d) => {
+      // Diversity sampling: per k-means cell, the 5 vectors FARTHEST
+      // from their centroid (cos asc) — the coreset-style pick that
+      // keeps a cell's spread rather than its mode. WindowGroupLimit
+      // prunes the rank at the scan; clustering replayed by the oracle.
+      val emb = Tables.embeddings(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("centroid_id"))
+        .orderBy(col("cos").asc, col("vec_id"))
+      Similarity.kmeansAssign(emb,
+          Similarity.kmeansCentroids(
+            emb.filter(col("embedding").isNotNull), 16, 1))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5).drop("__rn")
+        .orderBy(col("centroid_id"), col("cos"), col("vec_id"))
+    }),
     "embedding_near_recall" -> ((s, d) => {
       // SRP-LSH quality pin against the brute-force cosine baseline:
       // (1) STRUCTURAL — the exact-cosine verify stage admits only
@@ -2047,6 +2063,20 @@ object SparkEntry {
       // batches, pad to batch max — the padding-minimizing layout for
       // padded (non-packed) training batches.
       operators.Packing.sortedBatchStats(Tables.documents(s, d), "doc_id", 32)),
+    "curriculum_pack" -> ((s, d) => {
+      // Curriculum packing: cleanest-first (LM log-perplexity asc)
+      // contiguous packing — lmDocScores composed with the two-level
+      // prefix sum over an explicit order. n_tokens falls out of the
+      // LM pass for free (n_bigrams + 1 for any doc with ≥2 tokens);
+      // unscoreable docs (no bigrams) are excluded by contract.
+      val scored = TextAnalysis.lmDocScores(Tables.documents(s, d))
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), (col("n_bigrams") + 1).as("nt"),
+          col("log_ppl"))
+      operators.Packing
+        .packBinsOrderedBy(scored, "doc_id", "nt", Seq("log_ppl"), 2000L)
+        .orderBy(col("doc_id"))
+    }),
     "pack_sorted_savings" -> ((s, d) => {
       // The sorted layout's padding win vs arrival order, as one
       // oracle-checked row — the measured number, not a claim. Single
@@ -2158,6 +2188,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "mixture_plan" -> ((s, d) =>
+      // Repeat-factor data recipe: per-language available vs target
+      // tokens under a 100k-token budget at the mixture fractions —
+      // the report that configures a multi-epoch run (repeat >1 =
+      // up-sample across epochs).
+      operators.Sampling.mixturePlan(
+        Tables.documents(s, d), "lang", MixtureFractions, 100000L)),
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
       // dedup → quality floor → PII scrub, oracle-checked as a whole.
@@ -3535,6 +3572,44 @@ object SparkEntry {
                 CAST(max(n_tokens) AS BIGINT) * count(*)
                   - CAST(sum(n_tokens) AS BIGINT) AS padding
          FROM r GROUP BY 1 ORDER BY batch_id""",
+    // The lm_doc_scores chain (exact quantized NLL), then the global
+    // window cumsum over (log_ppl, doc_id) order — curriculum packing
+    // must reproduce it through the two-level formulation.
+    "curriculum_pack" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cc AS (
+           SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
+           FROM bc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT t) AS v_size
+           FROM (SELECT unnest(toks) AS t FROM w)),
+         q AS (
+           SELECT g.doc_id,
+                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+           FROM bg g
+           JOIN bc USING (bigram)
+           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+           CROSS JOIN v),
+         sc AS (
+           SELECT doc_id, count(*) + 1 AS nt,
+                  CAST(sum(nll_q) AS DOUBLE) / (1000000000000.0 * count(*)) AS log_ppl
+           FROM q GROUP BY 1),
+         p AS (
+           SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                  CAST(COALESCE(sum(nt) OVER (ORDER BY log_ppl, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM sc)
+         SELECT doc_id, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY doc_id""",
     "pack_sorted_savings" ->
       """WITH t AS (
            SELECT doc_id,
@@ -3747,6 +3822,29 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
                 CAST(sum(n_tokens) AS DOUBLE) / 2000.0 AS fill_ratio
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    // Same per-domain token totals; single-rounding double arithmetic
+    // for target/repeat/epochs.
+    "mixture_plan" ->
+      """WITH t AS (
+           SELECT lang AS domain,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         a AS (
+           SELECT domain, CAST(sum(nt) AS BIGINT) AS available_tokens
+           FROM t GROUP BY 1),
+         f AS (
+           SELECT * FROM (VALUES ('de', 0.8), ('en', 0.3), ('es', 0.5),
+                                 ('fr', 0.6), ('zh', 0.9)) AS v(domain, frac)),
+         p AS (
+           SELECT a.domain, a.available_tokens,
+                  CAST(round(f.frac * 100000) AS BIGINT) AS target_tokens
+           FROM a JOIN f USING (domain))
+         SELECT domain, available_tokens, target_tokens,
+                CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)
+                  AS repeat_factor,
+                CAST(ceil(CAST(target_tokens AS DOUBLE)
+                  / CAST(available_tokens AS DOUBLE)) AS BIGINT) AS n_epochs
+         FROM p ORDER BY domain""",
     // The same uniform md5 draw under the size-proportional threshold.
     "pps_sample" ->
       """WITH h AS (
@@ -4274,6 +4372,53 @@ object SparkEntry {
          SELECT e.vec_id, e.label FROM e
          WHERE e.vec_id NOT IN (SELECT vb FROM victims)
          ORDER BY vec_id""",
+    // The kmeans_assign replay, then per-cell bottom-5 by (cos, vec_id).
+    "cluster_diversity_sample" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT e.vec_id, s.centroid_id,
+                  list_cosine_similarity(e.emb, s.centroid) AS cos
+           FROM e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(e.embedding) + 1)]) AS u
+           FROM a1 JOIN e USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         s2 AS (
+           SELECT e.vec_id, e.label, c.centroid_id,
+                  list_cosine_similarity(e.emb, c.centroid) AS cos
+           FROM e CROSS JOIN c2 c),
+         a2 AS (
+           SELECT vec_id, label, centroid_id, cos FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s2) WHERE rn = 1),
+         d AS (
+           SELECT vec_id, label, centroid_id, cos, row_number() OVER (
+             PARTITION BY centroid_id ORDER BY cos, vec_id) AS rn
+           FROM a2)
+         SELECT vec_id, label, centroid_id, cos FROM d WHERE rn <= 5
+         ORDER BY centroid_id, cos, vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
     "ann_index_persisted" ->

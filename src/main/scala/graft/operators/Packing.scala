@@ -75,6 +75,39 @@ object Packing {
       .withColumn("bin_id", floor(col("prefix_tokens") / binTokens))
   }
 
+  /** Curriculum packing: the same contiguous two-level prefix sum as
+    * [[packBinsCounted]], but in an EXPLICIT curriculum order
+    * (`orderCols`, e.g. cleanest-first by LM log-perplexity) instead
+    * of key order — `keyCol` identifies rows and breaks order ties.
+    * The order columns must be deterministic values (ours are exact
+    * by construction) or the packing wouldn't be reproducible.
+    */
+  def packBinsOrderedBy(rows: DataFrame, keyCol: String, tokensCol: String,
+                        orderCols: Seq[String], binTokens: Long,
+                        partitions: Int = 32): DataFrame = {
+    val sortCols = (orderCols :+ keyCol).map(col)
+    val toked = rows
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .select(sortCols :+ col(tokensCol).cast("long").as("n_tokens")
+        :+ spark_partition_id().as("__pid"): _*)
+    val offsets = toked.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__ptotal")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toked
+      .join(broadcast(offsets), "__pid")
+      .select(col(keyCol), col("n_tokens"),
+        (col("__offset") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+          .as("prefix_tokens"))
+      .withColumn("bin_id", floor(col("prefix_tokens") / binTokens))
+  }
+
   /** Group-scoped packing — the multilingual/sharded variant: every
     * group (language, source, …) packs its own bin sequence starting
     * at prefix 0, so shards stay group-pure (the layout a

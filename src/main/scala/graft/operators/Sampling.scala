@@ -182,4 +182,35 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < thresh)
   }
+
+  /** Repeat-factor mixture planner — the data-recipe report a
+    * multi-epoch training run is configured from: given per-domain
+    * target fractions of a global token budget, each domain's
+    * available tokens, its target share, the repeat factor
+    * (target/available — >1 means the domain up-samples across
+    * epochs, <1 down-samples), and the whole-epoch count that
+    * covers it. One map-side-combined aggregate plus row-local
+    * arithmetic; single-rounding double ops so the oracle reproduces
+    * every value bit-for-bit.
+    */
+  def mixturePlan(docs: DataFrame, domainCol: String,
+                  fractions: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, f)) => when(col("domain") === dom, lit(f)).otherwise(acc)
+    }
+    docs
+      .select(col(domainCol).as("domain"),
+        size(tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy(col("domain")).agg(sum(col("__nt")).as("available_tokens"))
+      .withColumn("target_tokens",
+        round(frac * budgetTokens).cast("long"))
+      .filter(col("target_tokens").isNotNull)
+      .withColumn("repeat_factor",
+        col("target_tokens").cast("double") /
+          col("available_tokens").cast("double"))
+      .withColumn("n_epochs", ceil(col("repeat_factor")).cast("long"))
+      .orderBy(col("domain"))
+  }
 }

@@ -100,6 +100,28 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("curriculum packing ≡ global cumsum in curriculum order") {
+    import graft.functions.TextFunctions.tokens
+    val rows = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        (col("n_chars") % 7).as("grade")) // a deterministic "quality"
+    val expected = rows
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("nt")).over(
+          Window.orderBy(col("grade"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("prefix_tokens"))
+      .as[(Long, Long)].collect().toMap
+    for (parts <- Seq(4, 9)) {
+      val got = Packing
+        .packBinsOrderedBy(rows.repartition(7), "doc_id", "nt",
+          Seq("grade"), 500L, parts)
+        .select(col("doc_id"), col("prefix_tokens"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"partitions=$parts")
+    }
+  }
+
   test("length-sorted batching pads no more than arrival order") {
     val sorted = Packing.sortedBatchStats(docs, "doc_id", 16)
       .agg(sum(col("padding"))).as[Long].head()

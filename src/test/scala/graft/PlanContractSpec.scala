@@ -261,7 +261,8 @@ class PlanContractSpec extends SparkSpec {
       // 1-row aggregates (corpus count, sketch pair, serial base)
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
       "kmeans_assign", "semantic_dedup",
-      "lm_doc_scores", "lm_quality_filter",
+      "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
+      "cluster_diversity_sample",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -142,4 +142,22 @@ class SamplingSpec extends SparkSpec {
       docs.withColumn("lang", lit("xx")), "lang", "doc_id", "n_chars", fr)
     assert(dropped.count() === 0L)
   }
+
+  test("mixturePlan: targets honor fractions, epochs cover the repeat factor") {
+    val docs = tables.Tables.documents(spark, sf)
+    val fr = Map("en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
+    val plan = Sampling.mixturePlan(docs, "lang", fr, 100000L)
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(plan.map(_._1).sorted === fr.keys.toSeq.sorted)
+    plan.foreach { case (dom, avail, target, repeat, epochs) =>
+      assert(target === math.round(fr(dom) * 100000L))
+      assert(math.abs(repeat - target.toDouble / avail) < 1e-15)
+      assert(epochs === math.ceil(repeat).toLong)
+      assert(epochs * avail >= target) // the epoch count really covers it
+    }
+    // domains absent from the recipe are excluded, not zero-target
+    val none = Sampling.mixturePlan(
+      docs.withColumn("lang", lit("xx")), "lang", fr, 100000L)
+    assert(none.count() === 0L)
+  }
 }
