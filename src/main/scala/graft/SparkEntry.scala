@@ -2195,6 +2195,22 @@ object SparkEntry {
       // up-sample across epochs).
       operators.Sampling.mixturePlan(
         Tables.documents(s, d), "lang", MixtureFractions, 100000L)),
+    "quality_topk_by_lang" -> ((s, d) => {
+      // Best-of-domain subset: the 20 cleanest docs per language by
+      // LM log-perplexity — the quality-stratified pick a targeted
+      // fine-tuning mix draws from. rank ≤ k over a per-lang window
+      // plans as WindowGroupLimit: the rank prunes at the scan, the
+      // full corpus never sorts.
+      val scored = TextAnalysis.lmDocScores(Tables.documents(s, d))
+        .filter(col("n_bigrams") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("log_ppl"), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("log_ppl")), "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20).drop("__rn")
+        .orderBy(col("lang"), col("log_ppl"), col("doc_id"))
+    }),
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
       // dedup → quality floor → PII scrub, oracle-checked as a whole.
@@ -3845,6 +3861,40 @@ object SparkEntry {
                 CAST(ceil(CAST(target_tokens AS DOUBLE)
                   / CAST(available_tokens AS DOUBLE)) AS BIGINT) AS n_epochs
          FROM p ORDER BY domain""",
+    // The lm_doc_scores chain, per-lang bottom-20 by (log_ppl, doc_id).
+    "quality_topk_by_lang" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cc AS (
+           SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
+           FROM bc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT t) AS v_size
+           FROM (SELECT unnest(toks) AS t FROM w)),
+         q AS (
+           SELECT g.doc_id,
+                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+           FROM bg g
+           JOIN bc USING (bigram)
+           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+           CROSS JOIN v),
+         sc AS (
+           SELECT doc_id,
+                  CAST(sum(nll_q) AS DOUBLE) / (1000000000000.0 * count(*)) AS log_ppl
+           FROM q GROUP BY 1),
+         r AS (
+           SELECT d.doc_id, d.lang, sc.log_ppl, row_number() OVER (
+             PARTITION BY d.lang ORDER BY sc.log_ppl, d.doc_id) AS rn
+           FROM documents d JOIN sc USING (doc_id))
+         SELECT doc_id, lang, log_ppl FROM r WHERE rn <= 20
+         ORDER BY lang, log_ppl, doc_id""",
     // The same uniform md5 draw under the size-proportional threshold.
     "pps_sample" ->
       """WITH h AS (

@@ -262,7 +262,7 @@ class PlanContractSpec extends SparkSpec {
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
-      "cluster_diversity_sample",
+      "cluster_diversity_sample", "quality_topk_by_lang",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
