@@ -2195,6 +2195,17 @@ object SparkEntry {
       // up-sample across epochs).
       operators.Sampling.mixturePlan(
         Tables.documents(s, d), "lang", MixtureFractions, 100000L)),
+    "bigram_pmi" -> ((s, d) =>
+      // Collocation mining: top-50 adjacent pairs by PMI (quantized-ln
+      // exact, so the ranking is engine-independent); min count 3.
+      TextAnalysis.bigramPmi(Tables.documents(s, d), 3L)
+        .orderBy(col("pmi").desc, col("bigram")).limit(50)),
+    "vocab_coverage" -> ((s, d) =>
+      // Tokenizer-sizing report: corpus token mass covered by the
+      // top-{5,10,20} words (rank by count desc, word). The cumsum
+      // window runs over the vocabulary-sized count relation, never
+      // the corpus.
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), Seq(5L, 10L, 20L))),
     "quality_topk_by_lang" -> ((s, d) => {
       // Best-of-domain subset: the 20 cleanest docs per language by
       // LM log-perplexity — the quality-stratified pick a targeted
@@ -3861,6 +3872,55 @@ object SparkEntry {
                 CAST(ceil(CAST(target_tokens AS DOUBLE)
                   / CAST(available_tokens AS DOUBLE)) AS BIGINT) AS n_epochs
          FROM p ORDER BY domain""",
+    // Same counts; PMI = ln(c_bg*T) - ln(c_w1*c_w2) quantized to 1e-12.
+    "bigram_pmi" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         uni AS (
+           SELECT t AS word, count(*) AS c_w
+           FROM (SELECT unnest(toks) AS t FROM w) GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_bg) AS BIGINT) AS t_bg FROM bc)
+         SELECT bc.bigram, bc.c_bg,
+                u1.c_w AS c_w1, u2.c_w AS c_w2,
+                CAST(CAST(round((ln(CAST(bc.c_bg * tot.t_bg AS DOUBLE))
+                        - ln(CAST(u1.c_w * u2.c_w AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  / 1000000000000.0 AS pmi
+         FROM bc
+         JOIN uni u1 ON u1.word = string_split(bc.bigram, ' ')[1]
+         JOIN uni u2 ON u2.word = string_split(bc.bigram, ' ')[2]
+         CROSS JOIN tot
+         WHERE bc.c_bg >= 3
+         ORDER BY pmi DESC, bigram LIMIT 50""",
+    // Rank words by (count desc, word); coverage at each checkpoint.
+    "vocab_coverage" ->
+      """WITH w AS (
+           SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         uni AS (
+           SELECT t AS word, count(*) AS c_w
+           FROM (SELECT unnest(toks) AS t FROM w) GROUP BY 1),
+         r AS (
+           SELECT word, c_w,
+                  row_number() OVER (ORDER BY c_w DESC, word) AS rank
+           FROM uni),
+         cum AS (
+           SELECT rank, CAST(sum(c_w) OVER (ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_occ
+           FROM r),
+         tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_occ FROM uni),
+         k AS (SELECT unnest([5, 10, 20]) AS vocab_size)
+         SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
+                CAST(max(cum.rank) AS BIGINT) AS n_words,
+                CAST(max(cum.cum_occ) AS BIGINT) AS covered_occ,
+                CAST(max(cum.cum_occ) AS DOUBLE) / CAST(tot.t_occ AS DOUBLE) AS coverage
+         FROM k JOIN cum ON cum.rank <= k.vocab_size CROSS JOIN tot
+         GROUP BY k.vocab_size, tot.t_occ
+         ORDER BY vocab_size""",
     // The lm_doc_scores chain, per-lang bottom-20 by (log_ppl, doc_id).
     "quality_topk_by_lang" ->
       """WITH w AS (

@@ -451,6 +451,65 @@ object TextAnalysis {
             (lit(1e12d) * col("n_bigrams").cast("double"))).as("log_ppl"))
   }
 
+  /** Collocation mining: pointwise mutual information of adjacent word
+    * pairs, PMI = ln(c(w1,w2)·T / (c(w1)·c(w2))) with T = total bigram
+    * occurrences — the classic "significant phrase" score. Exactness:
+    * the ln runs over exact integer products quantized to
+    * round(ln·1e12) longs (same contract as [[lmDocScores]]), so the
+    * ranking is engine-independent. `minCount` drops noise pairs.
+    * Everything after the bigram count is arithmetic over the (small)
+    * count relations — the corpus is touched once.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bc = lmBigramCounts(docs)
+    val total = bc.agg(sum(col("c_bg")).as("t_bg"))
+    bc.filter(col("c_bg") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_bg"), col("c_w1"), col("c_w2"),
+        (round((log((col("c_bg") * col("t_bg")).cast("double")) -
+          log((col("c_w1") * col("c_w2")).cast("double"))) * 1e12d)
+          .cast("long").cast("double") / 1e12d).as("pmi"))
+  }
+
+  /** Vocabulary coverage curve: for each vocab-size checkpoint, the
+    * fraction of ALL corpus token occurrences covered by the top-k
+    * words (rank by count desc, word) — the report that sizes a
+    * tokenizer's vocab. The cumulative sum runs over the RANKED COUNT
+    * relation (vocabulary-sized, not corpus-sized); single-partition
+    * window over it is the same bounded-relation trade every vocab
+    * build makes.
+    */
+  def vocabCoverage(docs: DataFrame, checkpoints: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val ranked = uni.withColumn("rank",
+      row_number().over(Window.orderBy(col("c_w").desc, col("w"))))
+    val total = uni.agg(sum(col("c_w")).as("t_occ"))
+    val cum = ranked.withColumn("cum_occ",
+      sum(col("c_w")).over(Window.orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val session = docs.sparkSession
+    import session.implicits._
+    val cps = checkpoints.toDF("vocab_size")
+    cum.join(broadcast(cps), col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(max(col("rank")).as("n_words"),
+        max(col("cum_occ")).as("covered_occ"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_words"), col("covered_occ"),
+        (col("covered_occ").cast("double") / col("t_occ").cast("double"))
+          .as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
   /** The LM quality gate: keep docs whose log-perplexity clears the
     * threshold (low = natural, high = noise/garble under the corpus
     * model). Since [[lmDocScores]] is exactly reproducible, the kept
