@@ -1901,6 +1901,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
+    "jl_project" -> ((s, d) =>
+      // Johnson–Lindenstrauss ±1 projection 64→16 (Achlioptas 2003):
+      // md5-derived sign matrix as one broadcast row, row-local
+      // sequential fold per output dim — every float bit-reproduced
+      // by the oracle's identical left-to-right fold.
+      Similarity.jlProject(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))),
+    "jl_distortion" -> ((s, d) =>
+      // Distance-preservation report over the planted query set:
+      // projected/original squared-L2 ratios — EXACT counts and
+      // extremes (identical arithmetic both engines), not a floor.
+      Similarity.jlDistortion(Tables.embeddings(s, d), 5)),
     "kmeans_assign" -> ((s, d) =>
       // Distributed k-means (md5 seeds + one EXACT integer-domain
       // Lloyd sweep): the oracle replays seeding, the quantized means,
@@ -4385,6 +4397,68 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
          ORDER BY query_id, cosine DESC, vec_id""",
+    // The same md5-derived ±1 sign matrix (pps_sample's hex-parse
+    // idiom), the same left-to-right fold (list_prepend(0.0, ...)
+    // pins DuckDB's reduce to Spark's zero-init order), /4.0 exact.
+    "jl_project" ->
+      """WITH sg AS (
+           SELECT x,
+                  CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1
+                         for c in [substr(md5(CAST(x // 64 AS VARCHAR) || ':' || CAST(x % 64 AS VARCHAR)), ii, 1)
+                                   for ii in range(1, 9)]],
+                         (a, b) -> a * 16 + b) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(1024) t(x)),
+         sl AS (SELECT list(s ORDER BY x) AS signs FROM sg)
+         SELECT e.vec_id, e.label,
+                [CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [CAST(e.embedding[i] AS DOUBLE) * sl.signs[j * 64 + i]
+                    for i in range(1, 65)]),
+                   (a, b) -> a + b) / 4.0 AS FLOAT)
+                 for j in range(0, 16)] AS proj
+         FROM embeddings e CROSS JOIN sl
+         WHERE e.embedding IS NOT NULL
+         ORDER BY e.vec_id""",
+    "jl_distortion" ->
+      """WITH sg AS (
+           SELECT x,
+                  CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1
+                         for c in [substr(md5(CAST(x // 64 AS VARCHAR) || ':' || CAST(x % 64 AS VARCHAR)), ii, 1)
+                                   for ii in range(1, 9)]],
+                         (a, b) -> a * 16 + b) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(1024) t(x)),
+         sl AS (SELECT list(s ORDER BY x) AS signs FROM sg),
+         p AS (
+           SELECT e.vec_id, e.embedding,
+                  [CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     [CAST(e.embedding[i] AS DOUBLE) * sl.signs[j * 64 + i]
+                      for i in range(1, 65)]),
+                     (a, b) -> a + b) / 4.0 AS FLOAT)
+                   for j in range(0, 16)] AS proj
+           FROM embeddings e CROSS JOIN sl
+           WHERE e.embedding IS NOT NULL),
+         pairs AS (
+           SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [(CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                     * (CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                     for i in range(1, 65)]),
+                    (x, y) -> x + y) AS orig_d2,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [(CAST(a.proj[i] AS DOUBLE) - CAST(q.proj[i] AS DOUBLE))
+                     * (CAST(a.proj[i] AS DOUBLE) - CAST(q.proj[i] AS DOUBLE))
+                     for i in range(1, 17)]),
+                    (x, y) -> x + y) AS proj_d2
+           FROM p a JOIN p q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+         r AS (
+           SELECT proj_d2 / orig_d2 AS ratio
+           FROM pairs WHERE orig_d2 > 0.0)
+         SELECT count(*) AS n_pairs,
+                CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_within_half,
+                min(ratio) AS min_ratio,
+                max(ratio) AS max_ratio
+         FROM r""",
     // Full replay of the exact-reproducible k-means: md5 seeding, the
     // integer-domain Lloyd means (HUGEINT sums, one double division,
     // one FLOAT quantization), and the argmax — assignment and winning

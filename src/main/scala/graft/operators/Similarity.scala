@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -272,6 +272,80 @@ object Similarity {
       .select(col("vec_id_b").as("vec_id")).distinct()
     live.join(victims, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
+  }
+
+  // ---- Johnson–Lindenstrauss random projection -------------------------
+
+  /** Deterministic ±1 JL sign matrix as ONE broadcastable row: entry
+    * (j, i) = +1 iff the md5 bucket of "j:i" is even — md5 (not
+    * xxhash64) so the DuckDB oracle reproduces every sign (the
+    * [[Sampling.hashBucket]] convention). Flattened in (j, i) order:
+    * signs[j·dimIn + i].
+    */
+  private def jlSigns(spark: SparkSession, dimIn: Int, dimOut: Int): DataFrame =
+    broadcast(spark.range(dimIn.toLong * dimOut)
+      .select(col("id"),
+        when(Sampling.hashBucket(
+          concat_ws(":", (col("id") / dimIn).cast("long"),
+            col("id") % dimIn), 2) === 0, lit(1.0d))
+          .otherwise(lit(-1.0d)).as("s"))
+      .agg(transform(array_sort(collect_list(struct(col("id"), col("s")))),
+        e => e.getField("s")).as("signs")))
+
+  /** Johnson–Lindenstrauss projection to `dimOut` dims with the ±1
+    * (Achlioptas 2003) construction: proj[j] = Σ_i v[i]·sign(j,i) /
+    * √dimOut. Distances are preserved within (1±ε) w.h.p. — the
+    * cheap front half of a project-then-search ANN pipeline (16 dims
+    * scan 4× less than 64).
+    *
+    * Scale + exactness: the sign matrix rides in as one broadcast row;
+    * the projection is a row-local sequential fold per output dim (no
+    * shuffle, no UDF), and with `dimOut` a perfect square the √ scale
+    * is exact — every output float is bit-reproducible by the oracle's
+    * identical left-to-right fold.
+    */
+  def jlProject(corpus: DataFrame, dimIn: Int = 64, dimOut: Int = 16): DataFrame = {
+    require(math.sqrt(dimOut).isWhole, "dimOut must be a perfect square")
+    val scale = math.sqrt(dimOut) // exact for perfect squares
+    corpus.filter(col("embedding").isNotNull)
+      .crossJoin(jlSigns(corpus.sparkSession, dimIn, dimOut))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(dimOut - 1)), j =>
+          (aggregate(sequence(lit(1), lit(dimIn)), lit(0.0d),
+            (acc, i) => acc + element_at(col("embedding"), i).cast("double") *
+              element_at(col("signs"), j * dimIn + i)) / scale)
+            .cast("float")).as("proj"))
+  }
+
+  /** JL distortion report over the planted query set: for each (query,
+    * corpus) pair, the ratio of projected to original squared L2
+    * distance — identical sequential-fold arithmetic on both engines,
+    * so the counts and extremes are EXACT, not a sampled floor.
+    */
+  def jlDistortion(corpus: DataFrame, nQueries: Int,
+                   dimIn: Int = 64, dimOut: Int = 16): DataFrame = {
+    val proj = jlProject(corpus, dimIn, dimOut)
+    val live = corpus.filter(col("embedding").isNotNull)
+      .join(proj.select(col("vec_id"), col("proj")), "vec_id")
+    val q = live.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("proj").as("q_proj"))
+    def d2(a: Column, b: Column, n: Int): Column =
+      aggregate(sequence(lit(1), lit(n)), lit(0.0d), (acc, i) => {
+        val diff = element_at(a, i).cast("double") - element_at(b, i).cast("double")
+        acc + diff * diff
+      })
+    live.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        d2(col("embedding"), col("q_emb"), dimIn).as("orig_d2"),
+        d2(col("proj"), col("q_proj"), dimOut).as("proj_d2"))
+      .filter(col("orig_d2") > 0.0d)
+      .select((col("proj_d2") / col("orig_d2")).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(abs(col("ratio") - 1.0d) <= 0.5d, 1L).otherwise(0L))
+          .as("n_within_half"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
   }
 
   /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native

@@ -263,7 +263,7 @@ class PlanContractSpec extends SparkSpec {
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
       "cluster_diversity_sample", "quality_topk_by_lang",
-      "bigram_pmi", "vocab_coverage",
+      "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -283,6 +283,24 @@ class SimilaritySpec extends SparkSpec {
         .as[Long].collect().toSet)) // ids come from the seed set
   }
 
+  test("jl projection: shape, determinism, JL distance concentration") {
+    val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val p = Similarity.jlProject(emb)
+      .select("vec_id", "proj").as[(Long, Seq[Float])].collect()
+    assert(p.length.toLong === emb.count())
+    assert(p.forall(_._2.length === 16))
+    val p2 = Similarity.jlProject(emb.repartition(7))
+      .select("vec_id", "proj").as[(Long, Seq[Float])].collect().toMap
+    assert(p.toMap === p2) // partitioning-independent, bit-identical
+    // the JL guarantee actually holds on this data: the bulk of pair
+    // distances land within ±50% (E[ratio]=1, sd≈sqrt(2/16)≈0.35)
+    val d = Similarity.jlDistortion(emb, 5)
+      .as[(Long, Long, Double, Double)].head()
+    assert(d._1 > 0)
+    assert(d._2.toDouble / d._1 > 0.70, s"within-half frac ${d._2}/${d._1}")
+    assert(d._3 > 0.0 && d._4 < 10.0)
+  }
+
   test("semantic dedup: victims ⊆ brute victims; survivors + victims partition") {
     val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
     val survivors = Similarity.semanticDedup(emb, 16, 0.45)
