@@ -1913,6 +1913,14 @@ object SparkEntry {
       // projected/original squared-L2 ratios — EXACT counts and
       // extremes (identical arithmetic both engines), not a floor.
       Similarity.jlDistortion(Tables.embeddings(s, d), 5)),
+    "ann_jl_rerank" -> ((s, d) => {
+      // Project-then-search: coarse top-100 in JL space, exact cosine
+      // re-rank to top-10. Bit-exact projection ⇒ the full pipeline
+      // (candidate set included) is oracle-reproduced — the only ANN
+      // approximation here that needs no recall floor.
+      val emb = Tables.embeddings(s, d)
+      Similarity.jlTopKReranked(emb, emb.filter(col("vec_id") < 5), 10, 100)
+    }),
     "kmeans_assign" -> ((s, d) =>
       // Distributed k-means (md5 seeds + one EXACT integer-domain
       // Lloyd sweep): the oracle replays seeding, the quantized means,
@@ -4459,6 +4467,51 @@ object SparkEntry {
                 min(ratio) AS min_ratio,
                 max(ratio) AS max_ratio
          FROM r""",
+    // JL replay + coarse top-100 by (jl_d2, vec_id) + exact cosine
+    // top-10 — the whole two-tier pipeline reproduced.
+    "ann_jl_rerank" ->
+      """WITH sg AS (
+           SELECT x,
+                  CASE WHEN list_reduce([strpos('0123456789abcdef', c) - 1
+                         for c in [substr(md5(CAST(x // 64 AS VARCHAR) || ':' || CAST(x % 64 AS VARCHAR)), ii, 1)
+                                   for ii in range(1, 9)]],
+                         (a, b) -> a * 16 + b) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(1024) t(x)),
+         sl AS (SELECT list(s ORDER BY x) AS signs FROM sg),
+         p AS (
+           SELECT e.vec_id, e.label, e.embedding,
+                  list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS emb,
+                  [CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     [CAST(e.embedding[i] AS DOUBLE) * sl.signs[j * 64 + i]
+                      for i in range(1, 65)]),
+                     (a, b) -> a + b) / 4.0 AS FLOAT)
+                   for j in range(0, 16)] AS proj
+           FROM embeddings e CROSS JOIN sl
+           WHERE e.embedding IS NOT NULL),
+         coarse AS (
+           SELECT q.vec_id AS query_id, q.emb AS q_emb, a.vec_id, a.label,
+                  a.emb,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [(CAST(a.proj[i] AS DOUBLE) - CAST(q.proj[i] AS DOUBLE))
+                     * (CAST(a.proj[i] AS DOUBLE) - CAST(q.proj[i] AS DOUBLE))
+                     for i in range(1, 17)]),
+                    (x, y) -> x + y) AS jl_d2
+           FROM p a JOIN p q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+         cand AS (
+           SELECT query_id, q_emb, vec_id, label, emb, row_number() OVER (
+             PARTITION BY query_id ORDER BY jl_d2, vec_id) AS rc
+           FROM coarse),
+         fine AS (
+           SELECT query_id, vec_id, label,
+                  list_cosine_similarity(emb, q_emb) AS cosine
+           FROM cand WHERE rc <= 100),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM fine)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     // Full replay of the exact-reproducible k-means: md5 seeding, the
     // integer-domain Lloyd means (HUGEINT sums, one double division,
     // one FLOAT quantization), and the argmax — assignment and winning

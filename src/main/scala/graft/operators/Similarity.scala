@@ -348,6 +348,46 @@ object Similarity {
         max(col("ratio")).as("max_ratio"))
   }
 
+  /** Project-then-search ANN: coarse top-`candidates` by squared L2 in
+    * the 16-dim JL space (a 4× cheaper scan than 64-dim), then exact
+    * cosine re-rank of the survivors — the same two-tier shape as
+    * [[pqTopKReranked]], with JL instead of PQ as the cheap tier.
+    * Both tiers rank with deterministic tie-breaks over bit-exact
+    * values, so the FULL pipeline (candidates included) is
+    * oracle-reproducible — no recall floor needed.
+    */
+  def jlTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+                     candidates: Int, dimIn: Int = 64,
+                     dimOut: Int = 16): DataFrame = {
+    val proj = jlProject(corpus, dimIn, dimOut)
+    val live = corpus.filter(col("embedding").isNotNull)
+      .join(proj.select(col("vec_id"), col("proj")), "vec_id")
+    val q = queries.filter(col("embedding").isNotNull)
+      .join(proj.select(col("vec_id"), col("proj")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("proj").as("q_proj"))
+    def d2(a: Column, b: Column, n: Int): Column =
+      aggregate(sequence(lit(1), lit(n)), lit(0.0d), (acc, i) => {
+        val diff = element_at(a, i).cast("double") - element_at(b, i).cast("double")
+        acc + diff * diff
+      })
+    val coarse = live.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("label"),
+        col("embedding"), d2(col("proj"), col("q_proj"), dimOut).as("jl_d2"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("jl_d2"), col("vec_id"))
+    val wFine = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    coarse.withColumn("__rc", row_number().over(wCoarse))
+      .filter(col("__rc") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("__rn", row_number().over(wFine))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native
     * codegen'd [[graft.functions.SrpBuckets]] — the HOF chain this
     * replaces (`aggregate(zip_with(...))` per plane) re-walked the

@@ -301,6 +301,19 @@ class SimilaritySpec extends SparkSpec {
     assert(d._3 > 0.0 && d._4 < 10.0)
   }
 
+  test("jl rerank: true cosines, no self, recall vs brute is real") {
+    val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val q = emb.filter($"vec_id" < 5)
+    val got = Similarity.jlTopKReranked(emb, q, 10, 100)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.forall { case (qid, vid, _, _) => qid != vid })
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.map { case (qid, vid, _, _) => (qid, vid) }.toSet
+    val recall = (gotSet intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"jl rerank recall $recall")
+  }
+
   test("semantic dedup: victims ⊆ brute victims; survivors + victims partition") {
     val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
     val survivors = Similarity.semanticDedup(emb, 16, 0.45)
