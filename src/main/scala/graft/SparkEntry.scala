@@ -347,6 +347,27 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) =>
       Analytics.topRevenueOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING", "1998-07-01 00:00:00", 10)),
+    "sql_q1_surface" -> ((s, d) => {
+      // The SQL API surface pin: the same Q1 shape submitted as ANSI
+      // SQL through spark.sql over a registered view — Catalyst plans
+      // text and DataFrame identically (same decimal discipline, same
+      // pushdown); the oracle is q1's own SQL.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
     "q14_promo_share" -> ((s, d) =>
       // TPC-H Q14 shape over the part dimension (broadcast into the
       // filtered fact scan): promo revenue share, exact-decimal sums,
@@ -1939,6 +1960,27 @@ object SparkEntry {
       // set oracle-checkable, not just a recall pin.
       Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.45)
         .orderBy(col("vec_id"))),
+    "kmeans_purity" -> ((s, d) => {
+      // Clustering-quality report: per-cell label agreement (majority
+      // label mass / cell size) — the unsupervised-vs-labels eval.
+      // Majority pick is max(struct(cnt, label)): deterministic
+      // (highest count, ties to the larger label), order-free.
+      val emb = Tables.embeddings(s, d)
+      Similarity.kmeansAssign(emb,
+          Similarity.kmeansCentroids(
+            emb.filter(col("embedding").isNotNull), 16, 1))
+        .groupBy(col("centroid_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("centroid_id"))
+        .agg(sum(col("cnt")).as("n_vectors"),
+          max(struct(col("cnt"), col("label"))).as("__m"))
+        .select(col("centroid_id"), col("n_vectors"),
+          col("__m.label").as("majority_label"),
+          col("__m.cnt").as("n_majority"),
+          (col("__m.cnt").cast("double") / col("n_vectors").cast("double"))
+            .as("purity"))
+        .orderBy(col("centroid_id"))
+    }),
     "cluster_diversity_sample" -> ((s, d) => {
       // Diversity sampling: per k-means cell, the 5 vectors FARTHEST
       // from their centroid (cos asc) — the coreset-style pick that
@@ -2790,6 +2832,22 @@ object SparkEntry {
                 latlng[1] AS lat, latlng[2] AS lng
          FROM t ORDER BY event_id""",
     "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    // The identical Q1 oracle — the engine-side row goes through
+    // spark.sql instead of the DataFrame API.
+    "sql_q1_surface" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
@@ -4609,6 +4667,60 @@ object SparkEntry {
          SELECT e.vec_id, e.label FROM e
          WHERE e.vec_id NOT IN (SELECT vb FROM victims)
          ORDER BY vec_id""",
+    // The kmeans_assign replay, then per-cell label counts and the
+    // deterministic majority pick (cnt DESC, label DESC).
+    "kmeans_purity" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT e.vec_id, s.centroid_id,
+                  list_cosine_similarity(e.emb, s.centroid) AS cos
+           FROM e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(e.embedding) + 1)]) AS u
+           FROM a1 JOIN e USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         s2 AS (
+           SELECT e.vec_id, e.label, c.centroid_id,
+                  list_cosine_similarity(e.emb, c.centroid) AS cos
+           FROM e CROSS JOIN c2 c),
+         a2 AS (
+           SELECT vec_id, label, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s2) WHERE rn = 1),
+         lc AS (
+           SELECT centroid_id, label, count(*) AS cnt
+           FROM a2 GROUP BY 1, 2),
+         pick AS (
+           SELECT centroid_id, label, cnt, row_number() OVER (
+             PARTITION BY centroid_id ORDER BY cnt DESC, label DESC) AS rn,
+             CAST(sum(cnt) OVER (PARTITION BY centroid_id) AS BIGINT) AS n_vectors
+           FROM lc)
+         SELECT centroid_id, n_vectors, label AS majority_label,
+                cnt AS n_majority,
+                CAST(cnt AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS purity
+         FROM pick WHERE rn = 1 ORDER BY centroid_id""",
     // The kmeans_assign replay, then per-cell bottom-5 by (cos, vec_id).
     "cluster_diversity_sample" ->
       """WITH e AS (
