@@ -1250,6 +1250,13 @@ object SparkEntry {
       // the oracle replays training AND scoring bit-for-bit.
       TextAnalysis.lmDocScores(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "lm_model_persisted" -> ((s, d) =>
+      // Train-once / score-many: the bigram model persists to parquet
+      // (vocabulary-sized relations) and scoring runs against the
+      // RELOADED model — must reproduce in-flight lm_doc_scores
+      // bit-for-bit (the oracle is the same training+scoring replay).
+      tables.LmModel.score(s, lmModelDir(s, d), Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "lm_quality_filter" -> ((s, d) =>
       // The perplexity gate at 3.40 (between the corpus median ~3.39
       // and p75 ~3.41 at every SF — a real split, not all-or-nothing).
@@ -2376,6 +2383,22 @@ object SparkEntry {
     * over the reloaded index, not a rebuild per invocation.
     */
   private val vindexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def lmModelDir(s: SparkSession, d: String): String =
+    lmModelCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lmmodel_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.LmModel.write(Tables.documents(s, d), dir.toString)
+      dir.toString
+    })
+
   private def vectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft_vindex_")
@@ -2677,6 +2700,45 @@ object SparkEntry {
     * pair gen + star contraction) and dedup_clusters_incremental
     * (label-edge contraction + incremental pair gen + star), both of
     * which must reproduce the from-scratch components exactly. */
+  /** The bigram-LM training + scoring replay — shared by
+    * `lm_doc_scores` (in-flight) and `lm_model_persisted` (reloaded
+    * model), which must agree bit-for-bit.
+    */
+  private val LmDocScoresSql: String =
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       bg AS (
+         SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+         FROM w),
+       bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+       cc AS (
+         SELECT string_split(bigram, ' ')[1] AS w1,
+                CAST(sum(c_bg) AS BIGINT) AS c_ctx
+         FROM bc GROUP BY 1),
+       v AS (
+         SELECT count(DISTINCT t) AS v_size
+         FROM (SELECT unnest(toks) AS t FROM w)),
+       q AS (
+         SELECT g.doc_id,
+                CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                          - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+         FROM bg g
+         JOIN bc USING (bigram)
+         JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+         CROSS JOIN v),
+       s AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
+         FROM q GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              CAST(COALESCE(s.nll_q_sum, 0) AS BIGINT) AS nll_q_sum,
+              CASE WHEN s.n_bigrams > 0
+                   THEN CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_bigrams)
+              END AS log_ppl
+       FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
+
   private val DedupClustersSql: String =
     """WITH RECURSIVE t AS (
          SELECT doc_id, n_chars,
@@ -4346,40 +4408,10 @@ object SparkEntry {
     // Training + scoring replay. The quantized-integer NLL terms make
     // the double log_ppl bit-reproducible across engines (see
     // TextAnalysis.lmDocScores).
-    "lm_doc_scores" ->
-      """WITH w AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-           FROM documents),
-         bg AS (
-           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
-           FROM w),
-         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
-         cc AS (
-           SELECT string_split(bigram, ' ')[1] AS w1,
-                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
-           FROM bc GROUP BY 1),
-         v AS (
-           SELECT count(DISTINCT t) AS v_size
-           FROM (SELECT unnest(toks) AS t FROM w)),
-         q AS (
-           SELECT g.doc_id,
-                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
-                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
-           FROM bg g
-           JOIN bc USING (bigram)
-           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
-           CROSS JOIN v),
-         s AS (
-           SELECT doc_id, count(*) AS n_bigrams,
-                  CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
-           FROM q GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                CAST(COALESCE(s.nll_q_sum, 0) AS BIGINT) AS nll_q_sum,
-                CASE WHEN s.n_bigrams > 0
-                     THEN CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_bigrams)
-                END AS log_ppl
-         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    "lm_doc_scores" -> LmDocScoresSql,
+    // The persisted-model row must reproduce in-flight scoring
+    // exactly, so its oracle IS the lm_doc_scores replay.
+    "lm_model_persisted" -> LmDocScoresSql,
     // The same exact scores under the same 3.40 gate.
     "lm_quality_filter" ->
       """WITH w AS (

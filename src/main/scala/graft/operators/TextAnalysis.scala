@@ -420,17 +420,31 @@ object TextAnalysis {
     * exchange carries (hashable string, long) rows, never documents.
     * V rides in as a broadcast 1-row aggregate.
     */
-  def lmDocScores(docs: DataFrame): DataFrame = {
-    val bi = docBigrams(docs)
-    val bgCounts = lmBigramCounts(docs)
-    // c(w1·) = Σ_w2 c(w1,w2): derived from the (much smaller) count
-    // relation, not a second corpus pass.
-    val ctxCounts = bgCounts
+  def lmDocScores(docs: DataFrame): DataFrame =
+    lmDocScoresWith(docs, lmBigramCounts(docs), lmContextCounts(docs),
+      lmVocabSize(docs))
+
+  /** c(w1·) = Σ_w2 c(w1,w2): derived from the (much smaller) count
+    * relation, not a second corpus pass.
+    */
+  def lmContextCounts(docs: DataFrame): DataFrame =
+    lmBigramCounts(docs)
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c_bg")).as("c_ctx"))
-    val vocab = docs
-      .select(explode(tokens(col("text"))).as("tok"))
+
+  /** 1-row vocab size (distinct tokens over all positions). */
+  def lmVocabSize(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
       .agg(count_distinct(col("tok")).as("v_size"))
+
+  /** [[lmDocScores]] against an EXTERNAL model — the train-once /
+    * score-many entry point ([[graft.tables.LmModel]] persists the
+    * three relations and reloads them here). Scoring a new batch
+    * never rescans the training corpus.
+    */
+  def lmDocScoresWith(docs: DataFrame, bgCounts: DataFrame,
+                      ctxCounts: DataFrame, vocab: DataFrame): DataFrame = {
+    val bi = docBigrams(docs)
     val nllq = bi
       .join(bgCounts, "bigram")
       .withColumn("w1", substring_index(col("bigram"), " ", 1))

@@ -1,0 +1,35 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TextAnalysis
+
+/** Persisted bigram language model — train once, score many: the LM
+  * lifecycle a 100 TB quality-filter deployment actually runs
+  * (retraining the counts per scoring batch would rescan the corpus;
+  * here scoring a fresh batch reads only the count relations, which
+  * are vocabulary-sized, not corpus-sized).
+  *
+  * Layout: `dir/bigram_counts` (bigram, c_bg), `dir/context_counts`
+  * (w1, c_ctx), `dir/vocab` (the 1-row v_size). The context counts
+  * and vocab are derived once at write time so scorers never touch
+  * the training corpus at all.
+  */
+object LmModel {
+
+  def write(docs: DataFrame, dir: String): Unit = {
+    TextAnalysis.lmBigramCounts(docs)
+      .write.mode("overwrite").parquet(s"$dir/bigram_counts")
+    TextAnalysis.lmContextCounts(docs)
+      .write.mode("overwrite").parquet(s"$dir/context_counts")
+    TextAnalysis.lmVocabSize(docs)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Score a doc batch against the RELOADED model. */
+  def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    TextAnalysis.lmDocScoresWith(docs,
+      spark.read.parquet(s"$dir/bigram_counts"),
+      spark.read.parquet(s"$dir/context_counts"),
+      spark.read.parquet(s"$dir/vocab"))
+}
