@@ -1967,6 +1967,35 @@ object SparkEntry {
       // set oracle-checkable, not just a recall pin.
       Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.45)
         .orderBy(col("vec_id"))),
+    "kmeans_incremental" -> ((s, d) => {
+      // Online clustering: centroids train ONCE on the standing corpus
+      // (vec_id < 250, the incremental-family convention), the fresh
+      // batch assigns against them frozen — the corpus is never
+      // rescanned per batch. Per-cell report: standing vs fresh counts
+      // and the fresh batch's mean cosine to its cell (drift signal),
+      // exact via per-row round(cos·1e12) quantization so the mean is
+      // order-free and oracle-reproducible.
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") < 250)
+      val fresh = emb.filter(col("vec_id") >= 250)
+      val cents = Similarity.kmeansCentroids(
+        corpus.filter(col("embedding").isNotNull), 16, 1)
+      val nCorpus = Similarity.kmeansAssign(corpus, cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_corpus"))
+      Similarity.kmeansAssign(fresh, cents)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_fresh"),
+          sum(round(col("cos") * 1e12d).cast("long")).as("__cq"))
+        .join(nCorpus, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+          when(col("n_fresh") > 0,
+            col("__cq").cast("double") /
+              (lit(1e12d) * col("n_fresh").cast("double")))
+            .as("fresh_mean_cos"))
+        .orderBy(col("centroid_id"))
+    }),
     "kmeans_purity" -> ((s, d) => {
       // Clustering-quality report: per-cell label agreement (majority
       // label mass / cell size) — the unsupervised-vs-labels eval.
@@ -4699,6 +4728,69 @@ object SparkEntry {
          SELECT e.vec_id, e.label FROM e
          WHERE e.vec_id NOT IN (SELECT vb FROM victims)
          ORDER BY vec_id""",
+    // The k-means replay with seeds/means drawn from the standing
+    // corpus only; fresh batch assigned frozen; per-cell counts +
+    // quantized-cosine exact means.
+    "kmeans_incremental" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         corp AS (SELECT * FROM e WHERE vec_id < 250),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM corp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT c.vec_id, s.centroid_id,
+                  list_cosine_similarity(c.emb, s.centroid) AS cos
+           FROM corp c CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(c.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(c.embedding) + 1)]) AS u
+           FROM a1 JOIN corp c USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         ac AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT c.vec_id, x.centroid_id, row_number() OVER (
+               PARTITION BY c.vec_id ORDER BY
+                 list_cosine_similarity(c.emb, x.centroid) DESC, x.centroid_id) AS rn
+             FROM corp c CROSS JOIN c2 x) WHERE rn = 1),
+         nc AS (SELECT centroid_id, count(*) AS n_corpus FROM ac GROUP BY 1),
+         af AS (
+           SELECT vec_id, centroid_id, cos FROM (
+             SELECT f.vec_id, x.centroid_id,
+                    list_cosine_similarity(f.emb, x.centroid) AS cos,
+                    row_number() OVER (
+               PARTITION BY f.vec_id ORDER BY
+                 list_cosine_similarity(f.emb, x.centroid) DESC, x.centroid_id) AS rn
+             FROM (SELECT * FROM e WHERE vec_id >= 250) f CROSS JOIN c2 x)
+           WHERE rn = 1),
+         nf AS (
+           SELECT centroid_id, count(*) AS n_fresh,
+                  CAST(sum(CAST(round(cos * 1000000000000.0) AS BIGINT)) AS BIGINT) AS cq
+           FROM af GROUP BY 1)
+         SELECT COALESCE(nf.centroid_id, nc.centroid_id) AS centroid_id,
+                CAST(COALESCE(nc.n_corpus, 0) AS BIGINT) AS n_corpus,
+                CAST(COALESCE(nf.n_fresh, 0) AS BIGINT) AS n_fresh,
+                CASE WHEN nf.n_fresh > 0
+                     THEN CAST(nf.cq AS DOUBLE) / (1000000000000.0 * nf.n_fresh)
+                END AS fresh_mean_cos
+         FROM nf FULL OUTER JOIN nc ON nf.centroid_id = nc.centroid_id
+         ORDER BY centroid_id""",
     // The kmeans_assign replay, then per-cell label counts and the
     // deterministic majority pick (cnt DESC, label DESC).
     "kmeans_purity" ->

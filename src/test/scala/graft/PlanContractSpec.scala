@@ -265,7 +265,7 @@ class PlanContractSpec extends SparkSpec {
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
       "cluster_diversity_sample", "quality_topk_by_lang",
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
-      "ann_jl_rerank", "kmeans_purity",
+      "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
