@@ -2304,6 +2304,36 @@ object SparkEntry {
       // window runs over the vocabulary-sized count relation, never
       // the corpus.
       TextAnalysis.vocabCoverage(Tables.documents(s, d), Seq(5L, 10L, 20L))),
+    "zipf_slope" -> ((s, d) => {
+      // Zipf fit: least-squares slope of ln(freq) on ln(rank) over the
+      // top-20 words (a natural corpus follows slope ≈ −1; word-soup
+      // fixtures sit near 0 — either way the NUMBER is pinned). All
+      // sums run in the exact integer/decimal domain over quantized
+      // round(ln·1e12) coordinates; numerator and denominator each
+      // take ONE decimal→double cast (the label_centroid_sim
+      // discipline), then one division.
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_w").desc, col("w"))
+      val pts = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(
+          round(log(col("rank").cast("double")) * 1e12d).cast("long").as("xq"),
+          round(log(col("c_w").cast("double")) * 1e12d).cast("long").as("yq"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(dec(col("xq"))).as("__sx"), sum(dec(col("yq"))).as("__sy"),
+          sum(dec(col("xq")) * dec(col("yq"))).as("__sxy"),
+          sum(dec(col("xq")) * dec(col("xq"))).as("__sxx"))
+        .select(col("n"),
+          ((dec(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+           (dec(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).as("slope"))
+    }),
     "quality_topk_by_lang" -> ((s, d) => {
       // Best-of-domain subset: the 20 cleanest docs per language by
       // LM log-perplexity — the quality-stratified pick a targeted
@@ -2319,6 +2349,30 @@ object SparkEntry {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= 20).drop("__rn")
         .orderBy(col("lang"), col("log_ppl"), col("doc_id"))
+    }),
+    "pretrain_pipeline" -> ((s, d) => {
+      // The r6 flagship composition, one plan end to end: LM
+      // perplexity gate (3.40) → MinHash sketch near-dedup on the
+      // survivors → per-language mixture sampling → curriculum
+      // packing (cleanest-first) with scores from the FULL-corpus
+      // model (lmDocScoresWith — training never re-runs on the
+      // subset). Every stage is the production path of its own row;
+      // the oracle chains all four replays.
+      val docs = Tables.documents(s, d)
+      val kept = TextAnalysis.lmQualityFilter(docs, 3.40)
+      val deduped = Dedup.dedupNear(kept)
+      val mixed = operators.Sampling.mixtureByBudget(
+        deduped, "lang", "doc_id", "n_chars", MixtureFractions)
+      val scored = TextAnalysis.lmDocScoresWith(mixed,
+          TextAnalysis.lmBigramCounts(docs),
+          TextAnalysis.lmContextCounts(docs),
+          TextAnalysis.lmVocabSize(docs))
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), (col("n_bigrams") + 1).as("nt"),
+          col("log_ppl"))
+      operators.Packing
+        .packBinsOrderedBy(scored, "doc_id", "nt", Seq("log_ppl"), 2000L)
+        .orderBy(col("doc_id"))
     }),
     "clean_corpus" -> ((s, d) =>
       // The end-to-end training-data prep flow in one plan: near-
@@ -3542,6 +3596,98 @@ object SparkEntry {
     // dedup_minhash_recall; the exact-Jaccard verify stage admits no
     // false positives), so both pipelines drop the same victims.
     "clean_corpus_sketch" -> cleanCorpusSql(capped = false),
+    // The four replays chained: LM gate (quantized-NLL scores) →
+    // uncapped blocked-exact pairs on the gated set → md5 bucket
+    // cumsum mixture → curriculum window cumsum.
+    "pretrain_pipeline" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM w),
+         bc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cc AS (
+           SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(sum(c_bg) AS BIGINT) AS c_ctx
+           FROM bc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT t) AS v_size
+           FROM (SELECT unnest(toks) AS t FROM w)),
+         q AS (
+           SELECT g.doc_id,
+                  CAST(round((ln(CAST(2 * cc.c_ctx + v.v_size AS DOUBLE))
+                            - ln(CAST(2 * bc.c_bg + 1 AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS nll_q
+           FROM bg g
+           JOIN bc USING (bigram)
+           JOIN cc ON cc.w1 = string_split(g.bigram, ' ')[1]
+           CROSS JOIN v),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
+           FROM q GROUP BY 1),
+         lmkept AS (
+           SELECT doc_id FROM sc
+           WHERE n_bigrams > 0
+             AND CAST(nll_q_sum AS DOUBLE) / (1000000000000.0 * n_bigrams) <= 3.40),
+         t AS (
+           SELECT d.doc_id, d.n_chars,
+                  list_filter(string_split_regex(trim(d.text), '\s+'), x -> x <> '') AS wt
+           FROM documents d JOIN lmkept USING (doc_id)),
+         s2 AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(wt) - 2, 1) + 1),
+                    i -> array_to_string(wt[i:i+2], ' '))) AS sh
+           FROM t),
+         b2 AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s2),
+         victims AS (
+           SELECT DISTINCT c.doc_id
+           FROM b2 a JOIN b2 c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         surv AS (
+           SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN lmkept USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+         h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS hb
+           FROM surv),
+         pb AS (
+           SELECT lang, hb, CAST(sum(n_chars) AS BIGINT) AS cost
+           FROM h GROUP BY 1, 2),
+         mkept AS (
+           SELECT lang, hb FROM (
+             SELECT lang, hb,
+                    CAST(COALESCE(sum(cost) OVER (PARTITION BY lang ORDER BY hb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS cum_before,
+                    CAST(sum(cost) OVER (PARTITION BY lang) AS BIGINT) AS total
+             FROM pb)
+           WHERE CAST(cum_before AS DOUBLE) <
+                 (CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.6
+                            WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.9 ELSE 0.0 END)
+                 * CAST(total AS DOUBLE)),
+         fin AS (
+           SELECT h.doc_id, sc.n_bigrams + 1 AS nt,
+                  CAST(sc.nll_q_sum AS DOUBLE) / (1000000000000.0 * sc.n_bigrams) AS log_ppl
+           FROM h JOIN mkept ON h.lang = mkept.lang AND h.hb = mkept.hb
+           JOIN sc ON sc.doc_id = h.doc_id
+           WHERE sc.n_bigrams > 0),
+         p AS (
+           SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                  CAST(COALESCE(sum(nt) OVER (ORDER BY log_ppl, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens
+           FROM fin)
+         SELECT doc_id, n_tokens, prefix_tokens,
+                CAST(floor(prefix_tokens / 2000.0) AS BIGINT) AS bin_id
+         FROM p ORDER BY doc_id""",
     "clean_corpus_full" -> CleanCorpusFullSql,
     "clean_corpus_v2" -> CleanCorpusV2Sql,
     "cube_orders" ->
@@ -4090,6 +4236,32 @@ object SparkEntry {
          FROM k JOIN cum ON cum.rank <= k.vocab_size CROSS JOIN tot
          GROUP BY k.vocab_size, tot.t_occ
          ORDER BY vocab_size""",
+    // The same quantized-ln coordinates; HUGEINT sums, one double
+    // division.
+    "zipf_slope" ->
+      """WITH w AS (
+           SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         uni AS (
+           SELECT t AS word, count(*) AS c_w
+           FROM (SELECT unnest(toks) AS t FROM w) GROUP BY 1),
+         r AS (
+           SELECT c_w, row_number() OVER (ORDER BY c_w DESC, word) AS rank
+           FROM uni),
+         pts AS (
+           SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS xq,
+                  CAST(round(ln(CAST(c_w AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS yq
+           FROM r WHERE rank <= 20),
+         a AS (
+           SELECT count(*) AS n,
+                  sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+                  sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+                  sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM pts)
+         SELECT n,
+                CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope
+         FROM a""",
     // The lm_doc_scores chain, per-lang bottom-20 by (log_ppl, doc_id).
     "quality_topk_by_lang" ->
       """WITH w AS (

@@ -266,6 +266,7 @@ class PlanContractSpec extends SparkSpec {
       "cluster_diversity_sample", "quality_topk_by_lang",
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
       "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
+      "pretrain_pipeline",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
