@@ -1250,6 +1250,19 @@ object SparkEntry {
       // the oracle replays training AND scoring bit-for-bit.
       TextAnalysis.lmDocScores(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "streaming_lm_gate" -> ((s, d) => {
+      // Streaming quality gate: documents replay as a REAL two-micro-
+      // batch stream; each batch scores against the PERSISTED model
+      // (vocabulary-sized relations — no corpus rescan, no cross-batch
+      // state) via foreachBatch, the Trigger.AvailableNow inference
+      // pattern. Union of emissions ≡ batch scoring — the oracle is
+      // the lm_doc_scores replay itself.
+      val docs = Tables.documents(s, d)
+      val dir = lmModelDir(s, d)
+      graft.streaming.DocReplay.run(s, docs, d)(
+          batch => tables.LmModel.score(s, dir, batch))
+        .orderBy(col("doc_id"))
+    }),
     "lm_model_persisted" -> ((s, d) =>
       // Train-once / score-many: the bigram model persists to parquet
       // (vocabulary-sized relations) and scoring runs against the
@@ -4613,6 +4626,9 @@ object SparkEntry {
     // The persisted-model row must reproduce in-flight scoring
     // exactly, so its oracle IS the lm_doc_scores replay.
     "lm_model_persisted" -> LmDocScoresSql,
+    // Stream-scored union ≡ batch scoring (no cross-batch state by
+    // construction) — same replay again.
+    "streaming_lm_gate" -> LmDocScoresSql,
     // The same exact scores under the same 3.40 gate.
     "lm_quality_filter" ->
       """WITH w AS (
