@@ -1250,6 +1250,19 @@ object SparkEntry {
       // the oracle replays training AND scoring bit-for-bit.
       TextAnalysis.lmDocScores(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "streaming_decontaminate" -> ((s, d) => {
+      // Streaming decontamination: each arriving micro-batch anti-
+      // joins the broadcast benchmark phrase list (derived from the
+      // STATIC corpus side) — doc-level, no cross-batch state, union
+      // of emissions ≡ the batch anti-join.
+      val docs = Tables.documents(s, d)
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("phrase"))
+      graft.streaming.DocReplay.run(s, docs, d)(
+          batch => TextAnalysis.decontaminate(batch, phrases)
+            .select(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy(col("doc_id"))
+    }),
     "streaming_lm_gate" -> ((s, d) => {
       // Streaming quality gate: documents replay as a REAL two-micro-
       // batch stream; each batch scores against the PERSISTED model
@@ -2372,15 +2385,19 @@ object SparkEntry {
       // subset). Every stage is the production path of its own row;
       // the oracle chains all four replays.
       val docs = Tables.documents(s, d)
-      val kept = TextAnalysis.lmQualityFilter(docs, 3.40)
+      // ONE LM training+scoring pass feeds both the gate and the
+      // final curriculum order (localCheckpoint materializes the
+      // skinny score relation instead of re-training per consumer).
+      val scores = TextAnalysis.lmDocScores(docs)
+        .filter(col("n_bigrams") > 0).localCheckpoint()
+      val kept = docs.join(
+        scores.filter(col("log_ppl") <= 3.40).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
       val deduped = Dedup.dedupNear(kept)
       val mixed = operators.Sampling.mixtureByBudget(
         deduped, "lang", "doc_id", "n_chars", MixtureFractions)
-      val scored = TextAnalysis.lmDocScoresWith(mixed,
-          TextAnalysis.lmBigramCounts(docs),
-          TextAnalysis.lmContextCounts(docs),
-          TextAnalysis.lmVocabSize(docs))
-        .filter(col("n_bigrams") > 0)
+      val scored = mixed.select(col("doc_id"))
+        .join(scores, "doc_id")
         .select(col("doc_id"), (col("n_bigrams") + 1).as("nt"),
           col("log_ppl"))
       operators.Packing
@@ -4412,6 +4429,15 @@ object SparkEntry {
                   '\s+', ' ', 'g')) AS text
          FROM documents ORDER BY doc_id""",
     "decontaminate" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))
+         ORDER BY d.doc_id""",
+    // Stream-scored union ≡ the batch anti-join (doc-level op, no
+    // cross-batch state).
+    "streaming_decontaminate" ->
       """SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d
          WHERE NOT EXISTS (
