@@ -2312,6 +2312,12 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "mixture_temperature" -> ((s, d) =>
+      // τ=2 temperature rebalancing: target share ∝ √available — the
+      // multilingual low-resource lift, exactly reproducible (sqrt is
+      // IEEE; quantized weights make the normalizer order-free).
+      operators.Sampling.mixtureTemperature(
+        Tables.documents(s, d), "lang", 100000L)),
     "mixture_plan" -> ((s, d) =>
       // Repeat-factor data recipe: per-language available vs target
       // tokens under a 100k-token budget at the mixture fractions —
@@ -4194,6 +4200,28 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
                 CAST(sum(n_tokens) AS DOUBLE) / 2000.0 AS fill_ratio
          FROM p GROUP BY 1 ORDER BY bin_id""",
+    // √-scaled weights quantized to round(√·1e6) longs; HUGEINT-safe
+    // sums; one division per ratio.
+    "mixture_temperature" ->
+      """WITH t AS (
+           SELECT lang AS domain,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         a AS (
+           SELECT domain, CAST(sum(nt) AS BIGINT) AS available_tokens
+           FROM t GROUP BY 1),
+         w AS (
+           SELECT domain, available_tokens,
+                  CAST(round(sqrt(CAST(available_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+           FROM a),
+         n AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w)
+         SELECT w.domain, w.available_tokens,
+                CAST(w.wq AS DOUBLE) / CAST(n.tot AS DOUBLE) AS target_frac,
+                CAST(round((CAST(w.wq AS DOUBLE) / CAST(n.tot AS DOUBLE)) * 100000) AS BIGINT)
+                  AS target_tokens,
+                CAST(round((CAST(w.wq AS DOUBLE) / CAST(n.tot AS DOUBLE)) * 100000) AS BIGINT)
+                  / CAST(w.available_tokens AS DOUBLE) AS repeat_factor
+         FROM w CROSS JOIN n ORDER BY w.domain""",
     // Same per-domain token totals; single-rounding double arithmetic
     // for target/repeat/epochs.
     "mixture_plan" ->

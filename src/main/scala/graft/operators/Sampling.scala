@@ -183,6 +183,44 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) < thresh)
   }
 
+  /** Temperature-scaled mixture weights (the multilingual rebalancing
+    * rule): target share ∝ available^α with α = ½ — i.e. √-scaled, the
+    * τ=2 temperature that lifts low-resource domains without letting
+    * the head dominate. α is fixed at ½ ON PURPOSE: sqrt is IEEE
+    * correctly-rounded in every engine (pow(x, α) for general α is
+    * not), and the per-domain √tokens quantizes to round(√·1e6) longs
+    * so the normalizing sum is order-free integer arithmetic — the
+    * whole weight table is bit-reproducible. One aggregate over the
+    * corpus, then arithmetic on the domain-sized relation.
+    */
+  def mixtureTemperature(docs: DataFrame, domainCol: String,
+                         budgetTokens: Long): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val perDomain = docs
+      .select(col(domainCol).as("domain"),
+        size(tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy(col("domain")).agg(sum(col("__nt")).as("available_tokens"))
+      .withColumn("__wq",
+        round(sqrt(col("available_tokens").cast("double")) * 1e6d)
+          .cast("long"))
+    // the normalizer runs over the domain-sized relation (a handful of
+    // rows) — the same bounded single-partition trade every vocab/
+    // checkpoint aggregate makes
+    perDomain
+      .withColumn("__tot", sum(col("__wq")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("domain"), col("available_tokens"),
+        (col("__wq").cast("double") / col("__tot").cast("double"))
+          .as("target_frac"))
+      .withColumn("target_tokens",
+        round(col("target_frac") * budgetTokens).cast("long"))
+      .withColumn("repeat_factor",
+        col("target_tokens").cast("double") /
+          col("available_tokens").cast("double"))
+      .orderBy(col("domain"))
+  }
+
   /** Repeat-factor mixture planner — the data-recipe report a
     * multi-epoch training run is configured from: given per-domain
     * target fractions of a global token budget, each domain's

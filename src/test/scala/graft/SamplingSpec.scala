@@ -160,4 +160,23 @@ class SamplingSpec extends SparkSpec {
       docs.withColumn("lang", lit("xx")), "lang", fr, 100000L)
     assert(none.count() === 0L)
   }
+
+  test("mixtureTemperature: shares normalize, head compressed, tail lifted") {
+    val docs = tables.Tables.documents(spark, sf)
+    val plan = Sampling.mixtureTemperature(docs, "lang", 100000L)
+      .as[(String, Long, Double, Long, Double)].collect()
+    val totalAvail = plan.map(_._2).sum.toDouble
+    assert(math.abs(plan.map(_._3).sum - 1.0) < 1e-9) // fracs normalize
+    plan.foreach { case (_, avail, frac, target, repeat) =>
+      val raw = avail / totalAvail
+      // sqrt scaling compresses toward uniform: heads shrink, tails grow
+      if (raw > 1.0 / plan.length) assert(frac < raw)
+      else assert(frac >= raw)
+      assert(target === math.round(frac * 100000L))
+      assert(math.abs(repeat - target.toDouble / avail) < 1e-15)
+    }
+    // ordering preserved: more available never means a smaller share
+    val sorted = plan.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
 }
