@@ -100,6 +100,26 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("harmonic packing: oversized docs take singleton bins") {
+    val d = Seq(
+      (0L, Seq.fill(120)("w").mkString(" ")), // len 120 > budget 100 → k=1
+      (1L, Seq.fill(150)("w").mkString(" ")), // len 150 > budget → k=1
+      (2L, Seq.fill(60)("w").mkString(" ")),  // k=1 (100/60=1), fits
+      (3L, Seq.fill(40)("w").mkString(" ")),  // k=2
+      (4L, Seq.fill(35)("w").mkString(" "))   // k=2
+    ).toDF("doc_id", "text")
+    val packed = Packing.packHarmonic(d, "doc_id", 100L)
+      .select("doc_id", "n_tokens", "bucket_k", "bin_idx")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // oversized → k clips to 1, each alone in its bin
+    assert(packed(0)._3 === 1L && packed(1)._3 === 1L)
+    assert(packed.filter(_._3 === 1L).groupBy(r => r._4).forall(_._2.length === 1))
+    // the two k=2 docs share one bin and fit the budget
+    val k2 = packed.filter(_._3 === 2L)
+    assert(k2.map(_._4).distinct.length === 1)
+    assert(k2.map(_._2).sum <= 100L)
+  }
+
   test("curriculum packing ≡ global cumsum in curriculum order") {
     import graft.functions.TextFunctions.tokens
     val rows = docs.select(col("doc_id"),
