@@ -2318,6 +2318,20 @@ object SparkEntry {
       // IEEE; quantized weights make the normalizer order-free).
       operators.Sampling.mixtureTemperature(
         Tables.documents(s, d), "lang", 100000L)),
+    "mixture_temperature_sample" -> ((s, d) => {
+      // The recipe APPLIED: the computed √-weight table drives the
+      // md5-bucket token-budget cut — exact kept-doc membership, the
+      // composed loop from weights to rows.
+      val docs = Tables.documents(s, d).withColumn("__nt",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      val weights = operators.Sampling
+        .mixtureTemperature(Tables.documents(s, d), "lang", 100000L)
+        .select(col("domain").as("lang"), col("target_frac"))
+      operators.Sampling
+        .mixtureByBudgetWeighted(docs, "lang", "doc_id", "__nt", weights)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "mixture_plan" -> ((s, d) =>
       // Repeat-factor data recipe: per-language available vs target
       // tokens under a 100k-token budget at the mixture fractions —
@@ -4222,6 +4236,44 @@ object SparkEntry {
                 CAST(round((CAST(w.wq AS DOUBLE) / CAST(n.tot AS DOUBLE)) * 100000) AS BIGINT)
                   / CAST(w.available_tokens AS DOUBLE) AS repeat_factor
          FROM w CROSS JOIN n ORDER BY w.domain""",
+    // The √-weight chain feeding the same md5 bucket cumsum cut.
+    "mixture_temperature_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         a AS (
+           SELECT lang, CAST(sum(nt) AS BIGINT) AS avail FROM t GROUP BY 1),
+         w AS (
+           SELECT lang,
+                  CAST(round(sqrt(CAST(avail AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+           FROM a),
+         n AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w),
+         fr AS (
+           SELECT lang, CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE) AS frac
+           FROM w CROSS JOIN n),
+         h AS (
+           SELECT doc_id, lang, nt,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 100 AS hb
+           FROM t),
+         pb AS (
+           SELECT lang, hb, CAST(sum(nt) AS BIGINT) AS cost
+           FROM h GROUP BY 1, 2),
+         kept AS (
+           SELECT lang, hb FROM (
+             SELECT pb.lang, pb.hb, fr.frac,
+                    CAST(COALESCE(sum(cost) OVER (PARTITION BY pb.lang ORDER BY hb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS cum_before,
+                    CAST(sum(cost) OVER (PARTITION BY pb.lang) AS BIGINT) AS total
+             FROM pb JOIN fr USING (lang))
+           WHERE CAST(cum_before AS DOUBLE) < frac * CAST(total AS DOUBLE))
+         SELECT h.doc_id, h.lang
+         FROM h JOIN kept ON h.lang = kept.lang AND h.hb = kept.hb
+         ORDER BY h.doc_id""",
     // Same per-domain token totals; single-rounding double arithmetic
     // for target/repeat/epochs.
     "mixture_plan" ->

@@ -183,6 +183,34 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) < thresh)
   }
 
+  /** [[mixtureByBudget]] with the per-domain fractions supplied as a
+    * RELATION (domain, target_frac) instead of a literal map — the
+    * entry point that applies a COMPUTED recipe (e.g.
+    * [[mixtureTemperature]]'s weight table). Same deterministic
+    * md5-bucket cumsum, same single-rounding comparison; the weight
+    * relation broadcasts (domain-sized).
+    */
+  def mixtureByBudgetWeighted(df: DataFrame, domainCol: String,
+                              keyCol: String, costCol: String,
+                              weights: DataFrame,
+                              buckets: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("__b", hashBucket(col(keyCol), buckets))
+    val perBucket = withB.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col(costCol)).as("__cost"))
+    val cumBefore = Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val domainTotal = Window.partitionBy(col(domainCol))
+    val kept = perBucket
+      .join(broadcast(weights), domainCol)
+      .withColumn("__before", coalesce(sum(col("__cost")).over(cumBefore), lit(0L)))
+      .withColumn("__total", sum(col("__cost")).over(domainTotal))
+      .filter(col("__before").cast("double") <
+        col("target_frac") * col("__total").cast("double"))
+      .select(col(domainCol), col("__b"))
+    withB.join(broadcast(kept), Seq(domainCol, "__b")).drop("__b")
+  }
+
   /** Temperature-scaled mixture weights (the multilingual rebalancing
     * rule): target share ∝ available^α with α = ½ — i.e. √-scaled, the
     * τ=2 temperature that lifts low-resource domains without letting
