@@ -1959,9 +1959,14 @@ object SparkEntry {
       // Johnson–Lindenstrauss ±1 projection 64→16 (Achlioptas 2003):
       // md5-derived sign matrix as one broadcast row, row-local
       // sequential fold per output dim — every float bit-reproduced
-      // by the oracle's identical left-to-right fold.
+      // by the oracle's identical left-to-right fold. Emitted as
+      // exploded (vec_id, dim, value) rows: the driver's comparator
+      // sorts/hashes scalar columns only, so a top-level array<float>
+      // would crash the compare (r6's one red row).
       Similarity.jlProject(Tables.embeddings(s, d))
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("label"),
+          posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy(col("vec_id"), col("dim"))),
     "jl_distortion" -> ((s, d) =>
       // Distance-preservation report over the planted query set:
       // projected/original squared-L2 ratios — EXACT counts and
@@ -4831,15 +4836,14 @@ object SparkEntry {
                        THEN 1.0 ELSE -1.0 END AS s
            FROM range(1024) t(x)),
          sl AS (SELECT list(s ORDER BY x) AS signs FROM sg)
-         SELECT e.vec_id, e.label,
-                [CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         SELECT e.vec_id, e.label, CAST(j AS INTEGER) AS dim,
+                CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    [CAST(e.embedding[i] AS DOUBLE) * sl.signs[j * 64 + i]
                     for i in range(1, 65)]),
-                   (a, b) -> a + b) / 4.0 AS FLOAT)
-                 for j in range(0, 16)] AS proj
-         FROM embeddings e CROSS JOIN sl
+                   (a, b) -> a + b) / 4.0 AS FLOAT) AS value
+         FROM embeddings e CROSS JOIN sl CROSS JOIN range(0, 16) t(j)
          WHERE e.embedding IS NOT NULL
-         ORDER BY e.vec_id""",
+         ORDER BY e.vec_id, j""",
     "jl_distortion" ->
       """WITH sg AS (
            SELECT x,

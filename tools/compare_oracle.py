@@ -42,6 +42,22 @@ def unsafe_cols(con, sql):
     return bad
 
 
+def nested_cols(df: pd.DataFrame):
+    """Top-level array/struct columns in the SPARK result. The DRIVER's
+    comparator sorts the raw pandas frame (no tuple canonicalisation),
+    so any such column crashes it with 'unhashable type' — r6 shipped
+    jl_project red exactly this way while this tool's canon() hid it.
+    Oracle-checked queries must emit scalar columns only (explode)."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            v = df[c].dropna()
+            if len(v) and (hasattr(v.iloc[0], "tolist")
+                           or isinstance(v.iloc[0], (list, dict, tuple))):
+                bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -67,10 +83,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in sorted(os.listdir(out_dir)):
         if name == "oracle_sql.json":
             continue
-        got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        raw = pd.read_parquet(f"{out_dir}/{name}")
+        got = canon(raw)
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({len(got)} rows)")
             n_skip += 1
+            continue
+        nest = nested_cols(raw)
+        if nest:
+            n_fail += 1
+            print(f"FAIL {name}: driver-unsafe top-level array/struct "
+                  f"column(s) {nest} — explode to scalar rows")
             continue
         bad = unsafe_cols(con, oracle[name])
         if bad:
