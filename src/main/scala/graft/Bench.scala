@@ -27,10 +27,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // Quiet-box isolation: SPARK_GRAFT_ONLY=a,b,c restricts the run to
+    // the named queries under the IDENTICAL harness (noop sink, warm-up,
+    // adaptive reps) — used to adjudicate flagged regressions without
+    // the 200-query bench's JIT/GC pressure. Unset for the driver.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val bench = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = GraftSession.local(cpus)
     // One warm-up action so JVM/classloader/codegen startup isn't billed
     // to the first query.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    bench.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -38,7 +48,7 @@ object Bench {
     // (graft.streaming.Replay); run each once unmeasured so the
     // staging write and state-store init land in warm-up, not in
     // whichever streaming query sorts first.
-    SparkEntry.queries.toSeq.filter(_._1.startsWith("streaming_"))
+    bench.toSeq.filter(_._1.startsWith("streaming_"))
       .foreach { case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -60,7 +70,7 @@ object Bench {
         None
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).toVector
       // Adaptive stabilization: a max > 2x the median is ambient noise
       // (GC pause, scheduler hiccup), and with 3 reps one outlier
@@ -94,8 +104,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHOUT.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
+    // An isolated SPARK_GRAFT_ONLY run must not clobber the committed
+    // full-bench artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHOUT.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -155,6 +155,25 @@ object Components {
     connectedComponentsStar(nodes, priorEdges.unionByName(newEdges), maxIter)
   }
 
+  /** Standing corpus labeling, staged per (process, `key`): at 100 TB
+    * the labeling is the stored artifact the incremental flow rolls
+    * forward (see [[connectedComponentsIncremental]]) — no batch
+    * recomputes it. Same memo discipline as the staged pair sets
+    * (Dedup.scala) and the BPE merge tables (Bpe.scala); the first
+    * caller pays sketch pair-gen + star rounds, later consumers read
+    * the checkpointed (id, component) relation.
+    */
+  private val labelStage =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def nearDupLabelsStaged(docs: DataFrame, key: String,
+                          shingleK: Int = 3, threshold: Double = 0.5): DataFrame =
+    labelStage.getOrElseUpdate(
+      s"${System.identityHashCode(docs.sparkSession)}|$key|$shingleK|$threshold",
+      nearDupClusters(docs, shingleK, threshold, sketch = true,
+          stageKey = Some(s"$key|labels"))
+        .localCheckpoint())
+
   /** Near-duplicate families over the n-gram Jaccard pair graph:
     * (doc_id, cluster_id) for EVERY doc — singletons are their own
     * cluster; cluster_id is the component's minimum doc_id, i.e. the
@@ -169,10 +188,15 @@ object Components {
     */
   def nearDupClusters(docs: DataFrame, shingleK: Int = 3,
                       threshold: Double = 0.5,
-                      sketch: Boolean = false): DataFrame = {
-    val pairs =
-      if (sketch) Dedup.minhashPairs(docs, shingleK, threshold = threshold)
-      else Dedup.ngramJaccardPairs(docs, shingleK, threshold)
+                      sketch: Boolean = false,
+                      stageKey: Option[String] = None): DataFrame = {
+    val pairs = (sketch, stageKey) match {
+      case (true, Some(k)) =>
+        Dedup.minhashPairsStaged(docs, k, shingleK, threshold = threshold)
+      case (true, None) =>
+        Dedup.minhashPairs(docs, shingleK, threshold = threshold)
+      case (false, _) => Dedup.ngramJaccardPairs(docs, shingleK, threshold)
+    }
     val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     connectedComponentsStar(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))

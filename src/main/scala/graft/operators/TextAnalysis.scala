@@ -451,9 +451,10 @@ object TextAnalysis {
       .join(ctxCounts, "w1")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round((log((col("c_ctx") * 2 + col("v_size")).cast("double")) -
-          log((col("c_bg") * 2 + 1).cast("double"))) * 1e12d)
-          .cast("long").as("nll_q"))
+        (round(log((col("c_ctx") * 2 + col("v_size")).cast("double")) * 1e12d)
+            .cast("long") -
+          round(log((col("c_bg") * 2 + 1).cast("double")) * 1e12d)
+            .cast("long")).as("nll_q"))
     val scores = nllq.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_q_sum"))
     docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left")
@@ -464,6 +465,60 @@ object TextAnalysis {
           col("nll_q_sum").cast("double") /
             (lit(1e12d) * col("n_bigrams").cast("double"))).as("log_ppl"))
   }
+
+  /** Per-language bigram LM scoring — each doc scored against its OWN
+    * language's add-½ model. A corpus-global model trained on a
+    * multilingual mixture systematically penalizes low-resource
+    * languages (their n-grams are rare in the pooled counts, so every
+    * transition looks surprising); CCNet-style pipelines therefore
+    * train one LM per language. Same grouped-training discipline as
+    * [[graft.operators.Bpe.bpeTrainGrouped]]: `lang` joins every count
+    * relation's key, the per-language vocab sizes ride in as a
+    * broadcast |langs|-row relation, and the quantized-term exactness
+    * contract of [[lmDocScores]] carries over unchanged.
+    */
+  def lmDocScoresByLang(docs: DataFrame): DataFrame = {
+    val bi = docBigramsByLang(docs)
+    val bgCounts = bi.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bgCounts
+      .groupBy(col("lang"), substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang")).agg(count_distinct(col("tok")).as("v_size"))
+    val nllq = bi
+      .join(bgCounts, Seq("lang", "bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(ctxCounts, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("doc_id"),
+        (round(log((col("c_ctx") * 2 + col("v_size")).cast("double")) * 1e12d)
+            .cast("long") -
+          round(log((col("c_bg") * 2 + 1).cast("double")) * 1e12d)
+            .cast("long")).as("nll_q"))
+    val scores = nllq.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_q_sum"))
+    docs.select(col("doc_id"), col("lang")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q_sum"), lit(0L)).as("nll_q_sum"),
+        when(col("n_bigrams") > 0,
+          col("nll_q_sum").cast("double") /
+            (lit(1e12d) * col("n_bigrams").cast("double"))).as("log_ppl"))
+  }
+
+  /** [[docBigrams]] carrying the doc's language — the per-group
+    * training key for [[lmDocScoresByLang]].
+    */
+  private def docBigramsByLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array())).as("bigram"))
 
   /** Collocation mining: pointwise mutual information of adjacent word
     * pairs, PMI = ln(c(w1,w2)·T / (c(w1)·c(w2))) with T = total bigram
