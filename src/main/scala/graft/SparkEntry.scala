@@ -51,6 +51,11 @@ object SparkEntry {
     * semantics match the engine bit-for-bit because both sides apply
     * ONE leftmost non-overlapping literal replace on the same
     * double-delimited state string (see [[graft.operators.Bpe]]).
+    * b_i carries the engine's minFreq=2 stop (WHERE cnt >= 2, same as
+    * the grouped mirror): when no pair repeats, the engine stops
+    * merging and the oracle emits no further rows — without the guard
+    * the two would diverge on any fixture where the stop fires within
+    * numMerges rounds.
     */
   private def bpeOracleStages(numMerges: Int): String = {
     val S = Bpe.Sep
@@ -73,12 +78,15 @@ object SparkEntry {
            FROM (SELECT freq, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms FROM s$p))
          GROUP BY 1, 2),
        b$i AS MATERIALIZED (
-         SELECT lft, rgt, cnt FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         SELECT lft, rgt, cnt FROM p$i
+         WHERE cnt >= 2
+         ORDER BY cnt DESC, lft, rgt LIMIT 1),
        s$i AS MATERIALIZED (
          SELECT word, freq,
-                replace(state,
-                  '$S' || (SELECT lft FROM b$i) || '$S2' || (SELECT rgt FROM b$i) || '$S',
-                  '$S' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || '$S') AS state
+                CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN state
+                     ELSE replace(state,
+                       '$S' || (SELECT lft FROM b$i) || '$S2' || (SELECT rgt FROM b$i) || '$S',
+                       '$S' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || '$S') END AS state
          FROM s$p)"""
     }
     sb.toString
@@ -5945,6 +5953,12 @@ object SparkEntry {
     // recomputation over the planted near-dup families; the booleans
     // pin structural self-recall (exact copies always co-bucket) and
     // the measured twin-recall floor of the multiprobe config.
+    // n_queries/n_twins are genuinely recomputed from the DuckDB brute
+    // pair set; the two literal TRUEs are ENGINE-ASSERTED booleans
+    // (self-recall 1.0 holds by planted-copy construction; the twin
+    // floor is the measured 0.35 empirical bound) — same verification
+    // strength convention as embedding_near_recall above, stated here
+    // so the oracle's role isn't overread as an independent re-check.
     "ann_lsh_recall" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

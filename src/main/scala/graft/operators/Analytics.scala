@@ -146,6 +146,13 @@ object Analytics {
     * output — not a corpus collect — and when the boundary IS
     * ambiguous we fall back to the exact GROUP BY instead of betting
     * on `fetch` out-running every possible tie.
+    *
+    * EAGERNESS: that probe runs while the query DataFrame is being
+    * CONSTRUCTED — building [[heavyHitters]] triggers a Spark job even
+    * if the result is never consumed, a deliberate break from the
+    * queries map's usual laziness. Fine for Verify/Bench (which time
+    * construction + execution together); callers that need a lazy
+    * plan should use the exact path directly.
     */
   private def certainTopK(sketchTopK: DataFrame, k: Int, fetch: Int)
                          (exact: => DataFrame): DataFrame = {

@@ -94,6 +94,13 @@ object Replay {
     * free to differ per run); results are partition-count-independent,
     * pinned by SessionizeSpec/PackingSpec and the stream ≡ batch
     * hash comparisons themselves.
+    *
+    * NOT reentrant / NOT thread-safe: the conf is mutated on the
+    * SHARED session for the query's duration, so anything planned
+    * concurrently on the same session silently plans with 8 shuffle
+    * partitions. Fine for the serial Verify/Bench harness this serves;
+    * a concurrent caller should run the replay on a cloned
+    * `spark.newSession()` instead.
     */
   private[streaming] def withReplayShuffle[A](spark: SparkSession)(body: => A): A = {
     val k = "spark.sql.shuffle.partitions"

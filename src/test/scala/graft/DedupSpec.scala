@@ -105,4 +105,23 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.ngramJaccardPairs(d, threshold = 0.5)
     assert(jac.count() === 0L)
   }
+
+  test("sketch ≡ uncapped blocked-exact pair set on the driver fixture") {
+    // The CI form of tools/sketch_oracle_sweep.py: several driver rows
+    // (dedup_clusters, split_leakage, dup_graph_degrees, ...) run
+    // MinHash engine-side but are oracle-checked against the UNCAPPED
+    // length-blocked exact pair set — neither subsumes the other by
+    // construction (banding can miss true pairs; length-blocking
+    // misses cross-block pairs), so the equality those oracles rest on
+    // must fail HERE, as a symdiff assertion, when fixture drift ever
+    // breaks it — not as a confusing oracle-red in the driver run.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sketch = Dedup.minhashPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, maxBlock = Int.MaxValue)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val symdiff = (sketch diff exact) union (exact diff sketch)
+    assert(symdiff.isEmpty,
+      s"sketch vs uncapped-exact symdiff must be empty, got: $symdiff")
+  }
 }
