@@ -1322,6 +1322,23 @@ object SparkEntry {
         .filter(col("log_ppl").isNotNull && col("log_ppl") <= 3.40d)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "dsir_weights" -> ((s, d) => {
+      // DSIR (Xie et al. 2023): per-doc hashed-ngram importance
+      // weights of the source corpus against the en-subset target
+      // model — both models buckets-sized broadcasts, per-ln quantized
+      // integer terms, the corpus never shuffles. The oracle replays
+      // hashing, both models, smoothing, and every quantized term.
+      val docs = Tables.documents(s, d)
+      operators.Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+    "dsir_select" -> ((s, d) => {
+      // The selection step: top-200 by (importance desc, doc_id) —
+      // deterministic temperature-0 resampling, TakeOrderedAndProject.
+      val docs = Tables.documents(s, d)
+      operators.Dsir.select(docs, docs.filter(col("lang") === "en"), 200)
+        .orderBy(col("doc_id"))
+    }),
     "streaming_decontaminate" -> ((s, d) => {
       // Streaming decontamination: each arriving micro-batch anti-
       // joins the broadcast benchmark phrase list (derived from the
@@ -1334,6 +1351,27 @@ object SparkEntry {
           batch => TextAnalysis.decontaminate(batch, phrases)
             .select(col("doc_id"), col("lang"), col("n_chars")))
         .orderBy(col("doc_id"))
+    }),
+    "streaming_dedup_gate" -> ((s, d) => {
+      // Streaming near-dup gate: each arriving micro-batch drops docs
+      // that near-duplicate the STANDING corpus (corpus<->fresh pairs
+      // ONLY — no fresh<->fresh, so the victim set is independent of
+      // micro-batching and stream ≡ batch by construction; stateful
+      // cross-batch dedup is dedup_clusters_incremental's job). At
+      // 100 TB the corpus band-key index is the precomputed stored
+      // relation each batch probes. Oracle = the uncapped blocked-
+      // exact corpus<->fresh victim set (the sketch's pair-SET
+      // equality with it is the r6-measured invariant, now pinned by
+      // DedupSpec's symdiff test).
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+      graft.streaming.DocReplay.run(s, fresh, s"$d|fresh")(batch => {
+        val victims = Dedup.minhashPairsAgainst(corpus, batch)
+          .select(col("doc_id_b").as("doc_id")).distinct()
+        batch.join(victims, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      }).orderBy(col("doc_id"))
     }),
     "streaming_lm_gate" -> ((s, d) => {
       // Streaming quality gate: documents replay as a REAL two-micro-
@@ -2986,6 +3024,42 @@ object SparkEntry {
               END AS log_ppl
        FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
 
+  private val DsirWeightsSql: String =
+    """WITH w AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+                unnest(toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS feat
+         FROM w),
+       fb AS (
+         SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', x) - 1
+                             for x in [substr(md5(feat), i, 1) for i in range(1, 9)]],
+                            (a, b) -> a * 16 + b) % 4096 AS b
+         FROM f),
+       ct AS (SELECT b, count(*) AS c_t FROM fb JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY 1),
+       cs AS (SELECT b, count(*) AS c_s FROM fb GROUP BY 1),
+       tt AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM ct),
+       st AS (SELECT CAST(sum(c_s) AS BIGINT) AS s_total FROM cs),
+       q AS (
+         SELECT fb.doc_id,
+                CAST(round(ln(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+              - CAST(round(ln(CAST(tt.t_total + 4096 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+              - CAST(round(ln(CAST(cs.c_s + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+              + CAST(round(ln(CAST(st.s_total + 4096 AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS t_q
+         FROM fb LEFT JOIN ct USING (b) JOIN cs USING (b) CROSS JOIN tt CROSS JOIN st),
+       s AS (
+         SELECT doc_id, count(*) AS n_features, CAST(sum(t_q) AS BIGINT) AS logw_q_sum
+         FROM q GROUP BY 1)
+       SELECT d.doc_id, d.lang,
+              CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+              CAST(COALESCE(s.logw_q_sum, 0) AS BIGINT) AS logw_q_sum,
+              CAST(COALESCE(s.logw_q_sum, 0) AS DOUBLE) / 1000000000000.0 AS log_weight
+       FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
+
   private val DedupClustersSql: String =
     """WITH RECURSIVE t AS (
          SELECT doc_id, n_chars,
@@ -4617,6 +4691,33 @@ object SparkEntry {
     // exact baseline's — see the query comment).
     "dedup_incremental" -> dedupIncrementalSql(capped = true),
     "dedup_incremental_sketch" -> dedupIncrementalSql(capped = false),
+    // corpus<->fresh victims only (a-side restricted to the standing
+    // corpus): the stateless streaming gate's exact mirror.
+    "streaming_dedup_gate" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         fb AS (
+           SELECT doc_id, sh, unnest([bucket0 - 1, bucket0, bucket0 + 1]) AS bucket
+           FROM u WHERE doc_id >= 250),
+         victims AS (
+           SELECT DISTINCT b.doc_id
+           FROM u a JOIN fb b ON a.bucket0 = b.bucket AND a.doc_id < b.doc_id
+           WHERE a.doc_id < 250
+             AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM victims)
+         ORDER BY doc_id""",
     "epoch_shuffle" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
@@ -4854,6 +4955,10 @@ object SparkEntry {
     // TextAnalysis.lmDocScores).
     "lm_doc_scores" -> LmDocScoresSql,
     "lm_doc_scores_by_lang" -> LmDocScoresByLangSql,
+    "dsir_weights" -> DsirWeightsSql,
+    "dsir_select" ->
+      s"""SELECT * FROM ($DsirWeightsSql)
+          ORDER BY logw_q_sum DESC, doc_id LIMIT 200""",
     "lm_quality_filter_by_lang" ->
       s"""SELECT doc_id, lang FROM ($LmDocScoresByLangSql)
           WHERE log_ppl IS NOT NULL AND log_ppl <= 3.40 ORDER BY doc_id""",

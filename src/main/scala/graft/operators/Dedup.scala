@@ -418,6 +418,57 @@ object Dedup {
     fresh.join(victims, Seq("doc_id"), "left_anti")
   }
 
+  /** Verified MinHash near-dup pairs corpus↔fresh ONLY (no fresh↔fresh)
+    * — the stateless streaming-gate relation: every fresh doc is
+    * checked against the STANDING corpus and never against other
+    * fresh docs, so the victim set is independent of how the fresh
+    * stream is micro-batched (stream ≡ batch by construction; the
+    * cross-batch fresh↔fresh pairs belong to the stateful incremental
+    * path, [[minhashPairsIncremental]]). Corpus side computes only
+    * row-local band keys + shingle sets — at 100 TB both are the
+    * precomputed stored index the gate probes.
+    */
+  def minhashPairsAgainst(corpus: DataFrame, fresh: DataFrame,
+                          shingleK: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
+    def hashed(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .repartition(col("doc_id"))
+    def buckets(h: DataFrame) = h
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.MinHashBandKeys
+          .minhash_band_keys(col("sh"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+    val hc = hashed(corpus)
+    val hf = hashed(fresh)
+    val candidates = buckets(hc).as("a")
+      .join(buckets(hf).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val sa = hc.select(col("doc_id").as("doc_id_a"),
+      col("sh").as("sh_a"), col("n_sh").as("n_a"))
+    val sb = hf.select(col("doc_id").as("doc_id_b"),
+      col("sh").as("sh_b"), col("n_sh").as("n_b"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    candidates
+      .join(sa, "doc_id_a").join(sb, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        inter.as("i"), (col("n_a") + col("n_b")).as("t"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        when(col("t") > col("i"), col("i") / (col("t") - col("i")))
+          .otherwise(lit(0.0)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // --- Staged pair sets -------------------------------------------------
   //
   // At 100 TB the verified pair set (and the standing labeling built

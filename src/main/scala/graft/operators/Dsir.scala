@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+  * — the counts-based pretraining-data selector: score every source
+  * document by how much more likely its hashed n-gram features are
+  * under a TARGET domain's bag-of-ngrams model than under the raw
+  * source model, then keep the top of the importance ranking.
+  *
+  * Model: unigram + bigram word features hashed into `buckets` slots
+  * (the paper's hashed n-gram generative model); add-1 smoothed
+  * occurrence models p_target / p_source over the slots; a doc's log
+  * importance weight is Σ_f [ln p_t(f) − ln p_s(f)] over its feature
+  * OCCURRENCES.
+  *
+  * Exactness contract: every ln argument is an INTEGER (count+1,
+  * total+buckets), so each ln quantizes independently to
+  * round(ln·1e12) longs — the per-ln discipline [[TextAnalysis
+  * .lmDocScoresByLang]] uses — and the per-doc sum of integer terms is
+  * order-free and engine-portable; ONE double division at the end.
+  * The hash is the md5 bucket idiom ([[Sampling.hashBucket]]), the
+  * only engine-portable hash.
+  *
+  * Scale shape: both models are `buckets`-sized relations built by one
+  * map-side-combined groupBy each and BROADCAST into the scoring join;
+  * the only data-sized exchange is the skinny (doc_id, bucket) feature
+  * stream's final groupBy(doc_id). The corpus text never shuffles.
+  */
+object Dsir {
+
+  /** Unigram + bigram feature occurrences per doc: (doc_id, feat).
+    * Multiplicity-preserving (a generative model counts occurrences);
+    * docs under one token emit their unigrams only, empty docs none.
+    */
+  private def features(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(concat(
+        col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array()))).as("feat"))
+
+  /** round(ln(n)·1e12) as a long — n must be an integer-valued column
+    * (the measured flip-free quantization domain).
+    */
+  private def lnq(n: Column): Column =
+    round(log(n.cast("double")) * 1e12d).cast("long")
+
+  /** Per-source-doc importance weights against `target`'s hashed
+    * n-gram model: (doc_id, lang, n_features, logw_q_sum, log_weight).
+    * Docs with no features score 0 (vacuous — neither model prefers
+    * them).
+    */
+  def importanceWeights(source: DataFrame, target: DataFrame,
+                        buckets: Int = 4096): DataFrame = {
+    val fs = features(source)
+      .select(col("doc_id"), Sampling.hashBucket(col("feat"), buckets).as("b"))
+    val ft = features(target)
+      .select(Sampling.hashBucket(col("feat"), buckets).as("b"))
+    val ctCounts = ft.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val csCounts = fs.groupBy(col("b")).agg(count(lit(1)).as("c_s"))
+    val totals = ctCounts.agg(sum(col("c_t")).as("t_total")).crossJoin(
+      csCounts.agg(sum(col("c_s")).as("s_total")))
+    val termQ = lnq(coalesce(col("c_t"), lit(0L)) + 1) -
+      lnq(col("t_total") + buckets) -
+      lnq(col("c_s") + 1) +
+      lnq(col("s_total") + buckets)
+    val perDoc = fs
+      .join(broadcast(ctCounts), Seq("b"), "left")
+      .join(broadcast(csCounts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), termQ.as("t_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("t_q")).as("logw_q_sum"))
+    source.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("logw_q_sum"), lit(0L)).as("logw_q_sum"),
+        (coalesce(col("logw_q_sum"), lit(0L)).cast("double") / 1e12d)
+          .as("log_weight"))
+  }
+
+  /** Deterministic importance selection: the top-`n` source docs by
+    * (importance desc, doc_id) — the temperature-0 variant of the
+    * paper's Gumbel resampling (the stochastic draw adds per-doc
+    * Gumbel noise to the same log-weights; the argmax path keeps the
+    * ranking engine-exact). Plans to TakeOrderedAndProject — no
+    * global sort at any corpus size.
+    */
+  def select(source: DataFrame, target: DataFrame, n: Int,
+             buckets: Int = 4096): DataFrame =
+    importanceWeights(source, target, buckets)
+      .orderBy(col("logw_q_sum").desc, col("doc_id"))
+      .limit(n)
+}

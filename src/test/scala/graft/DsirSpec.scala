@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two "domains" with disjoint vocabularies: target-like docs share
+  // the en vocabulary, off-domain docs don't overlap it at all.
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1L, "the lazy dog sleeps while the quick fox runs far away now", "en"),
+    (2L, "der schnelle braune fuchs springt ueber den faulen hund heute", "de"),
+    (3L, "el zorro marron salta sobre el perro perezoso cada dia", "es"),
+    (4L, "the quick dog and the lazy fox play over the brown field", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("target-domain docs outrank off-domain docs") {
+    val w = Dsir.importanceWeights(docs, docs.filter($"lang" === "en"))
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val en = Seq(0L, 1L, 4L).map(w)
+    val off = Seq(2L, 3L).map(w)
+    assert(en.min > off.max,
+      s"every en doc should outweigh every off-domain doc: $w")
+  }
+
+  test("n_features counts unigram + bigram occurrences") {
+    val row = Dsir.importanceWeights(docs, docs.filter($"lang" === "en"))
+      .filter($"doc_id" === 0L).select("n_features").as[Long].head()
+    // 12 tokens -> 12 unigrams + 11 bigrams
+    assert(row === 23L)
+  }
+
+  test("select keeps the top-n by importance, deterministically") {
+    val top = Dsir.select(docs, docs.filter($"lang" === "en"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === Set(0L, 1L, 4L))
+  }
+}

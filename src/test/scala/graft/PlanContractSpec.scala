@@ -267,7 +267,10 @@ class PlanContractSpec extends SparkSpec {
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
       "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
       "pretrain_pipeline",
-      "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang")
+      "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang",
+      // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
+      // broadcast cross — the models themselves are broadcast hash.
+      "dsir_weights", "dsir_select")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.queries.toSeq
