@@ -1332,6 +1332,15 @@ object SparkEntry {
       operators.Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"))
         .orderBy(col("doc_id"))
     }),
+    "dsir_resample" -> ((s, d) => {
+      // The stochastic draw, engine-exact: Gumbel-top-k without
+      // replacement over the importance weights — md5-derived
+      // uniforms, quantized sort keys (see Dsir.gumbelResample), so
+      // the oracle reproduces the SAMPLE itself, not just a moment.
+      val docs = Tables.documents(s, d)
+      operators.Dsir.gumbelResample(docs, docs.filter(col("lang") === "en"), 200)
+        .orderBy(col("doc_id"))
+    }),
     "dsir_select" -> ((s, d) => {
       // The selection step: top-200 by (importance desc, doc_id) —
       // deterministic temperature-0 resampling, TakeOrderedAndProject.
@@ -4956,6 +4965,19 @@ object SparkEntry {
     "lm_doc_scores" -> LmDocScoresSql,
     "lm_doc_scores_by_lang" -> LmDocScoresByLangSql,
     "dsir_weights" -> DsirWeightsSql,
+    "dsir_resample" ->
+      s"""WITH dw AS ($DsirWeightsSql),
+          k AS (
+            SELECT doc_id, lang, logw_q_sum,
+                   CAST(round((log_weight
+                     - ln(-ln((list_reduce([strpos('0123456789abcdef', x) - 1
+                          for x in [substr(md5(CAST(doc_id AS VARCHAR)), i, 1)
+                                    for i in range(1, 9)]],
+                          (a, b) -> a * 16 + b) + 0.5) / 4294967296.0))) * 1000000.0)
+                     AS BIGINT) AS key_q
+            FROM dw)
+          SELECT doc_id, lang, logw_q_sum, key_q FROM k
+          ORDER BY key_q DESC, doc_id LIMIT 200""",
     "dsir_select" ->
       s"""SELECT * FROM ($DsirWeightsSql)
           ORDER BY logw_q_sum DESC, doc_id LIMIT 200""",

@@ -99,4 +99,29 @@ object Dsir {
     importanceWeights(source, target, buckets)
       .orderBy(col("logw_q_sum").desc, col("doc_id"))
       .limit(n)
+
+  /** The paper's STOCHASTIC draw, engine-exact: Gumbel-top-k sampling
+    * without replacement ∝ exp(log_weight) — key_i = log w_i + G_i
+    * with G_i = −ln(−ln(u_i)) and u_i the md5-derived uniform
+    * (h+0.5)/2^32 (a dyadic rational + exact constant division: both
+    * engines compute the identical double). The Gumbel itself is two
+    * nested transcendentals on an arbitrary double — a few ulps of
+    * cross-engine drift — so the SORT KEY quantizes to
+    * round(key·1e6) longs (drift ~5e-15 against a 1e-6 quantum ⇒ a
+    * flip is a ~1e-8-per-doc event) with doc_id breaking quantized
+    * ties deterministically. Top-n by (key_q desc, doc_id) is a
+    * TakeOrderedAndProject like the argmax path.
+    */
+  def gumbelResample(source: DataFrame, target: DataFrame, n: Int,
+                     buckets: Int = 4096): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5d) / 4294967296.0d
+    val gumbel = -log(-log(u))
+    importanceWeights(source, target, buckets)
+      .select(col("doc_id"), col("lang"), col("logw_q_sum"),
+        round((col("log_weight") + gumbel) * 1e6d).cast("long").as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(n)
+  }
 }

@@ -38,4 +38,15 @@ class DsirSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(top === Set(0L, 1L, 4L))
   }
+
+  test("gumbel resample is a deterministic draw biased toward the target") {
+    val en = docs.filter($"lang" === "en")
+    val draw = Dsir.gumbelResample(docs, en, 3)
+      .select("doc_id").as[Long].collect().toSet
+    // identical on a second invocation (md5-derived noise, no RNG state)
+    assert(draw === Dsir.gumbelResample(docs, en, 3)
+      .select("doc_id").as[Long].collect().toSet)
+    // with weights this separated the draw still lands on the en docs
+    assert((draw intersect Set(0L, 1L, 4L)).size >= 2)
+  }
 }

@@ -270,7 +270,7 @@ class PlanContractSpec extends SparkSpec {
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
       // broadcast cross — the models themselves are broadcast hash.
-      "dsir_weights", "dsir_select")
+      "dsir_weights", "dsir_select", "dsir_resample")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.queries.toSeq
