@@ -15,7 +15,9 @@ package graft
   * query with zero successful reps reports null. `failed` lists every
   * query with at least one failed rep; `failures` carries the per-query
   * failed-rep count, so "flaky on one rep" and "always broken" are
-  * distinguishable from the artifact alone.
+  * distinguishable from the artifact alone. A run with any failure
+  * emits `"ok":false` and exits non-zero — it must never read as a
+  * passing run.
   *
   * The JSON line is also written to BENCHOUT.json in the working
   * directory: the driver's stdout capture truncates long tails, and the
@@ -101,8 +103,13 @@ object Bench {
     val failedJson = failCounts.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failuresJson = failCounts
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    // "ok" leads the line so a broken run is unmistakable even in a
+    // truncated stdout capture; a run with ANY failed query also exits
+    // non-zero below — r7 had 79 queries fail-fast yet the artifact
+    // read as "[success]", which cost a full round.
+    val ok = failCounts.isEmpty
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","ok":$ok,"value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
     println(line)
     // An isolated SPARK_GRAFT_ONLY run must not clobber the committed
     // full-bench artifact.
@@ -110,5 +117,9 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHOUT.json"), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
+    if (!ok) {
+      System.err.println(s"[bench] ${failCounts.size} queries FAILED: ${failCounts.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

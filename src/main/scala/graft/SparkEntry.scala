@@ -1328,24 +1328,22 @@ object SparkEntry {
       // model — both models buckets-sized broadcasts, per-ln quantized
       // integer terms, the corpus never shuffles. The oracle replays
       // hashing, both models, smoothing, and every quantized term.
-      val docs = Tables.documents(s, d)
-      operators.Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"))
-        .orderBy(col("doc_id"))
+      // The weight relation is STAGED per dataset (the 100 TB stored
+      // artifact): one build shared by weights/select/resample.
+      dsirWeights(s, d).orderBy(col("doc_id"))
     }),
     "dsir_resample" -> ((s, d) => {
       // The stochastic draw, engine-exact: Gumbel-top-k without
       // replacement over the importance weights — md5-derived
       // uniforms, quantized sort keys (see Dsir.gumbelResample), so
       // the oracle reproduces the SAMPLE itself, not just a moment.
-      val docs = Tables.documents(s, d)
-      operators.Dsir.gumbelResample(docs, docs.filter(col("lang") === "en"), 200)
+      operators.Dsir.gumbelResampleFrom(dsirWeights(s, d), 200)
         .orderBy(col("doc_id"))
     }),
     "dsir_select" -> ((s, d) => {
       // The selection step: top-200 by (importance desc, doc_id) —
       // deterministic temperature-0 resampling, TakeOrderedAndProject.
-      val docs = Tables.documents(s, d)
-      operators.Dsir.select(docs, docs.filter(col("lang") === "en"), 200)
+      operators.Dsir.selectFrom(dsirWeights(s, d), 200)
         .orderBy(col("doc_id"))
     }),
     "streaming_decontaminate" -> ((s, d) => {
@@ -2655,6 +2653,16 @@ object SparkEntry {
       tables.LmModel.write(Tables.documents(s, d), dir.toString)
       dir.toString
     })
+
+  /** DSIR importance weights of `documents` against its en-subset
+    * target model, staged per (session, dataset) — the stored weight
+    * artifact every selector row reads (see Dsir.weightStage).
+    */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    operators.Dsir.importanceWeightsStaged(
+      docs, docs.filter(col("lang") === "en"), key = s"$d|en")
+  }
 
   private def vectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(d, {

@@ -87,6 +87,32 @@ object Dsir {
           .as("log_weight"))
   }
 
+  // --- Staged weights ---------------------------------------------------
+  //
+  // The weight relation is the DSIR artifact a 100 TB deployment
+  // stores: weights are computed ONCE per (source, target, buckets)
+  // and every selector (argmax, Gumbel draw, per-lang quotas) reads
+  // the stored relation — recomputing the two bucket models plus the
+  // full feature stream per consumer triples the dominant cost. Same
+  // staging discipline as the minhash pair sets (Dedup.pairStage) and
+  // the persisted LM counts (tables/LmModel): memoized per (session,
+  // dataset key, params), localCheckpoint to materialize once and cut
+  // lineage.
+
+  private val weightStage =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** [[importanceWeights]], staged per (session, `key`, buckets). The
+    * session hash is part of the memo key: a checkpointed DataFrame
+    * is bound to its session, so a fresh session re-stages rather
+    * than reading a dead checkpoint.
+    */
+  def importanceWeightsStaged(source: DataFrame, target: DataFrame,
+                              key: String, buckets: Int = 4096): DataFrame =
+    weightStage.getOrElseUpdate(
+      s"${System.identityHashCode(source.sparkSession)}|$key|$buckets",
+      importanceWeights(source, target, buckets).localCheckpoint())
+
   /** Deterministic importance selection: the top-`n` source docs by
     * (importance desc, doc_id) — the temperature-0 variant of the
     * paper's Gumbel resampling (the stochastic draw adds per-doc
@@ -94,11 +120,14 @@ object Dsir {
     * ranking engine-exact). Plans to TakeOrderedAndProject — no
     * global sort at any corpus size.
     */
-  def select(source: DataFrame, target: DataFrame, n: Int,
-             buckets: Int = 4096): DataFrame =
-    importanceWeights(source, target, buckets)
+  def selectFrom(weights: DataFrame, n: Int): DataFrame =
+    weights
       .orderBy(col("logw_q_sum").desc, col("doc_id"))
       .limit(n)
+
+  def select(source: DataFrame, target: DataFrame, n: Int,
+             buckets: Int = 4096): DataFrame =
+    selectFrom(importanceWeights(source, target, buckets), n)
 
   /** The paper's STOCHASTIC draw, engine-exact: Gumbel-top-k sampling
     * without replacement ∝ exp(log_weight) — key_i = log w_i + G_i
@@ -112,16 +141,19 @@ object Dsir {
     * ties deterministically. Top-n by (key_q desc, doc_id) is a
     * TakeOrderedAndProject like the argmax path.
     */
-  def gumbelResample(source: DataFrame, target: DataFrame, n: Int,
-                     buckets: Int = 4096): DataFrame = {
+  def gumbelResampleFrom(weights: DataFrame, n: Int): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long")
     val u = (h.cast("double") + 0.5d) / 4294967296.0d
     val gumbel = -log(-log(u))
-    importanceWeights(source, target, buckets)
+    weights
       .select(col("doc_id"), col("lang"), col("logw_q_sum"),
         round((col("log_weight") + gumbel) * 1e6d).cast("long").as("key_q"))
       .orderBy(col("key_q").desc, col("doc_id"))
       .limit(n)
   }
+
+  def gumbelResample(source: DataFrame, target: DataFrame, n: Int,
+                     buckets: Int = 4096): DataFrame =
+    gumbelResampleFrom(importanceWeights(source, target, buckets), n)
 }

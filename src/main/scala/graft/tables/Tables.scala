@@ -2,6 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical readers for the driver-provided parquet tables
   * (`/root/repo/TESTDATA.md`, `/root/repo/FIXTURES.md` §B).
@@ -19,11 +20,14 @@ import org.apache.spark.sql.functions._
   *    DuckDB oracle reads the same parquet as naive timestamps, so
   *    keeping everything NTZ (session TZ pinned UTC) makes Spark
   *    output and oracle output bit-identical.
-  *  - `events.ts` is physically INT64 TIMESTAMP(NANOS), which the
-  *    vectorized parquet reader rejects; sessions must set
-  *    `spark.sql.legacy.parquet.nanosAsLong=true` (see
-  *    [[graft.GraftSession]]) and we convert here with integer
-  *    division — the same truncation DuckDB applies for ns→µs.
+  *  - `events.ts` has shipped in two physical encodings across
+  *    driver testdata generations: INT64 TIMESTAMP(NANOS) (loads as
+  *    LongType under `spark.sql.legacy.parquet.nanosAsLong=true`,
+  *    which [[graft.GraftSession]] keeps set) and plain
+  *    `timestamp[us]` (loads as a timestamp type directly).
+  *    [[events]] branches on the *loaded* dtype so both generations
+  *    read identically: longs get the ns→µs integer truncation
+  *    DuckDB applies, timestamps are just re-tagged NTZ.
   */
 object Tables {
 
@@ -34,12 +38,25 @@ object Tables {
     * event_id long, ts timestamp_ntz, user_id long, event_type string,
     * value double, props string (JSON).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      // ns→µs truncation, integer-exact (a double division would lose
-      // precision above 2^53 ns); then to NTZ (session TZ is UTC so the
-      // cast is an identity re-tag).
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long generation: ns→µs truncation, integer-exact (a
+        // double division would lose precision above 2^53 ns); then to
+        // NTZ (session TZ is UTC so the cast is an identity re-tag).
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampNTZType =>
+        raw
+      case _: TimestampType =>
+        // micros generation read as LTZ: session TZ is UTC, so this is
+        // an identity re-tag to the NTZ contract.
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected dtype $other — testdata regenerated with a new physical type?")
+    }
+  }
 
   /** Dimension standing in for `users`. */
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
