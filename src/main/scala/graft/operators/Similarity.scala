@@ -310,11 +310,11 @@ object Similarity {
     corpus.filter(col("embedding").isNotNull)
       .crossJoin(jlSigns(corpus.sparkSession, dimIn, dimOut))
       .select(col("vec_id"), col("label"),
-        transform(sequence(lit(0), lit(dimOut - 1)), j =>
-          (aggregate(sequence(lit(1), lit(dimIn)), lit(0.0d),
-            (acc, i) => acc + element_at(col("embedding"), i).cast("double") *
-              element_at(col("signs"), j * dimIn + i)) / scale)
-            .cast("float")).as("proj"))
+        // native codegen fold — same IEEE op sequence as the HOF
+        // composition it replaced, so every float is bit-unchanged
+        // (see JlProjectFold)
+        graft.functions.JlProjectFold.jl_project_fold(
+          col("embedding"), col("signs"), dimIn, dimOut, scale).as("proj"))
   }
 
   /** JL distortion report over the planted query set: for each (query,
