@@ -2181,6 +2181,16 @@ object SparkEntry {
         .filter(col("__rn") <= 5).drop("__rn")
         .orderBy(col("centroid_id"), col("cos"), col("vec_id"))
     }),
+    "prototype_prune" -> ((s, d) => {
+      // Prototypicality pruning (Sorscher et al. 2022): keep the
+      // HARD 30% per k-means cell (cos asc — the data-abundant
+      // regime's profile), proportional per-cluster quotas. The
+      // oracle replays clustering, ranking, and the ceil quota.
+      Similarity.prototypicalityPrune(
+          Tables.embeddings(s, d), k = 16, sweeps = 1,
+          keepFrac = 0.3, keepHard = true)
+        .orderBy(col("vec_id"))
+    }),
     "embedding_near_recall" -> ((s, d) => {
       // SRP-LSH quality pin against the brute-force cosine baseline:
       // (1) STRUCTURAL — the exact-cosine verify stage admits only
@@ -5448,6 +5458,57 @@ object SparkEntry {
            FROM a2)
          SELECT vec_id, label, centroid_id, cos FROM d WHERE rn <= 5
          ORDER BY centroid_id, cos, vec_id""",
+    // The kmeans_assign replay, then the per-cell ceil(0.3·n_c)
+    // HARDEST (cos asc) keep — the Sorscher pruning quota.
+    "prototype_prune" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT vec_id AS centroid_id, emb AS centroid
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         s1 AS (
+           SELECT e.vec_id, s.centroid_id,
+                  list_cosine_similarity(e.emb, s.centroid) AS cos
+           FROM e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s1) WHERE rn = 1),
+         comp AS (
+           SELECT a1.centroid_id,
+                  unnest([{'pos': i - 1,
+                           'q': CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT)}
+                          for i in range(1, len(e.embedding) + 1)]) AS u
+           FROM a1 JOIN e USING (vec_id)),
+         m AS (
+           SELECT centroid_id, u['pos'] AS pos,
+                  CAST(CAST(CAST(sum(u['q']) AS DOUBLE)
+                    / (10000000.0 * count(*)) AS FLOAT) AS DOUBLE) AS mean_c
+           FROM comp GROUP BY 1, 2),
+         c2 AS (
+           SELECT centroid_id, list(mean_c ORDER BY pos) AS centroid
+           FROM m GROUP BY 1),
+         s2 AS (
+           SELECT e.vec_id, e.label, c.centroid_id,
+                  list_cosine_similarity(e.emb, c.centroid) AS cos
+           FROM e CROSS JOIN c2 c),
+         a2 AS (
+           SELECT vec_id, label, centroid_id, cos FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+             FROM s2) WHERE rn = 1),
+         d AS (
+           SELECT vec_id, label, centroid_id, cos,
+                  row_number() OVER (
+                    PARTITION BY centroid_id ORDER BY cos, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY centroid_id) AS n_c
+           FROM a2)
+         SELECT vec_id, label, centroid_id, cos FROM d
+         WHERE rn <= CEIL(n_c * 0.3)
+         ORDER BY vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
     "ann_index_persisted" ->

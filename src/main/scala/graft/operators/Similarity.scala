@@ -244,6 +244,42 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("cos"))
 
+  /** Prototypicality pruning (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws"): self-supervised prototypes = k-means
+    * centroids; an example's prototypicality is its cosine to its
+    * winning centroid. In the data-abundant regime you PRUNE the
+    * prototypical mode and KEEP the hard tail (`keepHard = true`);
+    * with scarce data you keep the easy examples instead — the
+    * paper's central asymmetry, exposed as the flag.
+    *
+    * Keeps ceil(keepFrac · n_c) examples PER CLUSTER (proportional
+    * quotas, so no cell is emptied and the kept set preserves the
+    * cluster mix — the paper's class-balanced refinement) by
+    * (cos asc|desc, vec_id) with deterministic ties.
+    *
+    * Scale shape: assignment is row-local against broadcast
+    * centroids; both windows share the one hash partitioning by
+    * centroid_id, so the skinny (vec_id, centroid_id, cos) relation
+    * shuffles ONCE and embeddings never do. The rank bound is
+    * data-dependent (ceil of the cell count) so WindowGroupLimit
+    * can't pre-prune — the window input is already skinny.
+    */
+  def prototypicalityPrune(corpus: DataFrame, k: Int, sweeps: Int,
+                           keepFrac: Double,
+                           keepHard: Boolean = true): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac in (0, 1]")
+    val assigned = kmeansAssign(corpus,
+      kmeansCentroids(corpus.filter(col("embedding").isNotNull), k, sweeps))
+    val order = if (keepHard) col("cos").asc else col("cos").desc
+    val w = Window.partitionBy(col("centroid_id")).orderBy(order, col("vec_id"))
+    val wc = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nc", count(lit(1)).over(wc))
+      .filter(col("__rn") <= ceil(col("__nc") * keepFrac))
+      .drop("__rn", "__nc")
+  }
+
   /** SemDeDup (Abbas et al. 2023): cluster the embedding space with
     * k-means, then near-dedup WITHIN clusters only — the cluster
     * granularity bounds the quadratic, turning O(N²) cosine dedup

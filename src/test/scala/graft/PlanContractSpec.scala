@@ -263,7 +263,7 @@ class PlanContractSpec extends SparkSpec {
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
-      "cluster_diversity_sample", "quality_topk_by_lang",
+      "cluster_diversity_sample", "prototype_prune", "quality_topk_by_lang",
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
       "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
       "pretrain_pipeline",

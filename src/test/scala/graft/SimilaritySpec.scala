@@ -329,4 +329,49 @@ class SimilaritySpec extends SparkSpec {
       s"false positives: ${victims diff bruteVictims}")
     assert(survivors.union(victims) === all)
   }
+
+  test("prototypicality prune: proportional quotas, hard/easy asymmetry") {
+    // 20 vectors around two orthogonal prototypes with per-vector
+    // noise so cosines are distinct within each cluster.
+    val pts = (0 until 20).map { i =>
+      val base = if (i < 12) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val v = base.clone()
+      v(2) = 0.02f * (i % 7)     // varying off-axis noise
+      v(3) = 0.01f * (i % 5)
+      (i.toLong, v, i / 12)
+    }.toDF("vec_id", "embedding", "label")
+    val hard = Similarity.prototypicalityPrune(pts, k = 2, sweeps = 1,
+      keepFrac = 0.5, keepHard = true)
+    val easy = Similarity.prototypicalityPrune(pts, k = 2, sweeps = 1,
+      keepFrac = 0.5, keepHard = false)
+    val assigned = Similarity.kmeansAssign(pts,
+      Similarity.kmeansCentroids(pts, 2, 1))
+      .select($"vec_id", $"centroid_id", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCell = assigned.groupBy(_._2)
+    // Per-cluster quota: ceil(0.5·n_c) rows from each cell, both modes.
+    for (m <- Seq(hard, easy)) {
+      val kept = m.select($"vec_id", $"centroid_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      kept.groupBy(_._2).foreach { case (cell, rows) =>
+        assert(rows.length == math.ceil(byCell(cell).length * 0.5).toLong,
+          s"cell $cell quota")
+      }
+    }
+    // Asymmetry: every kept-hard cosine ≤ every dropped one per cell
+    // (and the reverse for keep-easy).
+    val hardIds = hard.select($"vec_id").as[Long].collect().toSet
+    byCell.foreach { case (_, rows) =>
+      val (kept, dropped) = rows.partition(r => hardIds(r._1))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).max <= dropped.map(_._3).min + 1e-12)
+    }
+    val easyIds = easy.select($"vec_id").as[Long].collect().toSet
+    byCell.foreach { case (_, rows) =>
+      val (kept, dropped) = rows.partition(r => easyIds(r._1))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max - 1e-12)
+    }
+  }
 }
