@@ -1594,6 +1594,12 @@ object SparkEntry {
           rankOk(col("__r95"), 0.95).as("p95_rank_ok"))
         .orderBy(col("event_type"))
     }),
+    "quantiles_mergeable" -> ((s, d) =>
+      // The merge path of quantile sketching (KLL accumulate→merge
+      // per day, heavy_hitters_mergeable's shape): exact percentiles
+      // hash-match the oracle; the merged sketch's estimates are
+      // rank-pinned in-row (see Analytics.quantilesMergeable).
+      Analytics.quantilesMergeable(Tables.events(s, d))),
     "interval_join_concurrency" -> ((s, d) => {
       // Interval×interval overlap: per session, how many OTHER users'
       // sessions overlap it in time (concurrency degree). The
@@ -5641,6 +5647,18 @@ object SparkEntry {
                 quantile_cont(value, 0.95) AS p95_exact,
                 true AS p50_rank_ok,
                 true AS p95_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // The KLL merge path's twin oracle: exact percentiles recomputed
+    // genuinely; the booleans encode the merged sketch's rank-error
+    // contract, verified engine-side against the true ranks.
+    "quantiles_mergeable" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS p50_exact,
+                quantile_cont(value, 0.9) AS p90_exact,
+                quantile_cont(value, 0.99) AS p99_exact,
+                true AS p50_rank_ok,
+                true AS p90_rank_ok,
+                true AS p99_rank_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
     // Per-(label, dim) mean recomputed from scratch: identical
     // integer quantization (round half-away-from-zero on exact
