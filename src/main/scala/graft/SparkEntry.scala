@@ -1346,6 +1346,21 @@ object SparkEntry {
       operators.Dsir.selectFrom(dsirWeights(s, d), 200)
         .orderBy(col("doc_id"))
     }),
+    "dsir_select_by_lang" -> ((s, d) => {
+      // Language-balanced DSIR: top-40 PER LANG by (importance desc,
+      // doc_id) from the staged weight relation — the per-domain
+      // quota the paper's deployments use (a global top-k lets the
+      // dominant language crowd out the rest). WindowGroupLimit
+      // prunes per-lang ranks at the scan; one window over the
+      // already-skinny weights, no corpus touch.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("logw_q_sum").desc, col("doc_id"))
+      dsirWeights(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 40).drop("__rn")
+        .orderBy(col("doc_id"))
+    }),
     "streaming_decontaminate" -> ((s, d) => {
       // Streaming decontamination: each arriving micro-batch anti-
       // joins the broadcast benchmark phrase list (derived from the
@@ -5005,6 +5020,13 @@ object SparkEntry {
     "dsir_select" ->
       s"""SELECT * FROM ($DsirWeightsSql)
           ORDER BY logw_q_sum DESC, doc_id LIMIT 200""",
+    "dsir_select_by_lang" ->
+      s"""WITH r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY logw_q_sum DESC, doc_id) AS rn
+            FROM ($DsirWeightsSql))
+          SELECT doc_id, lang, n_features, logw_q_sum, log_weight
+          FROM r WHERE rn <= 40 ORDER BY doc_id""",
     "lm_quality_filter_by_lang" ->
       s"""SELECT doc_id, lang FROM ($LmDocScoresByLangSql)
           WHERE log_ppl IS NOT NULL AND log_ppl <= 3.40 ORDER BY doc_id""",
