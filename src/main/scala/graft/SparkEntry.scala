@@ -1427,6 +1427,12 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
         .orderBy(col("doc_id"))),
     "fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "gopher_quality_filter" -> ((s, d) =>
+      // The Gopher rule bundle (Rae et al. 2021): word-count +
+      // mean-word-length + symbol + stopword + repetition caps, one
+      // row-local native pass, no shuffle (see
+      // TextAnalysis.gopherQualityFilter). Oracle replays every rule.
+      TextAnalysis.gopherQualityFilter(Tables.documents(s, d))),
     "repetition_signals" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "span_dedup" -> ((s, d) =>
@@ -5801,6 +5807,70 @@ object SparkEntry {
          LEFT JOIN lagg l ON d.doc_id = l.doc_id
          LEFT JOIN top t ON d.doc_id = t.doc_id
          ORDER BY d.doc_id""",
+    // Both signal replays (quality_score + repetition_signals) joined
+    // and pushed through every Gopher rule — the survivor set must
+    // match doc for doc.
+    "gopher_quality_filter" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS n_toks,
+                  CAST(length(text) AS DOUBLE) AS n_chars_d,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(toks,
+                       x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE) AS stops,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nows
+           FROM w),
+         lines AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+           FROM documents),
+         lg AS (
+           SELECT doc_id, line, count(*) AS c, len(line) AS cl
+           FROM lines GROUP BY doc_id, line),
+         lagg AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_lines,
+                  CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+                  CAST(sum(c * cl) AS BIGINT) AS line_chars,
+                  CAST(sum((c - 1) * cl) AS BIGINT) AS dup_chars
+           FROM lg GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> array_to_string(toks[i:i+1], ' '))) AS g
+           FROM w WHERE len(toks) >= 2),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         top AS (
+           SELECT doc_id, g, c FROM bgc
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+         sig AS (
+           SELECT d.doc_id, d.lang,
+                  t.n_toks,
+                  CASE WHEN t.n_toks > 0 THEN t.nows / t.n_toks ELSE CAST(0 AS DOUBLE) END AS mean_tok_len,
+                  CASE WHEN t.n_chars_d > 0 THEN t.punct / t.n_chars_d ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+                  CASE WHEN t.n_toks > 0 THEN t.stops / t.n_toks ELSE CAST(0 AS DOUBLE) END AS stop_ratio,
+                  CASE WHEN COALESCE(l.n_lines, 0) > 0
+                       THEN CAST(l.n_dup AS DOUBLE) / l.n_lines
+                       ELSE CAST(0 AS DOUBLE) END AS dup_line_frac,
+                  CASE WHEN COALESCE(l.line_chars, 0) > 0
+                       THEN CAST(l.dup_chars AS DOUBLE) / l.line_chars
+                       ELSE CAST(0 AS DOUBLE) END AS dup_char_frac,
+                  CASE WHEN d.n_chars > 0 AND COALESCE(tp.c, 0) > 0
+                       THEN CAST(tp.c * len(tp.g) AS DOUBLE) / d.n_chars
+                       ELSE CAST(0 AS DOUBLE) END AS top_gram_frac
+           FROM documents d
+           JOIN t ON d.doc_id = t.doc_id
+           LEFT JOIN lagg l ON d.doc_id = l.doc_id
+           LEFT JOIN top tp ON d.doc_id = tp.doc_id)
+         SELECT doc_id, lang FROM sig
+         WHERE n_toks >= 10 AND n_toks <= 100000
+           AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+           AND punct_ratio <= 0.2 AND stop_ratio > 0.0
+           AND dup_line_frac <= 0.30 AND dup_char_frac <= 0.20
+           AND top_gram_frac <= 0.18
+         ORDER BY doc_id""",
     // n_docs is the genuine corpus cardinality (pins that the twin
     // fingerprint runs joined 1:1 with no drops); the zero and the
     // booleans encode the determinism + sketch-structure contract.

@@ -127,6 +127,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
+    * standard composite gate public LLM pipelines apply before any
+    * model-based filtering: word-count bounds, mean-word-length band
+    * [3, 10], symbol-ratio cap, a stopword-presence requirement, and
+    * the three repetition caps (duplicate-line fraction ≤ 0.30,
+    * duplicate-line character fraction ≤ 0.20, top-bigram character
+    * mass ≤ 0.18). The word-count floor is a parameter (default 10 —
+    * the paper's 50 is tuned to web pages, the fixture docs are
+    * short); every ratio reuses the exact formulation of its own
+    * oracle-green signal row ([[qualityScore]] /
+    * [[repetitionSignals]]), so the composite inherits their
+    * cross-engine bit-exactness.
+    *
+    * Scale shape: ONE native pass per row computes both signal
+    * bundles ([[graft.functions.QualityStats]] +
+    * [[graft.functions.RepetitionStats]]); no join, no shuffle — a
+    * pure row-local gate, the cheapest shape a corpus filter can
+    * have at 100 TB.
+    */
+  def gopherQualityFilter(docs: DataFrame, minWords: Int = 10,
+                          maxWords: Int = 100000): DataFrame = {
+    val q = graft.functions.QualityStats.quality_stats(col("text"), Stopwords)
+    val r = graft.functions.RepetitionStats.repetition_stats(col("text"))
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      q.as("q"), r.as("r"))
+    val nToks = col("q.n_toks").cast("double")
+    val meanTokLen = when(col("q.n_toks") > 0,
+      col("q.nows").cast("double") / nToks).otherwise(lit(0.0))
+    val punctRatio = when(col("q.n_chars") > 0,
+      col("q.punct").cast("double") / col("q.n_chars").cast("double"))
+      .otherwise(lit(0.0))
+    val stopRatio = when(col("q.n_toks") > 0,
+      col("q.stops").cast("double") / nToks).otherwise(lit(0.0))
+    val dupLineFrac = when(col("r.n_lines") > 0,
+      col("r.n_dup_lines").cast("double") / col("r.n_lines").cast("double"))
+      .otherwise(lit(0.0))
+    val dupCharFrac = when(col("r.line_chars") > 0,
+      col("r.dup_line_chars").cast("double") / col("r.line_chars").cast("double"))
+      .otherwise(lit(0.0))
+    val topGramFrac = when(col("n_chars") > 0 && col("r.top_gram_count") > 0,
+      (col("r.top_gram_count") * col("r.top_gram_len")).cast("double") /
+        col("n_chars").cast("double")).otherwise(lit(0.0))
+    base.filter(
+        col("q.n_toks") >= minWords && col("q.n_toks") <= maxWords &&
+          meanTokLen >= 3.0 && meanTokLen <= 10.0 &&
+          punctRatio <= 0.2 && stopRatio > 0.0 &&
+          dupLineFrac <= 0.30 && dupCharFrac <= 0.20 &&
+          topGramFrac <= 0.18)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digits / single non-space symbols — the shape of
     * byte-pair pretokenization).
