@@ -36,8 +36,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val bench = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        // A typo'd name silently shrinking an adjudication run is a
+        // false "restored" verdict — name it loudly instead.
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] WARNING: SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
     }
     val spark = GraftSession.local(cpus)
     // One warm-up action so JVM/classloader/codegen startup isn't billed
