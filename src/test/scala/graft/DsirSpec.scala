@@ -49,4 +49,23 @@ class DsirSpec extends SparkSpec {
     // with weights this separated the draw still lands on the en docs
     assert((draw intersect Set(0L, 1L, 4L)).size >= 2)
   }
+
+  test("staged weights and From-variants match the unstaged API row for row") {
+    val en = docs.filter($"lang" === "en")
+    val unstaged = Dsir.importanceWeights(docs, en)
+      .orderBy($"doc_id").collect().toSeq
+    val staged = Dsir.importanceWeightsStaged(docs, en, key = "dsirspec")
+      .orderBy($"doc_id").collect().toSeq
+    assert(staged === unstaged)
+    // second call returns the memoized relation (same key) with the
+    // same contents — the consumer-sharing contract
+    val again = Dsir.importanceWeightsStaged(docs, en, key = "dsirspec")
+      .orderBy($"doc_id").collect().toSeq
+    assert(again === unstaged)
+    val w = Dsir.importanceWeightsStaged(docs, en, key = "dsirspec")
+    assert(Dsir.selectFrom(w, 3).select("doc_id").as[Long].collect().toSet ===
+      Dsir.select(docs, en, 3).select("doc_id").as[Long].collect().toSet)
+    assert(Dsir.gumbelResampleFrom(w, 3).select("doc_id").as[Long].collect().toSet ===
+      Dsir.gumbelResample(docs, en, 3).select("doc_id").as[Long].collect().toSet)
+  }
 }
