@@ -35,17 +35,35 @@ object Bench {
     // the 200-query bench's JIT/GC pressure. Unset for the driver.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name silently shrinking an adjudication run is a false
+    // "restored" verdict — any unknown name (and an empty selection)
+    // makes the whole run a FAILURE, not a warning.
+    val unknownOnly: Set[String] = only
+      .map(_.filterNot(SparkEntry.queries.contains)).getOrElse(Set.empty)
+    if (unknownOnly.nonEmpty)
+      System.err.println(
+        s"[bench] ERROR: SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknownOnly.mkString(", ")}")
     val bench = only match {
-      case Some(names) =>
-        // A typo'd name silently shrinking an adjudication run is a
-        // false "restored" verdict — name it loudly instead.
-        val unknown = names.filterNot(SparkEntry.queries.contains)
-        if (unknown.nonEmpty)
-          System.err.println(
-            s"[bench] WARNING: SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
-        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    if (bench.isEmpty) {
+      println("""{"metric":"total","ok":false,"value":0,"unit":"sec","queries":{},"failed":[],"failures":{},"err":"SPARK_GRAFT_ONLY selected zero known queries"}""")
+      sys.exit(1)
+    }
+    // Ambient-load bookkeeping: /proc/loadavg before and after, plus
+    // per-query start offsets — r8's end-of-round artifact ran on a
+    // box 2.4x slower than the same code an hour earlier, and without
+    // load figures in the artifact that adjudication needed a manual
+    // re-run. Null on non-Linux.
+    def loadAvg(): String =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
+        s"[${parts(0)},${parts(1)},${parts(2)}]"
+      } catch { case _: Throwable => "null" }
+    val loadBefore = loadAvg()
+    val wallStart = System.nanoTime()
     val spark = GraftSession.local(cpus)
     // One warm-up action so JVM/classloader/codegen startup isn't billed
     // to the first query.
@@ -79,7 +97,9 @@ object Bench {
         None
       }
     }
+    val startOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
+      startOffsets(name) = (System.nanoTime() - wallStart) / 1e9
       var ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).toVector
       // Adaptive stabilization: a max > 2x the median is ambient noise
       // (GC pause, scheduler hiccup), and with 3 reps one outlier
@@ -114,9 +134,12 @@ object Bench {
     // truncated stdout capture; a run with ANY failed query also exits
     // non-zero below — r7 had 79 queries fail-fast yet the artifact
     // read as "[success]", which cost a full round.
-    val ok = failCounts.isEmpty
+    val ok = failCounts.isEmpty && unknownOnly.isEmpty
+    val wall = (System.nanoTime() - wallStart) / 1e9
+    val startedJson = startOffsets
+      .map { case (k, t) => "\"" + k + "\":" + f(t) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","ok":$ok,"value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","ok":$ok,"value":${f(total)},"unit":"sec","reps":$reps,"wall":${f(wall)},"load_before":$loadBefore,"load_after":${loadAvg()},"queries":$qs,"spread":$spread,"started":$startedJson,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
     println(line)
     // An isolated SPARK_GRAFT_ONLY run must not clobber the committed
     // full-bench artifact.
@@ -125,7 +148,8 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] BENCHOUT.json write failed: ${e.getMessage}") }
     spark.stop()
     if (!ok) {
-      System.err.println(s"[bench] ${failCounts.size} queries FAILED: ${failCounts.keys.mkString(", ")}")
+      if (failCounts.nonEmpty)
+        System.err.println(s"[bench] ${failCounts.size} queries FAILED: ${failCounts.keys.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -1301,24 +1301,23 @@ object SparkEntry {
       // Per-doc log-perplexity under the corpus's own add-1/2 bigram
       // model (the CCNet-style quality signal). Exact: quantized
       // integer NLL terms, order-free sums, one double division —
-      // the oracle replays training AND scoring bit-for-bit.
-      TextAnalysis.lmDocScores(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      // the oracle replays training AND scoring bit-for-bit. STAGED
+      // per dataset: one model build shared by every LM consumer.
+      lmScores(s, d).orderBy(col("doc_id"))),
     "lm_doc_scores_by_lang" -> ((s, d) =>
       // Per-language perplexity: each doc scored under its OWN
       // language's add-1/2 model (a pooled multilingual model
       // penalizes low-resource languages — CCNet trains per-language).
       // Same quantized-integer exactness contract as lm_doc_scores;
       // the oracle re-derives every per-group count, context, vocab
-      // size, and smoothing term.
-      TextAnalysis.lmDocScoresByLang(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
+      // size, and smoothing term. Staged per dataset like lm_doc_scores.
+      lmScoresByLang(s, d).orderBy(col("doc_id"))),
     "lm_quality_filter_by_lang" -> ((s, d) =>
       // The per-language perplexity gate: same 3.40 bar, but scored
       // under the doc's own-language model — a doc a pooled model
       // flags as "surprising" survives if it is ordinary FOR ITS
       // LANGUAGE, which is the policy a multilingual corpus wants.
-      TextAnalysis.lmDocScoresByLang(Tables.documents(s, d))
+      lmScoresByLang(s, d)
         .filter(col("log_ppl").isNotNull && col("log_ppl") <= 3.40d)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
@@ -1418,7 +1417,9 @@ object SparkEntry {
     "lm_quality_filter" -> ((s, d) =>
       // The perplexity gate at 3.40 (between the corpus median ~3.39
       // and p75 ~3.41 at every SF — a real split, not all-or-nothing).
-      TextAnalysis.lmQualityFilter(Tables.documents(s, d), 3.40)
+      // Gates against the STAGED score relation — no training in-plan.
+      TextAnalysis.lmQualityFilterFrom(
+          Tables.documents(s, d), lmScores(s, d), 3.40)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
     "token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -2352,7 +2353,9 @@ object SparkEntry {
       // prefix sum over an explicit order. n_tokens falls out of the
       // LM pass for free (n_bigrams + 1 for any doc with ≥2 tokens);
       // unscoreable docs (no bigrams) are excluded by contract.
-      val scored = TextAnalysis.lmDocScores(Tables.documents(s, d))
+      // Scores come from the STAGED relation — a curriculum rebuild
+      // must not re-train the corpus LM.
+      val scored = lmScores(s, d)
         .filter(col("n_bigrams") > 0)
         .select(col("doc_id"), (col("n_bigrams") + 1).as("nt"),
           col("log_ppl"))
@@ -2544,8 +2547,8 @@ object SparkEntry {
       // LM log-perplexity — the quality-stratified pick a targeted
       // fine-tuning mix draws from. rank ≤ k over a per-lang window
       // plans as WindowGroupLimit: the rank prunes at the scan, the
-      // full corpus never sorts.
-      val scored = TextAnalysis.lmDocScores(Tables.documents(s, d))
+      // full corpus never sorts. Staged scores — no in-plan training.
+      val scored = lmScores(s, d)
         .filter(col("n_bigrams") > 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("log_ppl"), col("doc_id"))
@@ -2565,10 +2568,9 @@ object SparkEntry {
       // the oracle chains all four replays.
       val docs = Tables.documents(s, d)
       // ONE LM training+scoring pass feeds both the gate and the
-      // final curriculum order (localCheckpoint materializes the
-      // skinny score relation instead of re-training per consumer).
-      val scores = TextAnalysis.lmDocScores(docs)
-        .filter(col("n_bigrams") > 0).localCheckpoint()
+      // final curriculum order — the STAGED per-dataset relation,
+      // shared with every other LM row.
+      val scores = lmScores(s, d).filter(col("n_bigrams") > 0)
       val kept = docs.join(
         scores.filter(col("log_ppl") <= 3.40).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -2700,6 +2702,19 @@ object SparkEntry {
     operators.Dsir.importanceWeightsStaged(
       docs, docs.filter(col("lang") === "en"), key = s"$d|en")
   }
+
+  /** Staged bigram-LM doc-score relation per (session, dataset) — ONE
+    * training+scoring pass shared by every LM consumer (lm_doc_scores,
+    * the 3.40 gate, curriculum_pack, quality_topk_by_lang,
+    * pretrain_pipeline) instead of re-training the corpus model per
+    * row — the same stored-artifact discipline as [[dsirWeights]].
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmDocScoresStaged(Tables.documents(s, d), key = d)
+
+  /** Staged per-language LM doc scores per (session, dataset). */
+  private def lmScoresByLang(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmDocScoresByLangStaged(Tables.documents(s, d), key = d)
 
   private def vectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(d, {

@@ -51,9 +51,20 @@ object JlProjectFold {
   /** proj[j] = (Σ_{i<dimIn} emb[i]·signs[j·dimIn+i]) / scale, double
     * accumulation, float output. Called from both interpreted and
     * generated code.
+    *
+    * Inputs must be dense non-null arrays of exactly dimIn /
+    * dimIn·dimOut elements — a short array would read out of bounds
+    * and a null element reads as garbage through `getFloat`, so both
+    * are rejected loudly rather than silently projected.
     */
   def project(emb: ArrayData, signs: ArrayData,
               dimIn: Int, dimOut: Int, scale: Double): ArrayData = {
+    if (emb.numElements != dimIn)
+      throw new IllegalArgumentException(
+        s"jl_project_fold: embedding has ${emb.numElements} elements, expected $dimIn")
+    if (signs.numElements != dimIn * dimOut)
+      throw new IllegalArgumentException(
+        s"jl_project_fold: sign matrix has ${signs.numElements} elements, expected ${dimIn * dimOut}")
     val out = new Array[Float](dimOut)
     var j = 0
     while (j < dimOut) {

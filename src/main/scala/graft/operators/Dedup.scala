@@ -475,36 +475,34 @@ object Dedup {
   // from it) is a STORED artifact rolled forward batch over batch, not
   // something recomputed by every consumer — same discipline as the
   // memoized BPE merge tables (Bpe.scala) and the streaming replay
-  // staging (Replay.scala). Staged per (process, dataset key, params);
-  // localCheckpoint materializes once and truncates lineage, so the
-  // first caller pays the pair-gen and every later consumer (other
-  // driver rows, later bench reps) reads the stored relation.
+  // staging (Replay.scala). Staged via the shared [[Stage]] memo
+  // (session + key + input-plan fingerprint, lazy localCheckpoint):
+  // the first ACTION pays the pair-gen and every later consumer
+  // (other driver rows, later bench reps) reads the stored relation.
 
-  private val pairStage =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** [[minhashPairs]], staged per (session, `key`, params). The
-    * session hash is part of the memo key: a checkpointed DataFrame is
-    * bound to its session, so a fresh session (each test suite) must
-    * re-stage rather than read a dead checkpoint.
+  /** [[minhashPairs]], staged per (session, `key`, docs plan
+    * fingerprint, params) — see [[Stage.relation]].
     */
   def minhashPairsStaged(docs: DataFrame, key: String, shingleK: Int = 3,
                          numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.5): DataFrame =
-    pairStage.getOrElseUpdate(
-      s"full|${System.identityHashCode(docs.sparkSession)}|$key|$shingleK|$numHashes|$bands|$threshold",
-      minhashPairs(docs, shingleK, numHashes, bands, threshold)
-        .localCheckpoint())
+    Stage.relation(
+      s"minhash-full|$key|$shingleK|$numHashes|$bands|$threshold",
+      Seq(docs))(
+      minhashPairs(docs, shingleK, numHashes, bands, threshold))
 
-  /** [[minhashPairsIncremental]], staged per (session, `key`, params). */
+  /** [[minhashPairsIncremental]], staged per (session, `key`,
+    * corpus/fresh plan fingerprint, params).
+    */
   def minhashPairsIncrementalStaged(corpus: DataFrame, fresh: DataFrame,
                                     key: String, shingleK: Int = 3,
                                     numHashes: Int = 64, bands: Int = 16,
                                     threshold: Double = 0.5): DataFrame =
-    pairStage.getOrElseUpdate(
-      s"inc|${System.identityHashCode(corpus.sparkSession)}|$key|$shingleK|$numHashes|$bands|$threshold",
+    Stage.relation(
+      s"minhash-inc|$key|$shingleK|$numHashes|$bands|$threshold",
+      Seq(corpus, fresh))(
       minhashPairsIncremental(corpus, fresh, shingleK, numHashes, bands,
-        threshold).localCheckpoint())
+        threshold))
 
   /** Incremental near-dedup: drop every FRESH doc that near-duplicates
     * a lower-id doc (existing corpus or earlier fresh doc) — the

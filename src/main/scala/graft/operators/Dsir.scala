@@ -94,24 +94,19 @@ object Dsir {
   // and every selector (argmax, Gumbel draw, per-lang quotas) reads
   // the stored relation — recomputing the two bucket models plus the
   // full feature stream per consumer triples the dominant cost. Same
-  // staging discipline as the minhash pair sets (Dedup.pairStage) and
-  // the persisted LM counts (tables/LmModel): memoized per (session,
-  // dataset key, params), localCheckpoint to materialize once and cut
-  // lineage.
+  // staging discipline as the minhash pair sets (Dedup
+  // .minhashPairsStaged) and the persisted LM counts (tables/LmModel),
+  // via the shared [[Stage]] memo (session + key + input-plan
+  // fingerprint, lazy localCheckpoint).
 
-  private val weightStage =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** [[importanceWeights]], staged per (session, `key`, buckets). The
-    * session hash is part of the memo key: a checkpointed DataFrame
-    * is bound to its session, so a fresh session re-stages rather
-    * than reading a dead checkpoint.
+  /** [[importanceWeights]], staged per (session, `key`, source/target
+    * plan fingerprint, buckets) — see [[Stage.relation]] for the key
+    * and lifetime contract.
     */
   def importanceWeightsStaged(source: DataFrame, target: DataFrame,
                               key: String, buckets: Int = 4096): DataFrame =
-    weightStage.getOrElseUpdate(
-      s"${System.identityHashCode(source.sparkSession)}|$key|$buckets",
-      importanceWeights(source, target, buckets).localCheckpoint())
+    Stage.relation(s"dsir|$key|$buckets", Seq(source, target))(
+      importanceWeights(source, target, buckets))
 
   /** Deterministic importance selection: the top-`n` source docs by
     * (importance desc, doc_id) — the temperature-0 variant of the

@@ -127,15 +127,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
-    * standard composite gate public LLM pipelines apply before any
-    * model-based filtering: word-count bounds, mean-word-length band
-    * [3, 10], symbol-ratio cap, a stopword-presence requirement, and
-    * the three repetition caps (duplicate-line fraction ≤ 0.30,
-    * duplicate-line character fraction ≤ 0.20, top-bigram character
-    * mass ≤ 0.18). The word-count floor is a parameter (default 10 —
-    * the paper's 50 is tuned to web pages, the fixture docs are
-    * short); every ratio reuses the exact formulation of its own
+  /** ADAPTED from Gopher document-quality rules (Rae et al. 2021
+    * §A1.1) — the standard composite-gate SHAPE public LLM pipelines
+    * apply before model-based filtering, with thresholds tuned to the
+    * short fixture docs rather than the paper's web-page values:
+    * word-count floor 10 (paper: 50), symbol/punct-ratio cap 0.2
+    * (paper: 0.1), stopword presence > 0 (paper: ≥ 2 of its 8-word
+    * list), top-bigram character mass ≤ 0.18 (the paper's TOP-3-GRAM
+    * cap; its top-2-gram cap is 0.20). Mean-word-length band [3, 10],
+    * duplicate-line fraction ≤ 0.30, and duplicate-line character
+    * fraction ≤ 0.20 match the paper. Every ratio reuses the exact
+    * formulation of its own
     * oracle-green signal row ([[qualityScore]] /
     * [[repetitionSignals]]), so the composite inherits their
     * cross-engine bit-exactness.
@@ -476,6 +478,18 @@ object TextAnalysis {
     lmDocScoresWith(docs, lmBigramCounts(docs), lmContextCounts(docs),
       lmVocabSize(docs))
 
+  /** [[lmDocScores]], staged per (session, `key`, docs plan
+    * fingerprint) via the shared [[Stage]] memo — the in-process twin
+    * of [[graft.tables.LmModel]]'s persisted path. The score relation
+    * is the artifact a 100 TB deployment stores: ONE training +
+    * scoring pass, and every consumer (quality gate, curriculum
+    * order, per-lang top-k, pipeline composition) reads the skinny
+    * (doc_id, n_bigrams, nll_q_sum, log_ppl) relation instead of
+    * re-training the corpus model.
+    */
+  def lmDocScoresStaged(docs: DataFrame, key: String): DataFrame =
+    Stage.relation(s"lmscores|$key", Seq(docs))(lmDocScores(docs))
+
   /** c(w1·) = Σ_w2 c(w1,w2): derived from the (much smaller) count
     * relation, not a second corpus pass.
     */
@@ -560,6 +574,13 @@ object TextAnalysis {
             (lit(1e12d) * col("n_bigrams").cast("double"))).as("log_ppl"))
   }
 
+  /** [[lmDocScoresByLang]], staged per (session, `key`, docs plan
+    * fingerprint) — same artifact discipline as [[lmDocScoresStaged]].
+    */
+  def lmDocScoresByLangStaged(docs: DataFrame, key: String): DataFrame =
+    Stage.relation(s"lmscores-bylang|$key", Seq(docs))(
+      lmDocScoresByLang(docs))
+
   /** [[docBigrams]] carrying the doc's language — the per-group
     * training key for [[lmDocScoresByLang]].
     */
@@ -638,8 +659,16 @@ object TextAnalysis {
     * bigrams) are dropped, the conservative choice for a quality gate.
     */
   def lmQualityFilter(docs: DataFrame, maxLogPpl: Double): DataFrame =
+    lmQualityFilterFrom(docs, lmDocScores(docs), maxLogPpl)
+
+  /** [[lmQualityFilter]] against an already-computed score relation
+    * (e.g. [[lmDocScoresStaged]]) — the gate itself is a semi-join of
+    * the skinny score table, no training in the plan.
+    */
+  def lmQualityFilterFrom(docs: DataFrame, scores: DataFrame,
+                          maxLogPpl: Double): DataFrame =
     docs.join(
-      lmDocScores(docs)
+      scores
         .filter(col("n_bigrams") > 0 && col("log_ppl") <= maxLogPpl)
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
