@@ -93,6 +93,14 @@ object GraftExtensions {
     entry("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC normalization") {
       args => NfcNormalize(args(0))
+    },
+    entry("polyline_decode",
+      "polyline_decode(s) - Google encoded polyline to array<struct<lat,lng>>") {
+      args => PolylineDecode(args(0))
+    },
+    entry("polyline_encode",
+      "polyline_encode(points) - array<struct<lat,lng>> to encoded polyline") {
+      args => PolylineEncode(args(0))
     })
     // (BigramProfileScores stays engine-internal: it is parameterized
     // by the language-profile table langId owns, not a standalone

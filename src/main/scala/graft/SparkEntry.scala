@@ -344,6 +344,46 @@ object SparkEntry {
           element_at(latlng, 2).as("lng"))
         .orderBy(col("event_id"))
     }),
+    "polyline_decode" -> ((s, d) => {
+      // Google encoded-polyline route codec — the reference's
+      // map_polyline TEXT column (internal/db/activities.go:29),
+      // exercised END TO END as native codegen expressions:
+      // deterministic integer-quantized routes per doc → encode →
+      // decode → route stats. The oracle recomputes every stat from
+      // the SAME integer arithmetic without the codec, so the decode
+      // (point count, endpoints, full-path checksum) is fully
+      // hash-checked despite DuckDB having no decoder, and the
+      // canonical round-trip encode(decode(s)) == s is pinned as a
+      // boolean column. Row-local, no shuffle.
+      import graft.functions.Polyline.{polyline_decode => pdec, polyline_encode => penc}
+      val k = col("doc_id") % 4 + 5
+      val pts = transform(sequence(lit(0L), k - 1),
+        i => struct(
+          ((((col("doc_id") * 9176 + i * 4517) % 17000000) - 8500000)
+            .cast("double") / 1e5).as("lat"),
+          ((((col("doc_id") * 15731 + i * 7919) % 35900000) - 17950000)
+            .cast("double") / 1e5).as("lng")))
+      val latq = (p: org.apache.spark.sql.Column) =>
+        round(p.getField("lat") * 1e5).cast("long")
+      val lngq = (p: org.apache.spark.sql.Column) =>
+        round(p.getField("lng") * 1e5).cast("long")
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), penc(pts).as("enc"))
+        .withColumn("dec", pdec(col("enc")))
+        .select(
+          col("doc_id"),
+          size(col("dec")).cast("long").as("n_points"),
+          latq(element_at(col("dec"), 1)).as("first_lat_q"),
+          lngq(element_at(col("dec"), 1)).as("first_lng_q"),
+          latq(element_at(col("dec"), -1)).as("last_lat_q"),
+          lngq(element_at(col("dec"), -1)).as("last_lng_q"),
+          aggregate(col("dec"), lit(0L), (acc, p) => acc + latq(p))
+            .as("path_lat_q_sum"),
+          aggregate(col("dec"), lit(0L), (acc, p) => acc + lngq(p))
+            .as("path_lng_q_sum"),
+          (penc(col("dec")) === col("enc")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- §2.6 / ingest normalization -------------------------------
     "json_normalize" -> ((s, d) => Analytics.normalizeProps(Tables.events(s, d))),
@@ -3283,6 +3323,26 @@ object SparkEntry {
          SELECT event_id, rfc3339, ts_plus_7d, epoch_us,
                 latlng[1] AS lat, latlng[2] AS lng
          FROM t ORDER BY event_id""",
+    // polyline_decode: the oracle replays the deterministic
+    // integer-quantized route generation directly (no codec in
+    // DuckDB); matching endpoints + path checksums prove the decode,
+    // and roundtrip_ok pins encode∘decode = id. range(0,8) covers the
+    // max route length (5 + doc_id%4 ≤ 8); the CASE bounds each doc's
+    // own length.
+    "polyline_decode" ->
+      """SELECT d.doc_id,
+                5 + d.doc_id % 4 AS n_points,
+                (d.doc_id*9176 % 17000000) - 8500000 AS first_lat_q,
+                (d.doc_id*15731 % 35900000) - 17950000 AS first_lng_q,
+                ((d.doc_id*9176 + (4 + d.doc_id % 4)*4517) % 17000000) - 8500000 AS last_lat_q,
+                ((d.doc_id*15731 + (4 + d.doc_id % 4)*7919) % 35900000) - 17950000 AS last_lng_q,
+                CAST(SUM(CASE WHEN t.i < 5 + d.doc_id % 4 THEN ((d.doc_id*9176 + t.i*4517) % 17000000) - 8500000 END) AS BIGINT) AS path_lat_q_sum,
+                CAST(SUM(CASE WHEN t.i < 5 + d.doc_id % 4 THEN ((d.doc_id*15731 + t.i*7919) % 35900000) - 17950000 END) AS BIGINT) AS path_lng_q_sum,
+                true AS roundtrip_ok
+         FROM documents d CROSS JOIN range(0, 8) t(i)
+         WHERE d.doc_id < 100
+         GROUP BY d.doc_id
+         ORDER BY d.doc_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

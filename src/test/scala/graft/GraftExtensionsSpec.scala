@@ -75,7 +75,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
       "cosine_similarity", "minhash_band_keys", "nearest_centroid",
-      "nfc_normalize", "repetition_stats", "rolling_hash", "simhash64",
+      "nfc_normalize", "polyline_decode", "polyline_encode",
+      "repetition_stats", "rolling_hash", "simhash64",
       "sorted_intersect_count", "srp_buckets", "word_ngrams",
       "word_shingle_hashes"))
     // the injection class instantiates cleanly (deployment path:
