@@ -1481,6 +1481,13 @@ object SparkEntry {
       // duplication across near-dup families genuinely fires; the
       // operator defaults to k=20 for real corpora.
       Dedup.duplicateSpans(Tables.documents(s, d), k = 10)),
+    "span_dedup_clean" -> ((s, d) =>
+      // The REMOVAL transform (Lee et al. 2022): excise every token
+      // covered by a corpus-duplicated k-token span and re-emit the
+      // cleaned text. The oracle recomputes the exact span text,
+      // dup-start positions, and the surviving token sequence in SQL
+      // — clean_text is hash-compared verbatim.
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
     "label_centroid_sim" -> ((s, d) => {
@@ -5838,6 +5845,35 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN pd p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
+    // Span REMOVAL replayed over exact span text: dup-start positions
+    // (1-based here, 0-based in-engine — both sides use their own
+    // convention consistently), the index-aware token filter, and the
+    // rebuilt clean_text compared verbatim. COALESCE('') because
+    // DuckDB's array_to_string of an empty list is NULL where Spark's
+    // array_join is ''.
+    "span_dedup_clean" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         sp AS (
+           SELECT doc_id, unnest(range(1, len(w) - 10 + 2)) AS pos, w
+           FROM toks WHERE len(w) >= 10),
+         sp2 AS (SELECT doc_id, pos, array_to_string(w[pos:pos+9], ' ') AS span FROM sp),
+         g AS (SELECT span FROM sp2 GROUP BY span HAVING count(*) >= 2),
+         ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                FROM sp2 JOIN g USING (span) GROUP BY doc_id),
+         fin AS (
+           SELECT t.doc_id, t.w, COALESCE(d.starts, CAST([] AS BIGINT[])) AS starts
+           FROM toks t LEFT JOIN ds d USING (doc_id)),
+         kept AS (
+           SELECT doc_id, w,
+             list_filter(w, (x, i) -> len(list_filter(starts, s -> s <= i AND i < s + 10)) = 0) AS kw
+           FROM fin)
+         SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(kw) AS BIGINT) AS n_kept_tokens,
+                COALESCE(array_to_string(kw, ' '), '') AS clean_text
+         FROM kept ORDER BY doc_id""",
     // Line-dup masses and the top word-bigram recomputed from scratch
     // (line split, per-doc histograms, UTF-8-order tie break); ratios
     // are integer-count divisions so doubles match bit-for-bit.

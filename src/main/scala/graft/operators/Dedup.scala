@@ -352,6 +352,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Span REMOVAL at k-token granularity — the transform Lee et al.
+    * 2022 actually apply (not just the [[duplicateSpans]] score):
+    * every token covered by a k-token span that occurs ≥ 2 times in
+    * the corpus is excised, and the doc re-materializes from the
+    * surviving tokens (single-space joined). Policy note: this drops
+    * EVERY occurrence of a duplicated span (the conservative "all
+    * redundancy goes" variant); Lee et al. keep one occurrence —
+    * keeping a canonical copy is a one-line change (exclude the
+    * min-(doc_id, pos) occurrence from the dup set) documented here
+    * so the deviation is explicit.
+    *
+    * Scale shape: span occurrences leave their row as (doc_id, pos,
+    * 8-byte hash); the global count and the dup-hash semi-join key on
+    * the hash; per-doc dup START positions come back as a skinny
+    * (doc_id, sorted array<int>) relation joined on doc_id; the
+    * cover-test + rebuild is one row-local higher-order filter over
+    * the token array (O(n_tokens · |starts|)). Token text crosses
+    * exactly one doc_id-keyed exchange — unavoidable: the cleaned
+    * text IS the output.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNgrams.word_ngrams(col("text"), k))
+          .as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("h"))
+    val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("gc"))
+      .filter(col("gc") >= 2).select(col("h"))
+    val dupStarts = spans.join(dupH, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val toked = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val starts = coalesce(col("starts"), array())
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(starts, s => s <= i && i < s + k))
+    toked.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept_tokens"),
+        array_join(kept, " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Verified MinHash near-dup pairs INVOLVING the fresh increment:
     * (doc_id_a < doc_id_b, jaccard) where doc_id_b is fresh —
     * corpus↔fresh plus fresh↔fresh; the corpus NEVER self-pairs and

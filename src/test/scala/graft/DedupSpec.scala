@@ -37,6 +37,38 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(1L) && !kept.contains(3L))
   }
 
+  test("removeDuplicateSpans: total, excises twin spans, leaves unique docs verbatim") {
+    val out = Dedup.removeDuplicateSpans(docs, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // total: one row per input doc, no nulls
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    out.values.foreach { case (n, k2, t) =>
+      assert(k2 <= n && t != null)
+    }
+    // docs 0 and 3 are exact twins: every k-span duplicates, all
+    // tokens excised
+    assert(out(0L)._2 === 0L && out(0L)._3 === "")
+    assert(out(3L)._2 === 0L && out(3L)._3 === "")
+    // doc 2 shares no span with anyone EXCEPT its own internal x4
+    // repetition — its repeated spans are corpus-duplicated too, so
+    // it also shrinks; its token count is still reported in full
+    assert(out(2L)._1 === 36L)
+    // doc 1 differs from the twins by one word per repetition, but
+    // the base sentence repeats 4x WITHIN it, so long spans still
+    // duplicate internally; the kept text is a strict subset
+    assert(out(1L)._2 < out(1L)._1)
+    // a genuinely unique corpus passes through verbatim
+    val uniq = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "s", 60L),
+      (11L, "one two three four five six seven eight nine ten eleven twelve", "en", "s", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val u = Dedup.removeDuplicateSpans(uniq, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(u(10L) === "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    assert(u(11L) === "one two three four five six seven eight nine ten eleven twelve")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sh(0L) === sh(3L))
