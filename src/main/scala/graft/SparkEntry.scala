@@ -478,6 +478,45 @@ object SparkEntry {
         .select(col("n_planted_grouped"),
           (col("n_planted_grouped") === 5L).as("all_planted_grouped"))
     }),
+    "multimodal_frame_dups" -> ((s, d) =>
+      // Perceptual duplicate VIDEO-FRAME groups (imageDupGroups lifted
+      // to AVI keyframes) over the encoded corpus + byte-identical
+      // clip copies planted at id+10000. Group membership reflects
+      // pixel similarity of tiny JPEG frames (collisions beyond the
+      // planted copies are legitimate) → rows-only; the oracle-checked
+      // twin is multimodal_frame_dup_check.
+      Multimodal.frameDupGroups(plantedVideoMedia(s, d))),
+    "multimodal_frame_dup_check" -> ((s, d) => {
+      // The pinnable property: every frame of every planted
+      // byte-identical clip hashes identically to the same frame of
+      // its original — demux + JPEG frame decode + aHash are
+      // deterministic, and a frame that fails to decode is MISSING
+      // from the count (codec health pins here too). The total is
+      // pure arithmetic: planted clips are the videos with doc_id <
+      // 30 (doc_id%3==2), each with 3 + id%4 frames.
+      val fh = Multimodal.frameHashes(plantedVideoMedia(s, d)).toDF()
+      val planted = fh.filter(col("media_id") >= 10000L)
+        .select((col("media_id") - 10000L).as("media_id"),
+          col("frame_idx"), col("ahash").as("ahash_p"))
+      planted.join(fh, Seq("media_id", "frame_idx"))
+        .agg(count(lit(1)).as("n_planted_frames"),
+          sum(when(col("ahash") === col("ahash_p"), 1L).otherwise(0L))
+            .as("n_hash_matched"))
+    }),
+    "multimodal_format_counts" -> ((s, d) =>
+      // Per-FORMAT decode-path pin over the JDK's four writable image
+      // containers (png/gif/bmp/jpeg, rotating by doc_id%4): each
+      // format's sniff + ImageIO decode count is a named oracle row,
+      // so a future JVM dropping or changing one codec fails THAT
+      // format, not an anonymous feature row.
+      Multimodal.decodePaths(
+          Multimodal.syntheticImagesMultiFormat(
+            Tables.documents(s, d).filter(col("doc_id") < 100)))
+        .toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("real"), 1L).otherwise(0L)).as("n_real_decoded"))
+        .orderBy(col("format"))),
     "approx_distinct_intersect" -> ((s, d) => {
       // Sketch ALGEBRA: |A∩B| by inclusion-exclusion over HLL sketches
       // (est(A)+est(B)−est(A∪B)) — the audience-overlap query that
@@ -2705,10 +2744,13 @@ object SparkEntry {
       // so per kind n_real_decoded = n_media and n_fallback = 0 — an
       // exact oracle over counts the feature query can't see (a codec
       // silently regressing to the stub changes no row counts).
+      // r9: also grouped by sniffed FORMAT (png/wav/avi literals per
+      // kind on this fixture) — the container dispatch is pinned, not
+      // just the codec outcome.
       Multimodal.decodePaths(
           Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))
         .toDF()
-        .groupBy(col("kind"))
+        .groupBy(col("kind"), col("format"))
         .agg(count(lit(1)).as("n_media"),
           sum(when(col("real"), 1L).otherwise(0L)).as("n_real_decoded"),
           sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
@@ -2785,6 +2827,19 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("doc_id") < 100))
     val planted = media
       .filter(col("kind") === "image" && col("media_id") < 13)
+      .withColumn("media_id", col("media_id") + 10000L)
+    media.unionByName(planted)
+  }
+
+  /** Encoded media over the first 100 docs plus byte-identical copies
+    * of the videos with id < 30 planted at media_id + 10000 — shared
+    * by the frame-dup rows so the group set and the pin agree.
+    */
+  private def plantedVideoMedia(s: SparkSession, d: String): DataFrame = {
+    val media = operators.Multimodal.syntheticMediaEncoded(
+      Tables.documents(s, d).filter(col("doc_id") < 100))
+    val planted = media
+      .filter(col("kind") === "video" && col("media_id") < 30)
       .withColumn("media_id", col("media_id") + 10000L)
     media.unionByName(planted)
   }
@@ -3422,6 +3477,23 @@ object SparkEntry {
     "multimodal_image_dup_check" ->
       """SELECT CAST(5 AS BIGINT) AS n_planted_grouped,
                 true AS all_planted_grouped""",
+    // Every planted clip frame must hash-match its original's same
+    // frame; the total is arithmetic over the planted video ids
+    // (doc_id < 30, doc_id%3==2, 3 + id%4 frames each).
+    "multimodal_frame_dup_check" ->
+      """SELECT CAST(SUM(3 + doc_id % 4) AS BIGINT) AS n_planted_frames,
+                CAST(SUM(3 + doc_id % 4) AS BIGINT) AS n_hash_matched
+         FROM documents WHERE doc_id < 30 AND doc_id % 3 = 2""",
+    // Per-format image decode pin: format rotation and counts are
+    // pure doc_id arithmetic; n_real_decoded = n_media pins each
+    // JDK codec (png/gif/bmp/jpeg) by name.
+    "multimodal_format_counts" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                     WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+                count(*) AS n_media,
+                count(*) AS n_real_decoded
+         FROM documents WHERE doc_id < 100
+         GROUP BY 1 ORDER BY format""",
     // The exact overlap is the hash-matched half; the tolerance
     // boolean is engine-side (measured estimate error ≪ 10% at lgK
     // 14 on every SF — see the query comment).
@@ -5023,10 +5095,11 @@ object SparkEntry {
     // to the full per-kind count, n_fallback to zero.
     "multimodal_decode_counts" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS format,
                 count(*) AS n_media,
                 count(*) AS n_real_decoded,
                 CAST(0 AS BIGINT) AS n_fallback
-         FROM documents GROUP BY 1 ORDER BY kind""",
+         FROM documents GROUP BY 1, 2 ORDER BY kind""",
     // Byte-level bigram-profile scoring mirrored at char level: the
     // corpus is ASCII, where an ASCII-ASCII byte bigram exists iff the
     // chars are adjacent, and the native kernel's ASCII-only lowering

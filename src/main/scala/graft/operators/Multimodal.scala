@@ -105,7 +105,14 @@ object Multimodal {
   }
 
   /** Tiny deterministic PNG: pixel (x, y) colored from (id, x, y). */
-  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(id, w, h, "png")
+
+  /** [[encodePng]] generalized over the JDK's writer set (png, gif,
+    * bmp, jpg) — same id-derived pixels, format-specific container.
+    */
+  private[graft] def encodeImage(id: Long, w: Int, h: Int,
+                                 format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -119,8 +126,38 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
+  }
+
+  /** One image row per doc in a format ROTATING by doc_id % 4 over the
+    * JDK's four writable containers (png, gif, bmp, jpg) — the fixture
+    * behind the per-format decode-path pin: a future JVM dropping or
+    * changing one codec fails that format's named count, not an
+    * anonymous feature row.
+    */
+  def syntheticImagesMultiFormat(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, nChars) =>
+          val fmt = (id % 4) match {
+            case 0 => "png"
+            case 1 => "gif"
+            case 2 => "bmp"
+            case _ => "jpg"
+          }
+          val w = 4 + (id % 8).toInt
+          val h = 4 + (id % 6).toInt
+          MediaRecord(id, "image", encodeImage(id, w, h, fmt), w, h, nChars * 10)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
   }
 
   /** Tiny deterministic mono 16-bit PCM WAV: an id-pitched square
@@ -291,6 +328,22 @@ object Multimodal {
     else if (at(0, 'B', 'M')) "image"
     else if (at(0, 'G', 'I', 'F', '8')) "image"
     else if (at(0, 0xff, 0xd8, 0xff)) "image" // JPEG
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
+    else "unknown"
+  }
+
+  /** [[sniff]] at container-FORMAT granularity (png/gif/bmp/jpeg/wav/
+    * avi/unknown) — the per-format decode-path pin's key.
+    */
+  private[graft] def sniffFormat(payload: Array[Byte]): String = {
+    def at(off: Int, magic: Int*): Boolean =
+      payload.length >= off + magic.length &&
+        magic.indices.forall(i => (payload(off + i) & 0xff) == magic(i))
+    if (at(0, 0x89, 'P', 'N', 'G')) "png"
+    else if (at(0, 'B', 'M')) "bmp"
+    else if (at(0, 'G', 'I', 'F', '8')) "gif"
+    else if (at(0, 0xff, 0xd8, 0xff)) "jpeg"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
     else "unknown"
@@ -496,7 +549,55 @@ object Multimodal {
       .orderBy(col("group_rep"), col("media_id"))
   }
 
-  case class DecodePath(media_id: Long, kind: String, codec: String, real: Boolean)
+  case class DecodePath(media_id: Long, kind: String, codec: String,
+                        format: String, real: Boolean)
+
+  case class FrameHash(media_id: Long, frame_idx: Int, ahash: Long)
+
+  /** Per-keyframe perceptual hashes of every AVI payload: demux per
+    * partition, decode each JPEG frame, aHash it — (media_id,
+    * frame_idx, ahash). Payloads never shuffle; only 8-byte hashes
+    * and two ids leave the row. Frames that fail to decode are
+    * skipped (the decode-counts pin owns codec health).
+    */
+  def frameHashes(media: DataFrame): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (sniff(r.payload) != "avi") Iterator.empty
+        else demuxAvi(r.payload).iterator.flatMap { case (_, frames) =>
+          frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+            aHash64(f).map(h => FrameHash(r.media_id, i, h))
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual-duplicate VIDEO-FRAME groups — [[imageDupGroups]]
+    * lifted to the frames [[frameHashes]] extracts: frames sharing an
+    * aHash across (or within) videos group together; groups of > 1
+    * emit every member keyed by the group's (min media_id, min
+    * frame_idx) representative. The video twin of span-level text
+    * dedup: a clip re-cut from another clip's frames collapses at
+    * frame granularity even when no whole-file hash matches.
+    */
+  def frameDupGroups(media: DataFrame): DataFrame = {
+    val hashed = frameHashes(media).toDF()
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(min(struct(col("media_id"), col("frame_idx"))).as("rep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("ahash"), col("rep.media_id").as("rep_media"),
+        col("rep.frame_idx").as("rep_frame"))
+    hashed.join(groups, "ahash")
+      .select(col("rep_media"), col("rep_frame"),
+        col("media_id"), col("frame_idx"))
+      .orderBy(col("rep_media"), col("rep_frame"),
+        col("media_id"), col("frame_idx"))
+  }
 
   /** Per-payload decode dispatch record: which container [[sniff]]
     * recognized and whether the REAL codec produced the features
@@ -518,7 +619,7 @@ object Multimodal {
           case "avi"   => ("avi", decodeAviFeatures(r.payload).isDefined)
           case other   => (other, false)
         }
-        DecodePath(r.media_id, r.kind, codec, real)
+        DecodePath(r.media_id, r.kind, codec, sniffFormat(r.payload), real)
       }
     }
   }

@@ -217,4 +217,51 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(again.sorted === out.sorted)
   }
+
+  test("multi-format fixture: all four JDK image codecs sniff + decode real") {
+    val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 40)
+    val paths = Multimodal.decodePaths(
+      Multimodal.syntheticImagesMultiFormat(docs)).collect().toSeq
+    assert(paths.map(_.format).toSet === Set("png", "gif", "bmp", "jpeg"))
+    assert(paths.forall(_.real), "every format must take its real codec path")
+    assert(paths.forall(_.codec === "image"))
+    // the format follows the id rotation
+    paths.foreach { p =>
+      val expect = (p.media_id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpeg"
+      }
+      assert(p.format === expect)
+    }
+  }
+
+  test("frame dup groups: byte-identical clip copies reunite frame by frame") {
+    val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 30)
+    val media = Multimodal.syntheticMediaEncoded(docs)
+    val videos = media.filter($"kind" === "video")
+    val copies = videos.withColumn("media_id", $"media_id" + 1000L)
+    val all = media.unionByName(copies)
+    // every video frame hashes; per-clip frame count = 3 + id % 4
+    val fh = Multimodal.frameHashes(all).collect().toSeq
+    val perClip = fh.groupBy(_.media_id).view.mapValues(_.size).toMap
+    perClip.foreach { case (m, n) =>
+      val origId = if (m >= 1000L) m - 1000L else m
+      assert(n === 3 + (origId % 4).toInt, s"clip $m decoded $n frames")
+    }
+    // copies hash identically to originals, frame for frame
+    val byKey = fh.map(f => (f.media_id, f.frame_idx) -> f.ahash).toMap
+    fh.filter(_.media_id >= 1000L).foreach { f =>
+      assert(byKey((f.media_id - 1000L, f.frame_idx)) === f.ahash)
+    }
+    // frameDupGroups reunites every copy frame with its original
+    val groups = Multimodal.frameDupGroups(all)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val members = groups.groupBy(g => (g._1, g._2))
+      .view.mapValues(_.map(g => (g._3, g._4)).toSet).toMap
+    fh.filter(_.media_id >= 1000L).foreach { f =>
+      val g = groups.find(x => x._3 == f.media_id && x._4 == f.frame_idx)
+      assert(g.isDefined, s"copy frame (${f.media_id}, ${f.frame_idx}) not grouped")
+      assert(members(g.get._1 -> g.get._2)
+        .contains((f.media_id - 1000L, f.frame_idx)))
+    }
+  }
 }
