@@ -5834,11 +5834,13 @@ object SparkEntry {
     // The KLL merge path's twin oracle: exact percentiles recomputed
     // genuinely; the booleans encode the merged sketch's rank-error
     // contract, verified engine-side against the true ranks.
+    // Discrete percentiles — actual data elements, bit-exact on both
+    // engines (continuous interpolation drifts a ulp; r9 sweep).
     "quantiles_mergeable" ->
       """SELECT event_type,
-                quantile_cont(value, 0.5) AS p50_exact,
-                quantile_cont(value, 0.9) AS p90_exact,
-                quantile_cont(value, 0.99) AS p99_exact,
+                quantile_disc(value, 0.5) AS p50_exact,
+                quantile_disc(value, 0.9) AS p90_exact,
+                quantile_disc(value, 0.99) AS p99_exact,
                 true AS p50_rank_ok,
                 true AS p90_rank_ok,
                 true AS p99_rank_ok

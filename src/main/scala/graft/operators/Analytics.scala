@@ -225,10 +225,17 @@ object Analytics {
     */
   def quantilesMergeable(events: DataFrame, k: Int = 200,
                          tol: Double = 0.05): DataFrame = {
+    // DISCRETE exact percentiles (smallest value with cume_dist ≥ p —
+    // Spark's percentile_disc and DuckDB's quantile_disc share the
+    // rule, probed on boundary cases): the result is an actual data
+    // element, so it is bit-exact cross-engine. Continuous percentile
+    // interpolates (1−g)·lo + g·hi in doubles, whose last ulp diverges
+    // between engines — the r9 robustness sweep caught exactly that at
+    // a synthetic 2× re-scale (p90 112.04 vs 112.04000000000002).
     val exact = events.groupBy(col("event_type")).agg(
-      expr("percentile(value, 0.5)").as("p50_exact"),
-      expr("percentile(value, 0.9)").as("p90_exact"),
-      expr("percentile(value, 0.99)").as("p99_exact"))
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_exact"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90_exact"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99_exact"))
     val est = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(expr(s"kll_sketch_agg_double(value, $k)").as("sk"))
