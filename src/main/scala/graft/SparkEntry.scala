@@ -1527,6 +1527,11 @@ object SparkEntry {
       // dup-start positions, and the surviving token sequence in SQL
       // — clean_text is hash-compared verbatim.
       Dedup.removeDuplicateSpans(Tables.documents(s, d), k = 10)),
+    "span_dedup_keep_one" -> ((s, d) =>
+      // Keep-one policy (the paper's): the minimal (doc_id, pos)
+      // occurrence of each duplicated span survives; the oracle
+      // replays the canonical-occurrence window rule exactly.
+      Dedup.removeDuplicateSpansKeepOne(Tables.documents(s, d), k = 10)),
     "embedding_group_stats" -> ((s, d) =>
       operators.Profile.embeddingGroupStats(Tables.embeddings(s, d))),
     "label_centroid_sim" -> ((s, d) => {
@@ -5937,6 +5942,36 @@ object SparkEntry {
          g AS (SELECT span FROM sp2 GROUP BY span HAVING count(*) >= 2),
          ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
                 FROM sp2 JOIN g USING (span) GROUP BY doc_id),
+         fin AS (
+           SELECT t.doc_id, t.w, COALESCE(d.starts, CAST([] AS BIGINT[])) AS starts
+           FROM toks t LEFT JOIN ds d USING (doc_id)),
+         kept AS (
+           SELECT doc_id, w,
+             list_filter(w, (x, i) -> len(list_filter(starts, s -> s <= i AND i < s + 10)) = 0) AS kw
+           FROM fin)
+         SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(kw) AS BIGINT) AS n_kept_tokens,
+                COALESCE(array_to_string(kw, ' '), '') AS clean_text
+         FROM kept ORDER BY doc_id""",
+    // Keep-one variant: the canonical (min doc_id, pos) occurrence of
+    // each duplicated span is excluded from the removal set via the
+    // same rank-1-of-group rule the engine's window applies.
+    "span_dedup_keep_one" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         sp AS (
+           SELECT doc_id, unnest(range(1, len(w) - 10 + 2)) AS pos, w
+           FROM toks WHERE len(w) >= 10),
+         sp2 AS (SELECT doc_id, pos, array_to_string(w[pos:pos+9], ' ') AS span FROM sp),
+         sp3 AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY span) AS gc
+           FROM sp2),
+         ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+                FROM sp3 WHERE gc >= 2 AND rn > 1 GROUP BY doc_id),
          fin AS (
            SELECT t.doc_id, t.w, COALESCE(d.starts, CAST([] AS BIGINT[])) AS starts
            FROM toks t LEFT JOIN ds d USING (doc_id)),

@@ -373,14 +373,52 @@ object Dedup {
     * text IS the output.
     */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
-    val spans = docs
+    val spans = spanOccurrences(docs, k)
+    val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("gc"))
+      .filter(col("gc") >= 2).select(col("h"))
+    exciseSpans(docs, spans.join(dupH, "h"), k)
+  }
+
+  /** [[removeDuplicateSpans]] with Lee et al. 2022's actual policy:
+    * the CANONICAL occurrence of each duplicated span — the minimal
+    * (doc_id, pos) — survives; only the other occurrences are
+    * excised, so the corpus keeps exactly one copy of every repeated
+    * passage. (A canonical token can still fall to a DIFFERENT
+    * overlapping span's non-canonical occurrence — removal is by
+    * covered token, matching the paper's span-cut view.)
+    *
+    * Scale shape: identical to the drop-all variant plus one window
+    * over the skinny (doc_id, pos, hash) span stream, partitioned by
+    * the span hash — rank-1-of-group, no new data-sized exchange.
+    */
+  def removeDuplicateSpansKeepOne(docs: DataFrame, k: Int = 20): DataFrame = {
+    val spans = spanOccurrences(docs, k)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val marked = spans
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gc", count(lit(1)).over(Window.partitionBy(col("h"))))
+    exciseSpans(docs, marked.filter(col("gc") >= 2 && col("rn") > 1), k)
+  }
+
+  /** (doc_id, pos, h): every k-token span occurrence as its 0-based
+    * start position and 8-byte hash — nothing string-sized leaves the
+    * row.
+    */
+  private def spanOccurrences(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordNgrams.word_ngrams(col("text"), k))
           .as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("h"))
-    val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("gc"))
-      .filter(col("gc") >= 2).select(col("h"))
-    val dupStarts = spans.join(dupH, "h")
+
+  /** Rebuild each doc without the tokens covered by `removal`'s
+    * (doc_id, pos) span starts: per-doc sorted start list, one
+    * row-local index-aware filter over the token array, single-space
+    * re-join.
+    */
+  private def exciseSpans(docs: DataFrame, removal: DataFrame,
+                          k: Int): DataFrame = {
+    val dupStarts = removal
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     val toked = docs.select(col("doc_id"),

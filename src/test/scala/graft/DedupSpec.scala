@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     assert(u(11L) === "one two three four five six seven eight nine ten eleven twelve")
   }
 
+  test("removeDuplicateSpansKeepOne: canonical occurrence survives, copies excised") {
+    val dropAll = Dedup.removeDuplicateSpans(docs, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val keepOne = Dedup.removeDuplicateSpansKeepOne(docs, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(keepOne.keySet === dropAll.keySet)
+    // keep-one never removes MORE than drop-all
+    keepOne.keySet.foreach { id =>
+      assert(keepOne(id)._1 >= dropAll(id)._1, s"doc $id kept fewer under keep-one")
+    }
+    // doc 0 is the canonical twin: its first occurrences survive
+    // (drop-all excised it to ""), doc 3's spans are all non-canonical
+    assert(keepOne(0L)._1 > 0L)
+    assert(keepOne(3L)._2 === "")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sh(0L) === sh(3L))
