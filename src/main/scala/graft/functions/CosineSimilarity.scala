@@ -36,9 +36,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** dot(a,b) / (|a|·|b|), accumulated in double over float inputs.
+  /** dot(a,b) / (|a|·|b|), accumulated in double over float inputs,
+    * CLAMPED to [−1, 1] — DuckDB's `list_cosine_similarity` clamps
+    * (probed: ±1.0000000000000002 → ±1.0; off-boundary values match
+    * sqrt·sqrt bit-for-bit), and without the clamp a vector paired
+    * with its own copy scores 1 + 1 ulp — the r9 x2-re-scale sweep
+    * caught exactly that (driver data has no identical embedding
+    * pairs, so the driver SFs never exercise the boundary).
     * Mismatched lengths score over the common prefix (callers align
-    * dimensions); zero-norm input yields NaN, as the HOF form did.
+    * dimensions); zero-norm input yields NaN (the clamp's min/max
+    * propagate NaN), as the HOF form did.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -50,7 +57,7 @@ object CosineSimilarity {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
   }
 
   def cosine_similarity(a: Column, b: Column): Column =
