@@ -469,14 +469,23 @@ object SparkEntry {
     }),
     "multimodal_image_dup_check" -> ((s, d) => {
       // The pinnable property: EVERY planted byte-identical copy lands
-      // in the same group as its original — 5 of 5, always.
-      val g = Multimodal.imageDupGroups(plantedImageMedia(s, d))
+      // in the same group as its original. The expected count is
+      // DERIVED from the fixture (images among doc_id < 13 — 5 on
+      // driver data), never hardcoded: the r9 half-re-scale sweep
+      // caught the literal-5 version reporting false on a corpus
+      // with only 3 such images.
+      val media = plantedImageMedia(s, d)
+      val nPlanted = media.filter(col("media_id") >= 10000L)
+        .agg(count(lit(1)).as("__n_planted"))
+      val g = Multimodal.imageDupGroups(media)
       val planted = g.filter(col("media_id") >= 10000L)
         .select(col("group_rep"), (col("media_id") - 10000L).as("media_id"))
       planted.join(g, Seq("group_rep", "media_id"))
         .agg(count(lit(1)).as("n_planted_grouped"))
+        .crossJoin(broadcast(nPlanted))
         .select(col("n_planted_grouped"),
-          (col("n_planted_grouped") === 5L).as("all_planted_grouped"))
+          (col("n_planted_grouped") === col("__n_planted"))
+            .as("all_planted_grouped"))
     }),
     "multimodal_frame_dups" -> ((s, d) =>
       // Perceptual duplicate VIDEO-FRAME groups (imageDupGroups lifted
@@ -2127,10 +2136,16 @@ object SparkEntry {
             >= 0.25).as("twin_recall_floor_met"))
       val copies = emb.filter(col("vec_id") < 5)
         .withColumn("vec_id", col("vec_id") + lit(10000L))
+      // expected count DERIVED from the fixture (5 on driver data) —
+      // the r9 half-re-scale sweep caught a literal 5 here reporting
+      // false on a corpus with only 3 vectors below id 5
+      val nCopies = copies.agg(count(lit(1)).as("__n_copies"))
       val self = Similarity.lshTopK(emb, copies, 10)
         .filter(col("vec_id") === col("query_id") - lit(10000L) &&
           col("cosine") >= 0.9999d)
-        .agg((count(lit(1)) === 5).as("self_recall_ok"))
+        .agg(count(lit(1)).as("__found"))
+        .crossJoin(broadcast(nCopies))
+        .select((col("__found") === col("__n_copies")).as("self_recall_ok"))
       twinStats.crossJoin(self)
         .select(col("n_queries"), col("n_twins"),
           col("self_recall_ok"), col("twin_recall_floor_met"))
@@ -3476,12 +3491,15 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY user_id""",
-    // 5 byte-identical copies are planted by construction; the decoder
-    // + hash must reunite every one with its original (a decode
-    // regression or hash instability breaks the count).
+    // Byte-identical copies of every image among doc_id < 13 are
+    // planted by construction (5 on driver data — derived, not
+    // hardcoded); the decoder + hash must reunite every one with its
+    // original (a decode regression or hash instability breaks the
+    // count).
     "multimodal_image_dup_check" ->
-      """SELECT CAST(5 AS BIGINT) AS n_planted_grouped,
-                true AS all_planted_grouped""",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_grouped,
+                true AS all_planted_grouped
+         FROM documents WHERE doc_id < 13 AND doc_id % 3 = 0""",
     // Every planted clip frame must hash-match its original's same
     // frame; the total is arithmetic over the planted video ids
     // (doc_id < 30, doc_id%3==2, 3 + id%4 frames each).
