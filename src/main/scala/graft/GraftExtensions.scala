@@ -101,6 +101,20 @@ object GraftExtensions {
     entry("polyline_encode",
       "polyline_encode(points) - array<struct<lat,lng>> to encoded polyline") {
       args => PolylineEncode(args(0))
+    },
+    entry("bloom_agg",
+      "bloom_agg(key, items, bits) - mergeable Bloom filter over xxhash64(key)") {
+      args => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(0))),
+          org.apache.spark.sql.catalyst.expressions.Literal(longArg(args(1), "items")),
+          org.apache.spark.sql.catalyst.expressions.Literal(longArg(args(2), "bits")))
+    },
+    entry("bloom_might_contain",
+      "bloom_might_contain(bloom, key) - membership probe; false = definitely absent") {
+      args => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
     })
     // (BigramProfileScores stays engine-internal: it is parameterized
     // by the language-profile table langId owns, not a standalone

@@ -31,6 +31,14 @@ object SparkEntry {
   private val MixtureFractions = Map(
     "en" -> 0.3, "de" -> 0.8, "fr" -> 0.6, "es" -> 0.5, "zh" -> 0.9)
 
+  /** Provenance labels for the NB quality classifier (nb_model /
+    * nb_quality_scores): the four "curated" source domains play the
+    * WebText role, everything else the crawl — 20 % positive at every
+    * driver SF (sources are round-robin, so both classes are
+    * non-empty at any re-scale that keeps ≥ 4 sources).
+    */
+  private val NbCuratedSources = Seq("src0", "src1", "src2", "src3")
+
   /** BPE merge depth for the bpe_vocab / bpe_encode rows. 24 is deep
     * enough to exercise multi-level merges (merged symbols re-merging)
     * while every round's best pair stays far above minFreq at all
@@ -1679,6 +1687,55 @@ object SparkEntry {
       // near-dups score high, clean docs 0.
       val docs = Tables.documents(s, d)
       TextAnalysis.contaminationScore(docs, docs.filter(col("doc_id") < 5), k = 5)
+    }),
+    "bloom_decontaminate" -> ((s, d) => {
+      // Bloom-prefilter decontamination check (r9): the exact
+      // contaminated set (5-gram overlap with the 5 benchmark docs,
+      // via the oracle-green contaminationScore path) must be
+      // IDENTICAL to the set surviving bloom-prefilter + exact-verify
+      // — Bloom guarantees zero false negatives, so a full-outer
+      // membership diff of the two sets is empty in any correct
+      // engine, and the oracle recomputes n_exact genuinely. The
+      // filter bytes themselves are engine-internal (xxhash64) and
+      // never emitted.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 5)
+      val exact = TextAnalysis.contaminationScore(docs, bench, k = 5)
+        .filter(col("n_contaminated") > 0).select(col("doc_id"))
+      val viaBloom = TextAnalysis.bloomContaminatedDocs(docs, bench, k = 5)
+      exact.withColumn("__e", lit(1L))
+        .join(viaBloom.withColumn("__b", lit(1L)), Seq("doc_id"), "full_outer")
+        .agg(sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("__b"), lit(0L))).as("n_via_bloom"),
+          sum(when(col("__e").isNull || col("__b").isNull, 1L)
+            .otherwise(0L)).as("__miss"))
+        .select(col("n_exact"), col("n_via_bloom"),
+          (col("__miss") === 0L).as("sets_equal"))
+    }),
+    "nb_model" -> ((s, d) => {
+      // Hashed-unigram Naive Bayes model (r9): per-bucket class
+      // counts under provenance labels (positives = the four
+      // "curated" source domains — the GPT-3 WebText-classifier
+      // labeling pattern). The model relation is ≤512 rows; every
+      // count hash-matches the oracle's independent md5-bucket
+      // recomputation.
+      val labeled = Tables.documents(s, d)
+        .withColumn("label", col("source").isin(NbCuratedSources: _*))
+      operators.Classifier.nbTrain(labeled, buckets = 512)
+        .orderBy(col("b"))
+    }),
+    "nb_quality_scores" -> ((s, d) => {
+      // Corpus-wide NB log-odds scores under the nb_model classifier —
+      // the "score the whole crawl with the cheap model" half of the
+      // distillation pattern. Quantized-ln integer discipline end to
+      // end: per-token terms, totals, and priors all round(ln·1e12)
+      // longs, ONE double cast at the end — bit-exact vs the DuckDB
+      // replay at any SF.
+      val docs = Tables.documents(s, d)
+      val labeled = docs
+        .withColumn("label", col("source").isin(NbCuratedSources: _*))
+      val model = operators.Classifier.nbTrain(labeled, buckets = 512)
+      operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
     }),
     "quantile_check" -> ((s, d) => {
       // Tolerance pin for the quantile sketch (approx_percentile —
@@ -5842,6 +5899,97 @@ object SparkEntry {
                      ELSE CAST(0 AS DOUBLE) END AS contamination_frac
          FROM documents d
          LEFT JOIN sc s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+    // Bloom prefilter correctness: zero false negatives means the
+    // bloom-path set IS the exact set — the oracle recomputes the
+    // exact contaminated-doc count genuinely; both engine counts must
+    // equal it and the membership diff must be empty.
+    "bloom_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         dg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 5 + 2),
+             i -> array_to_string(w[i:i+4], ' '))) AS g
+           FROM toks WHERE len(w) >= 5),
+         bg AS (SELECT DISTINCT g FROM dg WHERE doc_id < 5),
+         cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg ON dg.g = bg.g)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(*) AS BIGINT) AS n_via_bloom,
+                true AS sets_equal
+         FROM cont""",
+    // Independent NB-model recomputation: md5 buckets (the hash_split
+    // idiom), provenance labels, per-bucket class counts.
+    "nb_model" ->
+      """WITH lab AS (
+           SELECT doc_id, text, source IN ('src0','src1','src2','src3') AS y
+           FROM documents),
+         tok AS (
+           SELECT y, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+           FROM lab),
+         tb AS (
+           SELECT y, CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                            for x in [substr(md5(w), i, 1) for i in range(1, 9)]],
+                          (a, b) -> a * 16 + b) % 512 AS BIGINT) AS b
+           FROM tok)
+         SELECT b,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+         FROM tb GROUP BY b ORDER BY b""",
+    // Full NB score replay in the quantized-ln integer domain: every
+    // log term round(ln·1e12) BIGINT, integer sums, ONE double cast.
+    "nb_quality_scores" ->
+      """WITH lab AS (
+           SELECT doc_id, text, source IN ('src0','src1','src2','src3') AS y
+           FROM documents),
+         tok AS (
+           SELECT doc_id, y, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+           FROM lab),
+         tb AS (
+           SELECT doc_id, y, CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                                   for x in [substr(md5(w), i, 1) for i in range(1, 9)]],
+                                 (a, b) -> a * 16 + b) % 512 AS BIGINT) AS b
+           FROM tok),
+         model AS (
+           SELECT b,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+           FROM tb GROUP BY b),
+         tot AS (
+           SELECT CAST(sum(c_pos) AS BIGINT) AS tp,
+                  CAST(sum(c_neg) AS BIGINT) AS tn
+           FROM model),
+         pri AS (
+           SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+           FROM lab),
+         terms AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CAST(COALESCE(m.c_pos, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                - CAST(round(ln(CAST(COALESCE(m.c_neg, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS wq
+           FROM tb t LEFT JOIN model m ON t.b = m.b),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  CAST(sum(wq) AS BIGINT) AS sw
+           FROM terms GROUP BY doc_id)
+         SELECT d.doc_id, d.lang,
+                COALESCE(a.n_toks, 0) AS n_toks,
+                CAST(COALESCE(a.sw, 0)
+                     - COALESCE(a.n_toks, 0)
+                       * (CAST(round(ln(CAST(t.tp + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                        - CAST(round(ln(CAST(t.tn + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+                     + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     AS DOUBLE) / 1000000000000.0 AS score,
+                (COALESCE(a.sw, 0)
+                 - COALESCE(a.n_toks, 0)
+                   * (CAST(round(ln(CAST(t.tp + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                    - CAST(round(ln(CAST(t.tn + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+                 + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                 - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)) > 0 AS pred_hq
+         FROM documents d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id
+         CROSS JOIN tot t CROSS JOIN pri p
          ORDER BY d.doc_id""",
     // Exact percentiles recomputed genuinely (quantile_cont ≡ Spark
     // percentile); the booleans encode the sketch's rank-error

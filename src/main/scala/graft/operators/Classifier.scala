@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Hashed-feature linear quality classifier — the "train a cheap
+  * model on provenance labels, score the whole crawl" pattern of
+  * GPT-3's WebText-vs-CommonCrawl logistic filter (Brown et al. 2020
+  * §A) and CCNet/fastText-style quality models, as distributed
+  * dataflow: a multinomial Naive Bayes over hashed unigram buckets.
+  *
+  * Why NB and not SGD: training IS one aggregation — per-bucket class
+  * counts — so the model falls out of a single groupBy over the
+  * labeled set (map-side partial counts, a buckets-sized shuffle) with
+  * no iterative driver loop, and scoring is a broadcast join plus one
+  * per-doc sum. Both halves are the cheapest shapes Spark has; at
+  * 100 TB the model relation (≤ `buckets` rows) broadcasts like any
+  * other vocabulary-sized artifact.
+  *
+  * Cross-engine float discipline (verify-skill rule): every log term
+  * is quantized to round(ln·1e12) LONGS at the leaves — ln of
+  * INTEGER-domain smoothed counts only — summed in the integer
+  * domain, and cast to double exactly once at the end. Scores are
+  * bit-identical on any engine that can take ln of an integer.
+  *
+  * Feature hashing is the md5 bucket idiom ([[Sampling.hashBucket]]),
+  * the engine-portable hash (xxhash64 never appears in an
+  * oracle-checked value).
+  */
+object Classifier {
+
+  /** Quantized log: round(ln(x)·1e12) as a long. `x` must be a
+    * positive integer-domain column — the only inputs whose ln both
+    * engines agree on after quantization.
+    */
+  private def qln(x: Column): Column =
+    round(log(x.cast("double")) * 1e12d).cast("long")
+
+  /** Train: per-bucket class counts over hashed unigrams of the
+    * labeled set. `labelCol` is boolean (true = positive / curated /
+    * high-quality). Output: (b, c_pos, c_neg) — at most `buckets`
+    * rows, the broadcastable model relation. One explode + one
+    * buckets-keyed groupBy (partial counts before the exchange);
+    * token strings never shuffle, only (bucket, partial counts).
+    */
+  def nbTrain(labeled: DataFrame, buckets: Int = 512,
+              textCol: String = "text",
+              labelCol: String = "label"): DataFrame =
+    labeled
+      .select(col(labelCol).as("__y"), explode(tokens(col(textCol))).as("w"))
+      .select(col("__y"), Sampling.hashBucket(col("w"), buckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
+
+  /** Score every doc by the NB log-odds of the positive class under
+    * the trained `model` (a [[nbTrain]] relation), with add-1
+    * smoothing:
+    *
+    *   score = Σ_tokens [Qln(c_pos(b)+1) − Qln(c_neg(b)+1)]
+    *         − n_toks·[Qln(totPos+B) − Qln(totNeg+B)]
+    *         + Qln(nPosDocs) − Qln(nNegDocs)
+    *
+    * all in quantized-long space, ÷1e12 to double once at the end.
+    * Unseen buckets contribute Qln(1)−Qln(1) = 0 through the left
+    * join's coalesce. `priors` is the labeled set itself (doc-level
+    * class counts); totals derive from the model — both 1-row
+    * relations riding in as broadcast crosses.
+    *
+    * Scale shape: corpus explodes row-locally, joins the BROADCAST
+    * model on bucket, and partially aggregates (doc_id, Σwq) before
+    * the one doc-keyed exchange. Docs with zero tokens score the
+    * prior alone (left join back onto the corpus).
+    */
+  def nbScore(docs: DataFrame, model: DataFrame, labeled: DataFrame,
+              buckets: Int = 512, textCol: String = "text",
+              labelCol: String = "label"): DataFrame = {
+    val b = buckets.toLong
+    val totals = model.agg(
+      sum(col("c_pos")).as("__tp"), sum(col("c_neg")).as("__tn"))
+    val priors = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__nn"))
+    val termSums = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), Sampling.hashBucket(col("w"), buckets).as("b"))
+      .join(broadcast(model), Seq("b"), "left")
+      .select(col("doc_id"),
+        (qln(coalesce(col("c_pos"), lit(0L)) + 1L) -
+          qln(coalesce(col("c_neg"), lit(0L)) + 1L)).as("wq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wq")).as("__sw"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(termSums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (coalesce(col("__sw"), lit(0L))
+          - coalesce(col("n_toks"), lit(0L))
+            * (qln(col("__tp") + b) - qln(col("__tn") + b))
+          + qln(col("__np")) - qln(col("__nn"))).as("__sq"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        (col("__sq").cast("double") / 1e12d).as("score"),
+        (col("__sq") > 0L).as("pred_hq"))
+      .orderBy(col("doc_id"))
+  }
+}

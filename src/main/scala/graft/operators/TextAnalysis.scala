@@ -351,6 +351,41 @@ object TextAnalysis {
     docs.join(broadcast(phrases.select(col(phraseCol))),
       col(textCol).contains(col(phraseCol)), "left_anti")
 
+  /** Bloom-prefiltered exact decontamination: the 100 TB shape of
+    * [[contaminationScore]]'s broadcast gram join. Build ONE mergeable
+    * Bloom filter over the benchmark k-gram set
+    * ([[graft.functions.BloomFunctions.bloom_agg]] — partial filters
+    * OR-merge per partition, fixed-size bytes to the driver), ride it
+    * into the corpus scan as a 1-row broadcast cross, and drop every
+    * gram the filter rules out BEFORE any join: a blocklist too big to
+    * broadcast as strings (~10⁸ grams = GBs of UTF-8) prefilters the
+    * corpus through ~10 bits/item of bits instead. Only the surviving
+    * candidate grams — in a clean corpus, a vanishing slice — reach
+    * the exact-verify equi join, and Bloom's zero-false-negative
+    * guarantee means the verified result is IDENTICAL to the
+    * full-join answer.
+    *
+    * Returns the distinct contaminated doc ids (docs sharing ≥ 1
+    * k-gram with the benchmark set), exactly [[contaminationScore]]'s
+    * `n_contaminated > 0` set.
+    */
+  def bloomContaminatedDocs(docs: DataFrame, bench: DataFrame, k: Int = 5,
+                            expectedItems: Long = 4096L,
+                            numBits: Long = 1 << 16,
+                            benchTextCol: String = "text"): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val grams = (c: Column) => graft.functions.WordNgrams.word_ngrams(c, k)
+    val bg = bench.select(explode(grams(col(benchTextCol))).as("g")).distinct()
+    val bloom = bg.agg(bloom_agg(col("g"), expectedItems, numBits).as("__bf"))
+    docs
+      .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      .filter(bloom_probe(bloom, col("g")))
+      // exact verify: candidates only — at scale this join shuffles
+      // the (tiny) candidate slice, never the corpus fan-out
+      .join(bg, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Token-window chunking: split each document into overlapping
     * `chunkTokens`-token windows at stride `chunkTokens - overlap` —
     * the standard pretraining/RAG preprocessing step between cleaning

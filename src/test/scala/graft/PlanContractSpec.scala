@@ -271,6 +271,8 @@ class PlanContractSpec extends SparkSpec {
       // 1-row fixture-derived planted-copy count rides in as a
       // broadcast cross (r9: count derived, not hardcoded)
       "multimodal_image_dup_check",
+      // r9: 1-row bloom filter / NB totals+priors broadcast crosses
+      "bloom_decontaminate", "nb_quality_scores",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
       // broadcast cross — the models themselves are broadcast hash.
       "dsir_weights", "dsir_select", "dsir_resample")
