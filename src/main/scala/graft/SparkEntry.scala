@@ -1374,6 +1374,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_incremental_bloom" -> ((s, d) => {
+      // Bloom-gated EXACT incremental dedup (r9): the standing corpus
+      // (doc_id < 250) contributes only its rolled-forward Bloom
+      // filter; the fresh batch keeps one row per text within itself,
+      // probes the filter, and exact-verifies only the candidate
+      // slice. Zero false negatives ⇒ byte-equal to the
+      // join-everything answer the oracle computes.
+      val docs = Tables.documents(s, d)
+      Dedup.exactIncrementalBloom(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
@@ -4979,6 +4992,19 @@ object SparkEntry {
     // exact baseline's — see the query comment).
     "dedup_incremental" -> dedupIncrementalSql(capped = true),
     "dedup_incremental_sketch" -> dedupIncrementalSql(capped = false),
+    // The join-everything answer the Bloom-gated path must equal
+    // byte-for-byte: first-in-batch AND absent from the corpus.
+    "dedup_incremental_bloom" ->
+      """SELECT f.doc_id, f.lang, f.n_chars
+         FROM documents f
+         WHERE f.doc_id >= 250
+           AND NOT EXISTS (
+             SELECT 1 FROM documents e
+             WHERE e.doc_id >= 250 AND e.doc_id < f.doc_id AND e.text = f.text)
+           AND NOT EXISTS (
+             SELECT 1 FROM documents c
+             WHERE c.doc_id < 250 AND c.text = f.text)
+         ORDER BY f.doc_id""",
     // corpus<->fresh victims only (a-side restricted to the standing
     // corpus): the stateless streaming gate's exact mirror.
     "streaming_dedup_gate" ->

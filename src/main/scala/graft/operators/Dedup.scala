@@ -36,6 +36,36 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Bloom-gated exact incremental dedup — the continuous-ingest
+    * shape of [[exact]] when the standing corpus is too big to join
+    * per batch. The corpus contributes ONE OR-mergeable Bloom filter
+    * over its text ([[graft.functions.BloomFunctions.bloom_agg]] —
+    * at 100 TB the standing artifact rolled forward batch over batch,
+    * bytes on disk, never a rescan), the fresh batch first keeps one
+    * row per text within itself ([[exact]] over the small batch
+    * only), then probes the filter: a false probe PROVES the text is
+    * new (zero false negatives), so only the candidate slice — true
+    * dups plus the filter's few false positives — ever reaches the
+    * exact-verify semi join against corpus text. Survivors = fresh
+    * docs that are first-in-batch and not in the corpus, byte-equal
+    * to the join-everything answer.
+    */
+  def exactIncrementalBloom(corpus: DataFrame, fresh: DataFrame,
+                            expectedItems: Long = 1L << 20,
+                            numBits: Long = 1L << 23,
+                            dupCol: String = "text",
+                            keyCol: String = "doc_id"): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val bloom = corpus.agg(
+      bloom_agg(col(dupCol), expectedItems, numBits).as("__bf"))
+    val firstInBatch = exact(fresh, dupCol, keyCol)
+    val confirmedDup = firstInBatch
+      .filter(bloom_probe(bloom, col(dupCol)))
+      .join(corpus.select(col(dupCol)), Seq(dupCol), "left_semi")
+      .select(col(keyCol))
+    firstInBatch.join(confirmedDup, Seq(keyCol), "left_anti")
+  }
+
   /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
     * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard ≥
     * `threshold`.

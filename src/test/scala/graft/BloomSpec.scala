@@ -52,6 +52,23 @@ class BloomSpec extends SparkSpec {
     assert(got === Set(0L, 1L))
   }
 
+  test("exactIncrementalBloom equals the join-everything answer") {
+    val corpus = Seq(
+      (0L, "seen before exactly this text"),
+      (1L, "another standing corpus document")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "seen before exactly this text"),   // dup of corpus 0
+      (11L, "genuinely new fresh document"),
+      (12L, "genuinely new fresh document"),    // in-batch dup of 11
+      (13L, "also new and unique text here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactIncrementalBloom(corpus, fresh)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === Set(11L, 13L),
+      "corpus dup and in-batch second occurrence must both drop")
+  }
+
   test("bloom functions are callable from SQL, subquery form included") {
     GraftExtensions.register(spark)
     keys(100, "m-").createOrReplaceTempView("bloom_members")
