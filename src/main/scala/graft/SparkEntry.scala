@@ -1647,6 +1647,40 @@ object SparkEntry {
             .as("recall_floor_met"))
         .orderBy(col("query_id"))
     }),
+    "ann_ivfpq_topk" -> ((s, d) =>
+      // Combined IVF-PQ (FAISS `IVF16,PQ8`): coarse cells prune the
+      // scan to nprobe/nlist of the corpus, residuals-vs-centroid
+      // PQ-encode at 8 bytes/vector, and retrieval is pure ADC over
+      // codes — embeddings are never touched after encoding. Doubly
+      // approximate by design → rows-only; quality is pinned by
+      // ann_ivfpq_recall (full probe isolates the PQ loss).
+      Similarity.ivfpqTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nlist = 16, nprobe = 4, m = 16, ksub = 64)),
+    "ann_ivfpq_recall" -> ((s, d) => {
+      // IVF-PQ retrieval-quality pin, same contract as ann_pq_recall,
+      // over the production two-stage pipeline (residual-ADC top-200 →
+      // exact re-rank to top-10) at FULL probe, so cell pruning is
+      // lossless and the measured loss is exactly the residual-PQ
+      // quantization: overlap vs the float-exact baseline; n_exact is
+      // hash-matched against DuckDB's brute force, the boolean total.
+      // Residual PQ quantizes centered (smaller-norm) sub-vectors, so
+      // the floor matches plain PQ's conservative 0.5.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ivfpq = Similarity.ivfpqTopKReranked(emb, q, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      exact.join(ivfpq, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__match"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_exact") === 0 ||
+            col("__match").cast("double") / col("n_exact").cast("double") >= lit(0.5))
+            .as("recall_floor_met"))
+        .orderBy(col("query_id"))
+    }),
     "ann_int8_recall" -> ((s, d) => {
       // End-to-end retrieval quality of int8 STORAGE: the corpus is
       // quantized (4× smaller) and retrieval runs over the
@@ -5829,6 +5863,25 @@ object SparkEntry {
     // Same contract as ann_int8_recall: the exact-baseline counts are
     // genuine (DuckDB brute force), the floor boolean is total.
     "ann_pq_recall" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.emb, q.query_emb) DESC,
+                             e.vec_id) AS rn
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                true AS recall_floor_met
+         FROM ranked WHERE rn <= 10
+         GROUP BY query_id ORDER BY query_id""",
+    // Same recall-pin contract as ann_pq_recall: n_exact is the
+    // genuine brute-force per-query neighbour count, recomputed from
+    // scratch; the floor boolean is total on the engine side.
+    "ann_ivfpq_recall" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),

@@ -546,19 +546,20 @@ object Similarity {
     * -1 (no codebook entry matches them downstream).
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64, carry: Seq[String] = Nil): DataFrame = {
     val sd = dim / m
     val packed = broadcast(codebooks
       .groupBy(col("sub_idx"))
       .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("cents"))
       .agg(map_from_entries(collect_list(struct(col("sub_idx"), col("cents"))))
         .as("__cb")))
-    corpus.crossJoin(packed).select(col("vec_id"), col("label"),
-      array((0 until m).map { j =>
-        coalesce(graft.functions.NearestCentroid.nearest_centroid(
-          slice(col("embedding"), j * sd + 1, sd),
-          element_at(col("__cb"), lit(j))), lit(-1L))
-      }: _*).as("codes"))
+    corpus.crossJoin(packed).select(
+      (Seq(col("vec_id"), col("label")) ++ carry.map(col) :+
+        array((0 until m).map { j =>
+          coalesce(graft.functions.NearestCentroid.nearest_centroid(
+            slice(col("embedding"), j * sd + 1, sd),
+            element_at(col("__cb"), lit(j))), lit(-1L))
+        }: _*).as("codes")): _*)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): the query
@@ -626,6 +627,151 @@ object Similarity {
                      candidates: Int = 200, m: Int = 16, ksub: Int = 64,
                      dim: Int = 64): DataFrame = {
     val cand = pqTopK(corpus, queries, candidates, m, ksub, dim)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val rescored = corpus.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** Per-vector residual against its IVF cell centroid, emitted under
+    * the `embedding` column name so the PQ stages ([[pqCodebooks]] /
+    * [[pqEncode]]) consume it unchanged — the composition that turns
+    * coarse IVF + fine PQ into the combined IVF-PQ index (Jégou et al.
+    * 2011 §IV). Rows whose embedding is null (cell −1) keep a null
+    * residual and encode as all −1 codes, invisible downstream.
+    *
+    * Scale shape: the assignment argmin is row-local over the ONE
+    * broadcast centroid row, the centroid join is a broadcast of nlist
+    * rows, and the subtraction is a row-local zip_with — the corpus is
+    * never exchanged to build residuals.
+    */
+  def ivfpqResiduals(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids)
+      .join(broadcast(centroids), Seq("centroid_id"), "left")
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        when(col("centroid").isNotNull,
+          zip_with(col("embedding"), col("centroid"),
+            (x, y) => (x.cast("float") - y.cast("float")).cast("float")))
+          .as("embedding"))
+
+  /** IVF-PQ retrieval (the FAISS `IVFx,PQy` production index): coarse
+    * IVF cells prune the corpus to `nprobe` cells per query, and within
+    * a cell vectors score by asymmetric distance over PQ codes of their
+    * RESIDUALS — cos(query, centroid + residual_reconstruction),
+    * assembled per subspace from three lookup sums:
+    * dot(q, c+r̂) = dot(q,c) + Σ_sub dot(q_sub, r̂_sub) and
+    * |c+r̂|² = |c|² + 2·Σ_sub dot(c_sub, r̂_sub) + Σ_sub |r̂_sub|²,
+    * every term a per-(query, cell, subspace, code) constant.
+    *
+    * Scale shape — both halves keep their parents' contracts: the LUT
+    * factors on its true dependencies (a Q·m·ksub query half and an
+    * nlist·m·ksub cell half, each broadcast, joined only against the
+    * skinny code stream) and the per-(query, cell) constants
+    * broadcast; the corpus side is the skinny exploded
+    * (vec_id, cell, sub, code) relation of the PROBED cells only —
+    * with the code table partitioned by centroid_id (the
+    * [[graft.tables.VectorIndex]] layout) the scan itself prunes to
+    * nprobe/nlist of the data, and no exchange ever carries an
+    * embedding array. With `nprobe = nlist` the cell pruning is
+    * lossless and the only approximation is PQ quantization of
+    * residuals (what `ann_ivfpq_recall` pins); smaller nprobe trades
+    * recall for the scan cut (rows-only `ann_ivfpq_topk`).
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val sd = dim / m
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    val centroids = ivfCentroids(corpus, nlist)
+    val resid = ivfpqResiduals(corpus, centroids)
+    val codebooks = pqCodebooks(resid, m, ksub, dim)
+    val enc = pqEncode(resid, codebooks, m, dim, carry = Seq("centroid_id"))
+
+    // Probe: each query keeps its nprobe nearest cells (Q·nlist window
+    // rows; centroid_id breaks exact-cosine ties).
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("query_emb"), col("centroid_id"),
+        col("centroid"), cosine(col("query_emb"), col("centroid")).as("qdist"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("query_emb"), col("centroid_id"),
+        col("centroid"))
+
+    // Per-(query, cell) constants, plus the LUT FACTORED on its true
+    // dependencies — qdot varies per (query, sub, code) and cdot/n2
+    // per (cell, sub, code), so building one fused per-(query, cell,
+    // sub, code) table would redo each interpreted dot nprobe× / Q×.
+    // Q·m·ksub + nlist·m·ksub rows instead of Q·nprobe·m·ksub.
+    val cellConst = probes.select(col("query_id"), col("centroid_id"),
+      dot(col("query_emb"), col("centroid")).as("__qc"),
+      dot(col("centroid"), col("centroid")).as("__c2"),
+      sqrt(dot(col("query_emb"), col("query_emb"))).as("__qn"))
+    val cb = codebooks.select(col("sub_idx"), col("centroid_id").as("code"),
+      col("centroid").as("cb_vec"))
+    val qlut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub_idx"), col("code"),
+        dot(slice(col("query_emb"), col("sub_idx") * sd + 1, lit(sd)),
+          col("cb_vec")).as("qdot"))
+    val clut = centroids.crossJoin(broadcast(cb))
+      .select(col("centroid_id"), col("sub_idx"), col("code"),
+        dot(slice(col("centroid"), col("sub_idx") * sd + 1, lit(sd)),
+          col("cb_vec")).as("cdot"),
+        dot(col("cb_vec"), col("cb_vec")).as("n2"))
+
+    val skinny = enc
+      .join(broadcast(probes.select(col("query_id"), col("centroid_id"))),
+        "centroid_id")
+      .select(col("query_id"), col("centroid_id"), col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("sub_idx", "code")))
+    val scored = skinny
+      .join(broadcast(clut), Seq("centroid_id", "sub_idx", "code"))
+      .join(broadcast(qlut), Seq("query_id", "sub_idx", "code"))
+      .groupBy(col("query_id"), col("centroid_id"), col("vec_id"), col("label"))
+      .agg(sum(col("qdot")).as("__qdot"), sum(col("cdot")).as("__cdot"),
+        sum(col("n2")).as("__n2"))
+      .join(broadcast(cellConst), Seq("query_id", "centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        when(col("__qn") > 0 &&
+            col("__c2") + col("__cdot") * 2.0d + col("__n2") > 0,
+          (col("__qc") + col("__qdot")) /
+            (col("__qn") *
+              sqrt(col("__c2") + col("__cdot") * 2.0d + col("__n2"))))
+          .otherwise(lit(0.0)).as("cosine_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_adc").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine_adc").desc, col("vec_id"))
+  }
+
+  /** Two-stage IVF-PQ: ADC over residual codes nominates `candidates`
+    * per query, then ONLY those rows fetch their float vectors for the
+    * exact re-rank — the [[pqTopKReranked]] deployment shape with the
+    * IVF scan cut on top.
+    */
+  def ivfpqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+                        candidates: Int = 200, nlist: Int = 16,
+                        nprobe: Int = 16, m: Int = 16, ksub: Int = 64,
+                        dim: Int = 64): DataFrame = {
+    val cand = ivfpqTopK(corpus, queries, candidates, nlist, nprobe, m, ksub,
+        dim)
       .select(col("query_id"), col("vec_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))

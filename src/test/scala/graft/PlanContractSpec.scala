@@ -158,6 +158,21 @@ class PlanContractSpec extends SparkSpec {
       }.flatten
       assert(!shuffledCols.contains("embedding") && !shuffledCols.contains("query_emb"),
         s"embeddings crossed a shuffle in the ADC path: $shuffledCols")
+      // The combined IVF-PQ path inherits the same contract: residual
+      // build, encode, and residual-ADC scoring never exchange an
+      // embedding or residual array — codes and skinny partials only.
+      val exec2 = graft.operators.Similarity
+        .ivfpqTopK(emb,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), 10)
+        .queryExecution.executedPlan
+      val shuffled2 = exec2.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }.flatten
+      // (query_emb/centroid legitimately ride the probe window's
+      // exchange — a Q·nlist query-side relation, never the corpus)
+      assert(!shuffled2.contains("embedding"),
+        s"corpus embeddings crossed a shuffle in the IVF-PQ path: $shuffled2")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -261,6 +276,10 @@ class PlanContractSpec extends SparkSpec {
       // single-row broadcast crosses: packed centroid/codebook rows,
       // 1-row aggregates (corpus count, sketch pair, serial base)
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
+      // IVF-PQ composes both parents' broadcast crosses (packed
+      // centroid row, codebook, per-query probe/LUT relations) — every
+      // cross side is nlist-, Q·nprobe- or Q·nprobe·m·ksub-sized
+      "ann_ivfpq_topk", "ann_ivfpq_recall",
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
       "cluster_diversity_sample", "prototype_prune", "quality_topk_by_lang",

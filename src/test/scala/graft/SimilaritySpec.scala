@@ -268,6 +268,75 @@ class SimilaritySpec extends SparkSpec {
     assert((rrSet intersect exact).size >= (adcSet intersect exact).size)
   }
 
+  test("ivfpq: exact ranking when the codebook covers every residual") {
+    // ksub = corpus size → every residual IS a codebook entry, the ADC
+    // reconstruction is exact, and full-probe IVF-PQ must reproduce the
+    // brute-force ranking (ulp-level LUT-algebra differences can't
+    // reorder the fixture's well-separated cosines).
+    val out = Similarity.ivfpqTopK(vecs, vecs.filter($"vec_id" === 0L), 3,
+        nlist = 2, nprobe = 2, m = 2, ksub = 5, dim = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 4L, 2L))
+  }
+
+  test("ivfpq: residuals reconstruct, nulls stay invisible, encode deterministic") {
+    val withNulls = vecs.unionByName(Seq(
+      (10L, null.asInstanceOf[Array[Float]], 9)
+    ).toDF("vec_id", "embedding", "label"))
+    val cents = Similarity.ivfCentroids(withNulls, nlist = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    val resid = Similarity.ivfpqResiduals(withNulls, Similarity.ivfCentroids(withNulls, 2))
+      .select($"vec_id", $"centroid_id", $"embedding")
+      .as[(Long, Long, Option[Seq[Float]])].collect()
+    val byId = vecs.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    resid.foreach {
+      case (10L, cell, r) => assert(cell === -1L && r.isEmpty)
+      case (vid, cell, Some(r)) =>
+        val rebuilt = r.zip(cents(cell)).map { case (x, c) => x + c }
+        rebuilt.zip(byId(vid)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+      case other => fail(s"unexpected residual row $other")
+    }
+    // encode with the centroid_id carry is partitioning-independent
+    val centroids = Similarity.ivfCentroids(withNulls, 2)
+    val res = Similarity.ivfpqResiduals(withNulls, centroids)
+    val cb = Similarity.pqCodebooks(res, m = 2, ksub = 4, dim = 4)
+    val e1 = Similarity.pqEncode(res, cb, m = 2, dim = 4, carry = Seq("centroid_id"))
+      .select($"vec_id", $"centroid_id", $"codes")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    val e2 = Similarity.pqEncode(res.repartition(7), cb, m = 2, dim = 4,
+        carry = Seq("centroid_id"))
+      .select($"vec_id", $"centroid_id", $"codes")
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(e1 === e2)
+    assert(e1.collect { case (10L, _, codes) => codes }.head === Seq(-1L, -1L))
+  }
+
+  test("ivfpq rerank on real data: true cosines, recall vs exact baseline") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.ivfpqTopKReranked(emb, q, 10, candidates = 100)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rr.forall { case (qid, vid, _, _) => qid != vid })
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    rr.take(10).foreach { case (qid, vid, _, c) =>
+      val (a, b) = (byId(qid), byId(vid))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val expected = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(c - expected) < 1e-6)
+    }
+    // full probe: only PQ quantization can cost recall; the reranked
+    // top-10 must recover at least half the exact set per query
+    val rrByQ = rr.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.map(_._2).toSet }
+    exact.groupBy(_._1).foreach { case (qid, pairs) =>
+      val hits = (pairs.map(_._2) intersect rrByQ.getOrElse(qid, Set())).size
+      assert(hits >= pairs.size / 2, s"query $qid recall $hits/${pairs.size}")
+    }
+  }
+
   test("exact k-means: partitioning-independent centroids and assignment") {
     val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
     val a = Similarity.kmeansAssign(emb.repartition(3),
