@@ -1297,6 +1297,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("split_a"), col("split_b"))
     }),
+    "split_by_component" -> ((s, d) => {
+      // Leakage-safe split assignment: docs inherit their near-dup
+      // COMPONENT's hash split, so near-dup pairs cannot straddle
+      // train/test by construction. Labels are the standing staged
+      // artifact (the same relation the dedup flow stores); the oracle
+      // recomputes components from scratch (recursive CTE over the
+      // uncapped blocked-exact pair set ≡ the sketch at every driver
+      // SF) and replays the md5 split on cluster_id.
+      val docs = Tables.documents(s, d)
+      val labels = operators.Components.nearDupLabelsStaged(docs, d)
+      operators.Sampling.splitByComponent(docs, labels)
+        .orderBy(col("doc_id"))
+    }),
+    "split_leakage_safe" -> ((s, d) => {
+      // The split_leakage audit re-run over the component split: every
+      // near-dup pair must now land on the DIAGONAL (split_a ===
+      // split_b) — the oracle proves it by recomputing pair set,
+      // components, and split independently, so a diagonal-only result
+      // is cross-engine-verified rather than asserted.
+      val docs = Tables.documents(s, d)
+      val labels = operators.Components.nearDupLabelsStaged(docs, d)
+      val split = operators.Sampling.splitByComponent(docs, labels)
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.minhashPairsStaged(docs, d)
+      pairs
+        .join(split.withColumnRenamed("doc_id", "doc_id_a")
+          .withColumnRenamed("split", "split_a"), "doc_id_a")
+        .join(split.withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("split", "split_b"), "doc_id_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
     "pack_utilization" -> ((s, d) => {
       // Packing-efficiency report: per-bin fill against the token
       // budget — the histogram that tells you whether the bin size
@@ -4727,6 +4760,91 @@ object SparkEntry {
                                                for i in range(1, 9)]],
                                     (a, b) -> a * 16 + b) % 100 AS b
                  FROM documents))
+         SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+         FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
+         JOIN sp sb ON pairs.pb = sb.doc_id
+         GROUP BY 1, 2 ORDER BY split_a, split_b""",
+    // Components from scratch (recursive closure over the uncapped
+    // blocked-exact pair set) + the md5 split replayed on cluster_id.
+    "split_by_component" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         e AS (SELECT pa AS ea, pb AS eb FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id),
+         lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id)
+         SELECT doc_id, cluster_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster_id,
+                      list_reduce([strpos('0123456789abcdef', x) - 1
+                                   for x in [substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)
+                                             for i in range(1, 9)]],
+                                  (a, b) -> a * 16 + b) % 100 AS b
+               FROM lab)
+         ORDER BY doc_id""",
+    // Same pair set as split_leakage, but endpoints take their
+    // COMPONENT's split — the oracle independently lands every pair on
+    // the diagonal.
+    "split_leakage_safe" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         e AS (SELECT pa AS ea, pb AS eb FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id),
+         lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        list_reduce([strpos('0123456789abcdef', x) - 1
+                                     for x in [substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)
+                                               for i in range(1, 9)]],
+                                    (a, b) -> a * 16 + b) % 100 AS b
+                 FROM lab))
          SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
          FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
          JOIN sp sb ON pairs.pb = sb.doc_id

@@ -43,6 +43,32 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe split assignment: every doc inherits the split of
+    * its near-dup COMPONENT (hash of the cluster representative, not
+    * of the doc), so a near-duplicate pair can never straddle
+    * train/test — the failure mode `split_leakage` audits for is
+    * structurally impossible, not just measured-zero. `labels` is the
+    * (doc_id, cluster_id) standing labeling
+    * ([[graft.operators.Components.nearDupLabelsStaged]] — at 100 TB
+    * the stored artifact the dedup flow already maintains); singletons
+    * are their own cluster, so the inner join is total. Within-split
+    * proportions stay ≈ the weights because component hashes are as
+    * uniform as doc hashes (big families skew counts only as far as
+    * they skew the corpus itself).
+    *
+    * Scale shape: one doc_id-keyed equi join against the label
+    * artifact (zero-exchange when both sides are bucketed by doc_id,
+    * the layout the labeling is stored in) + a row-local md5
+    * projection. No new corpus-sized shuffle.
+    */
+  def splitByComponent(docs: DataFrame, labels: DataFrame,
+                       weights: Seq[(String, Int)] =
+                         Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame =
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitColumn(col("cluster_id"), weights).as("split"))
+
   /** Epoch-seeded deterministic shuffle order: sort by
     * md5(epoch ":" key). Each epoch is a different but fully
     * reproducible permutation — what multi-epoch training needs

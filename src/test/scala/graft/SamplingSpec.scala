@@ -24,6 +24,31 @@ class SamplingSpec extends SparkSpec {
     assert(reparted === base)                     // partitioning-independent
   }
 
+  test("splitByComponent: total, component-consistent, zero straddling pairs") {
+    val labels = graft.operators.Components.nearDupClusters(docs, sketch = true)
+    val split = Sampling.splitByComponent(docs, labels)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length.toLong === docs.count())  // inner join is total
+    // every member of a cluster shares its cluster's split
+    split.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).toSet.size === 1, s"cluster $cid split mixed")
+    }
+    // therefore no near-dup pair straddles the boundary
+    val bySplit = split.map(r => r._1 -> r._3).toMap
+    val pairs = graft.operators.Dedup.minhashPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // fixture must actually exercise the property
+    pairs.foreach { case (a, b) =>
+      assert(bySplit(a) === bySplit(b), s"pair ($a,$b) straddles the split")
+    }
+    // and the assignment is the component-hash split, not the doc hash
+    val expected = labels.select(col("doc_id"),
+        Sampling.splitColumn(col("cluster_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(split.map(r => r._1 -> r._3).toMap === expected)
+  }
+
   test("stratifiedSample keeps exactly the rows under each stratum threshold") {
     val fr = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.4, "zh" -> 0.1)
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", fr)
