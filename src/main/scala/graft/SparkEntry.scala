@@ -139,6 +139,38 @@ object SparkEntry {
        ORDER BY d.doc_id"""
   }
 
+  private def bpeFertilitySql(numMerges: Int): String = {
+    val S2 = Bpe.Sep2
+    bpeOracleStages(numMerges) + s""",
+       wsyms AS MATERIALIZED (
+         SELECT word, list_filter(string_split(state, '$S2'), x -> x <> '') AS syms
+         FROM s$numMerges),
+       t AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents),
+       wp AS (SELECT lang, unnest(w) AS term FROM t),
+       per AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(ws.syms)) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(length(term)) AS BIGINT) AS n_chars
+         FROM wp JOIN wsyms ws ON wp.term = ws.word GROUP BY lang),
+       nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang)
+       SELECT nd.lang, nd.n_docs,
+              CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+              CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+              CAST(COALESCE(per.n_chars, 0) AS BIGINT) AS n_chars,
+              CASE WHEN COALESCE(per.n_words, 0) > 0
+                   THEN CAST(per.n_bpe_tokens AS DOUBLE) / per.n_words
+                   ELSE CAST(0 AS DOUBLE) END AS tokens_per_word,
+              CASE WHEN COALESCE(per.n_bpe_tokens, 0) > 0
+                   THEN CAST(per.n_chars AS DOUBLE) / per.n_bpe_tokens
+                   ELSE CAST(0 AS DOUBLE) END AS chars_per_token
+       FROM nd LEFT JOIN per ON nd.lang = per.lang
+       ORDER BY nd.lang"""
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 reads ------------------------------------------------
@@ -2075,6 +2107,17 @@ object SparkEntry {
           Bpe.GroupedMergeSchema)
         .withColumnRenamed("grp", "lang")
         .orderBy(col("lang"), col("merge_rank"))
+    }),
+    "bpe_fertility_by_lang" -> ((s, d) => {
+      // Tokenizer QA: subword fertility (tokens/word) and compression
+      // (chars/token) per language under the trained merges — BIGINT
+      // count sums with one IEEE division each, so the doubles
+      // hash-match DuckDB's from-scratch replay of the full merge
+      // chain + per-lang aggregation.
+      val docs = Tables.documents(s, d)
+      val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
+        .map(r => (r.getString(1), r.getString(2)))
+      Bpe.fertilityByLang(docs, m)
     }),
     "bpe_pack_pipeline" -> ((s, d) => {
       // The subword training-sequence build end to end: BPE token
@@ -6571,6 +6614,7 @@ object SparkEntry {
     // scratch in DuckDB.
     "bpe_vocab" -> bpeVocabSql(BpeNumMerges),
     "bpe_encode" -> bpeEncodeSql(BpeNumMerges),
+    "bpe_fertility_by_lang" -> bpeFertilitySql(BpeNumMerges),
     "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
     "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),
     "bpe_vocab_by_lang" -> bpeGroupedVocabSql(BpeGroupedMerges),

@@ -264,4 +264,42 @@ object Bpe {
       .select(col("doc_id"), coalesce(col("token_ids"), lit("")).as("token_ids"))
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer fertility report per language: subword tokens per word
+    * and characters per subword token under the trained merges — the
+    * QA table a multilingual tokenizer ships with (a language whose
+    * fertility is ~chars-per-word is being byte-split: its merges
+    * never fired). Ratios are single IEEE divisions of BIGINT sums, so
+    * the doubles hash-match any engine that recomputes the counts.
+    *
+    * Scale shape: the merge chain runs once per DISTINCT word (the
+    * [[wordSymbols]] relation, vocabulary-sized); the corpus pays one
+    * token explode into skinny (lang, word) rows joined against that
+    * broadcastable relation, and the aggregate partial-reduces to
+    * |langs| rows before the shuffle.
+    */
+  def fertilityByLang(docs: DataFrame,
+                      mergeList: Seq[(String, String)]): DataFrame = {
+    val wsyms = wordSymbols(docs, mergeList)
+    val per = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(wsyms, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("tokens_per_word"),
+        when(coalesce(col("n_bpe_tokens"), lit(0L)) > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
 }

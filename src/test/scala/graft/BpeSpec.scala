@@ -106,6 +106,39 @@ class BpeSpec extends SparkSpec {
     assert(!grouped.contains("zz")) // no intra-word pairs → no merges
   }
 
+  test("fertility: counts add up per language, ratios are the count quotients") {
+    val docs = Seq(
+      (0L, "low low lower", "en"),
+      (1L, "newer newer", "en"),
+      (2L, "ab ab ab", "de"),
+      (3L, "", "fr") // words-free language: ratios must be 0, not NaN/error
+    ).toDF("doc_id", "text", "lang")
+    val merges = Bpe.bpeTrain(docs, 3).orderBy($"merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val wsyms = Bpe.wordSymbols(docs, merges)
+      .as[(String, Seq[String])].collect().toMap
+    val out = Bpe.fertilityByLang(docs, merges)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("en", "de", "fr"))
+    // hand-recomputed per-lang totals from the word symbol table
+    val words = Map("en" -> Seq("low", "low", "lower", "newer", "newer"),
+      "de" -> Seq("ab", "ab", "ab"), "fr" -> Seq.empty[String])
+    words.foreach { case (lang, ws) =>
+      val (_, nDocs, nWords, nBpe, nChars, tpw, cpt) = out(lang)
+      assert(nWords === ws.length.toLong)
+      assert(nBpe === ws.map(w => wsyms(w).length.toLong).sum)
+      assert(nChars === ws.map(_.length.toLong).sum)
+      if (ws.isEmpty) { assert(tpw === 0.0 && cpt === 0.0 && nDocs === 1L) }
+      else {
+        assert(tpw === nBpe.toDouble / nWords)
+        assert(cpt === nChars.toDouble / nBpe)
+      }
+    }
+    // merged languages compress: 'ab' merged once → 1 symbol per word
+    assert(out("de")._4 === 3L && out("de")._7 === 2.0)
+  }
+
   test("training is stable under repartitioning") {
     val docs = docsOf(
       "the cat sat on the mat", "the bat and the rat", "cats bats rats")
