@@ -1982,6 +1982,12 @@ object SparkEntry {
       // Distinguishing vocabulary per language slice; score = tf·N/df
       // (log-free so the oracle reproduces the doubles bit-exactly).
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "hashing_tfidf" -> ((s, d) =>
+      // Vocabulary-free document vectors via the hashing trick:
+      // md5-bucketed TF-IDF at dim=256, weights as quantized longs
+      // (round(ln·1e12) idf discipline — the CSV artifact is pure
+      // integers, no float formatting on either engine).
+      TextAnalysis.hashingTfIdf(Tables.documents(s, d))),
     "dataset_card" -> ((s, d) => {
       // The per-source summary a corpus release ships with: volume,
       // language spread, mean quality, exact-dup and contamination
@@ -6696,6 +6702,46 @@ object SparkEntry {
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT lang, term, tf, df, tfidf FROM s WHERE rk <= 5
          ORDER BY lang, tfidf DESC, term""",
+    // Feature-hashing TF-IDF replayed from scratch: the md5 bucket,
+    // the quantized-ln idf, and the integer tf·idf_q products are all
+    // engine-portable, so the sorted CSV vectors hash-match verbatim.
+    "hashing_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         b AS (
+           SELECT doc_id,
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(term), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, b) -> a * 16 + b) % 256 AS bucket
+           FROM tok),
+         tf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+                FROM b GROUP BY 1, 2),
+         dfx AS (SELECT bucket, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         idf AS (
+           SELECT bucket,
+                  CAST(round(ln(CAST(nd + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1e12)
+                    AS BIGINT) + 1000000000000 AS idf_q
+           FROM dfx CROSS JOIN n),
+         wt AS (
+           SELECT tf.doc_id, tf.bucket, tf.tf * idf.idf_q AS wq
+           FROM tf JOIN idf ON tf.bucket = idf.bucket),
+         pd AS (
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS nnz,
+                  string_agg(CAST(bucket AS VARCHAR), ',' ORDER BY bucket) AS indices,
+                  string_agg(CAST(wq AS VARCHAR), ',' ORDER BY bucket) AS weights_q
+           FROM wt GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(pd.nnz, 0) AS nnz,
+                COALESCE(pd.indices, '') AS indices,
+                COALESCE(pd.weights_q, '') AS weights_q
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         ORDER BY d.doc_id""",
     "pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

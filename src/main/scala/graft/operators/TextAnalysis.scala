@@ -271,6 +271,57 @@ object TextAnalysis {
       .orderBy(col("lang"), col("tfidf").desc, col("term"))
   }
 
+  /** Feature-hashing (the "hashing trick", Weinberger et al. 2009)
+    * TF-IDF document vectors: every token hashes into one of `dim`
+    * buckets via the engine-portable md5 bucket ([[Sampling.hashBucket]]
+    * — xxhash64 never appears in an oracle-checked value), so the
+    * vectorizer needs NO vocabulary and no training pass — the only
+    * global state is the dim-sized document-frequency relation.
+    * Emitted as sorted CSV strings (`indices` = bucket ids,
+    * `weights_q` = tf·idf_q quantized longs, weight = wq/1e12) — the
+    * [[encodeTokenIds]] convention, array result columns break the
+    * driver comparer, and quantized longs keep float formatting out of
+    * the artifact entirely. idf_q = round(ln((N+1)/(df+1))·1e12) + 1e12
+    * per the transcendental-quantization discipline (ln differs by
+    * 1 ulp between engines; the integer products are exact).
+    *
+    * Scale shape: one partial-agg'd (doc_id, bucket) count; df reduces
+    * that to ≤dim rows and broadcasts back; the per-doc assembly
+    * shuffles skinny (doc_id, bucket, long) rows. The corpus never
+    * carries strings past the row-local hash, and the idf join is a
+    * broadcast — no vocabulary-sized build side at any corpus size.
+    */
+  def hashingTfIdf(docs: DataFrame, dim: Int = 256): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("term"), dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val idf = dfr.crossJoin(broadcast(n))
+      .select(col("bucket"),
+        (round(log((col("__n") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")) * 1e12)
+          .cast("long") + lit(1000000000000L)).as("idf_q"))
+    val wt = tf.join(broadcast(idf), "bucket")
+      .select(col("doc_id"), col("bucket"), (col("tf") * col("idf_q")).as("wq"))
+    val pd = wt.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("wq")))).as("e"))
+    docs.select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("e")), lit(0)).cast("long").as("nnz"),
+        coalesce(array_join(
+          transform(col("e"), x => x.getField("bucket")).cast("array<string>"),
+          ","), lit("")).as("indices"),
+        coalesce(array_join(
+          transform(col("e"), x => x.getField("wq")).cast("array<string>"),
+          ","), lit("")).as("weights_q"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frequency-ranked vocabulary: the top `size` words by corpus
     * count, ids 1..size in (count desc, word) order — deterministic
     * ties, id 0 reserved for OOV. One partial-agg'd wordcount; the

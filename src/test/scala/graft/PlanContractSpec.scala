@@ -287,6 +287,9 @@ class PlanContractSpec extends SparkSpec {
       "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
       "pretrain_pipeline",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang",
+      // 1-row corpus-count aggregate rides in as a broadcast cross
+      // (idf smoothing numerator), same shape as tfidf_by_lang
+      "hashing_tfidf",
       // 1-row fixture-derived planted-copy count rides in as a
       // broadcast cross (r9: count derived, not hardcoded)
       "multimodal_image_dup_check",

@@ -174,6 +174,36 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", "ena", 2L, 2L, 4.0), ("en", "enb", 1L, 1L, 4.0)))
   }
 
+  test("hashing tfidf: hand-checked arithmetic, blank docs, repartition-stable") {
+    val d = Seq(
+      (0L, "aa aa bb"),
+      (1L, "aa cc"),
+      (2L, "  ")  // blank doc: nnz 0, empty CSVs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingTfIdf(d, dim = 16)
+      .as[(Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(2L) === ((2L, 0L, "", "")))
+    // recompute doc 0 by hand from the same md5 bucket + quantized ln
+    def bucket(term: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 16
+    }
+    val dfOf = Map(bucket("aa") -> 2L, bucket("bb") -> 1L, bucket("cc") -> 1L)
+    def idfQ(df: Long): Long =
+      math.round(math.log(4.0 / (df + 1.0)) * 1e12) + 1000000000000L
+    val exp0 = Seq(bucket("aa") -> 2 * idfQ(2), bucket("bb") -> 1 * idfQ(1))
+      .sortBy(_._1)
+    assert(out(0L)._2 === 2L)
+    assert(out(0L)._3 === exp0.map(_._1).mkString(","))
+    assert(out(0L)._4 === exp0.map(_._2).mkString(","))
+    assert(dfOf.values.sum === 4L) // fixture sanity: buckets don't collide
+    val out2 = TextAnalysis.hashingTfIdf(d.repartition(7), dim = 16)
+      .as[(Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out2 === out)
+  }
+
   test("token-id encoding: vocab ranks, OOV zero, blank doc empty, order kept") {
     // counts: b=4 → id 1, a=3 → id 2; c and zz fall outside top-2 → OOV
     val d = Seq((0L, "b a b c b a"), (1L, "a zz b"), (2L, "  "))
