@@ -1712,6 +1712,13 @@ object SparkEntry {
             .as("recall_floor_met"))
         .orderBy(col("query_id"))
     }),
+    "knn_graph" -> ((s, d) =>
+      // Top-5 neighbours for EVERY vector under IVF-cell blocking —
+      // fully hash-checked: md5-sampled centroids, the deterministic
+      // argmax assignment rule, and the clamped cosine kernel are each
+      // replayable in DuckDB, so the whole graph (ranks included)
+      // matches bit-for-bit, no recall floor needed.
+      Similarity.knnGraphIvf(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) =>
       // Combined IVF-PQ (FAISS `IVF16,PQ8`): coarse cells prune the
       // scan to nprobe/nlist of the corpus, residuals-vs-centroid
@@ -6045,6 +6052,36 @@ object SparkEntry {
                 true AS recall_floor_met
          FROM ranked WHERE rn <= 10
          GROUP BY query_id ORDER BY query_id""",
+    // The full kNN graph replayed exactly: md5 centroid sample, the
+    // argmax-with-smaller-id-tie assignment as a window rule, bit-equal
+    // cosines, per-vector top-5.
+    "knn_graph" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (
+           SELECT vec_id AS centroid_id, emb AS centroid FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asg AS (
+           SELECT vec_id, emb, centroid_id FROM (
+             SELECT e.vec_id, e.emb, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC,
+                               c.centroid_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         sc AS (
+           SELECT a.vec_id, a.centroid_id, b.vec_id AS nb_id,
+                  list_cosine_similarity(a.emb, b.emb) AS cosine
+           FROM asg a JOIN asg b
+             ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         rk AS (
+           SELECT vec_id, centroid_id, nb_id, cosine,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, nb_id) AS rank
+           FROM sc)
+         SELECT vec_id, centroid_id, nb_id, cosine,
+                CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
     // Same recall-pin contract as ann_pq_recall: n_exact is the
     // genuine brute-force per-query neighbour count, recomputed from
     // scratch; the floor boolean is total on the engine side.

@@ -642,6 +642,52 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Approximate kNN GRAPH: top-k neighbours for EVERY corpus vector
+    * (not a handful of query probes) — the input a graph-based
+    * curation stage consumes (near-dup components over embeddings,
+    * graph diversity sampling, label propagation). Blocking is IVF
+    * cells: each vector scores only its own cell, so compute is
+    * Σ|cell|² ≈ N²/nlist instead of N², distributed by cell.
+    *
+    * Fully oracle-checkable by construction — every ingredient is
+    * engine-portable: centroid sampling orders by md5(vec_id) (NOT
+    * xxhash64, which no other engine reproduces), assignment is the
+    * deterministic native argmax (ties to the smaller centroid_id —
+    * the exact rule `row_number() OVER (ORDER BY cos DESC, id)`
+    * replays), and the clamped cosine kernel is bit-identical to
+    * DuckDB's `list_cosine_similarity`, so even the per-vector rank
+    * order hash-matches. Vectors alone in their cell emit no rows
+    * (documented; a production run uses nlist « N/k so cells are
+    * hundreds deep).
+    *
+    * Scale shape: assignment is the row-local broadcast argmin; the
+    * within-cell self-join is an equi join on centroid_id — with the
+    * assignment persisted PARTITIONED BY centroid_id (the
+    * [[graft.tables.VectorIndex]] layout) both sides are co-located
+    * and the join is zero-exchange; the top-k window prunes per map
+    * partition (WindowGroupLimit) before its skinny exchange.
+    */
+  def knnGraphIvf(corpus: DataFrame, k: Int = 5, nlist: Int = 16): DataFrame = {
+    val live = corpus.filter(col("embedding").isNotNull)
+    val centroids = live
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val assigned = ivfAssign(live, centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val nb = assigned.select(col("centroid_id"),
+      col("vec_id").as("nb_id"), col("embedding").as("nb_emb"))
+    val scored = assigned.join(nb, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("centroid_id"), col("nb_id"),
+        cosine(col("embedding"), col("nb_emb")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nb_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Per-vector residual against its IVF cell centroid, emitted under
     * the `embedding` column name so the PQ stages ([[pqCodebooks]] /
     * [[pqEncode]]) consume it unchanged — the composition that turns

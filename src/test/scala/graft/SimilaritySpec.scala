@@ -268,6 +268,42 @@ class SimilaritySpec extends SparkSpec {
     assert((rrSet intersect exact).size >= (adcSet intersect exact).size)
   }
 
+  test("knn graph: dense ranks per cellmate count, repartition-stable, true cosines") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraphIvf(emb, k = 5, nlist = 8)
+      .select($"vec_id", $"centroid_id", $"nb_id", $"cosine", $"rank")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    assert(g.forall { case (v, _, nb, _, _) => v != nb })
+    // ranks are dense 1..min(k, cellmates) per vector
+    val cellOf = g.map(r => r._1 -> r._2).toMap
+    val cellSize = g.map(r => r._2).distinct.map { c =>
+      c -> g.filter(_._2 == c).map(_._1).distinct.length
+    }.toMap
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      val expected = math.min(5, cellSize(cellOf(v)) - 1)
+      assert(rows.map(_._5).sorted.toSeq === (1L to expected.toLong),
+        s"vector $v ranks not dense")
+    }
+    // neighbours carry their true cosine and rank by it
+    val byId = emb.filter($"embedding".isNotNull)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    g.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a >= b })
+    }
+    g.take(20).foreach { case (v, _, nb, c, _) =>
+      val (a, b) = (byId(v), byId(nb))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val expect = dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(c - math.max(-1.0, math.min(1.0, expect))) < 1e-12)
+    }
+    val g2 = Similarity.knnGraphIvf(emb.repartition(11), k = 5, nlist = 8)
+      .select($"vec_id", $"nb_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(g2 === g.map(r => (r._1, r._3, r._5)).toSet)
+  }
+
   test("ivfpq: exact ranking when the codebook covers every residual") {
     // ksub = corpus size → every residual IS a codebook entry, the ADC
     // reconstruction is exact, and full-probe IVF-PQ must reproduce the
