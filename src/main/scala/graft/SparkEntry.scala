@@ -1719,6 +1719,13 @@ object SparkEntry {
       // replayable in DuckDB, so the whole graph (ranks included)
       // matches bit-for-bit, no recall floor needed.
       Similarity.knnGraphIvf(Tables.embeddings(s, d))),
+    "knn_label_propagate" -> ((s, d) =>
+      // Semi-supervised auto-labeling over the kNN graph: 10% seeds
+      // keep their label, the rest take the integer-exact majority of
+      // their seed neighbours (ties to the smaller label, null when no
+      // seed is reachable). Every step replays in SQL — hash-checked
+      // end to end including the null pattern.
+      Similarity.labelPropagate(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) =>
       // Combined IVF-PQ (FAISS `IVF16,PQ8`): coarse cells prune the
       // scan to nprobe/nlist of the corpus, residuals-vs-centroid
@@ -6082,6 +6089,48 @@ object SparkEntry {
          SELECT vec_id, centroid_id, nb_id, cosine,
                 CAST(rank AS BIGINT) AS rank
          FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
+    // The propagation round over the same replayed graph: seed join,
+    // integer vote counts, majority window with the smaller-label tie.
+    "knn_label_propagate" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (
+           SELECT vec_id AS centroid_id, emb AS centroid FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asg AS (
+           SELECT vec_id, label, emb, centroid_id FROM (
+             SELECT e.vec_id, e.label, e.emb, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC,
+                               c.centroid_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         g AS (
+           SELECT vec_id, nb_id, nb_label FROM (
+             SELECT a.vec_id, b.vec_id AS nb_id, b.label AS nb_label,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                               b.vec_id) AS rank
+             FROM asg a JOIN asg b
+               ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+           WHERE rank <= 5),
+         votes AS (
+           SELECT vec_id, nb_label, CAST(count(*) AS BIGINT) AS votes
+           FROM g WHERE nb_id % 10 = 0 GROUP BY 1, 2),
+         win AS (
+           SELECT vec_id, nb_label, votes FROM (
+             SELECT vec_id, nb_label, votes,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY votes DESC, nb_label) AS rn
+             FROM votes) WHERE rn = 1)
+         SELECT e.vec_id,
+                e.vec_id % 10 = 0 AS is_seed,
+                CASE WHEN e.vec_id % 10 = 0 THEN e.label
+                     ELSE win.nb_label END AS pred_label,
+                COALESCE(win.votes, 0) AS votes
+         FROM e LEFT JOIN win ON e.vec_id = win.vec_id
+         ORDER BY e.vec_id""",
     // Same recall-pin contract as ann_pq_recall: n_exact is the
     // genuine brute-force per-query neighbour count, recomputed from
     // scratch; the floor boolean is total on the engine side.

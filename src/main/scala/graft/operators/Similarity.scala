@@ -688,6 +688,43 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** One deterministic round of kNN label propagation over
+    * [[knnGraphIvf]] — the semi-supervised auto-labeling step: seed
+    * vectors (vec_id % seedMod == 0, modeling the hand-labeled subset)
+    * keep their label; every other vector takes the MAJORITY label
+    * among its seed neighbours, ties to the smaller label id, null if
+    * no neighbour is a seed. Majority is by vote count (not cosine
+    * sum) so the aggregate is integer-exact and the oracle replays it
+    * with a plain count + window rule.
+    *
+    * Scale shape: inherits the graph's (cell-bounded pair compute);
+    * the vote aggregate partial-reduces to ≤ǀlabelsǀ rows per vector
+    * and the argmax window shuffles only those skinny rows.
+    */
+  def labelPropagate(corpus: DataFrame, k: Int = 5, nlist: Int = 16,
+                     seedMod: Int = 10): DataFrame = {
+    val g = knnGraphIvf(corpus, k, nlist)
+    val base = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % seedMod === 0).as("is_seed"))
+    val votes = g
+      .join(base.filter(col("is_seed"))
+        .select(col("vec_id").as("nb_id"), col("label").as("nb_label")), "nb_id")
+      .groupBy(col("vec_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("nb_label"))
+    val inferred = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("nb_label"), col("votes"))
+    base.join(inferred, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("is_seed"),
+        when(col("is_seed"), col("label")).otherwise(col("nb_label"))
+          .as("pred_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-vector residual against its IVF cell centroid, emitted under
     * the `embedding` column name so the PQ stages ([[pqCodebooks]] /
     * [[pqEncode]]) consume it unchanged — the composition that turns

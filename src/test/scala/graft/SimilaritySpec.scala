@@ -304,6 +304,34 @@ class SimilaritySpec extends SparkSpec {
     assert(g2 === g.map(r => (r._1, r._3, r._5)).toSet)
   }
 
+  test("label propagation: seeds keep labels, majority + tie rule verified vs graph") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val out = Similarity.labelPropagate(emb, k = 5, nlist = 8)
+      .as[(Long, Boolean, Option[Int], Long)].collect()
+    assert(out.length.toLong === emb.filter($"embedding".isNotNull).count())
+    val labels = emb.filter($"embedding".isNotNull)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // independently recompute from the graph the op is defined over
+    val g = Similarity.knnGraphIvf(emb, k = 5, nlist = 8)
+      .select($"vec_id", $"nb_id").as[(Long, Long)].collect()
+    val seedVotes = g.filter(_._2 % 10 == 0)
+      .groupBy(_._1).map { case (v, rows) =>
+        val counts = rows.map(r => labels(r._2)).groupBy(identity)
+          .map { case (l, o) => (l, o.length) }
+        v -> counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      }
+    out.foreach { case (v, isSeed, pred, votes) =>
+      assert(isSeed === (v % 10 == 0))
+      if (isSeed) assert(pred === Some(labels(v)))
+      else seedVotes.get(v) match {
+        case Some((l, n)) => assert(pred === Some(l) && votes === n.toLong)
+        case None => assert(pred.isEmpty && votes === 0L)
+      }
+    }
+    // the fixture must exercise both propagation and the no-seed case
+    assert(out.exists { case (_, s, p, _) => !s && p.nonEmpty })
+  }
+
   test("ivfpq: exact ranking when the codebook covers every residual") {
     // ksub = corpus size → every residual IS a codebook entry, the ADC
     // reconstruction is exact, and full-probe IVF-PQ must reproduce the
