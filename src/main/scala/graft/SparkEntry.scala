@@ -1679,6 +1679,17 @@ object SparkEntry {
       tables.VectorIndex.topK(s, dir,
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
     }),
+    "ann_index_append" -> ((s, d) => {
+      // Index MAINTENANCE: the fresh batch (vec_id < 50) appends into
+      // the persisted cells against the standing centroids — no
+      // rebuild, standing cells untouched. Full probe over the
+      // appended index must still equal DuckDB's brute force over the
+      // UNION corpus exactly (probing every cell reads every vector,
+      // wherever the fixed centroids put it).
+      val dir = vectorIndexAppendDir(s, d)
+      tables.VectorIndex.topK(s, dir,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
+    }),
     "ann_pq_topk" -> ((s, d) =>
       // Product-quantized retrieval (m=16 × 64-entry codebooks → 16
       // bytes of codes per 256-byte vector): pure ADC scoring over
@@ -3035,6 +3046,26 @@ object SparkEntry {
         rm(dir.toFile)
       }))
       tables.VectorIndex.write(Tables.embeddings(s, d), dir.toString, nlist = 16)
+      dir.toString
+    })
+
+  /** Index built on the standing corpus (vec_id >= 50) then APPENDED
+    * with the fresh batch (vec_id < 50) — never rebuilt; staged per
+    * (process, dataset) like [[vectorIndexDir]].
+    */
+  private def vectorIndexAppendDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#append", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_app_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val emb = Tables.embeddings(s, d)
+      tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
+        dir.toString, nlist = 16)
+      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir.toString)
       dir.toString
     })
 
@@ -6021,6 +6052,24 @@ object SparkEntry {
          ORDER BY vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
+    // Append-then-probe must lose nothing vs the union corpus: same
+    // brute-force oracle as ann_index_persisted.
+    "ann_index_append" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     "ann_index_persisted" ->
       """WITH e AS (
            SELECT vec_id, label,

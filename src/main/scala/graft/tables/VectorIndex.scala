@@ -28,6 +28,25 @@ object VectorIndex {
       .parquet(s"$dir/cells")
   }
 
+  /** Append a fresh batch WITHOUT rebuilding — the index-maintenance
+    * path continuous embedding ingest runs: fresh vectors assign
+    * row-locally against the PERSISTED centroids (one broadcast read;
+    * the standing cells are never read, moved, or rewritten) and land
+    * in their cell partitions via partition-wise append. Centroids stay
+    * fixed by design — IVF tolerates assignment drift until a
+    * scheduled rebuild, and full-probe retrieval over the appended
+    * index still exactly equals brute force over the union corpus
+    * (what `ann_index_append` pins), because probing every cell reads
+    * every vector regardless of which centroid it sits under.
+    */
+  def append(fresh: DataFrame, dir: String): Unit = {
+    val spark = fresh.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    Similarity.ivfAssign(fresh, centroids)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/cells")
+  }
+
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
            k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")

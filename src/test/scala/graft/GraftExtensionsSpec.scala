@@ -74,6 +74,7 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
+      "bloom_agg", "bloom_might_contain",
       "cosine_similarity", "minhash_band_keys", "nearest_centroid",
       "nfc_normalize", "polyline_decode", "polyline_encode",
       "repetition_stats", "rolling_hash", "simhash64",

@@ -255,6 +255,7 @@ class PlanContractSpec extends SparkSpec {
     // their plan shapes are pinned by their own dedicated contracts.
     val effectful = (n: String) =>
       n.startsWith("streaming_") || n == "ann_index_persisted" ||
+        n == "ann_index_append" ||
         n == "lm_model_persisted" ||
         n == "csv_roundtrip" || n == "orc_roundtrip"
     // BNLJ is legitimate ONLY with a broadcast-tiny side: block-pair

@@ -192,6 +192,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index append: no rebuild, standing cells untouched, full probe ≡ brute") {
+    import graft.tables.VectorIndex
+    val emb = tables.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("vindex_app_test").toString
+    try {
+      VectorIndex.write(emb.filter($"vec_id" >= 50), dir, nlist = 8)
+      val before = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      VectorIndex.append(emb.filter($"vec_id" < 50), dir)
+      // append only ADDS files — every pre-existing cell file survives
+      val after = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      before.foreach { case (p, m) =>
+        assert(after.get(p).contains(m), s"standing cell file rewritten: $p")
+      }
+      assert(after.size > before.size, "append added no cell files")
+      // full probe over the appended index loses nothing vs brute force
+      val q = emb.filter($"vec_id" < 3)
+      val appended = VectorIndex.topK(spark, dir, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      val brute = Similarity.bruteForceTopK(emb, q, 5)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      assert(appended === brute)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivf: probes return valid ranked neighbours with decent recall") {
     val emb = tables.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 3)
