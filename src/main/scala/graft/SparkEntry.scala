@@ -2598,6 +2598,18 @@ object SparkEntry {
       // estimates are engine-internal).
       operators.Profile.profileApprox(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "corpus_drift_psi" -> ((s, d) => {
+      // Refresh-gate drift monitor: PSI of the language distribution
+      // between two corpus snapshots (even/odd doc halves as the
+      // fixture). Smoothed shares are exact-integer divisions, ln is
+      // 1e12-quantized, terms quantize to 1e15-longs so the total is
+      // an order-free integer sum — fully hash-checked.
+      val docs = Tables.documents(s, d)
+      operators.Profile.driftPsi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("lang"))
+    }),
     "approx_distinct_check" -> ((s, d) =>
       // Tolerance pin for the HLL sketch: the estimate itself is
       // engine-internal (rows-only in approx_distinct_users), but
@@ -2714,6 +2726,15 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"), col("lang"))),
+    "stratified_exact_n" -> ((s, d) =>
+      // Balanced eval-set draw: EXACTLY 20 docs per language (the
+      // smallest-md5 prefix within each group — a uniform per-group
+      // sample any engine reproduces). WindowGroupLimit prunes each
+      // map partition to its local top-20 per lang before the shuffle.
+      operators.Sampling.uniformSampleNPerGroup(
+          Tables.documents(s, d), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))),
     "stratified_sample" -> ((s, d) =>
       // Fixed-mix corpus subset: per-language keep fractions applied
       // via the same hash buckets — exact row membership pinned by the
@@ -5323,6 +5344,49 @@ object SparkEntry {
          SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
                 lang, count(*) AS n_docs
          FROM h GROUP BY 1, 2 ORDER BY split, lang""",
+    // Per-group smallest-md5 prefix, replayed with the identical
+    // window rule.
+    "stratified_exact_n" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM h WHERE rn <= 20
+         ORDER BY lang, doc_id""",
+    // PSI replay: exact-integer smoothed shares, 1e12-quantized ln,
+    // 1e15-quantized terms, integer total.
+    "corpus_drift_psi" ->
+      """WITH b AS (
+           SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         a AS (
+           SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_after
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (
+           SELECT COALESCE(b.bucket, a.bucket) AS bucket,
+                  COALESCE(b.n_before, 0) AS n_before,
+                  COALESCE(a.n_after, 0) AS n_after
+           FROM b FULL JOIN a ON b.bucket = a.bucket),
+         t AS (
+           SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                  CAST(sum(n_after) AS BIGINT) AS ta,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM j),
+         e AS (
+           SELECT bucket, n_before, n_after,
+                  CAST(n_before + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE) AS q,
+                  CAST(n_after + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE) AS p
+           FROM j CROSS JOIN t),
+         f AS (
+           SELECT bucket, n_before, n_after, q, p,
+                  CAST(round((p - q) *
+                    (CAST(CAST(round(ln(p / q) * 1e12) AS BIGINT) AS DOUBLE) / 1e12)
+                    * 1e15) AS BIGINT) AS term_q
+           FROM e)
+         SELECT bucket, n_before, n_after, q, p, term_q,
+                CAST(sum(term_q) OVER () AS DOUBLE) / 1e15 AS psi
+         FROM f ORDER BY bucket""",
     "stratified_sample" ->
       """WITH h AS (
            SELECT doc_id, lang,

@@ -86,6 +86,55 @@ object Profile {
     * ran: `Profile.observed(df, "stage") → (df2, obs)`;
     * `obs.get("n_rows")`.
     */
+  /** Population-stability-index drift monitor between two corpus
+    * snapshots — the gate a refresh pipeline runs before swapping in a
+    * new crawl (PSI > 0.2 is the conventional "distribution moved,
+    * investigate" line). Per bucket of `bucket` (a categorical or
+    * pre-bucketed expression): Laplace-smoothed shares q (before) and
+    * p (after) over the union bucket set, term = (p−q)·ln(p/q), and
+    * the total PSI = Σ term.
+    *
+    * Cross-engine exactness: shares are single IEEE divisions of exact
+    * integer counts; ln goes through the round(ln·1e12) quantization
+    * discipline; each term quantizes to a 1e15-scaled long so the
+    * TOTAL is an integer sum — order-free, no float accumulation
+    * anywhere. `term_q` is emitted raw (BIGINT) and psi as one final
+    * division.
+    *
+    * Scale shape: two partial-agg'd bucket counts, a bucket-keyed full
+    * join (bucket-sized), a 1-row totals aggregate riding back as a
+    * broadcast cross, and one window over the bucket-sized relation —
+    * the corpus is scanned once per snapshot and never shuffled.
+    */
+  def driftPsi(before: DataFrame, after: DataFrame,
+               bucket: org.apache.spark.sql.Column): DataFrame = {
+    val b = before.select(bucket.cast("string").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_before"))
+    val a = after.select(bucket.cast("string").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_after"))
+    val j = b.join(a, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val tot = j.agg(sum(col("n_before")).as("__tb"),
+      sum(col("n_after")).as("__ta"), count(lit(1)).as("__k"))
+    val q = (col("n_before") + 1).cast("double") /
+      (col("__tb") + col("__k")).cast("double")
+    val p = (col("n_after") + 1).cast("double") /
+      (col("__ta") + col("__k")).cast("double")
+    val lnq = round(log(p / q) * 1e12).cast("long")
+    val termQ = round((p - q) * (lnq.cast("double") / 1e12) * 1e15).cast("long")
+    // unpartitioned window over the BUCKET-sized relation only (tiny
+    // by construction — same pattern as daily_growth's 30-row window)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_before"), col("n_after"),
+        q.as("q"), p.as("p"), termQ.as("term_q"))
+      .withColumn("psi", sum(col("term_q")).over(w).cast("double") / 1e15)
+      .orderBy(col("bucket"))
+  }
+
   def observed(df: DataFrame, name: String, guardCol: String,
                sumCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation(name)

@@ -103,6 +103,29 @@ object Sampling {
       .orderBy(col("sample_key"))
       .limit(n)
 
+  /** Exactly-n-PER-GROUP uniform sample (balanced eval sets, per-class
+    * calibration sets): within each group, the n rows with the
+    * smallest md5(key) — same hash-prefix-is-a-uniform-sample argument
+    * as [[uniformSampleN]], same determinism (any engine reproduces
+    * the exact row set from md5 alone). Groups smaller than n keep all
+    * their rows.
+    *
+    * Scale shape: a rank window PARTITION BY group ORDER BY hash —
+    * Spark's rank-limit pushdown (WindowGroupLimit) prunes every map
+    * partition to its local top-n per group BEFORE the exchange, so
+    * the shuffle carries ~n rows per (partition, group), never the
+    * corpus. No global sort, no driver action.
+    */
+  def uniformSampleNPerGroup(df: DataFrame, groupCol: String,
+                             keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Token/char-budget mixture sampling — the "data mixing" step of a
     * training run: per domain, keep documents until the domain's cost
     * budget (`fraction` × its total cost) is reached, deterministically

@@ -293,6 +293,9 @@ class PlanContractSpec extends SparkSpec {
       // 1-row corpus-count aggregate rides in as a broadcast cross
       // (idf smoothing numerator), same shape as tfidf_by_lang
       "hashing_tfidf",
+      // 1-row totals aggregate (tb, ta, k) broadcast cross onto the
+      // bucket-sized PSI relation
+      "corpus_drift_psi",
       // 1-row fixture-derived planted-copy count rides in as a
       // broadcast cross (r9: count derived, not hardcoded)
       "multimodal_image_dup_check",

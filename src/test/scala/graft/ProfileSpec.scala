@@ -54,6 +54,29 @@ class ProfileSpec extends SparkSpec {
     assert(exactPlan.contains("Expand")) // documents the exact twin's cost
   }
 
+  test("driftPsi: zero on identical snapshots, positive on shift, exact algebra") {
+    import org.apache.spark.sql.functions.col
+    val snap = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    val same = Profile.driftPsi(snap, snap, col("lang"))
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect()
+    // identical shares → ln(p/q) = 0 → every term and the total are 0
+    assert(same.forall(r => r._6 === 0L && r._7 === 0.0))
+    val shifted = Seq((1L, "en"), (2L, "de"), (3L, "de"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val out = Profile.driftPsi(snap, shifted, col("lang"))
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("en", "de", "fr")) // union buckets, fr only in before
+    // hand-replay of the quantization chain for one bucket (en: 2→1 of 4+3)
+    val (q, p) = (3.0 / 7.0, 2.0 / 7.0)
+    val lnq = math.round(math.log(p / q) * 1e12)
+    val expected = math.round((p - q) * (lnq.toDouble / 1e12) * 1e15)
+    assert(out("en")._6 === expected)
+    val psi = out.values.map(_._6).sum.toDouble / 1e15
+    assert(out.values.forall(_._7 === psi) && psi > 0.0)
+  }
+
   test("observed: counters collect during the action, no extra pass, exact sum") {
     val events = tables.Tables.events(spark, sf)
       .withColumn("props", when($"event_id" % 10 === 0, lit(null)).otherwise($"props"))

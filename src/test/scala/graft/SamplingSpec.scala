@@ -66,6 +66,32 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.count() === 0L)
   }
 
+  test("uniformSampleNPerGroup: exact n per group, smallest-hash membership, pruned plan") {
+    val n = 7
+    val out = Sampling.uniformSampleNPerGroup(docs, "lang", "doc_id", n)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length.toLong === math.min(n.toLong, sizes(lang)))
+    }
+    // membership = the n smallest md5(doc_id) within each group
+    val expected = docs.select($"lang", $"doc_id",
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")).as("h"))
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(n).map(r => (lang, r._2)).toSeq
+      }.toSet
+    assert(out.toSet === expected)
+    val reparted = Sampling.uniformSampleNPerGroup(
+        docs.repartition(13), "lang", "doc_id", n)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(reparted === out.toSet)
+    // the rank limit prunes below the shuffle
+    val plan = Sampling.uniformSampleNPerGroup(docs, "lang", "doc_id", n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("epoch shuffle: reproducible per epoch, different across epochs") {
     val e1a = Sampling.epochShuffleRank(docs, "doc_id", 1)
       .as[(Long, Long)].collect().toMap
