@@ -1581,6 +1581,27 @@ object SparkEntry {
           batch => tables.LmModel.score(s, dir, batch))
         .orderBy(col("doc_id"))
     }),
+    "streaming_drift_gate" -> ((s, d) => {
+      // In-flight data-quality monitoring: each arriving micro-batch
+      // computes its PSI against the STATIC corpus baseline (the
+      // foreachBatch inference pattern — no cross-batch state, so
+      // stream ≡ batch by construction). Every batch emits the full
+      // per-bucket drift report tagged with its parity; the oracle
+      // replays both batches' PSI chains from scratch.
+      val docs = Tables.documents(s, d)
+      graft.streaming.DocReplay.run(s, docs, d) { batch =>
+        operators.Profile.driftPsi(docs, batch, col("lang"))
+          .crossJoin(broadcast(
+            batch.agg(min(col("doc_id") % 2).as("batch_parity"))))
+          // an EMPTY micro-batch (possible under re-scaled fixtures:
+          // the half corpus has no odd ids) has no defined tag and
+          // emits nothing — the oracle derives its parity set from
+          // the data for the same reason
+          .filter(col("batch_parity").isNotNull)
+          .select(col("batch_parity"), col("bucket"), col("n_before"),
+            col("n_after"), col("q"), col("p"), col("term_q"), col("psi"))
+      }.orderBy(col("batch_parity"), col("bucket"))
+    }),
     "lm_model_persisted" -> ((s, d) =>
       // Train-once / score-many: the bigram model persists to parquet
       // (vocabulary-sized relations) and scoring runs against the
@@ -5354,6 +5375,42 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang FROM h WHERE rn <= 20
          ORDER BY lang, doc_id""",
+    // Per-batch PSI vs the static baseline, replayed for both
+    // parities: same quantization chain as corpus_drift_psi, buckets
+    // fixed to the baseline set (batch buckets are always a subset).
+    "streaming_drift_gate" ->
+      """WITH par AS (SELECT DISTINCT doc_id % 2 AS batch_parity FROM documents),
+         b AS (
+           SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY 1),
+         a AS (
+           SELECT doc_id % 2 AS batch_parity, lang AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_after
+           FROM documents GROUP BY 1, 2),
+         j AS (
+           SELECT p.batch_parity, b.bucket, b.n_before,
+                  COALESCE(a.n_after, 0) AS n_after
+           FROM par p CROSS JOIN b
+           LEFT JOIN a ON a.batch_parity = p.batch_parity AND a.bucket = b.bucket),
+         t AS (
+           SELECT batch_parity, CAST(sum(n_before) AS BIGINT) AS tb,
+                  CAST(sum(n_after) AS BIGINT) AS ta,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM j GROUP BY 1),
+         e AS (
+           SELECT j.batch_parity, j.bucket, j.n_before, j.n_after,
+                  CAST(j.n_before + 1 AS DOUBLE) / CAST(t.tb + t.k AS DOUBLE) AS q,
+                  CAST(j.n_after + 1 AS DOUBLE) / CAST(t.ta + t.k AS DOUBLE) AS p
+           FROM j JOIN t ON j.batch_parity = t.batch_parity),
+         f AS (
+           SELECT batch_parity, bucket, n_before, n_after, q, p,
+                  CAST(round((p - q) *
+                    (CAST(CAST(round(ln(p / q) * 1e12) AS BIGINT) AS DOUBLE) / 1e12)
+                    * 1e15) AS BIGINT) AS term_q
+           FROM e)
+         SELECT batch_parity, bucket, n_before, n_after, q, p, term_q,
+                CAST(sum(term_q) OVER (PARTITION BY batch_parity) AS DOUBLE) / 1e15 AS psi
+         FROM f ORDER BY batch_parity, bucket""",
     // PSI replay: exact-integer smoothed shares, 1e12-quantized ln,
     // 1e15-quantized terms, integer total.
     "corpus_drift_psi" ->
