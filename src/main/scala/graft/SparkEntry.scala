@@ -1767,7 +1767,7 @@ object SparkEntry {
       // ann_ivfpq_recall (full probe isolates the PQ loss).
       Similarity.ivfpqTopK(Tables.embeddings(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
-        nlist = 16, nprobe = 4, m = 16, ksub = 64)),
+        nlist = 16, nprobe = 4, m = 16, ksub = 64, stageKey = Some(d))),
     "ann_ivfpq_recall" -> ((s, d) => {
       // IVF-PQ retrieval-quality pin, same contract as ann_pq_recall,
       // over the production two-stage pipeline (residual-ADC top-200 →
@@ -1781,7 +1781,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(emb, q, 10)
         .select(col("query_id"), col("vec_id"))
-      val ivfpq = Similarity.ivfpqTopKReranked(emb, q, 10)
+      val ivfpq = Similarity.ivfpqTopKReranked(emb, q, 10, stageKey = Some(d))
         .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
       exact.join(ivfpq, Seq("query_id", "vec_id"), "left")
         .groupBy(col("query_id"))

@@ -771,15 +771,27 @@ object Similarity {
     */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-                ksub: Int = 16, dim: Int = 64): DataFrame = {
+                ksub: Int = 16, dim: Int = 64,
+                stageKey: Option[String] = None): DataFrame = {
     val sd = dim / m
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0d), (acc, v) => acc + v)
-    val centroids = ivfCentroids(corpus, nlist)
+    // With a stageKey the index artifacts (centroids, codebooks, code
+    // table) memoize per (session, key, corpus fingerprint, params) —
+    // the IVF-PQ index IS the stored artifact a deployment builds once
+    // and queries many times (same discipline as the staged DSIR
+    // weights and LM counts); without one, everything stays in-flight.
+    def staged(name: String)(df: => DataFrame): DataFrame = stageKey match {
+      case Some(kk) =>
+        Stage.relation(s"ivfpq-$name|$kk|$nlist|$m|$ksub|$dim", Seq(corpus))(df)
+      case None => df
+    }
+    val centroids = staged("cent")(ivfCentroids(corpus, nlist))
     val resid = ivfpqResiduals(corpus, centroids)
-    val codebooks = pqCodebooks(resid, m, ksub, dim)
-    val enc = pqEncode(resid, codebooks, m, dim, carry = Seq("centroid_id"))
+    val codebooks = staged("cb")(pqCodebooks(resid, m, ksub, dim))
+    val enc = staged("enc")(
+      pqEncode(resid, codebooks, m, dim, carry = Seq("centroid_id")))
 
     // Probe: each query keeps its nprobe nearest cells (Q·nlist window
     // rows; centroid_id breaks exact-cosine ties).
@@ -852,9 +864,10 @@ object Similarity {
   def ivfpqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
                         candidates: Int = 200, nlist: Int = 16,
                         nprobe: Int = 16, m: Int = 16, ksub: Int = 64,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64,
+                        stageKey: Option[String] = None): DataFrame = {
     val cand = ivfpqTopK(corpus, queries, candidates, nlist, nprobe, m, ksub,
-        dim)
+        dim, stageKey)
       .select(col("query_id"), col("vec_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
