@@ -1892,7 +1892,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val labeled = docs
         .withColumn("label", col("source").isin(NbCuratedSources: _*))
-      val model = operators.Classifier.nbTrain(labeled, buckets = 512)
+      // the trained model (≤512 rows) is the stored artifact — staged
+      // per (session, dataset), the ivfpq/DSIR/LM discipline
+      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
+        operators.Classifier.nbTrain(labeled, buckets = 512))
       operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
     }),
     "quantile_check" -> ((s, d) => {
