@@ -1409,7 +1409,8 @@ object SparkEntry {
       // brute cosine pairs and closes the union with a recursive CTE
       // — an independent algorithm agreeing on every component.
       operators.Components.crossModalClusters(
-          Tables.documents(s, d), Tables.embeddings(s, d), sketch = true)
+          Tables.documents(s, d), Tables.embeddings(s, d), sketch = true,
+          stageKey = Some(d))
         .orderBy(col("doc_id"))),
     "dedup_incremental" -> ((s, d) => {
       // Continuous-ingest dedup: the standing corpus (doc_id < 250)

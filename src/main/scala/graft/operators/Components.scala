@@ -216,10 +216,16 @@ object Components {
   def crossModalClusters(docs: DataFrame, embeddings: DataFrame,
                          shingleK: Int = 3, jaccard: Double = 0.5,
                          cosine: Double = 0.45,
-                         sketch: Boolean = false): DataFrame = {
-    val textPairs =
-      if (sketch) Dedup.minhashPairs(docs, shingleK, threshold = jaccard)
-      else Dedup.ngramJaccardPairs(docs, shingleK, jaccard)
+                         sketch: Boolean = false,
+                         stageKey: Option[String] = None): DataFrame = {
+    val textPairs = (sketch, stageKey) match {
+      case (true, Some(k)) =>
+        // reuse the staged verified pair set every other dedup
+        // consumer reads (same key ⇒ same artifact, built once)
+        Dedup.minhashPairsStaged(docs, k, shingleK, threshold = jaccard)
+      case (true, None) => Dedup.minhashPairs(docs, shingleK, threshold = jaccard)
+      case (false, _) => Dedup.ngramJaccardPairs(docs, shingleK, jaccard)
+    }
     val textEdges = textPairs
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val embEdges = graft.operators.Similarity.cosinePairsBrute(embeddings, cosine)
