@@ -2353,7 +2353,7 @@ object SparkEntry {
       // union branches) — localCheckpoint materializes it once instead
       // of re-running the block-triangle join per consumer.
       val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.cosinePairsBrute(emb, 0.45).localCheckpoint()
+      val pairs = Similarity.cosinePairsStaged(emb, d, 0.45)
       val qIds = pairs.select(col("vec_id_a").as("vec_id"))
         .unionAll(pairs.select(col("vec_id_b").as("vec_id")))
         .distinct().orderBy(col("vec_id")).limit(5)
@@ -2572,7 +2572,7 @@ object SparkEntry {
       // ≥ 0.25 (measured 0.43/0.36/0.30 at sf0.001/0.01/0.1).
       // n_exact is crosschecked by DuckDB list_cosine_similarity.
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.cosinePairsBrute(emb, 0.45)
+      val exact = Similarity.cosinePairsStaged(emb, d, 0.45)
         .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__ex"))
       val detected = Similarity.cosinePairsLsh(emb, 0.45)
         .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__hit"))
@@ -2804,7 +2804,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Sampling.negativeSamples(
         emb, emb.filter(col("vec_id") < 5), 4,
-        exclude = Similarity.cosinePairsBrute(emb, 0.45)
+        exclude = Similarity.cosinePairsStaged(emb, d, 0.45)
           .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b")))
     }),
     "mixture_sample" -> ((s, d) =>

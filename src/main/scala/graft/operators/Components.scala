@@ -228,7 +228,13 @@ object Components {
     }
     val textEdges = textPairs
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val embEdges = graft.operators.Similarity.cosinePairsBrute(embeddings, cosine)
+    val embPairs = stageKey match {
+      case Some(k) =>
+        graft.operators.Similarity.cosinePairsStaged(embeddings, k, cosine)
+      case None =>
+        graft.operators.Similarity.cosinePairsBrute(embeddings, cosine)
+    }
+    val embEdges = embPairs
       .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
     connectedComponentsStar(docs.select(col("doc_id").as("id")),
         textEdges.unionByName(embEdges))

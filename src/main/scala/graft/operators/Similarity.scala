@@ -883,6 +883,19 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** [[cosinePairsBrute]] staged per (session, key, corpus
+    * fingerprint, threshold, blocks) — the verified embedding
+    * near-dup pair set is a stored artifact shared by every consumer
+    * (negative mining, crossmodal clustering, recall pins): the
+    * lexical `Dedup.minhashPairsStaged` twin. The definitional
+    * `dedup_embedding_pairs` row stays unstaged so the generator
+    * itself remains live-measured.
+    */
+  def cosinePairsStaged(corpus: DataFrame, key: String, threshold: Double,
+                        blocks: Int = 0): DataFrame =
+    Stage.relation(s"cospairs|$key|$threshold|$blocks", Seq(corpus))(
+      cosinePairsBrute(corpus, threshold, blocks))
+
   /** Incremental embedding near-dedup, exact: drop every FRESH vector
     * within `threshold` cosine of a lower-id vector (standing corpus
     * or earlier fresh). The corpus NEVER self-pairs: compute is the
