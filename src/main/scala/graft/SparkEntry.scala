@@ -171,6 +171,57 @@ object SparkEntry {
        ORDER BY nd.lang"""
   }
 
+  /** Generated PageRank oracle: the knn-graph CTEs plus `iters`
+    * chained integer-exact damped-update stages (the BPE merge-chain
+    * oracle pattern).
+    */
+  private def knnPagerankSql(iters: Int): String = {
+    val base =
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (
+           SELECT vec_id AS centroid_id, emb AS centroid FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asg AS (
+           SELECT vec_id, emb, centroid_id FROM (
+             SELECT e.vec_id, e.emb, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC,
+                               c.centroid_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         g AS (
+           SELECT vec_id, nb_id FROM (
+             SELECT a.vec_id, b.vec_id AS nb_id,
+                    row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                               b.vec_id) AS rank
+             FROM asg a JOIN asg b
+               ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+           WHERE rank <= 5),
+         nodes AS (SELECT vec_id FROM e),
+         deg AS (SELECT vec_id AS src, CAST(count(*) AS BIGINT) AS deg
+                 FROM g GROUP BY 1),
+         r0 AS (SELECT vec_id, CAST(1000000000000 AS BIGINT) AS rank_q
+                FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+         c$i AS (
+           SELECT g.nb_id AS vec_id,
+                  CAST(sum($prev.rank_q // d.deg) AS BIGINT) AS in_q
+           FROM g JOIN $prev ON g.vec_id = $prev.vec_id
+           JOIN deg d ON g.vec_id = d.src GROUP BY 1),
+         r$i AS (
+           SELECT n.vec_id,
+                  CAST(150000000000 + (85 * COALESCE(c$i.in_q, 0)) // 100
+                    AS BIGINT) AS rank_q
+           FROM nodes n LEFT JOIN c$i ON n.vec_id = c$i.vec_id)"""
+    }.mkString
+    base + steps +
+      s"\n         SELECT vec_id, rank_q FROM r$iters ORDER BY rank_q DESC, vec_id"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 reads ------------------------------------------------
@@ -1752,6 +1803,12 @@ object SparkEntry {
       // replayable in DuckDB, so the whole graph (ranks included)
       // matches bit-for-bit, no recall floor needed.
       Similarity.knnGraphIvf(Tables.embeddings(s, d))),
+    "knn_pagerank" -> ((s, d) =>
+      // Graph centrality for data selection: 3 damped PageRank rounds
+      // over the kNN edges, every step integer (1e12-scaled longs,
+      // truncating div) — scores AND ordering bit-identical to the
+      // oracle's generated iteration CTEs.
+      Similarity.knnPageRank(Tables.embeddings(s, d))),
     "knn_label_propagate" -> ((s, d) =>
       // Semi-supervised auto-labeling over the kNN graph: 10% seeds
       // keep their label, the rest take the integer-exact majority of
@@ -6263,6 +6320,7 @@ object SparkEntry {
          SELECT vec_id, centroid_id, nb_id, cosine,
                 CAST(rank AS BIGINT) AS rank
          FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
+    "knn_pagerank" -> knnPagerankSql(3),
     // The propagation round over the same replayed graph: seed join,
     // integer vote counts, majority window with the smaller-label tie.
     "knn_label_propagate" ->

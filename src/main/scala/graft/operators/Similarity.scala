@@ -688,6 +688,46 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Graph centrality over the kNN graph — the "representative
+    * documents first" signal graph-based data selection ranks by:
+    * `iters` rounds of PageRank with damping 0.85 over the directed
+    * top-k neighbour edges. EVERY arithmetic step is integer: ranks
+    * live as 1e12-scaled longs, per-edge contributions are truncating
+    * long division `rank div deg`, and the damped update is
+    * `0.15·SCALE + (85·Σcontrib) div 100` — so the scores (not just
+    * the ordering) are bit-identical on any engine, no float
+    * accumulation anywhere. Unnormalized per-node base (the common
+    * practical variant); overflow bound: 85·Σcontrib stays under
+    * Long.Max while in-neighbour rank mass < ~1e17, far past any
+    * realistic in-degree at SCALE=1e12.
+    *
+    * Scale shape: each round is one skinny (src, dst, long) join +
+    * partial-agg'd sum per dst — the standard distributed PageRank
+    * step; the graph generation cost dominates and is cell-bounded.
+    */
+  def knnPageRank(corpus: DataFrame, iters: Int = 3, k: Int = 5,
+                  nlist: Int = 16): DataFrame = {
+    val edges = knnGraphIvf(corpus, k, nlist)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+    val nodes = corpus.filter(col("embedding").isNotNull).select(col("vec_id"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val Scale = 1000000000000L
+    var ranks = nodes.select(col("vec_id"), lit(Scale).as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank_q div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_q"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(Scale / 100L * 15L) +
+            expr("(85 * coalesce(in_q, 0)) div 100")).as("rank_q"))
+    }
+    ranks.orderBy(col("rank_q").desc, col("vec_id"))
+  }
+
   /** One deterministic round of kNN label propagation over
     * [[knnGraphIvf]] — the semi-supervised auto-labeling step: seed
     * vectors (vec_id % seedMod == 0, modeling the hand-labeled subset)

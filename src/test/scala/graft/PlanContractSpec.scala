@@ -282,7 +282,7 @@ class PlanContractSpec extends SparkSpec {
       // cross side is nlist-, Q·nprobe- or Q·nprobe·m·ksub-sized
       "ann_ivfpq_topk", "ann_ivfpq_recall",
       // packed-centroid 1-row broadcast cross (assignment argmin)
-      "knn_graph", "knn_label_propagate",
+      "knn_graph", "knn_label_propagate", "knn_pagerank",
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
       "cluster_diversity_sample", "prototype_prune", "quality_topk_by_lang",

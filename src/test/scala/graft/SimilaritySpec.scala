@@ -337,6 +337,35 @@ class SimilaritySpec extends SparkSpec {
     assert(g2 === g.map(r => (r._1, r._3, r._5)).toSet)
   }
 
+  test("knn pagerank: integer-exact update verified against the graph, repartition-stable") {
+    val emb = tables.Tables.embeddings(spark, sf)
+    val Scale = 1000000000000L
+    val pr = Similarity.knnPageRank(emb, iters = 2, k = 5, nlist = 8)
+      .as[(Long, Long)].collect()
+    val live = emb.filter($"embedding".isNotNull).count()
+    assert(pr.length.toLong === live)
+    // replay the two integer rounds from the graph edges in scala
+    val g = Similarity.knnGraphIvf(emb, k = 5, nlist = 8)
+      .select($"vec_id", $"nb_id").as[(Long, Long)].collect()
+    val deg = g.groupBy(_._1).map { case (s, e) => s -> e.length.toLong }
+    val nodes = pr.map(_._1)
+    var ranks = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to 2) {
+      val in = g.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => ranks(e._1) / deg(e._1)).sum
+      }
+      ranks = nodes.map(v =>
+        v -> (Scale / 100L * 15L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    pr.foreach { case (v, rq) => assert(rq === ranks(v), s"node $v") }
+    // a node nobody links to sits at exactly the damped base
+    val inDeg = g.map(_._2).toSet
+    nodes.filterNot(inDeg).foreach(v => assert(ranks(v) === 150000000000L))
+    val pr2 = Similarity.knnPageRank(emb.repartition(9), iters = 2, k = 5, nlist = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(pr2 === pr.toMap)
+  }
+
   test("label propagation: seeds keep labels, majority + tie rule verified vs graph") {
     val emb = tables.Tables.embeddings(spark, sf)
     val out = Similarity.labelPropagate(emb, k = 5, nlist = 8)
