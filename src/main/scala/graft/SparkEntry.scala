@@ -1380,6 +1380,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("split_a"), col("split_b"))
     }),
+    "source_overlap" -> ((s, d) => {
+      // Provenance contamination report: which SOURCE pairs share
+      // near-duplicate content (a crawl that plagiarizes another, a
+      // mirror, a laundered dump) — the matrix a licensing/dedup
+      // review reads. Composes the staged verified pair set with the
+      // source dimension; pair sides normalize (least/greatest) so
+      // each unordered source pair is one cell.
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashPairsStaged(docs, d)
+        .join(src.withColumnRenamed("doc_id", "doc_id_a")
+          .withColumnRenamed("source", "src_a"), "doc_id_a")
+        .join(src.withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("source", "src_b"), "doc_id_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    "token_entropy" -> ((s, d) =>
+      // Token-diversity quality signal: per-doc unigram entropy,
+      // integer-exact (quantized-ln longs, one truncating division)
+      // so entropy_q AND the single-division double hash-match.
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     "split_by_component" -> ((s, d) => {
       // Leakage-safe split assignment: docs inherit their near-dup
       // COMPONENT's hash split, so near-dup pairs cannot straddle
@@ -4961,6 +4986,61 @@ object SparkEntry {
          FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
          JOIN sp sb ON pairs.pb = sb.doc_id
          GROUP BY 1, 2 ORDER BY split_a, split_b""",
+    // The uncapped blocked-exact pair set joined to sources, pair
+    // normalized to the unordered source cell.
+    "source_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_dup_pairs
+         FROM pairs
+         JOIN documents da ON pairs.pa = da.doc_id
+         JOIN documents db ON pairs.pb = db.doc_id
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // Entropy replay: identical quantization chain (per-count ln
+    // longs, integer fold, truncating division).
+    "token_entropy" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e12) AS BIGINT))
+                    AS BIGINT) AS clnc_q
+           FROM c GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+                  COALESCE(per.n_tokens, 0) AS n_tokens,
+                  CASE WHEN COALESCE(per.n_tokens, 0) > 0
+                       THEN CAST(round(ln(CAST(per.n_tokens AS DOUBLE)) * 1e12) AS BIGINT)
+                            - per.clnc_q // per.n_tokens
+                       ELSE CAST(0 AS BIGINT) END AS entropy_q
+           FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+         SELECT doc_id, n_tokens, entropy_q,
+                CAST(entropy_q AS DOUBLE) / 1e12 AS entropy
+         FROM fin ORDER BY doc_id""",
     // Components from scratch (recursive closure over the uncapped
     // blocked-exact pair set) + the md5 split replayed on cluster_id.
     "split_by_component" ->

@@ -322,6 +322,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document unigram token entropy — the token-diversity quality
+    * signal (near-zero entropy = a few tokens repeated: boilerplate,
+    * keyword stuffing, generation loops; the complement of the
+    * repetition gates, which look at STRUCTURED repeats).
+    * H = ln(n) − (Σ c·ln c)/n over per-doc token counts c, computed
+    * integer-exact: each ln is a round(ln·1e12) long, the Σ c·ln_q(c)
+    * is an integer sum, and the /n is one truncating long division —
+    * entropy_q (and its single-division double) hash-match any engine.
+    *
+    * Scale shape: one explode into (doc_id, 8-ish-byte term) rows,
+    * partial-agg'd counts per (doc, term), partial-agg'd per-doc fold
+    * — no window, no broadcast, nothing corpus-sized on the driver.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") *
+          round(log(col("c").cast("double")) * 1e12d).cast("long"))
+          .as("__clnc_q"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(log(col("n_tokens").cast("double")) * 1e12d).cast("long") -
+            expr("__clnc_q div n_tokens"))
+          .otherwise(lit(0L)).as("entropy_q"))
+      .withColumn("entropy", col("entropy_q").cast("double") / 1e12d)
+      .orderBy(col("doc_id"))
+  }
+
   /** Frequency-ranked vocabulary: the top `size` words by corpus
     * count, ids 1..size in (count desc, word) order — deterministic
     * ties, id 0 reserved for OOV. One partial-agg'd wordcount; the

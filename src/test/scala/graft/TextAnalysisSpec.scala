@@ -174,6 +174,27 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", "ena", 2L, 2L, 4.0), ("en", "enb", 1L, 1L, 4.0)))
   }
 
+  test("token entropy: hand-checked quantization chain, uniform vs repeated, blank docs") {
+    val d = Seq(
+      (0L, "a b c d"),        // uniform: H = ln 4
+      (1L, "a a a a"),        // degenerate: H = 0
+      (2L, "a a b"),          // mixed: ln 3 − (2·ln 2)/3
+      (3L, "   ")             // blank: 0 tokens, entropy 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def lnq(x: Long): Long = math.round(math.log(x.toDouble) * 1e12)
+    assert(out(0L) === ((0L, 4L, lnq(4), lnq(4).toDouble / 1e12)))
+    assert(out(1L) === ((1L, 4L, lnq(4) - 4L * lnq(4) / 4L,
+      (lnq(4) - 4L * lnq(4) / 4L).toDouble / 1e12)))
+    assert(out(1L)._3 === 0L) // 4·ln(4)/4 cancels exactly in the integer domain
+    val e2 = lnq(3) - (2L * lnq(2)) / 3L
+    assert(out(2L)._3 === e2)
+    assert(out(3L) === ((3L, 0L, 0L, 0.0)))
+    // diversity orders as expected: uniform > mixed > repeated
+    assert(out(0L)._4 > out(2L)._4 && out(2L)._4 > out(1L)._4)
+  }
+
   test("hashing tfidf: hand-checked arithmetic, blank docs, repartition-stable") {
     val d = Seq(
       (0L, "aa aa bb"),
