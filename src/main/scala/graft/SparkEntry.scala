@@ -1380,6 +1380,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("split_a"), col("split_b"))
     }),
+    "release_gate" -> ((s, d) => {
+      // The one-row go/no-go a corpus release reads: every number is
+      // a composition of staged artifacts (pair set, component
+      // labels, drift report, decontamination) so the gate costs
+      // agg-sized work, and every number is independently recomputed
+      // from scratch by the oracle. leakage is structurally zero
+      // (component split); the fixture's planted contamination is
+      // REPORTED but gated separately — release_ok covers the two
+      // invariants a release can actually promise.
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairsStaged(docs, d)
+      val labels = operators.Components.nearDupLabelsStaged(docs, d)
+      val split = operators.Sampling.splitByComponent(docs, labels)
+        .select(col("doc_id"), col("split"))
+      val cross = pairs
+        .join(split.withColumnRenamed("doc_id", "doc_id_a")
+          .withColumnRenamed("split", "split_a"), "doc_id_a")
+        .join(split.withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("split", "split_b"), "doc_id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as("leakage_cross_pairs"))
+      val psi = operators.Profile.driftPsi(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), col("lang"))
+        .agg(max(col("psi")).as("psi_even_odd"))
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40).as("phrase"))
+      val cleanN = TextAnalysis.decontaminate(docs, phrases)
+        .agg(count(lit(1)).as("__clean"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("near_dup_pairs"))))
+        .crossJoin(broadcast(cross))
+        .crossJoin(broadcast(psi))
+        .crossJoin(broadcast(cleanN))
+        .select(col("n_docs"), col("near_dup_pairs"),
+          col("leakage_cross_pairs"), col("psi_even_odd"),
+          (col("n_docs") - col("__clean")).as("contaminated_docs"),
+          (col("leakage_cross_pairs") === 0).as("leakage_ok"),
+          (col("psi_even_odd") < 0.2).as("drift_ok"),
+          (col("leakage_cross_pairs") === 0 && col("psi_even_odd") < 0.2)
+            .as("release_ok"))
+    }),
     "source_overlap" -> ((s, d) => {
       // Provenance contamination report: which SOURCE pairs share
       // near-duplicate content (a crawl that plagiarizes another, a
@@ -4986,6 +5028,93 @@ object SparkEntry {
          FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
          JOIN sp sb ON pairs.pb = sb.doc_id
          GROUP BY 1, 2 ORDER BY split_a, split_b""",
+    // Every gate number recomputed from scratch: pair set + recursive
+    // components + component split for leakage, the PSI quantization
+    // chain, and the contains() anti-join for contamination.
+    "release_gate" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(floor(n_chars / 16) AS BIGINT) AS bucket0,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t),
+         bk AS (
+           SELECT doc_id, sh, unnest([bucket0, bucket0 + 1]) AS bucket FROM s),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, c.doc_id AS pb
+           FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           WHERE len(list_distinct(list_concat(a.sh, c.sh))) > 0
+             AND CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5),
+         e AS (SELECT pa AS ea, pb AS eb FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id),
+         lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        list_reduce([strpos('0123456789abcdef', x) - 1
+                                     for x in [substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)
+                                               for i in range(1, 9)]],
+                                    (a, b) -> a * 16 + b) % 100 AS b
+                 FROM lab)),
+         leak AS (
+           SELECT CAST(count(*) AS BIGINT) AS leakage_cross_pairs
+           FROM pairs JOIN sp sa ON pairs.pa = sa.doc_id
+           JOIN sp sb ON pairs.pb = sb.doc_id
+           WHERE sa.split <> sb.split),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS near_dup_pairs FROM pairs),
+         pb AS (
+           SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         pa2 AS (
+           SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_after
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         pj AS (
+           SELECT COALESCE(pb.bucket, pa2.bucket) AS bucket,
+                  COALESCE(pb.n_before, 0) AS n_before,
+                  COALESCE(pa2.n_after, 0) AS n_after
+           FROM pb FULL JOIN pa2 ON pb.bucket = pa2.bucket),
+         pt AS (
+           SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                  CAST(sum(n_after) AS BIGINT) AS ta,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM pj),
+         pe AS (
+           SELECT CAST(pj.n_before + 1 AS DOUBLE) / CAST(pt.tb + pt.k AS DOUBLE) AS q,
+                  CAST(pj.n_after + 1 AS DOUBLE) / CAST(pt.ta + pt.k AS DOUBLE) AS p
+           FROM pj CROSS JOIN pt),
+         psi AS (
+           SELECT CAST(sum(CAST(round((p - q) *
+                    (CAST(CAST(round(ln(p / q) * 1e12) AS BIGINT) AS DOUBLE) / 1e12)
+                    * 1e15) AS BIGINT)) AS BIGINT) AS psi_q
+           FROM pe),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         cl AS (
+           SELECT CAST(count(*) AS BIGINT) AS clean_docs
+           FROM documents d
+           WHERE NOT EXISTS (
+             SELECT 1 FROM documents b2
+             WHERE b2.doc_id < 5 AND contains(d.text, substr(b2.text, 1, 40))))
+         SELECT nd.n_docs, np.near_dup_pairs, leak.leakage_cross_pairs,
+                CAST(psi.psi_q AS DOUBLE) / 1e15 AS psi_even_odd,
+                nd.n_docs - cl.clean_docs AS contaminated_docs,
+                leak.leakage_cross_pairs = 0 AS leakage_ok,
+                CAST(psi.psi_q AS DOUBLE) / 1e15 < 0.2 AS drift_ok,
+                leak.leakage_cross_pairs = 0 AND
+                  CAST(psi.psi_q AS DOUBLE) / 1e15 < 0.2 AS release_ok
+         FROM nd CROSS JOIN np CROSS JOIN leak CROSS JOIN psi CROSS JOIN cl""",
     // The uncapped blocked-exact pair set joined to sources, pair
     // normalized to the unordered source cell.
     "source_overlap" ->

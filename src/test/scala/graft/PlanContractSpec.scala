@@ -296,6 +296,10 @@ class PlanContractSpec extends SparkSpec {
       // 1-row totals aggregate (tb, ta, k) broadcast cross onto the
       // bucket-sized PSI relation
       "corpus_drift_psi",
+      // pure 1-row-aggregate composition: every cross side is a
+      // single-row gate metric (counts, psi, clean count) + the
+      // decontamination phrase broadcast
+      "release_gate",
       // 1-row fixture-derived planted-copy count rides in as a
       // broadcast cross (r9: count derived, not hardcoded)
       "multimodal_image_dup_check",
