@@ -1819,6 +1819,17 @@ object SparkEntry {
       tables.VectorIndex.topK(s, dir,
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
     }),
+    "streaming_index_append" -> ((s, d) => {
+      // Continuous embedding ingest: the fresh batch streams in as
+      // two REAL micro-batches, each appending into the persisted
+      // cells against the standing centroids (foreachBatch — no
+      // rebuild, no cross-batch state). Full probe over the final
+      // index ≡ brute force over the union corpus, same oracle as
+      // the batch append row.
+      val dir = streamingIndexAppendDir(s, d)
+      tables.VectorIndex.topK(s, dir,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10, nprobe = 16)
+    }),
     "ann_index_append" -> ((s, d) => {
       // Index MAINTENANCE: the fresh batch (vec_id < 50) appends into
       // the persisted cells against the standing centroids — no
@@ -3216,6 +3227,32 @@ object SparkEntry {
         rm(dir.toFile)
       }))
       tables.VectorIndex.write(Tables.embeddings(s, d), dir.toString, nlist = 16)
+      dir.toString
+    })
+
+  /** [[vectorIndexAppendDir]]'s STREAMING twin: the fresh batch
+    * arrives as a real two-micro-batch stream and each batch appends
+    * into the persisted cells via foreachBatch — continuous embedding
+    * ingest end to end. Memoized per (process, dataset) so the stream
+    * runs exactly once.
+    */
+  private def streamingIndexAppendDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#streamappend", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_str_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val emb = Tables.embeddings(s, d)
+      tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
+        dir.toString, nlist = 16)
+      graft.streaming.DocReplay.run(s, emb.filter(col("vec_id") < 50),
+          s"$d#idxfresh", idCol = "vec_id") { batch =>
+        tables.VectorIndex.append(batch, dir.toString)
+        batch.select(col("vec_id"))
+      }
       dir.toString
     })
 
@@ -6443,6 +6480,24 @@ object SparkEntry {
          ORDER BY vec_id""",
     // Same brute-force ranking as ann_cosine_topk: the persisted
     // full-probe index must reproduce the exact baseline bit-for-bit.
+    // Streamed appends compose to the same index: identical union
+    // brute-force oracle.
+    "streaming_index_append" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     // Append-then-probe must lose nothing vs the union corpus: same
     // brute-force oracle as ann_index_persisted.
     "ann_index_append" ->

@@ -41,16 +41,17 @@ object DocReplay {
   /** Stage `docs` once per (process, key, schema): two parquet files
     * with strictly ordered modification times.
     */
-  def stagedDocs(spark: SparkSession, docs: DataFrame, key: String): Path =
-    staged.getOrElseUpdate(s"$key#${docs.schema.catalogString.hashCode}", {
+  def stagedDocs(spark: SparkSession, docs: DataFrame, key: String,
+                 idCol: String = "doc_id"): Path =
+    staged.getOrElseUpdate(s"$key#$idCol#${docs.schema.catalogString.hashCode}", {
       val base = Files.createTempDirectory("graft_docreplay_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
       val stage = base.resolve("stage")
-      docs.filter(col("doc_id") % 2 === 0)
+      docs.filter(col(idCol) % 2 === 0)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val t0 = partFiles(stage).map(f => Files.getLastModifiedTime(f).toMillis).max
       val before = partFiles(stage)
-      docs.filter(col("doc_id") % 2 === 1)
+      docs.filter(col(idCol) % 2 === 1)
         .coalesce(1).write.mode("append").parquet(stage.toString)
       (partFiles(stage) -- before).foreach(f =>
         Files.setLastModifiedTime(f, FileTime.fromMillis(t0 + 60000L)))
@@ -61,9 +62,10 @@ object DocReplay {
     * (foreachBatch), appending each batch's output to a parquet sink;
     * returns a batch DataFrame over the union of emissions.
     */
-  def run(spark: SparkSession, docs: DataFrame, key: String)
+  def run(spark: SparkSession, docs: DataFrame, key: String,
+          idCol: String = "doc_id")
          (op: DataFrame => DataFrame): DataFrame = {
-    val base = stagedDocs(spark, docs, key)
+    val base = stagedDocs(spark, docs, key, idCol)
     val n = runSeq.incrementAndGet()
     val out = base.resolve(s"out_$n")
     val ck = base.resolve(s"ck_$n")
