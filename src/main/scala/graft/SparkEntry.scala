@@ -1442,6 +1442,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dup_pairs"))
         .orderBy(col("source_a"), col("source_b"))
     }),
+    "distinct_ngrams" -> ((s, d) =>
+      // distinct-1 / distinct-2 per source (Li et al. 2016): the
+      // templated-text detector at source granularity; exact twin
+      // (scale path = HLL distinct, noted on the operator).
+      TextAnalysis.distinctNgrams(Tables.documents(s, d))),
     "token_entropy" -> ((s, d) =>
       // Token-diversity quality signal: per-doc unigram entropy,
       // integer-exact (quantized-ln longs, one truncating division)
@@ -5181,6 +5186,35 @@ object SparkEntry {
          JOIN documents da ON pairs.pa = da.doc_id
          JOIN documents db ON pairs.pb = db.doc_id
          GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // distinct-n replay: exact gram sets per source, ratio as one
+    // double division of exact counts.
+    "distinct_ngrams" ->
+      """WITH t AS (
+           SELECT source,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         g1 AS (SELECT source, unnest(w) AS gram FROM t),
+         a1 AS (
+           SELECT source, CAST(1 AS INT) AS n,
+                  CAST(count(*) AS BIGINT) AS total_ngrams,
+                  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+           FROM g1 GROUP BY source),
+         s2 AS (
+           SELECT source, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i, w
+           FROM t),
+         g2 AS (SELECT source, array_to_string(w[i:i+1], ' ') AS gram FROM s2),
+         a2 AS (
+           SELECT source, CAST(2 AS INT) AS n,
+                  CAST(count(*) AS BIGINT) AS total_ngrams,
+                  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+           FROM g2 GROUP BY source),
+         u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         SELECT source, n, total_ngrams, distinct_ngrams,
+                CASE WHEN total_ngrams > 0
+                     THEN CAST(distinct_ngrams AS DOUBLE) /
+                          CAST(total_ngrams AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS distinct_ratio
+         FROM u ORDER BY source, n""",
     // Entropy replay: identical quantization chain (per-count ln
     // longs, integer fold, truncating division).
     "token_entropy" ->
