@@ -2763,6 +2763,11 @@ object SparkEntry {
       // estimates are engine-internal).
       operators.Profile.profileApprox(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "embedding_covariance" -> ((s, d) =>
+      // Anisotropy diagnostics: upper-triangle covariance of the
+      // quantized embedding components — exact decimal moments kept
+      // under 2^53 so the int->double cast is exact on both engines.
+      operators.Profile.embeddingCovariance(Tables.embeddings(s, d))),
     "corpus_drift_psi" -> ((s, d) => {
       // Refresh-gate drift monitor: PSI of the language distribution
       // between two corpus snapshots (even/odd doc halves as the
@@ -5752,6 +5757,29 @@ object SparkEntry {
          SELECT batch_parity, bucket, n_before, n_after, q, p, term_q,
                 CAST(sum(term_q) OVER (PARTITION BY batch_parity) AS DOUBLE) / 1e15 AS psi
          FROM f ORDER BY batch_parity, bucket""",
+    // Exact HUGEINT moment mirror of the quantized covariance; the
+    // n·Σab − Σa·Σb numerator casts to DOUBLE once, then the same
+    // two-division chain as the engine.
+    "embedding_covariance" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest([{'dim': i - 1,
+                           'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT vec_id, u['dim'] AS dim, u['q'] AS q FROM e),
+         p AS (
+           SELECT a.dim AS dim_a, b.dim AS dim_b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(a.q AS HUGEINT) * b.q) AS sab,
+                  sum(CAST(a.q AS HUGEINT)) AS sa,
+                  sum(CAST(b.q AS HUGEINT)) AS sb
+           FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+           GROUP BY 1, 2)
+         SELECT dim_a, dim_b, n,
+                CAST(n * sab - sa * sb AS DOUBLE) /
+                  CAST(n * n AS DOUBLE) / (1000.0 * 1000.0) AS cov
+         FROM p ORDER BY dim_a, dim_b""",
     // PSI replay: exact-integer smoothed shares, 1e12-quantized ln,
     // 1e15-quantized terms, integer total.
     "corpus_drift_psi" ->

@@ -86,6 +86,48 @@ object Profile {
     * ran: `Profile.observed(df, "stage") → (df2, obs)`;
     * `obs.get("n_rows")`.
     */
+  /** Embedding covariance diagnostics — the anisotropy report
+    * (Ethayarajh 2019: contextual embeddings concentrate in a narrow
+    * cone; a dominant diagonal + large off-diagonal mass means cosine
+    * similarities are inflated and whitening is warranted). Emits the
+    * upper-triangle population covariance per (dim_a ≤ dim_b) over
+    * 1e3-quantized components: all moment sums are exact DECIMAL
+    * integers (the label_centroid_sim discipline), and the quantum is
+    * chosen so the n·Σab − Σa·Σb numerator stays under 2^53 — the
+    * int→double cast is then EXACT on every engine (at 1e7 the
+    * ~1e20 numerator's cast rounded differently between BigDecimal
+    * and HUGEINT paths, a measured 1-ulp drift), and the two-division
+    * chain is bit-identical to the oracle's HUGEINT mirror at any
+    * partitioning. The statistic is the quantized-domain covariance —
+    * exactly defined, with ≤5e-4 component quantization error.
+    *
+    * Scale shape: one row-local explode to (vec_id, dim, q), one
+    * vec_id-keyed self-join fanning to dim(dim+1)/2 skinny rows per
+    * vector, partial-aggregated to the dim²-sized output before the
+    * exchange — the corpus never moves whole embeddings for this.
+    */
+  def embeddingCovariance(emb: DataFrame, quant: Double = 1e3): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val comp = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v").cast("double") * quant).cast("long").as("q"))
+    val a = comp.select(col("vec_id"), col("dim").as("dim_a"), col("q").as("qa"))
+    val b = comp.select(col("vec_id"), col("dim").as("dim_b"), col("q").as("qb"))
+    a.join(b, Seq("vec_id")).filter(col("dim_a") <= col("dim_b"))
+      .groupBy(col("dim_a"), col("dim_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("qa") * col("qb"))).as("__sab"),
+        sum(dec(col("qa"))).as("__sa"),
+        sum(dec(col("qb"))).as("__sb"))
+      .select(col("dim_a"), col("dim_b"), col("n"),
+        ((dec(col("n")) * col("__sab") - col("__sa") * col("__sb"))
+          .cast("double") /
+          (col("n") * col("n")).cast("double") / (quant * quant)).as("cov"))
+      .orderBy(col("dim_a"), col("dim_b"))
+  }
+
   /** Population-stability-index drift monitor between two corpus
     * snapshots — the gate a refresh pipeline runs before swapping in a
     * new crawl (PSI > 0.2 is the conventional "distribution moved,
