@@ -2768,6 +2768,10 @@ object SparkEntry {
       // quantized embedding components — exact decimal moments kept
       // under 2^53 so the int->double cast is exact on both engines.
       operators.Profile.embeddingCovariance(Tables.embeddings(s, d))),
+    "embedding_anisotropy" -> ((s, d) =>
+      // Top-line whitening diagnostic: diagonal vs off-diagonal
+      // covariance mass as exact integer sums; one double ratio.
+      operators.Profile.embeddingAnisotropy(Tables.embeddings(s, d))),
     "corpus_drift_psi" -> ((s, d) => {
       // Refresh-gate drift monitor: PSI of the language distribution
       // between two corpus snapshots (even/odd doc halves as the
@@ -5780,6 +5784,32 @@ object SparkEntry {
                 CAST(n * sab - sa * sb AS DOUBLE) /
                   CAST(n * n AS DOUBLE) / (1000.0 * 1000.0) AS cov
          FROM p ORDER BY dim_a, dim_b""",
+    // Anisotropy summary over the same exact numerators.
+    "embedding_anisotropy" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest([{'dim': i - 1,
+                           'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT vec_id, u['dim'] AS dim, u['q'] AS q FROM e),
+         p AS (
+           SELECT a.dim AS dim_a, b.dim AS dim_b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(a.q AS HUGEINT) * b.q)
+                       - sum(CAST(a.q AS HUGEINT)) * sum(CAST(b.q AS HUGEINT))
+                    AS BIGINT) AS num_q
+           FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+           GROUP BY 1, 2)
+         SELECT CAST(count(*) FILTER (WHERE dim_a = dim_b) AS BIGINT) AS n_dims,
+                CAST(sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) AS BIGINT) AS trace_q,
+                CAST(sum(CASE WHEN dim_a <> dim_b THEN abs(num_q) ELSE 0 END) AS BIGINT) AS offdiag_abs_q,
+                CAST(max(CASE WHEN dim_a <> dim_b THEN abs(num_q) ELSE 0 END) AS BIGINT) AS max_offdiag_abs_q,
+                CASE WHEN sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) > 0
+                     THEN CAST(sum(CASE WHEN dim_a <> dim_b THEN abs(num_q) ELSE 0 END) AS DOUBLE) /
+                          CAST(sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS anisotropy_ratio
+         FROM p""",
     // PSI replay: exact-integer smoothed shares, 1e12-quantized ln,
     // 1e15-quantized terms, integer total.
     "corpus_drift_psi" ->

@@ -106,7 +106,12 @@ object Profile {
     * vector, partial-aggregated to the dim²-sized output before the
     * exchange — the corpus never moves whole embeddings for this.
     */
-  def embeddingCovariance(emb: DataFrame, quant: Double = 1e3): DataFrame = {
+  /** (dim_a ≤ dim_b, n, num_q): the exact integer covariance
+    * numerator n·Σab − Σa·Σb per cell — shared by the per-cell
+    * report and the anisotropy summary. num_q < 2^53 by the quantum
+    * contract, so every downstream cast is exact.
+    */
+  private def covMoments(emb: DataFrame, quant: Double): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) =>
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val comp = emb.filter(col("embedding").isNotNull)
@@ -122,11 +127,39 @@ object Profile {
         sum(dec(col("qa"))).as("__sa"),
         sum(dec(col("qb"))).as("__sb"))
       .select(col("dim_a"), col("dim_b"), col("n"),
-        ((dec(col("n")) * col("__sab") - col("__sa") * col("__sb"))
-          .cast("double") /
+        (dec(col("n")) * col("__sab") - col("__sa") * col("__sb"))
+          .cast("long").as("num_q"))
+  }
+
+  def embeddingCovariance(emb: DataFrame, quant: Double = 1e3): DataFrame =
+    covMoments(emb, quant)
+      .select(col("dim_a"), col("dim_b"), col("n"),
+        (col("num_q").cast("double") /
           (col("n") * col("n")).cast("double") / (quant * quant)).as("cov"))
       .orderBy(col("dim_a"), col("dim_b"))
-  }
+
+  /** One-row anisotropy summary over the same exact numerators: the
+    * diagonal mass (trace), the off-diagonal absolute mass, the worst
+    * off-diagonal cell, and their ratio — the "how much whitening
+    * would change things" top line. All three masses are INTEGER sums
+    * of sub-2^53 cell numerators (int64→f64 conversion is
+    * correctly-rounded hardware on both engines, so even the >2^53
+    * totals cast identically); the ratio is one double division.
+    */
+  def embeddingAnisotropy(emb: DataFrame, quant: Double = 1e3): DataFrame =
+    covMoments(emb, quant)
+      .agg(count(when(col("dim_a") === col("dim_b"), lit(1))).as("n_dims"),
+        sum(when(col("dim_a") === col("dim_b"), col("num_q"))
+          .otherwise(lit(0L))).as("trace_q"),
+        sum(when(col("dim_a") =!= col("dim_b"), abs(col("num_q")))
+          .otherwise(lit(0L))).as("offdiag_abs_q"),
+        max(when(col("dim_a") =!= col("dim_b"), abs(col("num_q")))
+          .otherwise(lit(0L))).as("max_offdiag_abs_q"))
+      .select(col("n_dims"), col("trace_q"), col("offdiag_abs_q"),
+        col("max_offdiag_abs_q"),
+        when(col("trace_q") > 0,
+          col("offdiag_abs_q").cast("double") / col("trace_q").cast("double"))
+          .otherwise(lit(0.0)).as("anisotropy_ratio"))
 
   /** Population-stability-index drift monitor between two corpus
     * snapshots — the gate a refresh pipeline runs before swapping in a
