@@ -1192,6 +1192,10 @@ object SparkEntry {
       Analytics.hourlyTypePivot(Tables.events(s, d),
         Seq("click", "error", "purchase", "signup", "view"))),
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
+    "event_debounce" -> ((s, d) =>
+      // Burst cleanup: keep the first event of every (user, type)
+      // burst; 5-minute gap, exact integer microsecond survivor test.
+      Analytics.debounce(Tables.events(s, d))),
     "order_ranks" -> ((s, d) => Analytics.orderRanks(Tables.orders(s, d))),
     "order_percentiles" -> ((s, d) => Analytics.orderPercentiles(Tables.orders(s, d))),
     "user_retention" -> ((s, d) => Analytics.userRetention(Tables.events(s, d))),
@@ -4410,6 +4414,17 @@ object SparkEntry {
       """SELECT event_id, user_id, ts,
                 epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
          FROM events ORDER BY user_id, ts, event_id""",
+    // Debounce survivors: gap to the previous RAW same-key event,
+    // exact integer microseconds.
+    "event_debounce" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+           SELECT *,
+                  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id)) AS g
+           FROM events)
+         WHERE g IS NULL OR g > 5 * 60 * 1000000
+         ORDER BY event_id""",
     "order_ranks" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, rnk, drnk
          FROM (SELECT o_orderkey, o_custkey, o_totalprice,

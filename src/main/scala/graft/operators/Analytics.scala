@@ -460,6 +460,29 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Event debouncing: keep only the FIRST event of each burst per
+    * (user, event_type) — consecutive same-key events closer than
+    * `gapMinutes` are duplicates of the gesture, not new signals (the
+    * double-click / retry / webhook-redelivery cleanup step). One LAG
+    * over one (user, type)-keyed window; the survivor test is exact
+    * integer microsecond arithmetic, so the kept SET is
+    * engine-reproducible. Note the semantics: the gap is measured to
+    * the previous RAW event, not the previous survivor — a long burst
+    * collapses to its head as long as no internal gap exceeds the
+    * threshold (the standard debounce).
+    */
+  def debounce(events: DataFrame, gapMinutes: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevUs = lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)
+    events
+      .withColumn("__gap",
+        unix_micros(col("ts").cast("timestamp")) - prevUs)
+      .filter(col("__gap").isNull || col("__gap") > gapMinutes * 60L * 1000000L)
+      .drop("__gap")
+      .orderBy(col("event_id"))
+  }
+
   /** Batch sessionization — the static twin of
     * [[graft.streaming.Sessionize]]: events more than `gapMinutes`
     * apart start a new session; output is one row per session with
