@@ -2771,11 +2771,13 @@ object SparkEntry {
       // Anisotropy diagnostics: upper-triangle covariance of the
       // quantized embedding components — exact decimal moments kept
       // under 2^53 so the int->double cast is exact on both engines.
-      operators.Profile.embeddingCovariance(Tables.embeddings(s, d))),
+      operators.Profile.embeddingCovariance(Tables.embeddings(s, d),
+        stageKey = Some(d))),
     "embedding_anisotropy" -> ((s, d) =>
       // Top-line whitening diagnostic: diagonal vs off-diagonal
       // covariance mass as exact integer sums; one double ratio.
-      operators.Profile.embeddingAnisotropy(Tables.embeddings(s, d))),
+      operators.Profile.embeddingAnisotropy(Tables.embeddings(s, d),
+        stageKey = Some(d))),
     "corpus_drift_psi" -> ((s, d) => {
       // Refresh-gate drift monitor: PSI of the language distribution
       // between two corpus snapshots (even/odd doc halves as the

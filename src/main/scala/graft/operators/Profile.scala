@@ -131,12 +131,28 @@ object Profile {
           .cast("long").as("num_q"))
   }
 
-  def embeddingCovariance(emb: DataFrame, quant: Double = 1e3): DataFrame =
-    covMoments(emb, quant)
+  /** [[covMoments]] staged per (session, key, corpus fingerprint,
+    * quant) — the dim²-sized moment relation is one corpus pass
+    * shared by the per-cell report and the anisotropy summary.
+    */
+  def covMomentsStaged(emb: DataFrame, key: String,
+                       quant: Double = 1e3): DataFrame =
+    Stage.relation(s"covmom|$key|$quant", Seq(emb))(covMoments(emb, quant))
+
+  def embeddingCovariance(emb: DataFrame, quant: Double = 1e3,
+                          stageKey: Option[String] = None): DataFrame =
+    momentsOf(emb, quant, stageKey)
       .select(col("dim_a"), col("dim_b"), col("n"),
         (col("num_q").cast("double") /
           (col("n") * col("n")).cast("double") / (quant * quant)).as("cov"))
       .orderBy(col("dim_a"), col("dim_b"))
+
+  private def momentsOf(emb: DataFrame, quant: Double,
+                        stageKey: Option[String]): DataFrame =
+    stageKey match {
+      case Some(k) => covMomentsStaged(emb, k, quant)
+      case None => covMoments(emb, quant)
+    }
 
   /** One-row anisotropy summary over the same exact numerators: the
     * diagonal mass (trace), the off-diagonal absolute mass, the worst
@@ -146,8 +162,9 @@ object Profile {
     * correctly-rounded hardware on both engines, so even the >2^53
     * totals cast identically); the ratio is one double division.
     */
-  def embeddingAnisotropy(emb: DataFrame, quant: Double = 1e3): DataFrame =
-    covMoments(emb, quant)
+  def embeddingAnisotropy(emb: DataFrame, quant: Double = 1e3,
+                          stageKey: Option[String] = None): DataFrame =
+    momentsOf(emb, quant, stageKey)
       .agg(count(when(col("dim_a") === col("dim_b"), lit(1))).as("n_dims"),
         sum(when(col("dim_a") === col("dim_b"), col("num_q"))
           .otherwise(lit(0L))).as("trace_q"),
