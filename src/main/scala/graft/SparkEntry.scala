@@ -3268,9 +3268,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
         dir.toString, nlist = 16)
-      graft.streaming.DocReplay.run(s, emb.filter(col("vec_id") < 50),
-          s"$d#idxfresh", idCol = "vec_id") { batch =>
-        tables.VectorIndex.append(batch, dir.toString)
+      // batchId-keyed append roots make an at-least-once redelivery
+      // overwrite its own prior attempt instead of duplicating rows
+      graft.streaming.DocReplay.runWithBatchId(s,
+          emb.filter(col("vec_id") < 50),
+          s"$d#idxfresh", idCol = "vec_id") { (batch, batchId) =>
+        tables.VectorIndex.append(batch, dir.toString,
+          batch = Some(batchId.toString))
         batch.select(col("vec_id"))
       }
       dir.toString

@@ -126,10 +126,27 @@ object Profile {
         sum(dec(col("qa") * col("qb"))).as("__sab"),
         sum(dec(col("qa"))).as("__sa"),
         sum(dec(col("qb"))).as("__sb"))
-      .select(col("dim_a"), col("dim_b"), col("n"),
-        (dec(col("n")) * col("__sab") - col("__sa") * col("__sb"))
-          .cast("long").as("num_q"))
+      .select(col("dim_a"), col("dim_b"), col("n"), (
+        // Loud guard on the quantum contract: the DECIMAL→LONG cast
+        // below is only exact (and only engine-identical) while
+        // |n·Σab − Σa·Σb| < 2^53. Nothing upstream enforces that — a
+        // larger corpus or a larger quant would otherwise wrap/null
+        // silently under the non-ANSI cast (num ~ n²·quant²·|v|², so
+        // at quant=1e3, |v|≤1 the contract holds to n ≈ 9e4 vectors;
+        // re-derive the quantum before profiling a bigger corpus).
+        {
+          val num = dec(col("n")) * col("__sab") - col("__sa") * col("__sb")
+          when(abs(num) < lit(9007199254740992L).cast(DecimalType38),
+            num.cast("long"))
+            .otherwise(raise_error(concat(
+              lit("covMoments: numerator exceeds 2^53 at cell ("),
+              col("dim_a").cast("string"), lit(","),
+              col("dim_b").cast("string"),
+              lit(") - shrink the quantum (see quantum contract)"))))
+        }).as("num_q"))
   }
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   /** [[covMoments]] staged per (session, key, corpus fingerprint,
     * quant) — the dim²-sized moment relation is one corpus pass

@@ -654,9 +654,13 @@ object Similarity {
     * xxhash64, which no other engine reproduces), assignment is the
     * deterministic native argmax (ties to the smaller centroid_id —
     * the exact rule `row_number() OVER (ORDER BY cos DESC, id)`
-    * replays), and the clamped cosine kernel is bit-identical to
-    * DuckDB's `list_cosine_similarity`, so even the per-vector rank
-    * order hash-matches. Vectors alone in their cell emit no rows
+    * replays), and the cosine kernel matches DuckDB's
+    * `list_cosine_similarity` bit-for-bit on every probed input —
+    * with the known 1+1ulp caveat at the identical-vector boundary:
+    * the engine clamps to [-1, 1], and DuckDB has not been observed
+    * to exceed 1 there (20k-probe measurement), but an engine that
+    * DID emit 1+1ulp would diverge on fixtures with exact duplicate
+    * vectors (driver data has none; planted-twin fixtures do). Vectors alone in their cell emit no rows
     * (documented; a production run uses nlist « N/k so cells are
     * hundreds deep).
     *

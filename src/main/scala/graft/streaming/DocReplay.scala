@@ -64,7 +64,18 @@ object DocReplay {
     */
   def run(spark: SparkSession, docs: DataFrame, key: String,
           idCol: String = "doc_id")
-         (op: DataFrame => DataFrame): DataFrame = {
+         (op: DataFrame => DataFrame): DataFrame =
+    runWithBatchId(spark, docs, key, idCol)((df, _) => op(df))
+
+  /** [[run]] with the micro-batch id surfaced to `op` — the hook an
+    * idempotent sink needs (foreachBatch is at-least-once; a retried
+    * batch re-arrives under the SAME id, so a batchId-keyed overwrite
+    * target absorbs the redelivery — see
+    * [[graft.tables.VectorIndex.append]]).
+    */
+  def runWithBatchId(spark: SparkSession, docs: DataFrame, key: String,
+                     idCol: String = "doc_id")
+                    (op: (DataFrame, Long) => DataFrame): DataFrame = {
     val base = stagedDocs(spark, docs, key, idCol)
     val n = runSeq.incrementAndGet()
     val out = base.resolve(s"out_$n")
@@ -75,8 +86,8 @@ object DocReplay {
         .parquet(base.resolve("stage").toString)
       val q = src.writeStream
         .option("checkpointLocation", ck.toString)
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          op(df).write.mode("append").parquet(out.toString)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          op(df, batchId).write.mode("append").parquet(out.toString)
         }
         .trigger(Trigger.AvailableNow())
         .start()

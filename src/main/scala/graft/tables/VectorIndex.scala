@@ -16,6 +16,14 @@ import graft.operators.Similarity
   * partition column; Spark's dynamic partition pruning turns the
   * tiny probe relation into a scan filter). Writing moves each
   * vector once; queries never touch unprobed cells.
+  *
+  * Appends from at-least-once sources (foreachBatch re-delivers a
+  * micro-batch after a failure) land in PER-BATCH roots
+  * (`dir/cells_batch_<id>`, same centroid_id partitioning) written
+  * with OVERWRITE — a re-delivered batch rewrites its own root
+  * instead of double-appending, so duplicated vec_ids can never
+  * reach [[topK]]. Readers union the base root with every batch
+  * root; each root keeps its own partition pruning.
   */
 object VectorIndex {
 
@@ -32,25 +40,52 @@ object VectorIndex {
     * path continuous embedding ingest runs: fresh vectors assign
     * row-locally against the PERSISTED centroids (one broadcast read;
     * the standing cells are never read, moved, or rewritten) and land
-    * in their cell partitions via partition-wise append. Centroids stay
-    * fixed by design — IVF tolerates assignment drift until a
-    * scheduled rebuild, and full-probe retrieval over the appended
-    * index still exactly equals brute force over the union corpus
-    * (what `ann_index_append` pins), because probing every cell reads
-    * every vector regardless of which centroid it sits under.
+    * in their cell partitions. Centroids stay fixed by design — IVF
+    * tolerates assignment drift until a scheduled rebuild, and
+    * full-probe retrieval over the appended index still exactly equals
+    * brute force over the union corpus (what `ann_index_append` pins),
+    * because probing every cell reads every vector regardless of which
+    * centroid it sits under.
+    *
+    * `batch`: identity of the delivery (a streaming batchId). When
+    * set, the rows write to the batch's OWN root with overwrite — a
+    * redelivered micro-batch (foreachBatch is at-least-once) replaces
+    * its previous attempt instead of appending duplicates. When None
+    * (a one-shot batch append from a driver program, not a retryable
+    * sink), rows append into the base cells root directly.
     */
-  def append(fresh: DataFrame, dir: String): Unit = {
+  def append(fresh: DataFrame, dir: String,
+             batch: Option[String] = None): Unit = {
     val spark = fresh.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
-    Similarity.ivfAssign(fresh, centroids)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$dir/cells")
+    val assigned = Similarity.ivfAssign(fresh, centroids)
+    batch match {
+      case Some(b) =>
+        assigned.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$dir/cells_batch_$b")
+      case None =>
+        assigned.write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$dir/cells")
+    }
+  }
+
+  /** All cell roots of the index: the base build plus every per-batch
+    * append root, unioned. Listing the index dir is a driver-side
+    * metadata op (one per query plan, never per row); each root scans
+    * with its own centroid_id partition pruning.
+    */
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir)
+    val batchRoots = Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cells_batch_"))
+      .map(_.getAbsolutePath).sorted
+    batchRoots.foldLeft(spark.read.parquet(s"$dir/cells"))(
+      (acc, p) => acc.unionByName(spark.read.parquet(p)))
   }
 
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
            k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned = spark.read.parquet(s"$dir/cells")
-    Similarity.ivfProbe(centroids, assigned, queries, k, nprobe)
+    Similarity.ivfProbe(centroids, cells(spark, dir), queries, k, nprobe)
   }
 }
