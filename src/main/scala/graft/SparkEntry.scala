@@ -2369,6 +2369,27 @@ object SparkEntry {
             concat(col("text"), lit(" contact u"), col("doc_id"),
               lit("@mail.example.com or +1 555-010"), col("doc_id")).as("text")))
         .orderBy(col("doc_id"))),
+    "html_extract" -> ((s, d) =>
+      // The corpus is plain text, so the query wraps every doc in a
+      // deterministic HTML page first (title/style/script/comment/
+      // attribute boilerplate + entity-encoded tail + a trailing
+      // UNCLOSED tag) — the extractor must strip the markup, keep the
+      // body text, decode entities (incl. the double-escape
+      // &amp;lt; -> &lt; ordering), and pass the malformed tail
+      // through literally; the oracle reproduces the entire rewrite.
+      TextAnalysis.htmlExtract(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title><style type=\"text/css\">body { color: #fff; }" +
+              "</style><script>var x = 1 < 2; s = \"</head>\";</script>" +
+              "</head><body data-id=\""), col("doc_id"),
+            lit("\"><!-- boilerplate "), col("doc_id"),
+            lit(" --><h1>Doc "), col("doc_id"),
+            lit("</h1>\n<p\nclass=\"body\">"), col("text"),
+            lit("</p><div>tail &amp;amp; &lt;div&gt; &quot;q&quot; " +
+              "&#39;s&#39;&nbsp;end</div></body></html> trailing <unclosed"))
+            .as("text")))),
     "event_sessions" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d))),
     "session_window_native" -> ((s, d) =>
@@ -7437,6 +7458,49 @@ object SparkEntry {
                 COALESCE(pd.weights_q, '') AS weights_q
          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          ORDER BY d.doc_id""",
+    // Full replay of the HTML extraction chain over the same injected
+    // page; regexes are dialect-neutral (no lookarounds, inline flags,
+    // explicit whitespace class — Java \s and RE2 \s differ on \x0B)
+    // and entity decode order matches (&amp; last).
+    "html_extract" ->
+      """WITH injected AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || doc_id ||
+                  '</title><style type="text/css">body { color: #fff; }' ||
+                  '</style><script>var x = 1 < 2; s = "</head>";</script>' ||
+                  '</head><body data-id="' || doc_id ||
+                  '"><!-- boilerplate ' || doc_id ||
+                  ' --><h1>Doc ' || doc_id ||
+                  '</h1>' || chr(10) || '<p' || chr(10) || 'class="body">' ||
+                  text ||
+                  '</p><div>tail &amp;amp; &lt;div&gt; &quot;q&quot; ' ||
+                  '&#39;s&#39;&nbsp;end</div></body></html> trailing <unclosed'
+                    AS raw
+           FROM documents),
+         cleaned AS (
+           SELECT doc_id, raw,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g'),
+                          '(?is)<script([ \t\n\r\f][^>]*)?>.*?</script>', ' ', 'g'),
+                        '(?is)<style([ \t\n\r\f][^>]*)?>.*?</style>', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                    '&amp;', '&'),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+           FROM injected)
+         SELECT doc_id,
+                CAST(length(regexp_extract_all(raw, '(?s)<[^>]*>')) AS BIGINT)
+                  AS n_tags,
+                CAST(length(regexp_extract_all(raw,
+                  '(?is)<script([ \t\n\r\f][^>]*)?>')) AS BIGINT) AS n_scripts,
+                clean_text,
+                CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+         FROM cleaned ORDER BY doc_id""",
     "pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

@@ -569,6 +569,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML/boilerplate extraction — the FIRST operator a web-crawl
+    * training pipeline runs (everything downstream — dedup, quality,
+    * LM filtering — assumes markup is already gone; scoring raw HTML
+    * punishes every page for its nav/script bytes). Row-local single
+    * projection per document, no shuffle:
+    *
+    *  1. strip `<!-- -->` comments, then `<script>`/`<style>` blocks
+    *     WITH their content (non-greedy dotall — boilerplate code and
+    *     CSS must not leak into the text),
+    *  2. strip every remaining tag (attributes included, newlines
+    *     inside tags handled) to a space — an unclosed `<div` with no
+    *     `>` stays literal text (totality over malformed markup:
+    *     deterministic, never an error),
+    *  3. decode the named entities that appear in real boilerplate
+    *     (`&nbsp; &lt; &gt; &quot; &#39; &apos;` and LAST `&amp;` — so
+    *     double-escaped `&amp;lt;` decodes to the literal `&lt;`, not
+    *     to `<`; numeric references beyond `&#39;` pass through,
+    *     documented),
+    *  4. collapse whitespace runs and trim.
+    *
+    * Entity decode runs AFTER tag-strip, so text that ENCODED a tag
+    * (`&lt;div&gt;`) surfaces as visible text — the standard
+    * extraction semantics.
+    *
+    * Engine-parity notes: every regex is dialect-neutral between Java
+    * regex and RE2 (inline `(?is)` flags, non-greedy `.*?`, no
+    * lookarounds — RE2 has none), and whitespace uses the EXPLICIT
+    * class `[ \t\n\r\f]` because Java's `\s` includes `\x0B` where
+    * RE2's does not. Emits the tag/script counts of the RAW input as
+    * boilerplate-density signals alongside the clean text.
+    */
+  def htmlExtract(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = "[ \\t\\n\\r\\f]"
+    val raw = col(textCol)
+    val noComment = regexp_replace(raw, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      s"(?is)<script($ws[^>]*)?>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      s"(?is)<style($ws[^>]*)?>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    val clean = trim(regexp_replace(decoded, s"$ws+", " "))
+    docs.select(col("doc_id"),
+        regexp_count(raw, lit("(?s)<[^>]*>")).cast("long").as("n_tags"),
+        regexp_count(raw, lit(s"(?is)<script($ws[^>]*)?>")).cast("long")
+          .as("n_scripts"),
+        clean.as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing: replace email addresses and international-ish
     * phone numbers with typed placeholder tags — the redaction pass a
     * training corpus runs before anything else sees the text. Single

@@ -28,6 +28,35 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "a b, c. d! e?", "en", "s2", 13L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("htmlExtract: strips markup, decodes entities, totality on malformed docs") {
+    val pages = Seq(
+      (0L, "<html><body><h1>Title</h1><p>hello <b>world</b></p></body></html>"),
+      (1L, "<script>var x = 1 < 2;</script>text<style>a{b:c}</style>"),
+      (2L, "a &amp;amp; b &lt;div&gt; &quot;q&quot; &#39;s&#39;&nbsp;c"),
+      (3L, "<div"),                               // malformed: unclosed tag
+      (4L, "<div><div><p>nested</p></div></div>"), // nested tags
+      (5L, "&amp;" * 10000),                       // entity bomb
+      (6L, ""),                                    // blank doc
+      (7L, "<SCRIPT SRC=\"x\">evil()</SCRIPT>ok<BR/>"), // uppercase tags
+      (8L, "<p\nclass=\"a\">multi\nline</p>")      // newline inside a tag
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlExtract(pages).collect()
+    def clean(i: Int) = out(i).getAs[String]("clean_text")
+    assert(clean(0) === "Title hello world")
+    assert(clean(1) === "text")                    // script/style content gone
+    assert(clean(2) === "a &amp; b <div> \"q\" 's' c") // double-escape stays escaped once
+    assert(clean(3) === "<div")                    // malformed passes through
+    assert(clean(4) === "nested")
+    assert(clean(5) === "&" * 10000)               // bomb decodes one level, no crash
+    assert(clean(6) === "")
+    assert(clean(7) === "ok")                      // case-insensitive script strip
+    assert(clean(8) === "multi line")
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_scripts") === 1L)
+    assert(r1.getAs[Long]("n_tags") === 4L)        // script+<style... counted as tags
+    assert(out(6).getAs[Long]("n_clean_chars") === 0L)
+  }
+
   test("token counts: whitespace and bpe-ish") {
     val rows = TextAnalysis.tokenCounts(docs).collect()
     assert(rows(0).getLong(1) === 8)  // doc 0: 8 ws tokens
