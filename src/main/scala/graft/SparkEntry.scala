@@ -1745,6 +1745,36 @@ object SparkEntry {
           Tables.documents(s, d), lmScores(s, d), 3.40)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "lm_trigram_scores" -> ((s, d) =>
+      // Trigram stupid-backoff scores (the CCNet/KenLM filter shape):
+      // model trained on the even-doc_id slice, scored over ALL docs,
+      // so the trigram-hit / bigram-backoff / unigram-backoff tiers
+      // are all genuinely exercised (per-doc tier counts are emitted
+      // and hash-checked too). Exact: quantized-ln integer terms, the
+      // hardcoded ln(0.4) penalty, order-free sums, one division.
+      lmTrigramScores(s, d).orderBy(col("doc_id"))),
+    "lm_trigram_filter" -> ((s, d) =>
+      // The trigram-backoff quality gate — semi-join of the STAGED
+      // score relation, no training in-plan. Unlike the bigram gate
+      // (self-scored), held-out scores spread wide: even (training)
+      // docs sit in the tier-3 band (~2.4-2.6), odd docs spread by
+      // how much novel text they carry (~3.6-3.8 at small SFs). 3.45
+      // lands between the corpus median and p75 at every SF
+      // (measured: median 2.58/2.52/3.39, p75 3.65/3.67/3.52) — a
+      // real split, not all-or-nothing, and scores are bit-exact so
+      // the kept set has no boundary jitter.
+      TextAnalysis.lmTrigramFilterFrom(
+          Tables.documents(s, d), lmTrigramScores(s, d), 3.45)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    "lm_trigram_model_persisted" -> ((s, d) =>
+      // Train-once / score-many for the trigram model: counts + total
+      // persisted by LmModel.writeTrigram, scoring reads ONLY the
+      // reloaded relations — must reproduce in-flight
+      // lm_trigram_scores bit-for-bit (same oracle replay).
+      tables.LmModel.scoreTrigram(s, lmTrigramModelDir(s, d),
+          Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "fingerprint_md5" -> ((s, d) =>
       Tables.documents(s, d)
@@ -3254,6 +3284,35 @@ object SparkEntry {
   private def lmScores(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmDocScoresStaged(Tables.documents(s, d), key = d)
 
+  /** Staged trigram stupid-backoff scores per (session, dataset):
+    * model trained on the even-doc_id slice, scored over ALL docs —
+    * train ≠ score, so the backoff tiers are genuinely exercised
+    * (scoring the training corpus under its own trigram counts would
+    * never leave tier 3).
+    */
+  private def lmTrigramScores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.lmTrigramDocScoresStaged(
+      docs.filter(col("doc_id") % 2 === 0), docs, key = d)
+  }
+
+  /** Persisted trigram-model dir per (process, dataset) — the
+    * [[lmModelDir]] pattern for the stupid-backoff model.
+    */
+  private def lmTrigramModelDir(s: SparkSession, d: String): String =
+    lmModelCache.getOrElseUpdate(s"$d#tri", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lmtri_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.LmModel.writeTrigram(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir.toString)
+      dir.toString
+    })
+
   /** Staged per-language LM doc scores per (session, dataset). */
   private def lmScoresByLang(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmDocScoresByLangStaged(Tables.documents(s, d), key = d)
@@ -3660,6 +3719,94 @@ object SparkEntry {
                    THEN CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_bigrams)
               END AS log_ppl
        FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
+
+  /** The trigram stupid-backoff training + scoring replay — shared by
+    * `lm_trigram_scores` (in-flight) and `lm_trigram_model_persisted`
+    * (reloaded model), which must agree bit-for-bit. Model = even
+    * doc_ids; scored set = all docs. 916290731874 is the hardcoded
+    * round(−ln(0.4)·1e12) both engines add as the per-level backoff
+    * penalty (see TextAnalysis.BackoffPenaltyQ); 1832581463748 is two
+    * of them.
+    */
+  private val LmTrigramBodySql: String =
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       tg AS (
+         SELECT doc_id,
+                unnest([toks[i] for i in range(1, len(toks) - 1)]) AS w1,
+                unnest([toks[i+1] for i in range(1, len(toks) - 1)]) AS w2,
+                unnest([toks[i+2] for i in range(1, len(toks) - 1)]) AS w3
+         FROM w),
+       ttg AS (
+         SELECT w1, w2, w3, count(*) AS c_tg FROM (
+           SELECT unnest([toks[i] for i in range(1, len(toks) - 1)]) AS w1,
+                  unnest([toks[i+1] for i in range(1, len(toks) - 1)]) AS w2,
+                  unnest([toks[i+2] for i in range(1, len(toks) - 1)]) AS w3
+           FROM w WHERE doc_id % 2 = 0)
+         GROUP BY 1, 2, 3),
+       tctx AS (SELECT w1, w2, CAST(sum(c_tg) AS BIGINT) AS c_ctx12 FROM ttg GROUP BY 1, 2),
+       tbg AS (
+         SELECT w2, w3, count(*) AS c_bg FROM (
+           SELECT unnest([toks[i] for i in range(1, len(toks))]) AS w2,
+                  unnest([toks[i+1] for i in range(1, len(toks))]) AS w3
+           FROM w WHERE doc_id % 2 = 0)
+         GROUP BY 1, 2),
+       bctx AS (SELECT w2, CAST(sum(c_bg) AS BIGINT) AS c_ctx2 FROM tbg GROUP BY 1),
+       tuni AS (
+         SELECT w3, count(*) AS c_uni FROM (
+           SELECT unnest(toks) AS w3 FROM w WHERE doc_id % 2 = 0)
+         GROUP BY 1),
+       tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_total FROM w WHERE doc_id % 2 = 0),
+       q AS (
+         SELECT tg.doc_id,
+                CASE WHEN ttg.c_tg IS NOT NULL THEN 3
+                     WHEN tbg.c_bg IS NOT NULL THEN 2 ELSE 1 END AS tier,
+                CASE WHEN ttg.c_tg IS NOT NULL THEN
+                       CAST(round(ln(CAST(tctx.c_ctx12 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(ttg.c_tg AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     WHEN tbg.c_bg IS NOT NULL THEN 916290731874
+                     + CAST(round(ln(CAST(bctx.c_ctx2 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(tbg.c_bg AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     ELSE 1832581463748
+                     + CAST(round(ln(CAST(tot.n_total AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(COALESCE(tuni.c_uni, 1) AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                END AS nll_q
+         FROM tg
+         LEFT JOIN ttg USING (w1, w2, w3)
+         LEFT JOIN tctx USING (w1, w2)
+         LEFT JOIN tbg USING (w2, w3)
+         LEFT JOIN bctx USING (w2)
+         LEFT JOIN tuni USING (w3)
+         CROSS JOIN tot),
+       s AS (
+         SELECT doc_id, count(*) AS n_trigrams,
+                CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+                CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_backoff,
+                CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+                CAST(sum(nll_q) AS BIGINT) AS nll_q_sum
+         FROM q GROUP BY 1)"""
+
+  private val LmTrigramScoresSql: String =
+    LmTrigramBodySql + """
+       SELECT d.doc_id,
+              CAST(COALESCE(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+              CAST(COALESCE(s.n_tri_hit, 0) AS BIGINT) AS n_tri_hit,
+              CAST(COALESCE(s.n_bg_backoff, 0) AS BIGINT) AS n_bg_backoff,
+              CAST(COALESCE(s.n_uni_backoff, 0) AS BIGINT) AS n_uni_backoff,
+              CAST(COALESCE(s.nll_q_sum, 0) AS BIGINT) AS nll_q_sum,
+              CASE WHEN s.n_trigrams > 0
+                   THEN CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_trigrams)
+              END AS sb_score
+       FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
+
+  private val LmTrigramFilterSql: String =
+    LmTrigramBodySql + """
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN s USING (doc_id)
+       WHERE s.n_trigrams > 0
+         AND CAST(s.nll_q_sum AS DOUBLE) / (1000000000000.0 * s.n_trigrams) <= 3.45
+       ORDER BY d.doc_id"""
 
   private val LmDocScoresByLangSql: String =
     """WITH w AS (
@@ -6077,6 +6224,9 @@ object SparkEntry {
     // the double log_ppl bit-reproducible across engines (see
     // TextAnalysis.lmDocScores).
     "lm_doc_scores" -> LmDocScoresSql,
+    "lm_trigram_scores" -> LmTrigramScoresSql,
+    "lm_trigram_filter" -> LmTrigramFilterSql,
+    "lm_trigram_model_persisted" -> LmTrigramScoresSql,
     "lm_doc_scores_by_lang" -> LmDocScoresByLangSql,
     "dsir_weights" -> DsirWeightsSql,
     "dsir_resample" ->

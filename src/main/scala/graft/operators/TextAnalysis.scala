@@ -879,4 +879,173 @@ object TextAnalysis {
         .filter(col("n_bigrams") > 0 && col("log_ppl") <= maxLogPpl)
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  // ---- trigram LM with stupid backoff (CCNet/KenLM shape) ------------
+
+  /** −ln(0.4) · 1e12, rounded — the stupid-backoff penalty as a
+    * quantized-ln integer term. HARDCODED (not computed at plan time)
+    * so both engines add the identical long: ln(2.5) =
+    * 0.9162907318741551, ×1e12 → 916290731874.155 → 916290731874.
+    * The fraction is far from .5, so a 1-ulp ln disagreement could
+    * not have flipped the rounding anyway; the literal removes even
+    * that.
+    */
+  private val BackoffPenaltyQ = 916290731874L
+
+  /** Positional (multiplicity-preserving) trigrams per doc as three
+    * word columns — separate columns, not a joined string, so count
+    * and context joins key on plain equality in both engines. Docs
+    * under three tokens emit no rows.
+    */
+  private def docTrigramParts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => struct(
+              element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"),
+              element_at(col("toks"), i + 2).as("w3"))))
+          .otherwise(array())).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+
+  /** Trigram LM training table: corpus-wide occurrence counts. Same
+    * distributed shape as [[lmBigramCounts]] — one explode + one
+    * map-side-combined groupBy over skinny strings.
+    */
+  def lmTrigramCounts(docs: DataFrame): DataFrame =
+    docTrigramParts(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c_tg"))
+
+  /** c(w1 w2 ·) = Σ_w3 c(w1,w2,w3): derived from the count relation,
+    * not a second corpus pass.
+    */
+  def lmTrigramContextCounts(tgCounts: DataFrame): DataFrame =
+    tgCounts.groupBy(col("w1"), col("w2")).agg(sum(col("c_tg")).as("c_ctx12"))
+
+  /** Unigram occurrence counts (every position, not distinct). */
+  def lmUnigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+
+  /** 1-row total token count N (the unigram normalizer). */
+  def lmTokenTotal(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n")).as("n_total"))
+
+  /** Per-doc trigram stupid-backoff scores (Brants et al. 2007 —
+    * "Large Language Models in Machine Translation" §4): the
+    * CCNet/KenLM-style quality filter upgraded from the add-½ bigram
+    * to the trigram-with-backoff shape. Score of a token transition:
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2·)        if the trigram is seen
+    *               = 0.4 · S(w3|w2)             else
+    *   S(w3|w2)    = c(w2w3)/c(w2·)             if the bigram is seen
+    *               = 0.4 · S(w3)                else
+    *   S(w3)       = max(c(w3),1)/N             (OOV floors at count 1)
+    *
+    * Stupid backoff is a SCORE, not a probability (no normalization) —
+    * which is exactly what makes it engine-exact friendly: every
+    * branch is one or two count-ratio lns plus 0, 1, or 2 copies of
+    * the fixed ln(0.4) penalty, so each term quantizes to a LONG
+    * ([[BackoffPenaltyQ]] plus round(ln(count)·1e12) differences),
+    * integer sums are order-free, and the doc score is bit-reproducible
+    * by the DuckDB oracle. One double division at the end.
+    *
+    * TRAIN ≠ SCORE by design: scoring the training corpus under its
+    * own trigram counts would never exercise a backoff branch (every
+    * corpus trigram is in the counts). The production shape — and the
+    * query fixture — trains on one slice and scores another, which is
+    * what CCNet does (model on Wikipedia, scores on the crawl).
+    *
+    * Scale shape: training is three skinny-string groupBys (trigram /
+    * bigram / unigram counts — each map-side combinable); scoring
+    * explodes the scored docs once and left-joins the five count
+    * relations (all n-gram-vocabulary-sized, shuffled on skinny string
+    * keys; N rides in as a broadcast 1-row aggregate) and ends in one
+    * groupBy(doc_id). No exchange ever carries a document.
+    */
+  def lmTrigramDocScores(train: DataFrame, docs: DataFrame): DataFrame =
+    lmTrigramDocScoresWith(docs,
+      lmTrigramCounts(train), lmBigramCounts(train),
+      lmUnigramCounts(train), lmTokenTotal(train))
+
+  /** [[lmTrigramDocScores]] against an EXTERNAL model — the
+    * train-once / score-many entry point
+    * ([[graft.tables.LmModel.writeTrigram]] persists the relations and
+    * reloads them here). Contexts derive from the count relations, so
+    * the model is fully specified by (trigram counts, bigram counts,
+    * unigram counts, total).
+    */
+  def lmTrigramDocScoresWith(docs: DataFrame, tgCounts: DataFrame,
+                             bgCounts: DataFrame, uniCounts: DataFrame,
+                             total: DataFrame): DataFrame = {
+    val qln = (c: Column) => round(log(c.cast("double")) * 1e12d).cast("long")
+    val tgCtx = lmTrigramContextCounts(tgCounts)
+    // c(w2·) for the bigram backoff level, derived from the bigram
+    // count relation ("w1 w2" strings) — keyed by its FIRST word,
+    // which is the w2 of the scored trigram.
+    val bgCtx = bgCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w2"))
+      .agg(sum(col("c_bg")).as("c_ctx2"))
+    val terms = docTrigramParts(docs)
+      .join(tgCounts, Seq("w1", "w2", "w3"), "left")
+      .join(tgCtx, Seq("w1", "w2"), "left")
+      .join(bgCounts.withColumn("w2", substring_index(col("bigram"), " ", 1))
+          .withColumn("w3", substring_index(col("bigram"), " ", -1))
+          .select(col("w2"), col("w3"), col("c_bg")),
+        Seq("w2", "w3"), "left")
+      .join(bgCtx, Seq("w2"), "left")
+      .join(uniCounts.select(col("tok").as("w3"), col("c_uni")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("c_tg").isNotNull, lit(3))
+          .when(col("c_bg").isNotNull, lit(2))
+          .otherwise(lit(1)).as("tier"),
+        when(col("c_tg").isNotNull, qln(col("c_ctx12")) - qln(col("c_tg")))
+          .when(col("c_bg").isNotNull,
+            lit(BackoffPenaltyQ) + qln(col("c_ctx2")) - qln(col("c_bg")))
+          .otherwise(lit(2L * BackoffPenaltyQ) + qln(col("n_total")) -
+            qln(greatest(coalesce(col("c_uni"), lit(1L)), lit(1L))))
+          .as("nll_q"))
+    val scores = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_bg_backoff"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(col("nll_q")).as("nll_q_sum"))
+    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hit"), lit(0L)).as("n_tri_hit"),
+        coalesce(col("n_bg_backoff"), lit(0L)).as("n_bg_backoff"),
+        coalesce(col("n_uni_backoff"), lit(0L)).as("n_uni_backoff"),
+        coalesce(col("nll_q_sum"), lit(0L)).as("nll_q_sum"),
+        when(col("n_trigrams") > 0,
+          col("nll_q_sum").cast("double") /
+            (lit(1e12d) * col("n_trigrams").cast("double"))).as("sb_score"))
+  }
+
+  /** [[lmTrigramDocScores]], staged per (session, `key`, plan
+    * fingerprints) via the shared [[Stage]] memo — one training +
+    * scoring pass shared by the score row and the gate row.
+    */
+  def lmTrigramDocScoresStaged(train: DataFrame, docs: DataFrame,
+                               key: String): DataFrame =
+    Stage.relation(s"lmtri|$key", Seq(train, docs))(
+      lmTrigramDocScores(train, docs))
+
+  /** The trigram-backoff quality gate: keep docs whose mean NLL score
+    * clears the threshold. Same exactness argument as
+    * [[lmQualityFilterFrom]] — the kept set is bit-stable. Docs too
+    * short to score (no trigrams) are dropped.
+    */
+  def lmTrigramFilterFrom(docs: DataFrame, scores: DataFrame,
+                          maxScore: Double): DataFrame =
+    docs.join(
+      scores
+        .filter(col("n_trigrams") > 0 && col("sb_score") <= maxScore)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 }

@@ -32,4 +32,32 @@ object LmModel {
       spark.read.parquet(s"$dir/bigram_counts"),
       spark.read.parquet(s"$dir/context_counts"),
       spark.read.parquet(s"$dir/vocab"))
+
+  /** Persist the trigram stupid-backoff model: trigram, bigram, and
+    * unigram counts plus the 1-row token total. Contexts derive from
+    * the counts at scoring time (they are smaller than their parents),
+    * so four relations fully specify the model — same layout
+    * discipline as the bigram model above.
+    */
+  def writeTrigram(train: DataFrame, dir: String): Unit = {
+    TextAnalysis.lmTrigramCounts(train)
+      .write.mode("overwrite").parquet(s"$dir/trigram_counts")
+    TextAnalysis.lmBigramCounts(train)
+      .write.mode("overwrite").parquet(s"$dir/bigram_counts")
+    TextAnalysis.lmUnigramCounts(train)
+      .write.mode("overwrite").parquet(s"$dir/unigram_counts")
+    TextAnalysis.lmTokenTotal(train)
+      .write.mode("overwrite").parquet(s"$dir/total")
+  }
+
+  /** Score a doc batch against the RELOADED trigram model — never
+    * rescans the training corpus.
+    */
+  def scoreTrigram(spark: SparkSession, dir: String,
+                   docs: DataFrame): DataFrame =
+    TextAnalysis.lmTrigramDocScoresWith(docs,
+      spark.read.parquet(s"$dir/trigram_counts"),
+      spark.read.parquet(s"$dir/bigram_counts"),
+      spark.read.parquet(s"$dir/unigram_counts"),
+      spark.read.parquet(s"$dir/total"))
 }

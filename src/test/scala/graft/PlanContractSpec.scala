@@ -21,6 +21,24 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q3_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("OFFSET page stays a per-partition top-(limit+offset) merge; keyset cursor pushes to the scan") {
+    // r3's offset+limit must plan as TakeOrderedAndProject with an
+    // offset — each partition keeps limit+offset rows and the merge
+    // drops the offset — never a global sort or a corpus-wide row
+    // window (what a naive row_number() OVER (ORDER BY ...) refactor
+    // would silently introduce).
+    val p = plan("r3_activities_page")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=10") &&
+      !p.contains("Window"),
+      s"offset paging regressed from TakeOrderedAndProject+offset:\n$p")
+    // r3b's cursor predicate must reach the parquet scan, so page cost
+    // stays independent of page depth at any corpus size.
+    val k = plan("r3b_activities_page_keyset")
+    assert(k.contains("TakeOrderedAndProject") &&
+      k.contains("PushedFilters: [Or(LessThan(ts,"),
+      s"keyset cursor no longer pushes down:\n$k")
+  }
+
   test("q3 broadcasts the filtered dimensions; the fact side never shuffles for the join") {
     val p = plan("q3_top_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
@@ -285,6 +303,8 @@ class PlanContractSpec extends SparkSpec {
       "knn_graph", "knn_label_propagate", "knn_pagerank",
       "kmeans_assign", "semantic_dedup",
       "lm_doc_scores", "lm_quality_filter", "curriculum_pack",
+      // trigram backoff: the 1-row token-total N broadcast cross
+      "lm_trigram_scores", "lm_trigram_filter", "lm_trigram_model_persisted",
       "cluster_diversity_sample", "prototype_prune", "quality_topk_by_lang",
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
       "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",

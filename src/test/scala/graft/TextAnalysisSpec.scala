@@ -303,6 +303,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(scores(1)._3.get - q) < 1e-15)
   }
 
+  test("trigram stupid backoff: hand-replayed tiers, penalties, totality") {
+    // Train corpus: trigrams (a,b,c)=1 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1,
+    // ctx12(a,b)=2; bigrams ab=2 bc=1 ca=1 bd=1, ctx2(a)=2; unigrams
+    // a=2 b=2 c=1 d=1, N=6. Each scored doc carries exactly ONE
+    // trigram so nll_q_sum is the single term.
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val scoreDocs = Seq(
+      (1L, "a b c"),  // seen trigram → tier 3: qln(2) − qln(1)
+      (3L, "x a b"),  // unseen trigram, seen bigram (a,b) → tier 2: QA + qln(2) − qln(2)
+      (5L, "q r s"),  // nothing seen (OOV unigram floors at 1) → tier 1: 2·QA + qln(6)
+      (7L, "a b"),    // too short to score → zeros + null score
+      (9L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmTrigramDocScores(train, scoreDocs)
+      .select("doc_id", "n_trigrams", "n_tri_hit", "n_bg_backoff",
+        "n_uni_backoff", "nll_q_sum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val qln2 = math.round(math.log(2) * 1e12)   // 693147180560
+    val qln6 = math.round(math.log(6) * 1e12)   // 1791759469228
+    val qa = 916290731874L                      // round(−ln(0.4)·1e12)
+    assert(out(1L) === ((1L, 1L, 0L, 0L, qln2)))
+    assert(out(3L) === ((1L, 0L, 1L, 0L, qa)))
+    assert(out(5L) === ((1L, 0L, 0L, 1L, 2 * qa + qln6)))
+    assert(out(7L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(9L) === ((0L, 0L, 0L, 0L, 0L)))
+    val nullScores = TextAnalysis.lmTrigramDocScores(train, scoreDocs)
+      .filter(col("n_trigrams") === 0).select("sb_score")
+      .as[Option[Double]].collect()
+    assert(nullScores.length === 2 && nullScores.forall(_.isEmpty))
+  }
+
+  test("trigram scores are partition-independent; gate is consistent") {
+    val docs = tables.Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val a = TextAnalysis.lmTrigramDocScores(train.repartition(3), docs.repartition(5))
+      .select("doc_id", "nll_q_sum").as[(Long, Long)].collect().toMap
+    val b = TextAnalysis.lmTrigramDocScores(train.repartition(11), docs.repartition(2))
+      .select("doc_id", "nll_q_sum").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    val scored = TextAnalysis.lmTrigramDocScores(train, docs)
+      .select("doc_id", "n_trigrams", "sb_score")
+      .as[(Long, Long, Option[Double])].collect()
+    val kept = TextAnalysis.lmTrigramFilterFrom(docs,
+        TextAnalysis.lmTrigramDocScores(train, docs), 3.45)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = scored.filter(r => r._2 > 0 && r._3.exists(_ <= 3.45))
+      .map(_._1).toSet
+    assert(kept === expected && kept.nonEmpty && kept.size < scored.length)
+  }
+
   test("bigram LM scores are independent of partitioning; gate is consistent") {
     val docs = tables.Tables.documents(spark, sf)
     val a = TextAnalysis.lmDocScores(docs.repartition(3))
