@@ -1967,6 +1967,62 @@ object SparkEntry {
             .as("recall_floor_met"))
         .orderBy(col("query_id"))
     }),
+    "ann_ivfpq_append" -> ((s, d) => {
+      // Compressed-index MAINTENANCE: the fresh batch encoded against
+      // the PERSISTED centroids + codebooks (no rebuild, standing
+      // codes untouched), retrieval over the appended index via the
+      // production two-stage path (ADC top-200 at full probe → exact
+      // re-rank to top-10 fetching floats candidates-at-a-time).
+      // Same contract as ann_ivfpq_recall: n_exact hash-matched
+      // against DuckDB's brute force over the UNION corpus, the
+      // floor boolean total. Byte-identity of the append encode path
+      // is pinned separately by ann_ivfpq_append_check.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val dir = pqIndexAppendDir(s, d)
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("vec_id"))
+      val appended = tables.VectorIndex.pqTopKReranked(s, dir, emb, q, 10,
+          candidates = 200, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      exact.join(appended, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__match"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_exact") === 0 ||
+            col("__match").cast("double") / col("n_exact").cast("double") >= lit(0.5))
+            .as("recall_floor_met"))
+        .orderBy(col("query_id"))
+    }),
+    "ann_ivfpq_append_check" -> ((s, d) => {
+      // The append-path EXACTNESS pin: assignment + residual + PQ
+      // encode are deterministic given fixed artifacts, so the
+      // appended code table must be byte-identical to one-shot
+      // encoding the UNION corpus against the same persisted
+      // centroids + codebooks — append loses nothing vs a full
+      // re-encode. Full-outer join on vec_id; any missing row, cell
+      // drift, or code drift flips the pinned boolean (n_vectors is
+      // the hash-matched half: DuckDB counts the corpus).
+      val dir = pqIndexAppendDir(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = s.read.parquet(s"$dir/centroids")
+      val codebooks = s.read.parquet(s"$dir/codebooks")
+      val oneshot = Similarity.pqEncode(
+          Similarity.ivfpqResiduals(emb, centroids), codebooks,
+          m = 16, dim = 64, carry = Seq("centroid_id"))
+        .select(col("vec_id"), col("centroid_id").as("cell_1"),
+          col("codes").as("codes_1"))
+      val appended = tables.VectorIndex.pqCodes(s, dir)
+        .select(col("vec_id"), col("centroid_id").as("cell_2"),
+          col("codes").as("codes_2"))
+      appended.join(oneshot, Seq("vec_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vectors"),
+          coalesce(
+            every(col("cell_1").isNotNull && col("cell_2").isNotNull &&
+              col("cell_1") === col("cell_2") &&
+              col("codes_1") === col("codes_2")), lit(false))
+            .as("codes_equal"))
+    }),
     "ann_int8_recall" -> ((s, d) => {
       // End-to-end retrieval quality of int8 STORAGE: the corpus is
       // quantized (4× smaller) and retrieval runs over the
@@ -3377,6 +3433,28 @@ object SparkEntry {
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
         dir.toString, nlist = 16)
       tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir.toString)
+      dir.toString
+    })
+
+  /** Persisted COMPRESSED (IVF-PQ) index with an appended batch:
+    * codebooks + codes built on vec_id ≥ 50, the fresh vec_id < 50
+    * batch appended by encoding against the PERSISTED artifacts — the
+    * complete compressed-index lifecycle with no rebuild. Memoized per
+    * (process, dataset) like [[vectorIndexAppendDir]].
+    */
+  private def pqIndexAppendDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#pqappend", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_pq_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val emb = Tables.embeddings(s, d)
+      tables.VectorIndex.writePq(emb.filter(col("vec_id") >= 50),
+        dir.toString, nlist = 16, m = 16, ksub = 64)
+      tables.VectorIndex.appendPq(emb.filter(col("vec_id") < 50), dir.toString)
       dir.toString
     })
 
@@ -6930,6 +7008,31 @@ object SparkEntry {
                 true AS recall_floor_met
          FROM ranked WHERE rn <= 10
          GROUP BY query_id ORDER BY query_id""",
+    // Appended compressed index: brute force over the UNION corpus
+    // (= all embeddings) — identical contract to ann_ivfpq_recall.
+    "ann_ivfpq_append" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         ranked AS (
+           SELECT q.query_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.emb, q.query_emb) DESC,
+                             e.vec_id) AS rn
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         SELECT query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                true AS recall_floor_met
+         FROM ranked WHERE rn <= 10
+         GROUP BY query_id ORDER BY query_id""",
+    // Append-path byte-identity: the count is the hash-matched half;
+    // the equality boolean is engine-side (deterministic encode given
+    // fixed artifacts — see the query comment).
+    "ann_ivfpq_append_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                true AS codes_equal
+         FROM embeddings""",
     "ann_int8_recall" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -817,10 +817,6 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, dim: Int = 64,
                 stageKey: Option[String] = None): DataFrame = {
-    val sd = dim / m
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
     // With a stageKey the index artifacts (centroids, codebooks, code
     // table) memoize per (session, key, corpus fingerprint, params) —
     // the IVF-PQ index IS the stored artifact a deployment builds once
@@ -836,6 +832,24 @@ object Similarity {
     val codebooks = staged("cb")(pqCodebooks(resid, m, ksub, dim))
     val enc = staged("enc")(
       pqEncode(resid, codebooks, m, dim, carry = Seq("centroid_id")))
+    ivfpqProbe(centroids, codebooks, enc, queries, k, nprobe, m, dim)
+  }
+
+  /** IVF-PQ retrieval against PREBUILT index artifacts — the probe
+    * half of [[ivfpqTopK]] factored out so a persisted index
+    * ([[graft.tables.VectorIndex.writePq]]) queries without
+    * rebuilding anything. `centroids`/`codebooks`/`enc` are exactly
+    * the relations [[ivfCentroids]] / [[pqCodebooks]] /
+    * [[pqEncode]](residuals, carry=centroid_id) produce, whether
+    * in-flight or reloaded from parquet.
+    */
+  def ivfpqProbe(centroids: DataFrame, codebooks: DataFrame, enc: DataFrame,
+                 queries: DataFrame, k: Int, nprobe: Int, m: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    val sd = dim / m
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
 
     // Probe: each query keeps its nprobe nearest cells (Q·nlist window
     // rows; centroid_id breaks exact-cosine ties).

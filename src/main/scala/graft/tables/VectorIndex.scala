@@ -88,4 +88,122 @@ object VectorIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
     Similarity.ivfProbe(centroids, cells(spark, dir), queries, k, nprobe)
   }
+
+  // ---- compressed (IVF-PQ) index lifecycle --------------------------
+
+  /** Persist the COMPRESSED index (FAISS `IVFx,PQy` shape): coarse
+    * centroids, PQ codebooks trained on cell residuals, and the code
+    * table PARTITIONED BY centroid_id — m bytes of codes per vector
+    * instead of the float array, with the same nprobe/nlist partition
+    * pruning as the float index. A 1-row `params` relation records
+    * (nlist, m, ksub, dim) so append/query never guess shapes.
+    */
+  def writePq(corpus: DataFrame, dir: String, nlist: Int = 16,
+              m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    import corpus.sparkSession.implicits._
+    val centroids = Similarity.ivfCentroids(corpus, nlist)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val resid = Similarity.ivfpqResiduals(corpus, centroids)
+    val codebooks = Similarity.pqCodebooks(resid, m, ksub, dim)
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Similarity.pqEncode(resid, codebooks, m, dim, carry = Seq("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
+    Seq((nlist, m, ksub, dim)).toDF("nlist", "m", "ksub", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def pqParams(spark: SparkSession,
+                       dir: String): (Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params")
+      .select("nlist", "m", "ksub", "dim").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Append a fresh batch into the COMPRESSED index without any
+    * rebuild — the full encode path is maintenance-free given the
+    * persisted artifacts: assign against the standing centroids
+    * (broadcast, row-local argmin), subtract for residuals
+    * (row-local), PQ-encode against the standing codebooks (broadcast
+    * packed map, row-local argmins). The standing code table is never
+    * read, moved, or rewritten; centroids AND codebooks stay fixed by
+    * design (IVF-PQ tolerates drift until a scheduled retrain, and
+    * because the encode path is deterministic given the artifacts,
+    * append-then-read is BYTE-IDENTICAL to one-shot-encoding the
+    * union corpus — what `ann_ivfpq_append_check` pins).
+    *
+    * Same at-least-once discipline as [[append]]: with a `batch` id
+    * the codes land in `codes_batch_<id>` with overwrite, so a
+    * redelivered micro-batch replaces its prior attempt.
+    */
+  def appendPq(fresh: DataFrame, dir: String,
+               batch: Option[String] = None): Unit = {
+    val spark = fresh.sparkSession
+    val (_, m, _, dim) = pqParams(spark, dir)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val enc = Similarity.pqEncode(
+      Similarity.ivfpqResiduals(fresh, centroids), codebooks, m, dim,
+      carry = Seq("centroid_id"))
+    batch match {
+      case Some(b) =>
+        enc.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$dir/codes_batch_$b")
+      case None =>
+        enc.write.mode("append").partitionBy("centroid_id")
+          .parquet(s"$dir/codes")
+    }
+  }
+
+  /** All code roots of the compressed index (base build + per-batch
+    * appends), unioned — the [[cells]] pattern for codes.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir)
+    val batchRoots = Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("codes_batch_"))
+      .map(_.getAbsolutePath).sorted
+    batchRoots.foldLeft(spark.read.parquet(s"$dir/codes"))(
+      (acc, p) => acc.unionByName(spark.read.parquet(p)))
+  }
+
+  /** ADC retrieval over the persisted compressed index — reloads the
+    * artifacts and runs [[Similarity.ivfpqProbe]]; the float vectors
+    * are never touched.
+    */
+  def pqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int, nprobe: Int): DataFrame = {
+    val (_, m, _, dim) = pqParams(spark, dir)
+    Similarity.ivfpqProbe(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      pqCodes(spark, dir), queries, k, nprobe, m, dim)
+  }
+
+  /** Two-stage retrieval over the persisted compressed index: ADC
+    * nominates `candidates` per query from codes alone, then ONLY
+    * those rows fetch their float vectors from `corpus` for the exact
+    * re-rank — the production deployment shape (codes in the hot
+    * tier, floats in cold storage touched candidates-at-a-time).
+    */
+  def pqTopKReranked(spark: SparkSession, dir: String, corpus: DataFrame,
+                     queries: DataFrame, k: Int, candidates: Int,
+                     nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqTopK(spark, dir, queries, candidates, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val rescored = corpus.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity.cosine_similarity(
+          col("embedding"), col("query_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
 }

@@ -299,6 +299,9 @@ class PlanContractSpec extends SparkSpec {
       // centroid row, codebook, per-query probe/LUT relations) — every
       // cross side is nlist-, Q·nprobe- or Q·nprobe·m·ksub-sized
       "ann_ivfpq_topk", "ann_ivfpq_recall",
+      // persisted-PQ append rows reuse the same broadcast crosses
+      // (packed centroid row for assignment, codebook LUT halves)
+      "ann_ivfpq_append", "ann_ivfpq_append_check",
       // packed-centroid 1-row broadcast cross (assignment argmin)
       "knn_graph", "knn_label_propagate", "knn_pagerank",
       "kmeans_assign", "semantic_dedup",

@@ -225,6 +225,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq index append: standing codes untouched, append ≡ one-shot encode, probe ≡ in-flight") {
+    import graft.tables.VectorIndex
+    val emb = tables.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("vindex_pq_test").toString
+    try {
+      VectorIndex.writePq(emb.filter($"vec_id" >= 50), dir, nlist = 8,
+        m = 8, ksub = 16)
+      val before = new java.io.File(s"$dir/codes").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      VectorIndex.appendPq(emb.filter($"vec_id" < 50), dir)
+      // append only ADDS code files — standing codes survive untouched
+      val after = new java.io.File(s"$dir/codes").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      before.foreach { case (p, t) =>
+        assert(after.get(p).contains(t), s"standing code file rewritten: $p")
+      }
+      assert(after.size > before.size, "append added no code files")
+      // append path == one-shot encode of the union against the SAME
+      // persisted artifacts (assignment + residual + encode are
+      // deterministic given fixed centroids/codebooks)
+      val centroids = spark.read.parquet(s"$dir/centroids")
+      val codebooks = spark.read.parquet(s"$dir/codebooks")
+      val oneshot = Similarity.pqEncode(
+          Similarity.ivfpqResiduals(emb, centroids), codebooks,
+          m = 8, dim = 64, carry = Seq("centroid_id"))
+        .select($"vec_id", $"centroid_id", $"codes")
+        .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      val appended = VectorIndex.pqCodes(spark, dir)
+        .select($"vec_id", $"centroid_id", $"codes")
+        .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(appended === oneshot)
+      // persisted ADC probe == in-flight ivfpqProbe over the same relations
+      val q = emb.filter($"vec_id" < 3)
+      val persisted = VectorIndex.pqTopK(spark, dir, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      val inflight = Similarity.ivfpqProbe(centroids, codebooks,
+          VectorIndex.pqCodes(spark, dir), q, 5, nprobe = 8, m = 8, dim = 64)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      assert(persisted === inflight && persisted.nonEmpty)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivf: probes return valid ranked neighbours with decent recall") {
     val emb = tables.Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 3)
