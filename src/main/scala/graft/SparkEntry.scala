@@ -578,6 +578,34 @@ object SparkEntry {
           (col("n_planted_grouped") === col("__n_planted"))
             .as("all_planted_grouped"))
     }),
+    "multimodal_audio_dups" -> ((s, d) =>
+      // Perceptual duplicate AUDIO groups (spectral fingerprint: 8
+      // time windows × 8 Goertzel bands) over the encoded corpus +
+      // byte-identical clip copies planted at id+10000. Group
+      // membership reflects SPECTRAL similarity — fixture tones share
+      // one of 12 pitches, so same-pitch clips legitimately collide
+      // beyond the planted copies → rows-only; the oracle-checked
+      // twin is multimodal_audio_dup_check.
+      Multimodal.audioDupGroups(plantedAudioMedia(s, d))),
+    "multimodal_audio_dup_check" -> ((s, d) => {
+      // The pinnable property: EVERY planted byte-identical clip lands
+      // in the same group as its original (WAV parse + Goertzel are
+      // deterministic). Expected count DERIVED from the fixture
+      // (audio among doc_id < 20 — 7 on driver data), never
+      // hardcoded, per the image-dup half-re-scale lesson.
+      val media = plantedAudioMedia(s, d)
+      val nPlanted = media.filter(col("media_id") >= 10000L)
+        .agg(count(lit(1)).as("__n_planted"))
+      val g = Multimodal.audioDupGroups(media)
+      val planted = g.filter(col("media_id") >= 10000L)
+        .select(col("group_rep"), (col("media_id") - 10000L).as("media_id"))
+      planted.join(g, Seq("group_rep", "media_id"))
+        .agg(count(lit(1)).as("n_planted_grouped"))
+        .crossJoin(broadcast(nPlanted))
+        .select(col("n_planted_grouped"),
+          (col("n_planted_grouped") === col("__n_planted"))
+            .as("all_planted_grouped"))
+    }),
     "multimodal_frame_dups" -> ((s, d) =>
       // Perceptual duplicate VIDEO-FRAME groups (imageDupGroups lifted
       // to AVI keyframes) over the encoded corpus + byte-identical
@@ -3472,6 +3500,19 @@ object SparkEntry {
   }
 
   /** Encoded media over the first 100 docs plus byte-identical copies
+    * of the audio clips with id < 20 planted at media_id + 10000 —
+    * shared by the audio-dup rows so the group set and the pin agree.
+    */
+  private def plantedAudioMedia(s: SparkSession, d: String): DataFrame = {
+    val media = operators.Multimodal.syntheticMediaEncoded(
+      Tables.documents(s, d).filter(col("doc_id") < 100))
+    val planted = media
+      .filter(col("kind") === "audio" && col("media_id") < 20)
+      .withColumn("media_id", col("media_id") + 10000L)
+    media.unionByName(planted)
+  }
+
+  /** Encoded media over the first 100 docs plus byte-identical copies
     * of the videos with id < 30 planted at media_id + 10000 — shared
     * by the frame-dup rows so the group set and the pin agree.
     */
@@ -4208,6 +4249,14 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted_grouped,
                 true AS all_planted_grouped
          FROM documents WHERE doc_id < 13 AND doc_id % 3 = 0""",
+    // Byte-identical copies of every audio clip among doc_id < 20 are
+    // planted (7 on driver data — derived, not hardcoded); the WAV
+    // parser + spectral fingerprint must reunite every one with its
+    // original.
+    "multimodal_audio_dup_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_grouped,
+                true AS all_planted_grouped
+         FROM documents WHERE doc_id < 20 AND doc_id % 3 = 1""",
     // Every planted clip frame must hash-match its original's same
     // frame; the total is arithmetic over the planted video ids
     // (doc_id < 30, doc_id%3==2, 3 + id%4 frames each).

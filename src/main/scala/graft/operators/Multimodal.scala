@@ -525,6 +525,104 @@ object Multimodal {
     }
   }
 
+  /** 64-bit spectral fingerprint of a PCM16 WAV — the audio analog of
+    * [[aHash64]] (a radically simplified chromaprint): 8 time windows
+    * × 8 Goertzel band energies (bands at (b+1)/64 cycles/sample —
+    * 125 Hz steps at the 8 kHz fixture rate), one bit per cell = band
+    * energy above its window's mean. Per-window normalization makes
+    * the hash amplitude-invariant; FREQUENCY bands make it
+    * pitch-sensitive where any time-domain envelope is flat (a
+    * constant tone has a featureless energy envelope — the naive
+    * "energy aHash" would hash every tone to 0). Byte-identical
+    * payloads always collide, same-pitch re-encodes usually do,
+    * different content rarely. None for non-PCM16 payloads.
+    */
+  private[graft] def audioHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      bb.position(12) // past RIFF<size>WAVE
+      var ok = false
+      var dataOff = -1
+      var dataLen = 0
+      while (bb.remaining() >= 8) {
+        val id = new Array[Byte](4)
+        bb.get(id)
+        val size = bb.getInt()
+        val body = bb.position()
+        new String(id, java.nio.charset.StandardCharsets.US_ASCII) match {
+          case "fmt " =>
+            val audioFormat = bb.getShort()
+            bb.getShort(); bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            if (audioFormat != 1 || bits != 16) return None
+            ok = true
+          case "data" =>
+            dataOff = body
+            dataLen = size
+          case _ => ()
+        }
+        bb.position(math.min(body + size + (size & 1), payload.length))
+      }
+      if (!ok || dataOff < 0) return None
+      val nSamples = math.min(dataLen, payload.length - dataOff) / 2
+      if (nSamples == 0) return None
+      val nWin = 8
+      val nBand = 8
+      var hash = 0L
+      var w = 0
+      while (w < nWin) {
+        val start = (nSamples.toLong * w / nWin).toInt
+        val end = (nSamples.toLong * (w + 1) / nWin).toInt
+        val energies = new Array[Double](nBand)
+        var b = 0
+        while (b < nBand) {
+          val coeff = 2.0 * math.cos(2.0 * math.Pi * (b + 1) / 64.0)
+          var s1 = 0.0
+          var s2 = 0.0
+          var i = start
+          while (i < end) {
+            val s0 = bb.getShort(dataOff + i * 2) / 32768.0 + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          energies(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+          b += 1
+        }
+        val mean = energies.sum / nBand
+        b = 0
+        while (b < nBand) {
+          if (energies(b) > mean) hash |= 1L << (w * nBand + b)
+          b += 1
+        }
+        w += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual-duplicate AUDIO groups — [[imageDupGroups]] with the
+    * spectral fingerprint as the dedup key: clips that sound the same
+    * (byte re-encodes, same tone) collapse even when bytes differ.
+    * Same 100 TB shape: fingerprints compute per partition, only the
+    * 8-byte hash ever shuffles.
+    */
+  def audioDupGroups(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(r =>
+        if (r.kind != "audio") None
+        else audioHash64(r.payload).map(h => (r.media_id, h)))
+    }.toDF("media_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("group_rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    hashed.join(broadcast(groups.drop("__n")), "ahash")
+      .select(col("group_rep"), col("media_id"))
+      .orderBy(col("group_rep"), col("media_id"))
+  }
+
   /** Perceptual-duplicate image groups: decode per partition (payloads
     * never shuffle — only the 8-byte hash does), group by aHash, emit
     * (group_rep, media_id) for every member of a >1 group. The

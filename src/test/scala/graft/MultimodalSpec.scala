@@ -218,6 +218,62 @@ class MultimodalSpec extends SparkSpec {
     assert(again.sorted === out.sorted)
   }
 
+  test("audio dup groups: spectral hash reunites copies, separates pitches, ignores non-audio") {
+    val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 60)
+    val media = Multimodal.syntheticMediaEncoded(docs)
+    val copies = media.filter($"kind" === "audio" && $"media_id" < 10)
+      .withColumn("media_id", $"media_id" + 1000L)
+    val out = Multimodal.audioDupGroups(media.unionByName(copies))
+      .as[(Long, Long)].collect().toSeq
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val planted = out.map(_._2).filter(_ >= 1000L)
+    assert(planted.nonEmpty)
+    planted.foreach { c =>
+      val g = out.find(_._2 == c).get._1
+      assert(byGroup(g).contains(c - 1000L),
+        s"copy $c not grouped with its original")
+    }
+    // only audio rows participate (audio ids: id % 3 == 1)
+    assert(out.forall { case (_, m) => (m % 3 == 1) || (m >= 1000L && (m - 1000L) % 3 == 1) })
+    // deterministic under repartitioning
+    val again = Multimodal.audioDupGroups(
+      media.unionByName(copies).repartition(7))
+      .as[(Long, Long)].collect().toSeq
+    assert(again.sorted === out.sorted)
+  }
+
+  test("audioHash64: pitch-sensitive, amplitude-invariant, total on junk") {
+    // distinct pitches (different halfPeriod) → different fingerprints
+    val h1 = Multimodal.audioHash64(Multimodal.encodeWav(1L))
+    val h4 = Multimodal.audioHash64(Multimodal.encodeWav(4L))
+    val h7 = Multimodal.audioHash64(Multimodal.encodeWav(7L))
+    assert(h1.isDefined && h4.isDefined && h7.isDefined)
+    assert(Set(h1.get, h4.get, h7.get).size === 3,
+      "different pitches must fingerprint differently")
+    // byte-identical → identical
+    assert(Multimodal.audioHash64(Multimodal.encodeWav(1L)) === h1)
+    // amplitude scaling: halve every sample of the id-1 wave — the
+    // per-window normalization keeps the fingerprint identical
+    val wav = Multimodal.encodeWav(1L)
+    val scaled = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(scaled)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 44
+    while (off + 1 < scaled.length) {
+      bb.putShort(off, (bb.getShort(off) / 2).toShort)
+      off += 2
+    }
+    assert(Multimodal.audioHash64(scaled) === h1,
+      "fingerprint must be amplitude-invariant")
+    // malformed / non-audio payloads → None, never a throw
+    assert(Multimodal.audioHash64(Array[Byte]()) === None)
+    assert(Multimodal.audioHash64("not a wav at all".getBytes) === None)
+    // truncated mid-header (before the data chunk header) → None;
+    // NB a payload truncated after a complete header still hashes
+    // over whatever samples survive, matching decodeWavFeatures
+    assert(Multimodal.audioHash64(wav.take(40)) === None)
+  }
+
   test("multi-format fixture: all four JDK image codecs sniff + decode real") {
     val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 40)
     val paths = Multimodal.decodePaths(
