@@ -324,8 +324,9 @@ class PlanContractSpec extends SparkSpec {
       // decontamination phrase broadcast
       "release_gate",
       // 1-row fixture-derived planted-copy count rides in as a
-      // broadcast cross (r9: count derived, not hardcoded)
-      "multimodal_image_dup_check",
+      // broadcast cross (r9: count derived, not hardcoded; r10 adds
+      // the audio analog — same shape, same derived count)
+      "multimodal_image_dup_check", "multimodal_audio_dup_check",
       // r9: 1-row bloom filter / NB totals+priors broadcast crosses
       "bloom_decontaminate", "nb_quality_scores",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
