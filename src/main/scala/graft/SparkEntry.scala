@@ -2404,7 +2404,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
         .map(r => (r.getString(1), r.getString(2)))
-      Bpe.bpeEncode(docs, m)
+      Bpe.bpeEncode(docs, m, stageKey = Some(d))
     }),
     "bpe_vocab_by_lang" -> ((s, d) => {
       // Per-language BPE vocabularies, ALL languages trained in one
@@ -2431,7 +2431,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
         .map(r => (r.getString(1), r.getString(2)))
-      Bpe.fertilityByLang(docs, m)
+      Bpe.fertilityByLang(docs, m, stageKey = Some(d))
     }),
     "bpe_pack_pipeline" -> ((s, d) => {
       // The subword training-sequence build end to end: BPE token
@@ -2443,12 +2443,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
         .map(r => (r.getString(1), r.getString(2)))
-      val wsyms = Bpe.wordSymbols(docs, m)
+      val wsyms = Bpe.wordSymbolsStaged(docs, d, m)
       val counts = docs.select(col("doc_id"),
           posexplode_outer(graft.functions.TextFunctions.tokens(col("text")))
             .as(Seq("wpos", "word")))
         .filter(col("wpos").isNotNull)
-        .join(wsyms, "word")
+        // broadcast pin: wsyms is vocabulary-sized, estimate isn't
+        .join(broadcast(wsyms), "word")
         .groupBy(col("doc_id"))
         .agg(sum(size(col("syms"))).cast("long").as("n_bpe"))
       val full = docs.select(col("doc_id"))
@@ -2468,7 +2469,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val m = Bpe.trainedMergeRows(docs, d, BpeNumMerges)
         .map(r => (r.getString(1), r.getString(2)))
-      Bpe.wordSymbols(docs, m)
+      Bpe.wordSymbolsStaged(docs, d, m)
         .agg(count(lit(1)).as("n_words"),
           sum(when(array_join(col("syms"), "") === col("word"), 1L)
             .otherwise(0L)).as("n_lossless"))

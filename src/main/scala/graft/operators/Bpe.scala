@@ -233,6 +233,25 @@ object Bpe {
       .select(col("word"), symsOf(finalState).as("syms"))
   }
 
+  /** [[wordSymbols]] staged per (session, key, corpus fingerprint,
+    * merge list) — the tokenizer's word→symbols map is an ARTIFACT a
+    * production pipeline stores next to the merge table, not a
+    * relation recomputed per consumer: encode, fertility QA, the
+    * packing pipeline, and the roundtrip pin all read the same map,
+    * and each previously re-ran the corpus-side distinct + the
+    * 24-replace chain to rebuild it. Vocabulary-sized, so the
+    * checkpoint is a few hundred KB at any corpus size that fits a
+    * vocabulary. NOTE for consumers that join it: a checkpointed
+    * relation has NO size estimate (defaultSizeInBytes = huge), so
+    * the planner will never auto-broadcast it — keep the explicit
+    * [[org.apache.spark.sql.functions.broadcast]] hint.
+    */
+  def wordSymbolsStaged(docs: DataFrame, key: String,
+                        mergeList: Seq[(String, String)]): DataFrame =
+    Stage.relation(
+      s"bpe_wsyms|$key|${mergeList.map(p => p._1 + " " + p._2).mkString("")}",
+      Seq(docs))(wordSymbols(docs, mergeList))
+
   /** Encode documents as BPE token-id CSV strings (the
     * [[TextAnalysis.encodeTokenIds]] convention). The vocabulary is
     * the realized symbol set (every symbol the corpus's words resolve
@@ -242,15 +261,25 @@ object Bpe {
     * (doc_id, wpos, spos, id) rows for the ordered reassembly, same as
     * word-level encode.
     */
-  def bpeEncode(docs: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
-    val wsyms = wordSymbols(docs, mergeList)
+  def bpeEncode(docs: DataFrame, mergeList: Seq[(String, String)],
+                stageKey: Option[String] = None): DataFrame = {
+    val wsyms = stageKey
+      .map(k => wordSymbolsStaged(docs, k, mergeList))
+      .getOrElse(wordSymbols(docs, mergeList))
     val vocab = wsyms.select(explode(col("syms")).as("sym")).distinct()
       .select(col("sym"),
         row_number().over(Window.orderBy(col("sym"))).cast("long").as("tid"))
     val wp = docs.select(col("doc_id"),
       posexplode_outer(tokens(col("text"))).as(Seq("wpos", "word")))
       .filter(col("wpos").isNotNull)
-    val sp = wp.join(wsyms, "word")
+    // wsyms is vocabulary-sized by construction (distinct over words),
+    // but Catalyst's size estimate for its corpus-derived subtree is
+    // corpus-sized (it cannot see the distinct collapse), so past
+    // ~10 MB of SOURCE bytes the planner silently demotes this join to
+    // a shuffled join of the exploded corpus — measured 24% of query
+    // wall at a 20k-doc re-scale. The hint pins the broadcast the
+    // operator's scale contract is written around.
+    val sp = wp.join(broadcast(wsyms), "word")
       .select(col("doc_id"), col("wpos"),
         posexplode(col("syms")).as(Seq("spos", "sym")))
       .join(broadcast(vocab), "sym")
@@ -279,11 +308,16 @@ object Bpe {
     * |langs| rows before the shuffle.
     */
   def fertilityByLang(docs: DataFrame,
-                      mergeList: Seq[(String, String)]): DataFrame = {
-    val wsyms = wordSymbols(docs, mergeList)
+                      mergeList: Seq[(String, String)],
+                      stageKey: Option[String] = None): DataFrame = {
+    val wsyms = stageKey
+      .map(k => wordSymbolsStaged(docs, k, mergeList))
+      .getOrElse(wordSymbols(docs, mergeList))
     val per = docs
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
-      .join(wsyms, "word")
+      // same broadcast pin as [[bpeEncode]]: wsyms is vocabulary-sized
+      // but its size ESTIMATE is corpus-sized
+      .join(broadcast(wsyms), "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),

@@ -146,4 +146,23 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.bpeTrain(docs.repartition(7), 8).collect().toSeq
     assert(a === b)
   }
+
+  test("staged word symbols: same rows as unstaged, shared across consumers") {
+    val docs = docsOf(
+      "the cat sat on the mat", "the bat and the rat", "cats bats rats")
+    val merges = Bpe.bpeTrain(docs, 6).collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+    val unstaged = Bpe.wordSymbols(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val staged = Bpe.wordSymbolsStaged(docs, "bpespec", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(staged === unstaged)
+    // second consumer with the same (key, inputs, merges) gets the SAME
+    // staged relation (the artifact contract encode/fertility/pack rely
+    // on); a different merge list must NOT share it
+    assert(Bpe.wordSymbolsStaged(docs, "bpespec", merges) eq
+      Bpe.wordSymbolsStaged(docs, "bpespec", merges))
+    assert(!(Bpe.wordSymbolsStaged(docs, "bpespec", merges.take(1)) eq
+      Bpe.wordSymbolsStaged(docs, "bpespec", merges)))
+  }
 }
