@@ -2406,6 +2406,16 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2)))
       Bpe.bpeEncode(docs, m, stageKey = Some(d))
     }),
+    "bpe_model_persisted" -> ((s, d) =>
+      // Train-once / encode-many for the tokenizer: the merge table
+      // persisted by BpeModel.write, encoding reads ONLY the reloaded
+      // artifact — must reproduce in-flight bpe_encode bit-for-bit
+      // (same oracle replay). The shared stage key doubles as a
+      // content check: a merge table corrupted by the round trip
+      // would fingerprint differently and not reuse the staged
+      // word→symbols map.
+      tables.BpeModel.encode(s, bpeModelDir(s, d),
+        Tables.documents(s, d), stageKey = Some(d))),
     "bpe_vocab_by_lang" -> ((s, d) => {
       // Per-language BPE vocabularies, ALL languages trained in one
       // distributed merge loop (pair counts grouped by (lang, pair),
@@ -3380,6 +3390,23 @@ object SparkEntry {
     TextAnalysis.lmTrigramDocScoresStaged(
       docs.filter(col("doc_id") % 2 === 0), docs, key = d)
   }
+
+  /** Persisted BPE-merge-table dir per (process, dataset) — the
+    * [[lmModelDir]] pattern for the tokenizer artifact
+    * (tables.BpeModel: train once, encode many).
+    */
+  private def bpeModelDir(s: SparkSession, d: String): String =
+    lmModelCache.getOrElseUpdate(s"$d#bpe", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpemodel_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.BpeModel.write(Tables.documents(s, d), dir.toString, BpeNumMerges)
+      dir.toString
+    })
 
   /** Persisted trigram-model dir per (process, dataset) — the
     * [[lmModelDir]] pattern for the stupid-backoff model.
@@ -7639,6 +7666,9 @@ object SparkEntry {
     // scratch in DuckDB.
     "bpe_vocab" -> bpeVocabSql(BpeNumMerges),
     "bpe_encode" -> bpeEncodeSql(BpeNumMerges),
+    // persisted-artifact replay: identical output contract, so the
+    // oracle re-derives the same merge chain from scratch
+    "bpe_model_persisted" -> bpeEncodeSql(BpeNumMerges),
     "bpe_fertility_by_lang" -> bpeFertilitySql(BpeNumMerges),
     "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
     "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),

@@ -147,6 +147,23 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("persisted model: reloaded merges reproduce in-flight encode exactly") {
+    val docs = docsOf(
+      "the cat sat on the mat", "the bat and the rat", "cats bats rats")
+    val dir = java.nio.file.Files.createTempDirectory("bpemodel_spec_").toString
+    graft.tables.BpeModel.write(docs, dir, numMerges = 8)
+    val trained = Bpe.bpeTrain(docs, 8).collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+    // the artifact survives the parquet round trip in rank order …
+    assert(graft.tables.BpeModel.merges(spark, dir) === trained)
+    // … and encoding from it is bit-identical to the in-flight path
+    val fromModel = graft.tables.BpeModel.encode(spark, dir, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val inFlight = Bpe.bpeEncode(docs, trained)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fromModel === inFlight)
+  }
+
   test("staged word symbols: same rows as unstaged, shared across consumers") {
     val docs = docsOf(
       "the cat sat on the mat", "the bat and the rat", "cats bats rats")
