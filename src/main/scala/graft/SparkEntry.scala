@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Bpe, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Bpe, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis, UrlOps}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3333,6 +3333,66 @@ object SparkEntry {
           sum(when(col("real"), 1L).otherwise(0L)).as("n_real_decoded"),
           sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
         .orderBy(col("kind"))),
+
+    // ---- training-data extensions: crawl-URL front door ------------
+    "url_canonicalize" -> ((s, d) =>
+      // The corpus has no URL column, so the query derives a
+      // deterministic crawl URL per doc ([[urlFixture]]: case-varying
+      // scheme/host, www/blog/news subdomains, default AND non-default
+      // ports crossed with both schemes, trailing-slash and empty
+      // paths, tracking-only/unsorted/mixed query strings, fragments —
+      // every rule in UrlOps' canonicalization contract fires on
+      // driver data) and canonicalizes it; the oracle replays the
+      // derivation and the identical regex chain.
+      UrlOps.canonicalize(
+          Tables.documents(s, d).select(col("doc_id"),
+            urlFixture(col("doc_id")).as("url")))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("registered_domain"))
+        .orderBy(col("doc_id"))),
+    "url_dedup" -> ((s, d) =>
+      // URL-level exact dedup: [[urlDupFixture]] derives each doc's
+      // URL from doc_id % 400, decorating it with canonicalization-
+      // invariant noise driven by doc_id itself (scheme case, www,
+      // scheme-default port, trailing slash, tracking params, param
+      // order, fragment) — so ~400 canonical groups absorb raw-URL
+      // variants that differ on every byte. Keep the lowest doc_id
+      // per group; distinct uids never collide (canonical parts are
+      // uid mod 2/3/13/23/50 — CRT distinct below lcm 44850).
+      UrlOps.dedupByUrl(
+          Tables.documents(s, d).select(col("doc_id"),
+            urlDupFixture(col("doc_id")).as("url")))
+        .orderBy(col("canonical_url"))),
+    "url_domain_rollup" -> ((s, d) =>
+      // Per-registered-domain corpus rollup (the per-site quality/
+      // volume table a crawl pipeline scores sites with): skinny
+      // domain-keyed agg — only (domain, partial agg) rows shuffle.
+      UrlOps.domainRollup(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+            urlFixture(col("doc_id")).as("url")))
+        .orderBy(col("registered_domain"))),
+    "url_blocklist_filter" -> ((s, d) => {
+      // Domain-blocklist filtering: the blocklist (policy input,
+      // thousands of rows in production) BROADCASTS into a hash
+      // anti-join on the derived registered domain; per-source
+      // kept/blocked counts pin the filter. The anti-join path is the
+      // measured operator; blocked = total − kept.
+      import s.implicits._
+      val blocked = Seq("site1.org", "site4.com.au", "site7.co.uk",
+        "site10.net", "site13.io", "site16.com", "site19.org",
+        "site22.net").toDF("domain")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        urlFixture(col("doc_id")).as("url"))
+      val total = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"))
+      val kept = UrlOps.blocklistFilter(docs, blocked)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      total.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_blocked"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** The corpus-prep pipeline shared by clean_corpus (exact-baseline
@@ -3581,6 +3641,172 @@ object SparkEntry {
     """QUALIFY row_number() OVER (
            PARTITION BY CAST(floor(n_chars / 16) AS BIGINT)
            ORDER BY doc_id) <= 128"""
+
+  /** Deterministic crawl-URL fixture shared by url_canonicalize /
+    * url_domain_rollup / url_blocklist_filter: every canonicalization
+    * rule fires somewhere in the corpus (doc_id mod 3 crosses scheme
+    * case with mod-4 ports, so https:443 [dropped] and http:443
+    * [kept] both occur; mod 7 yields empty paths and fragments; mod 5
+    * cycles tracking-only / unsorted / mixed / absent query strings;
+    * mod 11 uppercases whole hosts). Mirrored byte-for-byte by
+    * [[urlFixtureSql]]. */
+  private def urlFixture(id: Column): Column = {
+    val scheme = element_at(array(lit("https"), lit("http"), lit("HTTPS")),
+      (id % 3).cast("int") + 1)
+    val sub = element_at(array(lit("www."), lit("blog."), lit(""), lit("news.")),
+      (id % 4).cast("int") + 1)
+    val tld = element_at(array(lit("com"), lit("org"), lit("net"),
+      lit("co.uk"), lit("com.au"), lit("io")), (id % 6).cast("int") + 1)
+    val hostRaw = concat(sub, lit("site"), (id % 23).cast("string"), lit("."), tld)
+    val host = when(id % 11 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val port = element_at(array(lit(":443"), lit(":80"), lit(":8080"), lit("")),
+      (id % 4).cast("int") + 1)
+    val path = when(id % 7 === 3, lit(""))
+      .otherwise(concat(lit("/articles/item"), (id % 50).cast("string"),
+        when(id % 4 === 2, lit("/")).otherwise(lit(""))))
+    val query = element_at(array(
+      concat(lit("?utm_source=feed&utm_campaign=c"), (id % 9).cast("string")),
+      lit("?b=2&a=1"),
+      concat(lit("?id="), (id % 13).cast("string"), lit("&utm_medium=email")),
+      lit(""),
+      lit("?z=9&y=1&utm_content=x")), (id % 5).cast("int") + 1)
+    val frag = when(id % 7 === 0, lit("#s2")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** Dup-fixture for url_dedup: the canonical URL depends ONLY on
+    * doc_id % 400 (scheme kind, host, path, real params all uid-mod
+    * derived; distinct uids stay distinct — parts are uid mod
+    * 2/3/13/23/50, CRT-distinct below lcm 44850), while doc_id itself
+    * drives only canonicalization-invariant noise (scheme case, www,
+    * the scheme's OWN default port, trailing slash, tracking params,
+    * param order, fragment). Mirrored by [[urlDupFixtureSql]]. */
+  private def urlDupFixture(id: Column): Column = {
+    val uid = id % 400
+    val schemeKind = element_at(array(lit("https"), lit("http")),
+      (uid % 2).cast("int") + 1)
+    val scheme = when(id % 3 === 0, upper(schemeKind)).otherwise(schemeKind)
+    val www = when(id % 2 === 0, lit("www.")).otherwise(lit(""))
+    val tld = element_at(array(lit("com"), lit("org"), lit("co.uk")),
+      (uid % 3).cast("int") + 1)
+    val host = concat(www, lit("dsite"), (uid % 23).cast("string"), lit("."), tld)
+    val port = when(id % 4 === 1,
+      when(uid % 2 === 0, lit(":443")).otherwise(lit(":80"))).otherwise(lit(""))
+    val path = concat(lit("/p/"), (uid % 50).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")))
+    val p1 = concat(lit("a="), (uid % 3).cast("string"))
+    val p2 = concat(lit("id="), (uid % 13).cast("string"))
+    val real = when(id % 2 === 0, concat(p1, lit("&"), p2))
+      .otherwise(concat(p2, lit("&"), p1))
+    val query = when(id % 3 === 1, concat(lit("?utm_source=x&"), real))
+      .when(id % 3 === 2, concat(lit("?"), real, lit("&utm_campaign=y")))
+      .otherwise(concat(lit("?"), real))
+    val frag = when(id % 7 === 0, lit("#top")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** CTE chain `parts, urls` deriving [[urlFixture]]'s URL per doc
+    * (columns: doc_id, n_chars, source, url). */
+  private val urlFixtureSql: String =
+    """parts AS (
+         SELECT doc_id, n_chars, source,
+           CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'http' ELSE 'HTTPS' END AS sch0,
+           (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN '' ELSE 'news.' END
+            || 'site' || (doc_id % 23) || '.' ||
+            CASE doc_id % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                 WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au' ELSE 'io' END) AS hostraw,
+           CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END AS prt0,
+           CASE WHEN doc_id % 7 = 3 THEN ''
+                ELSE '/articles/item' || (doc_id % 50) ||
+                     CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END END AS pth0,
+           CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 9)
+                WHEN 1 THEN '?b=2&a=1'
+                WHEN 2 THEN '?id=' || (doc_id % 13) || '&utm_medium=email'
+                WHEN 3 THEN ''
+                ELSE '?z=9&y=1&utm_content=x' END AS qry0,
+           CASE WHEN doc_id % 7 = 0 THEN '#s2' ELSE '' END AS frg0
+         FROM documents),
+       urls AS (
+         SELECT doc_id, n_chars, source,
+           sch0 || '://' ||
+           (CASE WHEN doc_id % 11 = 0 THEN upper(hostraw) ELSE hostraw END) ||
+           prt0 || pth0 || qry0 || frg0 AS url
+         FROM parts)"""
+
+  /** CTE chain `dparts, urls` deriving [[urlDupFixture]]'s URL. */
+  private val urlDupFixtureSql: String =
+    """dparts AS (
+         SELECT doc_id, n_chars, source, doc_id % 400 AS uid FROM documents),
+       urls AS (
+         SELECT doc_id, n_chars, source,
+           (CASE WHEN doc_id % 3 = 0
+                 THEN upper(CASE uid % 2 WHEN 0 THEN 'https' ELSE 'http' END)
+                 ELSE CASE uid % 2 WHEN 0 THEN 'https' ELSE 'http' END END)
+           || '://' ||
+           (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+           || 'dsite' || (uid % 23) || '.' ||
+           CASE uid % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END ||
+           (CASE WHEN doc_id % 4 = 1
+                 THEN CASE uid % 2 WHEN 0 THEN ':443' ELSE ':80' END
+                 ELSE '' END) ||
+           '/p/' || (uid % 50) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 3 = 1
+                 THEN '?utm_source=x&' ||
+                   (CASE WHEN doc_id % 2 = 0
+                         THEN 'a=' || (uid % 3) || '&' || 'id=' || (uid % 13)
+                         ELSE 'id=' || (uid % 13) || '&' || 'a=' || (uid % 3) END)
+                 WHEN doc_id % 3 = 2
+                 THEN '?' ||
+                   (CASE WHEN doc_id % 2 = 0
+                         THEN 'a=' || (uid % 3) || '&' || 'id=' || (uid % 13)
+                         ELSE 'id=' || (uid % 13) || '&' || 'a=' || (uid % 3) END)
+                   || '&utm_campaign=y'
+                 ELSE '?' ||
+                   (CASE WHEN doc_id % 2 = 0
+                         THEN 'a=' || (uid % 3) || '&' || 'id=' || (uid % 13)
+                         ELSE 'id=' || (uid % 13) || '&' || 'a=' || (uid % 3) END)
+                 END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+         FROM dparts)"""
+
+  /** CTE chain `cp, c2, canon` replaying [[UrlOps]]' canonicalization
+    * contract over a `urls(doc_id, n_chars, source, url)` CTE —
+    * identical regexes (Java∩RE2 subset), identical ordering rules
+    * (list_sort ≡ array_sort, both binary on ASCII). */
+  private val urlCanonSql: String =
+    """cp AS (
+         SELECT doc_id, n_chars, source, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+           regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
+         FROM urls),
+       c2 AS (
+         SELECT *,
+           regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+             '^www\.', '') AS hst,
+           regexp_extract(hostport, ':([0-9]+)$', 1) AS prt,
+           CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$', '') END AS pth,
+           array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+               '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qc
+         FROM cp),
+       canon AS (
+         SELECT doc_id, n_chars, source, url,
+           sch || '://' || hst ||
+           CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443')
+                                     OR (sch = 'http' AND prt = '80'))
+                THEN ':' || prt ELSE '' END ||
+           pth ||
+           CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url,
+           CASE WHEN regexp_matches(hst,
+                  '\.(co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br)$')
+                THEN regexp_extract(hst, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                ELSE coalesce(nullif(regexp_extract(hst, '([^.]+\.[^.]+)$', 1), ''), hst)
+                END AS registered_domain
+         FROM c2)"""
 
   private def cleanCorpusSql(capped: Boolean): String =
     """WITH t AS (
@@ -8097,5 +8323,42 @@ object SparkEntry {
                 CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
                   x -> x <> ''))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Full replay of the URL fixture derivation + the canonicalization
+    // contract (scheme/host lowering, www strip, scheme-default port
+    // drop, tracking-param removal, param sort, trailing-slash strip,
+    // fragment drop, PSL-subset registered domain).
+    "url_canonicalize" ->
+      (s"""WITH $urlFixtureSql,
+       $urlCanonSql
+         SELECT doc_id, url, canonical_url, registered_domain
+         FROM canon ORDER BY doc_id"""),
+    "url_dedup" ->
+      (s"""WITH $urlDupFixtureSql,
+       $urlCanonSql
+         SELECT canonical_url,
+                min(doc_id) AS keeper_doc_id,
+                count(*) AS n_urls
+         FROM canon GROUP BY canonical_url ORDER BY canonical_url"""),
+    "url_domain_rollup" ->
+      (s"""WITH $urlFixtureSql,
+       $urlCanonSql
+         SELECT registered_domain,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM canon GROUP BY registered_domain ORDER BY registered_domain"""),
+    "url_blocklist_filter" ->
+      (s"""WITH $urlFixtureSql,
+       $urlCanonSql
+         SELECT source,
+                count(*) AS n_total,
+                CAST(sum(CASE WHEN registered_domain IN
+                  ('site1.org','site4.com.au','site7.co.uk','site10.net',
+                   'site13.io','site16.com','site19.org','site22.net')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN registered_domain IN
+                  ('site1.org','site4.com.au','site7.co.uk','site10.net',
+                   'site13.io','site16.com','site19.org','site22.net')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+         FROM canon GROUP BY source ORDER BY source"""),
   )
 }

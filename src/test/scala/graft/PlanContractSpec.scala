@@ -39,6 +39,14 @@ class PlanContractSpec extends SparkSpec {
       s"keyset cursor no longer pushes down:\n$k")
   }
 
+  test("domain blocklist is a broadcast hash anti-join; the corpus never shuffles for it") {
+    val p = plan("url_blocklist_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist filter must broadcast the policy list into a hash anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocklist anti-join degraded to a nested loop")
+  }
+
   test("q3 broadcasts the filtered dimensions; the fact side never shuffles for the join") {
     val p = plan("q3_top_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
