@@ -3334,6 +3334,26 @@ object SparkEntry {
           sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
         .orderBy(col("kind"))),
 
+    "dedup_keep_best" -> ((s, d) => {
+      // Quality-aware canonical selection over the near-dup families:
+      // the staged cluster labels join the quantized quality score and
+      // each family keeps its BEST member (max score, ties to lowest
+      // doc_id) — the policy real pipelines use instead of the min-id
+      // convention. Skinny agg end to end: cluster labels and scores
+      // are both doc_id-keyed derived relations; the argmax is one
+      // max(struct) groupBy, no window. The oracle replays clusters
+      // (recursive closure), the score chain, and the argmax via
+      // row_number.
+      val docs = Tables.documents(s, d)
+      val clusters = operators.Components.nearDupClusters(docs,
+        sketch = true, stageKey = Some(d))
+      val scores = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"),
+          round(col("quality_score") * 1e6).cast("long").as("score_q"))
+      Dedup.keepBestPerCluster(clusters.join(scores, Seq("doc_id")))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---- training-data extensions: crawl-URL front door ------------
     "url_canonicalize" -> ((s, d) =>
       // The corpus has no URL column, so the query derives a
@@ -4254,8 +4274,12 @@ object SparkEntry {
               CAST(COALESCE(s.logw_q_sum, 0) AS DOUBLE) / 1000000000000.0 AS log_weight
        FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"""
 
-  private val DedupClustersSql: String =
-    """WITH RECURSIVE t AS (
+  /** The shared near-dup cluster CTE chain (blocked-exact pair set ≡
+    * the sketch at every driver SF + recursive closure); terminal CTE
+    * `clu(doc_id, cluster_id)`. Reused by dedup_clusters,
+    * dedup_clusters_incremental, and dedup_keep_best. */
+  private val DedupClusterCtes: String =
+    """t AS (
          SELECT doc_id, n_chars,
                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
          FROM documents),
@@ -4279,9 +4303,14 @@ object SparkEntry {
        reach AS (
          SELECT doc_id AS id, doc_id AS label FROM documents
          UNION
-         SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id)
-       SELECT id AS doc_id, min(label) AS cluster_id
-       FROM reach GROUP BY id ORDER BY doc_id"""
+         SELECT e.eb AS id, r.label FROM reach r JOIN e ON e.ea = r.id),
+       clu AS (
+         SELECT id AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY id)"""
+
+  private val DedupClustersSql: String =
+    s"""WITH RECURSIVE $DedupClusterCtes
+       SELECT doc_id, cluster_id FROM clu ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -8323,6 +8352,45 @@ object SparkEntry {
                 CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
                   x -> x <> ''))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Clusters (recursive closure over the blocked-exact pair set) ×
+    // the quality-score chain × argmax-per-cluster via row_number —
+    // the keeper rule (max score_q, ties to lowest doc_id) replayed
+    // independently of the engine's max(struct) formulation.
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $DedupClusterCtes,
+         w AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+           FROM documents),
+         tq AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS n_toks,
+                  CAST(length(text) AS DOUBLE) AS n_chars_d,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+                  CAST(len(list_filter(toks,
+                       x -> list_contains(['the','a','an','of','to','and','in','is','on','for'], x))) AS DOUBLE) AS stops,
+                  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nows
+           FROM w),
+         q AS (
+           SELECT doc_id,
+                  CAST(round((0.4 * least(n_toks / 100.0, 1.0)
+                    + 0.3 * (stops / n_toks)
+                    + 0.2 * least((nows / n_toks) / 10.0, 1.0)
+                    + 0.1 * (1.0 - punct / n_chars_d)) * 1000000) AS BIGINT) AS score_q
+           FROM tq),
+         j AS (
+           SELECT c.cluster_id, c.doc_id, q.score_q
+           FROM clu c JOIN q ON c.doc_id = q.doc_id),
+         r AS (
+           SELECT cluster_id, doc_id, score_q,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY score_q DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM j)
+         SELECT cluster_id, doc_id AS keeper_doc_id,
+                score_q AS keeper_score_q,
+                CAST(n_members AS BIGINT) AS n_members
+         FROM r WHERE rn = 1 ORDER BY cluster_id"""),
     // Full replay of the URL fixture derivation + the canonicalization
     // contract (scheme/host lowering, www strip, scheme-default port
     // drop, tracking-param removal, param sort, trailing-slash strip,

@@ -655,4 +655,37 @@ object Dedup {
       .select(col("doc_id")).distinct()
     fresh.join(victims, Seq("doc_id"), "left_anti")
   }
+
+  /** Quality-aware canonical selection: given per-doc cluster labels
+    * (a dedup equivalence relation —
+    * [[graft.operators.Components.nearDupClusters]]) joined with a
+    * per-doc INTEGER quality score, keep each cluster's best member —
+    * max score, ties to the lowest id — instead of the min-id
+    * convention the plain dedup ops use. Real pipelines keep the
+    * cleanest copy of a template family, not the one that happened to
+    * crawl first.
+    *
+    * Scale shape: one skinny groupBy over (cluster_id, score, id)
+    * rows; the argmax is a single `max(struct(score, -id))` aggregate
+    * (struct ordering is lexicographic), so partial aggregation
+    * combines map-side and no window ever materializes a cluster's
+    * members in one place. The score must be an exact integer
+    * (quantize doubles first — see the `score_q` convention) so the
+    * argmax is engine-exact under ties.
+    */
+  def keepBestPerCluster(labeled: DataFrame,
+                         clusterCol: String = "cluster_id",
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score_q"): DataFrame =
+    labeled
+      .select(col(clusterCol), col(scoreCol), col(idCol))
+      .groupBy(col(clusterCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (lit(0L) - col(idCol)).as("ni")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol),
+        (lit(0L) - col("best.ni")).as("keeper_" + idCol),
+        col("best.s").as("keeper_" + scoreCol),
+        col("n_members"))
 }

@@ -172,4 +172,19 @@ class DedupSpec extends SparkSpec {
     assert(symdiff.isEmpty,
       s"sketch vs uncapped-exact symdiff must be empty, got: $symdiff")
   }
+
+  test("keepBestPerCluster: max score wins, ties break to the lowest id") {
+    import org.apache.spark.sql.functions.col
+    val labeled = Seq(
+      // cluster 1: clear best (doc 12, score 9)
+      (1L, 10L, 5L), (1L, 11L, 7L), (1L, 12L, 9L),
+      // cluster 2: tied top score — lowest doc_id (20) must win
+      (2L, 21L, 4L), (2L, 20L, 4L), (2L, 22L, 1L),
+      // cluster 3: singleton
+      (3L, 30L, 2L)).toDF("cluster_id", "doc_id", "score_q")
+    val got = Dedup.keepBestPerCluster(labeled)
+      .orderBy(col("cluster_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 12L, 9L, 3L), (2L, 20L, 4L, 3L), (3L, 30L, 2L, 1L)))
+  }
 }
