@@ -3334,6 +3334,28 @@ object SparkEntry {
           sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
         .orderBy(col("kind"))),
 
+    "pii_card_scrub" -> ((s, d) =>
+      // The corpus carries no card numbers, so the query plants one
+      // Luhn-VALID formatted card (5 rotating brands/formats) and one
+      // Luhn-INVALID digit run (3 rotating) per doc — the scrubber
+      // must rewrite exactly the valid one and leave the invalid one
+      // intact (the checksum is the whole point: a regex-only
+      // scrubber can't tell them apart). The oracle replays candidate
+      // extraction, the mod-10 arithmetic, and the literal-replace
+      // fold.
+      TextAnalysis.piiCardScrub(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" pay "),
+            element_at(array(lit("4242 4242 4242 4242"),
+              lit("4111-1111-1111-1111"), lit("5555555555554444"),
+              lit("3782 822463 10005"), lit("6011-1111-1111-1117")),
+              (col("doc_id") % 5).cast("int") + 1),
+            lit(" ref "),
+            element_at(array(lit("4242 4242 4242 4241"),
+              lit("1111-1111-1111-1111"), lit("1234567890123456")),
+              (col("doc_id") % 3).cast("int") + 1),
+            lit(" end")).as("text")))
+        .orderBy(col("doc_id"))),
     "dedup_keep_best" -> ((s, d) => {
       // Quality-aware canonical selection over the near-dup families:
       // the staged cluster labels join the quantized quality score and
@@ -8352,6 +8374,41 @@ object SparkEntry {
                 CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
                   x -> x <> ''))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Candidate extraction + Luhn mod-10 integer arithmetic + the
+    // literal-replace fold, replayed per doc over the same planted
+    // valid/invalid pairs.
+    "pii_card_scrub" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             text || ' pay ' ||
+             (['4242 4242 4242 4242','4111-1111-1111-1111','5555555555554444',
+               '3782 822463 10005','6011-1111-1111-1117'])[CAST(doc_id % 5 AS INTEGER) + 1] ||
+             ' ref ' ||
+             (['4242 4242 4242 4241','1111-1111-1111-1111','1234567890123456'])[CAST(doc_id % 3 AS INTEGER) + 1]
+             || ' end' AS itext
+           FROM documents),
+         cands AS (
+           SELECT doc_id, itext,
+             regexp_extract_all(itext, '(?:[0-9][ -]?){12,18}[0-9]') AS cs
+           FROM inj),
+         v AS (
+           SELECT doc_id, itext, cs,
+             list_filter(cs, c ->
+               list_sum(list_transform(
+                 range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1), i ->
+                 CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN 2 * CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1) AS INTEGER) > 9
+                        THEN 2 * CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1) AS INTEGER) - 9
+                        ELSE 2 * CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1) AS INTEGER) END
+                 ELSE CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1) AS INTEGER) END))
+               % 10 = 0) AS vs
+           FROM cands)
+         SELECT doc_id,
+           list_reduce(list_prepend(itext, vs),
+             (acc, c) -> replace(acc, c, '<CARD>')) AS text,
+           CAST(len(vs) AS BIGINT) AS n_cards,
+           CAST(len(cs) - len(vs) AS BIGINT) AS n_rejected
+         FROM v ORDER BY doc_id""",
     // Clusters (recursive closure over the blocked-exact pair set) ×
     // the quality-score chain × argmax-per-cluster via row_number —
     // the keeper rule (max score_q, ties to lowest doc_id) replayed

@@ -636,6 +636,50 @@ object TextAnalysis {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\+?[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"))
 
+  /** Luhn-validated payment-card scrubbing — the checksum step that
+    * separates card-number PII from ordinary long digit runs (order
+    * ids, timestamps, phone numbers): candidate spans (13–19 digits
+    * with optional single space/dash separators) are kept as text
+    * unless their digits pass the Luhn mod-10 check, in which case
+    * every occurrence rewrites to `<CARD>`. A regex-only scrubber
+    * either misses formatted cards or destroys every long number; the
+    * checksum gives near-zero false positives, which is why DLP
+    * scanners all do it this way.
+    *
+    * Row-local and exact end to end: candidates via
+    * `regexp_extract_all` (Java∩RE2 pattern), the checksum via
+    * integer-only array HOFs (reverse → indexed transform → sum), the
+    * rewrite via a literal-`replace` fold over the validated spans —
+    * no UDF, no shuffle, and the DuckDB oracle replays the identical
+    * arithmetic. Emits `n_cards` (validated, scrubbed) and
+    * `n_rejected` (digit runs that failed the checksum and were left
+    * intact) per doc as audit columns.
+    */
+  def piiCardScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val candRe = "(?:[0-9][ -]?){12,18}[0-9]"
+    val luhnOk = (c: Column) => {
+      val ds = reverse(split(regexp_replace(c, "[^0-9]", ""), ""))
+      val total = aggregate(
+        transform(ds, (x, i) => {
+          val d = x.cast("int")
+          when(i % 2 === 1,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        }),
+        lit(0), (a, b) => a + b)
+      total % 10 === 0
+    }
+    docs
+      .withColumn("__cands",
+        regexp_extract_all(col(textCol), lit(candRe), lit(0)))
+      .withColumn("__valid", filter(col("__cands"), luhnOk))
+      .withColumn("n_cards", size(col("__valid")).cast("long"))
+      .withColumn("n_rejected",
+        (size(col("__cands")) - size(col("__valid"))).cast("long"))
+      .withColumn(textCol, aggregate(col("__valid"), col(textCol),
+        (acc, c) => replace(acc, c, lit("<CARD>"))))
+      .drop("__cands", "__valid")
+  }
+
   // ---- bigram language-model (perplexity-style) quality scoring ------
 
   /** Positional (multiplicity-preserving) word bigrams per doc — NOT

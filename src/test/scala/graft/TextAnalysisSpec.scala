@@ -370,4 +370,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_._1).toSet
     assert(kept === expected)
   }
+
+  test("card scrub: Luhn decides — valid rewrites, invalid survives, edges total") {
+    val docs = Seq(
+      // valid (spaces) + invalid (dashes) in one doc
+      (1L, "pay 4242 4242 4242 4242 ref 1111-1111-1111-1111 end"),
+      // same valid card twice: both occurrences rewrite, counted twice
+      (2L, "a 5555555555554444 b 5555555555554444 c"),
+      // card at string start and end, no padding
+      (3L, "4111-1111-1111-1111 mid 378282246310005"),
+      // 12 digits: below the candidate minimum, untouched
+      (4L, "order 123456789012 ok"),
+      // blank doc: no candidates, text unchanged
+      (5L, ""),
+      // Luhn-invalid only: left fully intact
+      (6L, "num 1234567890123456 here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiCardScrub(docs).orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "pay <CARD> ref 1111-1111-1111-1111 end", 1L, 1L),
+      (2L, "a <CARD> b <CARD> c", 2L, 0L),
+      (3L, "<CARD> mid <CARD>", 2L, 0L),
+      (4L, "order 123456789012 ok", 0L, 0L),
+      (5L, "", 0L, 0L),
+      (6L, "num 1234567890123456 here", 0L, 1L)))
+  }
 }
