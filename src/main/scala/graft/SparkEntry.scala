@@ -2901,6 +2901,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "decontaminate_multi" -> ((s, d) => {
+      // The one-scan Aho–Corasick form of `decontaminate`: identical
+      // drop-set (same oracle), but the blocklist compiles into ONE
+      // automaton walked once per doc inside codegen, instead of a
+      // contains per (doc, phrase). The 40-char-snippet phrases are
+      // collected driver-side — policy-sized, like every blocklist.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 1, 40)).as[String].collect().toSeq
+      TextAnalysis.decontaminateMulti(docs, phrases)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     "profile_columns" -> ((s, d) =>
       // Exact column profile over orders (integer/string/timestamp
@@ -6307,6 +6321,15 @@ object SparkEntry {
                   '\s+', ' ', 'g')) AS text
          FROM documents ORDER BY doc_id""",
     "decontaminate" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.doc_id < 5 AND contains(d.text, substr(b.text, 1, 40)))
+         ORDER BY d.doc_id""",
+    // The Aho–Corasick form must produce the IDENTICAL drop-set — the
+    // oracle is the same per-phrase contains semantics.
+    "decontaminate_multi" ->
       """SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d
          WHERE NOT EXISTS (

@@ -468,6 +468,22 @@ object TextAnalysis {
     docs.join(broadcast(phrases.select(col(phraseCol))),
       col(textCol).contains(col(phraseCol)), "left_anti")
 
+  /** One-scan decontamination: exact same drop-set as
+    * [[decontaminate]], evaluated as a single Aho–Corasick automaton
+    * pass per document ([[graft.functions.MultiContains]]) instead of
+    * a broadcast nested-loop `contains` per (doc, phrase). At a
+    * 10⁴-phrase blocklist that's the difference between one linear
+    * scan and 10⁴ of them per doc — the shape that stays flat as the
+    * blocklist grows. The phrase list is collected driver-side: it is
+    * policy-sized by nature (the same boundedness that justifies
+    * broadcasting it), and the automaton builds once and ships as a
+    * codegen reference object.
+    */
+  def decontaminateMulti(docs: DataFrame, phrases: Seq[String],
+                         textCol: String = "text"): DataFrame =
+    docs.filter(!graft.functions.MultiContains
+      .multi_contains_any(col(textCol), phrases))
+
   /** Bloom-prefiltered exact decontamination: the 100 TB shape of
     * [[contaminationScore]]'s broadcast gram join. Build ONE mergeable
     * Bloom filter over the benchmark k-gram set
