@@ -181,8 +181,13 @@ object SparkEntry {
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE embedding IS NOT NULL),
          c AS (
-           SELECT vec_id AS centroid_id, emb AS centroid FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           SELECT centroid_id, centroid FROM (
+             SELECT vec_id AS centroid_id, emb AS centroid,
+                    row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS __rn,
+                    count(*) OVER () AS __n
+             FROM e)
+           WHERE __rn <= greatest(16, CAST(ceil(__n / 64.0) AS BIGINT))),
          asg AS (
            SELECT vec_id, emb, centroid_id FROM (
              SELECT e.vec_id, e.emb, c.centroid_id,
@@ -2157,6 +2162,22 @@ object SparkEntry {
         operators.Classifier.nbTrain(labeled, buckets = 512))
       operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
     }),
+    "nb_quality_scores_bigram" -> ((s, d) => {
+      // The n-gram upgrade of nb_quality_scores (r11): the GPT-3-style
+      // quality filter hashes word N-GRAMS, not unigrams alone —
+      // bigram buckets live at [512, 1024) (disjoint offset, doubled
+      // feature space, smoothing denominator 1024), same quantized-ln
+      // integer discipline, same md5 bucket hash. ClassifierSpec's
+      // separation test measures the planted-domain margin widening
+      // vs the unigram model.
+      val docs = Tables.documents(s, d)
+      val labeled = docs
+        .withColumn("label", col("source").isin(NbCuratedSources: _*))
+      val model = operators.Stage.relation(s"nb-model-bi|$d|512", Seq(labeled))(
+        operators.Classifier.nbTrain(labeled, buckets = 512, bigrams = true))
+      operators.Classifier.nbScore(docs, model, labeled, buckets = 512,
+        bigrams = true)
+    }),
     "quantile_check" -> ((s, d) => {
       // Tolerance pin for the quantile sketch (approx_percentile —
       // Greenwald-Khanna, the one-pass bounded-state path a 100 TB
@@ -2772,8 +2793,10 @@ object SparkEntry {
       // SemDeDup: k-means cells bound the quadratic — near-dedup runs
       // within clusters only (O(N²/k)), survivors keep the lower
       // vec_id. Exact-reproducible clustering makes the full survivor
-      // set oracle-checkable, not just a recall pin.
-      Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.45)
+      // set oracle-checkable, not just a recall pin. k = 0 → the
+      // auto-nlist N-proportional cluster count (r11) — the oracle
+      // replays greatest(16, ceil(n/64)) from its own window count.
+      Similarity.semanticDedup(Tables.embeddings(s, d), 0, 0.45)
         .orderBy(col("vec_id"))),
     "kmeans_incremental" -> ((s, d) => {
       // Online clustering: centroids train ONCE on the standing corpus
@@ -3329,6 +3352,29 @@ object SparkEntry {
       // parser, video via the MJPEG-AVI demux + per-frame JPEG decode.
       Multimodal.featureStats(
         Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))),
+    "multimodal_feature_check" -> ((s, d) =>
+      // Hash-checked companion to the rows-only feature_stats (the
+      // dup-check pin pattern): per-kind aggregates chosen to be
+      // EXACT integers on the planted fixture, recomputable by pure
+      // id arithmetic. q_f0 = round(1024·f0): image/video f0 is the
+      // normalized width w/1024 (dyadic — every float op en route is
+      // exact, incl. the AVI per-frame mean: (n·w/1024)/n is an
+      // integral-quotient IEEE division), audio f0 is the normalized
+      // rate 8000/48000 → round(1024/6) = 171 on any engine. Audio
+      // payload bytes are header+2·samples — id arithmetic. A codec
+      // regressing to the stub moves q_f0 off these integers.
+      Multimodal.decodeBatch(
+          Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))
+        .toDF()
+        .select(col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double") * 1024)
+            .cast("long").as("q_f0"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("q_f0")).as("sum_q_f0"),
+          sum(when(col("kind") === "audio", col("n_bytes"))
+            .otherwise(0L)).as("audio_bytes"))
+        .orderBy(col("kind"))),
     "multimodal_decode_counts" -> ((s, d) =>
       // Dispatch pin for the decode path: every payload of the
       // deterministic encoded fixture MUST route through its real
@@ -3339,14 +3385,31 @@ object SparkEntry {
       // r9: also grouped by sniffed FORMAT (png/wav/avi literals per
       // kind on this fixture) — the container dispatch is pinned, not
       // just the codec outcome.
+      // r11: the MP4 fixture joins the matrix — its dispatch row pins
+      // the H.264 METADATA path (codec 'mp4-meta', real = the
+      // stts/stss/stsd walk succeeded; frame decode stays a documented
+      // native-lib stub and is NOT what 'real' means for mp4).
       Multimodal.decodePaths(
-          Multimodal.syntheticMediaEncoded(Tables.documents(s, d)))
+          Multimodal.syntheticMediaEncoded(Tables.documents(s, d))
+            .unionByName(Multimodal.syntheticMp4Media(Tables.documents(s, d))))
         .toDF()
         .groupBy(col("kind"), col("format"))
         .agg(count(lit(1)).as("n_media"),
           sum(when(col("real"), 1L).otherwise(0L)).as("n_real_decoded"),
           sum(when(col("real"), 0L).otherwise(1L)).as("n_fallback"))
-        .orderBy(col("kind"))),
+        .orderBy(col("kind"), col("format"))),
+    "multimodal_keyframe_stats" -> ((s, d) =>
+      // The keyframe/structure metadata every walkable video container
+      // yields without a native decoder: AVI (MJPEG intra-only — every
+      // frame is sync, duration from avih.usPerFrame) and MP4 (stts
+      // sample table + stss sync table + stsd codec fourcc — the
+      // H.264 metadata path). Both fixtures are pure id arithmetic,
+      // so duration/sample/keyframe columns hash-check exactly — the
+      // blocking signal video dedup uses for stub-codec formats.
+      Multimodal.videoKeyframeStats(
+          Multimodal.syntheticMediaEncoded(Tables.documents(s, d))
+            .unionByName(Multimodal.syntheticMp4Media(Tables.documents(s, d))))
+        .orderBy(col("media_id"))),
 
     "pii_card_scrub" -> ((s, d) =>
       // The corpus carries no card numbers, so the query plants one
@@ -3826,43 +3889,73 @@ object SparkEntry {
            (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
          FROM dparts)"""
 
-  /** CTE chain `cp, c2, canon` replaying [[UrlOps]]' canonicalization
+  /** CTE chain `cp, c2, …, canon` replaying [[UrlOps]]' canonicalization
     * contract over a `urls(doc_id, n_chars, source, url)` CTE —
     * identical regexes (Java∩RE2 subset), identical ordering rules
-    * (list_sort ≡ array_sort, both binary on ASCII). */
-  private val urlCanonSql: String =
-    """cp AS (
+    * (list_sort ≡ array_sort, both binary on ASCII), and a full
+    * replay of the PSL registered-domain walk
+    * ([[graft.functions.PslRegisteredDomain]]) against the SAME rule
+    * table ([[graft.functions.PublicSuffixData.rulesSqlValues]]):
+    * candidate trailing-label suffixes per distinct host join the
+    * rule VALUES, exception rules prevail at rule-labels−1, else the
+    * longest normal/wildcard match, else the `*` default; registered
+    * domain = suffix + one label, NULL for suffix-only/dotless/
+    * malformed hosts. Malformed URLs (no scheme://host) canonicalize
+    * to NULL on both engines. */
+  private lazy val urlCanonSql: String =
+    s"""cp AS (
          SELECT doc_id, n_chars, source, url,
            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-           regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
+           regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS rawq
          FROM urls),
        c2 AS (
          SELECT *,
-           regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
-             '^www\.', '') AS hst,
-           regexp_extract(hostport, ':([0-9]+)$', 1) AS prt,
-           CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-                ELSE regexp_replace(rawpath, '/+$', '') END AS pth,
+           regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''),
+             '^www\\.', '') AS hst,
+           regexp_replace(lower(hostport), ':[0-9]+$$', '') AS hstw,
+           regexp_extract(hostport, ':([0-9]+)$$', 1) AS prt,
+           CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$$', '') END AS pth,
            array_to_string(list_sort(list_filter(str_split(rawq, '&'),
              p -> p <> '' AND NOT regexp_matches(p,
                '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qc
          FROM cp),
-       canon AS (
-         SELECT doc_id, n_chars, source, url,
-           sch || '://' || hst ||
-           CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443')
-                                     OR (sch = 'http' AND prt = '80'))
-                THEN ':' || prt ELSE '' END ||
-           pth ||
-           CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url,
-           CASE WHEN regexp_matches(hst,
-                  '\.(co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br)$')
-                THEN regexp_extract(hst, '([^.]+\.[^.]+\.[^.]+)$', 1)
-                ELSE coalesce(nullif(regexp_extract(hst, '([^.]+\.[^.]+)$', 1), ''), hst)
+       pslr AS (SELECT * FROM (VALUES ${graft.functions.PublicSuffixData.rulesSqlValues}) AS t(sfx, kind)),
+       hh AS (SELECT DISTINCT hstw FROM c2 WHERE hstw <> ''),
+       hl AS (SELECT hstw, string_split(hstw, '.') AS ls,
+                     len(string_split(hstw, '.')) AS nl FROM hh),
+       cand AS (
+         SELECT hstw, nl, i, array_to_string(ls[nl - i + 1:nl], '.') AS sfx
+         FROM hl, unnest(range(1, nl + 1)) AS u(i)),
+       mm AS (
+         SELECT c.hstw,
+           max(CASE WHEN r.kind = 2 THEN c.i - 1 END) AS excl,
+           max(CASE WHEN r.kind = 0 THEN c.i
+                    WHEN r.kind = 1 AND c.i + 1 <= c.nl THEN c.i + 1 END) AS best
+         FROM cand c JOIN pslr r ON r.sfx = c.sfx
+         GROUP BY c.hstw),
+       rd AS (
+         SELECT hl.hstw,
+           CASE WHEN hl.hstw LIKE '.%' OR hl.hstw LIKE '%.'
+                     OR hl.hstw LIKE '%..%' THEN NULL
+                WHEN hl.nl > coalesce(mm.excl, greatest(coalesce(mm.best, 1), 1))
+                THEN array_to_string(hl.ls[hl.nl - coalesce(mm.excl,
+                       greatest(coalesce(mm.best, 1), 1)):hl.nl], '.')
                 END AS registered_domain
-         FROM c2)"""
+         FROM hl LEFT JOIN mm ON hl.hstw = mm.hstw),
+       canon AS (
+         SELECT c2.doc_id, c2.n_chars, c2.source, c2.url,
+           CASE WHEN sch = '' OR hst = '' THEN NULL
+                ELSE sch || '://' || hst ||
+                  CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443')
+                                            OR (sch = 'http' AND prt = '80'))
+                       THEN ':' || prt ELSE '' END ||
+                  pth ||
+                  CASE WHEN qc <> '' THEN '?' || qc ELSE '' END END AS canonical_url,
+           rd.registered_domain
+         FROM c2 LEFT JOIN rd ON c2.hstw = rd.hstw)"""
 
   private def cleanCorpusSql(capped: Boolean): String =
     """WITH t AS (
@@ -6609,13 +6702,49 @@ object SparkEntry {
     // The fixture's kind assignment is doc_id mod 3, and EVERY encoded
     // payload must decode through its real codec: n_real_decoded pins
     // to the full per-kind count, n_fallback to zero.
-    "multimodal_decode_counts" ->
+    // Every aggregate is an exact integer by construction (see the
+    // query comment): q_f0 per row is w (image/video) or 171 (audio),
+    // audio bytes are 44 + 2·(160 + id%100).
+    "multimodal_feature_check" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS format,
+                count(*) AS n_media,
+                CAST(sum(CASE doc_id % 3 WHEN 1 THEN 171
+                         ELSE 4 + doc_id % 8 END) AS BIGINT) AS sum_q_f0,
+                CAST(sum(CASE WHEN doc_id % 3 = 1
+                         THEN 44 + 2 * (160 + doc_id % 100)
+                         ELSE 0 END) AS BIGINT) AS audio_bytes
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    "multimodal_decode_counts" ->
+      """WITH rows_ AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS format
+           FROM documents
+           UNION ALL
+           SELECT 'video', 'mp4' FROM documents)
+         SELECT kind, format,
                 count(*) AS n_media,
                 count(*) AS n_real_decoded,
                 CAST(0 AS BIGINT) AS n_fallback
-         FROM documents GROUP BY 1, 2 ORDER BY kind""",
+         FROM rows_ GROUP BY 1, 2 ORDER BY kind, format""",
+    // Both video fixtures are id arithmetic end to end: AVI frame
+    // count 3+id%4 at 25 fps (40 ms/frame, all frames sync — MJPEG is
+    // intra-only); MP4 sample count 20+id%10 at delta 40/timescale
+    // 1000, stss keyframes every 2+id%3 samples starting at 1 (count
+    // = (n−1)//step + 1), ids offset by 1e6.
+    "multimodal_keyframe_stats" ->
+      """SELECT doc_id AS media_id, 'avi' AS format, 'mjpeg' AS codec,
+                CAST((3 + doc_id % 4) * 40 AS BIGINT) AS duration_ms,
+                CAST(3 + doc_id % 4 AS BIGINT) AS n_samples,
+                CAST(3 + doc_id % 4 AS BIGINT) AS n_keyframes
+         FROM documents WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT doc_id + 1000000 AS media_id, 'mp4' AS format,
+                'avc1' AS codec,
+                CAST((20 + doc_id % 10) * 40 AS BIGINT) AS duration_ms,
+                CAST(20 + doc_id % 10 AS BIGINT) AS n_samples,
+                CAST((20 + doc_id % 10 - 1) // (2 + doc_id % 3) + 1 AS BIGINT) AS n_keyframes
+         FROM documents
+         ORDER BY media_id""",
     // Byte-level bigram-profile scoring mirrored at char level: the
     // corpus is ASCII, where an ASCII-ASCII byte bigram exists iff the
     // chars are adjacent, and the native kernel's ASCII-only lowering
@@ -6958,8 +7087,13 @@ object SparkEntry {
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE embedding IS NOT NULL),
          seeds AS (
-           SELECT vec_id AS centroid_id, emb AS centroid
-           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           SELECT centroid_id, centroid FROM (
+             SELECT vec_id AS centroid_id, emb AS centroid,
+                    row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS __rn,
+                    count(*) OVER () AS __n
+             FROM e)
+           WHERE __rn <= greatest(16, CAST(ceil(__n / 64.0) AS BIGINT))),
          s1 AS (
            SELECT e.vec_id, s.centroid_id,
                   list_cosine_similarity(e.emb, s.centroid) AS cos
@@ -7301,8 +7435,13 @@ object SparkEntry {
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE embedding IS NOT NULL),
          c AS (
-           SELECT vec_id AS centroid_id, emb AS centroid FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           SELECT centroid_id, centroid FROM (
+             SELECT vec_id AS centroid_id, emb AS centroid,
+                    row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS __rn,
+                    count(*) OVER () AS __n
+             FROM e)
+           WHERE __rn <= greatest(16, CAST(ceil(__n / 64.0) AS BIGINT))),
          asg AS (
            SELECT vec_id, emb, centroid_id FROM (
              SELECT e.vec_id, e.emb, c.centroid_id,
@@ -7332,8 +7471,13 @@ object SparkEntry {
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE embedding IS NOT NULL),
          c AS (
-           SELECT vec_id AS centroid_id, emb AS centroid FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           SELECT centroid_id, centroid FROM (
+             SELECT vec_id AS centroid_id, emb AS centroid,
+                    row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS __rn,
+                    count(*) OVER () AS __n
+             FROM e)
+           WHERE __rn <= greatest(16, CAST(ceil(__n / 64.0) AS BIGINT))),
          asg AS (
            SELECT vec_id, label, emb, centroid_id FROM (
              SELECT e.vec_id, e.label, e.emb, c.centroid_id,
@@ -7577,6 +7721,73 @@ object SparkEntry {
                  - COALESCE(a.n_toks, 0)
                    * (CAST(round(ln(CAST(t.tp + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
                     - CAST(round(ln(CAST(t.tn + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+                 + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                 - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)) > 0 AS pred_hq
+         FROM documents d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id
+         CROSS JOIN tot t CROSS JOIN pri p
+         ORDER BY d.doc_id""",
+    // The bigram-feature replay: unigram buckets at [0,512), word
+    // bigrams (array_to_string(w[i:i+1],' ') ≡ word_ngrams(text,2))
+    // at [512,1024), smoothing denominator 1024 — same quantized-ln
+    // BIGINT discipline as nb_quality_scores.
+    "nb_quality_scores_bigram" ->
+      """WITH lab AS (
+           SELECT doc_id, text, source IN ('src0','src1','src2','src3') AS y
+           FROM documents),
+         tl AS (
+           SELECT doc_id, y,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM lab),
+         tok AS (
+           SELECT doc_id, y, unnest(w) AS g, 0 AS off FROM tl
+           UNION ALL
+           SELECT doc_id, y,
+                  unnest(list_transform(range(1, len(w)),
+                    i -> array_to_string(w[i:i+1], ' '))) AS g,
+                  512 AS off
+           FROM tl WHERE len(w) >= 2),
+         tb AS (
+           SELECT doc_id, y,
+                  CAST(off + list_reduce([strpos('0123456789abcdef', x) - 1
+                                   for x in [substr(md5(g), i, 1) for i in range(1, 9)]],
+                                 (a, b) -> a * 16 + b) % 512 AS BIGINT) AS b
+           FROM tok),
+         model AS (
+           SELECT b,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+           FROM tb GROUP BY b),
+         tot AS (
+           SELECT CAST(sum(c_pos) AS BIGINT) AS tp,
+                  CAST(sum(c_neg) AS BIGINT) AS tn
+           FROM model),
+         pri AS (
+           SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+           FROM lab),
+         terms AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CAST(COALESCE(m.c_pos, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                - CAST(round(ln(CAST(COALESCE(m.c_neg, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS wq
+           FROM tb t LEFT JOIN model m ON t.b = m.b),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  CAST(sum(wq) AS BIGINT) AS sw
+           FROM terms GROUP BY doc_id)
+         SELECT d.doc_id, d.lang,
+                COALESCE(a.n_toks, 0) AS n_toks,
+                CAST(COALESCE(a.sw, 0)
+                     - COALESCE(a.n_toks, 0)
+                       * (CAST(round(ln(CAST(t.tp + 1024 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                        - CAST(round(ln(CAST(t.tn + 1024 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+                     + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     AS DOUBLE) / 1000000000000.0 AS score,
+                (COALESCE(a.sw, 0)
+                 - COALESCE(a.n_toks, 0)
+                   * (CAST(round(ln(CAST(t.tp + 1024 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                    - CAST(round(ln(CAST(t.tn + 1024 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
                  + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
                  - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)) > 0 AS pred_hq
          FROM documents d

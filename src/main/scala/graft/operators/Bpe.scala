@@ -249,7 +249,7 @@ object Bpe {
   def wordSymbolsStaged(docs: DataFrame, key: String,
                         mergeList: Seq[(String, String)]): DataFrame =
     Stage.relation(
-      s"bpe_wsyms|$key|${mergeList.map(p => p._1 + " " + p._2).mkString("")}",
+      s"bpe_wsyms|$key|${mergeList.map(p => p._1 + "\u0000" + p._2).mkString("\u0001")}",
       Seq(docs))(wordSymbols(docs, mergeList))
 
   /** Encode documents as BPE token-id CSV strings (the

@@ -38,19 +38,42 @@ object Classifier {
   private def qln(x: Column): Column =
     round(log(x.cast("double")) * 1e12d).cast("long")
 
-  /** Train: per-bucket class counts over hashed unigrams of the
-    * labeled set. `labelCol` is boolean (true = positive / curated /
-    * high-quality). Output: (b, c_pos, c_neg) — at most `buckets`
-    * rows, the broadcastable model relation. One explode + one
-    * buckets-keyed groupBy (partial counts before the exchange);
-    * token strings never shuffle, only (bucket, partial counts).
+  /** The hashed feature stream of one document set: unigram buckets
+    * in [0, buckets); with `bigrams`, word-bigram buckets in
+    * [buckets, 2·buckets) — the GPT-3-style filter hashes word
+    * n-grams, not unigrams alone, and the disjoint offset keeps the
+    * two families from colliding (doubled bucket space, same
+    * md5-bucket idiom). Output: (`keyName`, b). Row-local explode —
+    * feature strings never shuffle.
+    */
+  private def featureBuckets(df: DataFrame, key: Column, keyName: String,
+                             textCol: String, buckets: Int,
+                             bigrams: Boolean): DataFrame = {
+    val uni = df
+      .select(key.as(keyName), explode(tokens(col(textCol))).as("w"))
+      .select(col(keyName), Sampling.hashBucket(col("w"), buckets).as("b"))
+    if (!bigrams) uni
+    else uni.unionByName(df
+      .select(key.as(keyName), explode(graft.functions.WordNgrams
+        .word_ngrams(col(textCol), 2)).as("w"))
+      .select(col(keyName),
+        (Sampling.hashBucket(col("w"), buckets) + buckets).as("b")))
+  }
+
+  /** Train: per-bucket class counts over the hashed feature stream of
+    * the labeled set. `labelCol` is boolean (true = positive /
+    * curated / high-quality); `bigrams` adds the word-bigram bucket
+    * family ([[featureBuckets]]). Output: (b, c_pos, c_neg) — at most
+    * `buckets` (2·`buckets` with bigrams) rows, the broadcastable
+    * model relation. One explode + one buckets-keyed groupBy (partial
+    * counts before the exchange); token strings never shuffle, only
+    * (bucket, partial counts).
     */
   def nbTrain(labeled: DataFrame, buckets: Int = 512,
               textCol: String = "text",
-              labelCol: String = "label"): DataFrame =
-    labeled
-      .select(col(labelCol).as("__y"), explode(tokens(col(textCol))).as("w"))
-      .select(col("__y"), Sampling.hashBucket(col("w"), buckets).as("b"))
+              labelCol: String = "label",
+              bigrams: Boolean = false): DataFrame =
+    featureBuckets(labeled, col(labelCol), "__y", textCol, buckets, bigrams)
       .groupBy(col("b"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
@@ -76,16 +99,18 @@ object Classifier {
     */
   def nbScore(docs: DataFrame, model: DataFrame, labeled: DataFrame,
               buckets: Int = 512, textCol: String = "text",
-              labelCol: String = "label"): DataFrame = {
-    val b = buckets.toLong
+              labelCol: String = "label",
+              bigrams: Boolean = false): DataFrame = {
+    // add-1 smoothing runs over the FEATURE SPACE size — doubled when
+    // the bigram bucket family is on
+    val b = if (bigrams) 2L * buckets else buckets.toLong
     val totals = model.agg(
       sum(col("c_pos")).as("__tp"), sum(col("c_neg")).as("__tn"))
     val priors = labeled.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("__nn"))
-    val termSums = docs
-      .select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
-      .select(col("doc_id"), Sampling.hashBucket(col("w"), buckets).as("b"))
+    val termSums = featureBuckets(docs, col("doc_id"), "doc_id",
+        textCol, buckets, bigrams)
       .join(broadcast(model), Seq("b"), "left")
       .select(col("doc_id"),
         (qln(coalesce(col("c_pos"), lit(0L)) + 1L) -

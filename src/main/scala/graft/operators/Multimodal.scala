@@ -296,6 +296,208 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Parsed MP4 track metadata — everything the pure-JVM container
+    * walk can know WITHOUT a native H.264 decoder: codec fourcc from
+    * `stsd`, wall-clock duration from `stts`×`mdhd.timescale`, sample
+    * count from `stts`, keyframe count from `stss` (absent table =
+    * every sample is sync, per ISO 14496-12 §8.6.2). */
+  private[graft] case class Mp4Meta(
+      codec: String, durationMs: Long, nSamples: Long, nKeyframes: Long)
+
+  /** Pure-JVM ISO-BMFF (MP4) metadata walk: big-endian size+fourcc
+    * boxes, `moov → trak → mdia → (mdhd | hdlr | minf → stbl)`; reads
+    * the FIRST video (`hdlr = 'vide'`) track's `stsd` codec entry,
+    * `stts` sample table, and `stss` sync-sample table. This is the
+    * H.264 *metadata* path: full frame decode needs native codec libs
+    * this container lacks, but the keyframe cadence, duration, and
+    * sample structure parse fine in pure JVM — enough for video dedup
+    * to block on duration+keyframe-cadence for stub formats, and for
+    * profiling to see real structure instead of an opaque blob. None
+    * for payloads that are not MP4 or carry no video track.
+    */
+  private[graft] def parseMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (sniff(payload) != "mp4") return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian default
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // find the first child box of [start, end) named `name`
+      def child(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+        var off = start
+        while (off + 8 <= end) {
+          val size = bb.getInt(off)
+          if (size < 8 || off + size > end) return None
+          if (fourcc(off + 4) == name) return Some((off + 8, off + size))
+          off += size
+        }
+        None
+      }
+      def children(start: Int, end: Int, name: String): Seq[(Int, Int)] = {
+        val out = Seq.newBuilder[(Int, Int)]
+        var off = start
+        var bad = false
+        while (!bad && off + 8 <= end) {
+          val size = bb.getInt(off)
+          if (size < 8 || off + size > end) bad = true
+          else {
+            if (fourcc(off + 4) == name) out += ((off + 8, off + size))
+            off += size
+          }
+        }
+        out.result()
+      }
+      val (moovS, moovE) = child(0, payload.length, "moov").getOrElse(return None)
+      children(moovS, moovE, "trak").foreach { case (trakS, trakE) =>
+        for {
+          (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+          (hdlrS, _) <- child(mdiaS, mdiaE, "hdlr")
+          if fourcc(hdlrS + 8) == "vide"
+          (mdhdS, _) <- child(mdiaS, mdiaE, "mdhd")
+          (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+          (stblS, stblE) <- child(minfS, minfE, "stbl")
+          (sttsS, _) <- child(stblS, stblE, "stts")
+        } {
+          val timescale = bb.getInt(mdhdS + 12).toLong & 0xffffffffL
+          if (timescale > 0) {
+            val nStts = bb.getInt(sttsS + 4)
+            var nSamples = 0L
+            var durTicks = 0L
+            var e = 0
+            while (e < nStts) {
+              val cnt = bb.getInt(sttsS + 8 + e * 8).toLong
+              val delta = bb.getInt(sttsS + 12 + e * 8).toLong
+              nSamples += cnt
+              durTicks += cnt * delta
+              e += 1
+            }
+            val nKf = child(stblS, stblE, "stss") match {
+              case Some((stssS, _)) => bb.getInt(stssS + 4).toLong
+              case None => nSamples // no stss ⇒ every sample is sync
+            }
+            val codec = child(stblS, stblE, "stsd")
+              .filter { case (s, en) => en - s >= 16 }
+              .map { case (s, _) => fourcc(s + 12) }
+              .getOrElse("????")
+            return Some(Mp4Meta(codec, durTicks * 1000L / timescale,
+              nSamples, nKf))
+          }
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Tiny deterministic MP4 with an `avc1` (H.264) video track: real
+    * ISO-BMFF structure (`ftyp`, `mdat`, `moov/trak/mdia/{mdhd, hdlr,
+    * minf/stbl/{stsd, stts, stss, stsz, stsc, stco}}`) around
+    * UNDECODABLE sample bytes — the H.264 bitstream itself would need
+    * a native encoder, but every table the metadata path reads is
+    * genuine. id drives the structure: `20 + id%10` samples at 25 fps
+    * (timescale 1000, delta 40), a keyframe every `2 + id%3` samples.
+    */
+  private[graft] def encodeMp4AvcStub(id: Long): Array[Byte] = {
+    val nSamples = 20 + (id % 10).toInt
+    val kfStep = 2 + (id % 3).toInt
+    val sampleSize = 64
+    def box(name: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(body)
+      bb.array()
+    }
+    def full(name: String, body: Array[Byte]): Array[Byte] =
+      box(name, new Array[Byte](4) ++ body) // version 0, flags 0
+    def be(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
+      ints.foreach(bb.putInt)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be(0x200) ++ "isom".getBytes)
+    val sampleBytes = new Array[Byte](nSamples * sampleSize)
+    var i = 0
+    while (i < sampleBytes.length) {
+      sampleBytes(i) = ((id * 131 + i * 31) & 0xff).toByte
+      i += 1
+    }
+    val mdat = box("mdat", sampleBytes)
+    val mdatDataOff = ftyp.length + 8
+    val keyframes = (1 to nSamples by kfStep).toArray
+    val avc1 = box("avc1", new Array[Byte](78)) // min sample entry; fourcc is what the walk reads
+    val stsd = full("stsd", be(1) ++ avc1)
+    val stts = full("stts", be(1, nSamples, 40))
+    val stss = full("stss", be(keyframes.length +: keyframes: _*))
+    val stsz = full("stsz", be(0, nSamples) ++
+      be(Array.fill(nSamples)(sampleSize): _*))
+    val stsc = full("stsc", be(1, 1, nSamples, 1))
+    val stco = full("stco", be(1, mdatDataOff))
+    val stbl = box("stbl", stsd ++ stts ++ stss ++ stsz ++ stsc ++ stco)
+    val vmhd = full("vmhd", be(0, 0))
+    val minf = box("minf", vmhd ++ stbl)
+    val hdlr = full("hdlr",
+      be(0) ++ "vide".getBytes ++ new Array[Byte](12) ++ Array[Byte](0))
+    val mdhd = full("mdhd", be(0, 0, 1000, nSamples * 40) ++
+      Array[Byte](0x55, ((0xc4 & 0xff).toByte)) ++ Array[Byte](0, 0))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = full("tkhd", be(0, 0, 1, 0, nSamples * 40) ++
+      new Array[Byte](60))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = full("mvhd", be(0, 0, 1000, nSamples * 40, 0x10000, 0) ++
+      new Array[Byte](76))
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** MP4 half of the encoded-media fixture: one `avc1` MP4 per doc,
+    * ids offset by 1e6 so it unions cleanly with
+    * [[syntheticMediaEncoded]]. Structure is pure id arithmetic
+    * ([[encodeMp4AvcStub]]) — the keyframe-stats oracle recomputes
+    * every column from `media_id − 1e6`.
+    */
+  def syntheticMp4Media(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nSamples = 20 + (id % 10)
+        MediaRecord(1000000L + id, "video", encodeMp4AvcStub(id),
+          0, 0, nSamples * 40L)
+      })
+      .toDF()
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+  }
+
+  /** Per-clip keyframe/structure metadata over every video container
+    * the engine can walk: AVI (MJPEG — intra-only, every frame is a
+    * keyframe; duration from `avih.usPerFrame`) and MP4 (`stts`/`stss`
+    * via [[parseMp4Meta]] — the H.264 metadata path). The signal
+    * video dedup blocks on (duration + keyframe cadence) when full
+    * decode is a native-lib stub. Non-video / unwalkable payloads are
+    * dropped. Scale shape: per-partition parse, only skinny metadata
+    * rows ever shuffle (the orderBy is presentation-only).
+    */
+  def videoKeyframeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        sniff(payload) match {
+          case "avi" => demuxAvi(payload).map { case (usPerFrame, frames) =>
+            (id, "avi", "mjpeg", frames.length.toLong * usPerFrame / 1000L,
+              frames.length.toLong, frames.length.toLong)
+          }
+          case "mp4" => parseMp4Meta(payload).map(m =>
+            (id, "mp4", m.codec, m.durationMs, m.nSamples, m.nKeyframes))
+          case _ => None
+        }
+      })
+      .toDF("media_id", "format", "codec", "duration_ms", "n_samples",
+        "n_keyframes")
+  }
+
   /** Real video decode: demux the AVI, run every frame through the
     * image feature extractor, average — the whole-clip feature vector.
     * None when no frame decodes.
@@ -330,11 +532,12 @@ object Multimodal {
     else if (at(0, 0xff, 0xd8, 0xff)) "image" // JPEG
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
+    else if (at(4, 'f', 't', 'y', 'p')) "mp4" // ISO-BMFF: size + 'ftyp'
     else "unknown"
   }
 
   /** [[sniff]] at container-FORMAT granularity (png/gif/bmp/jpeg/wav/
-    * avi/unknown) — the per-format decode-path pin's key.
+    * avi/mp4/unknown) — the per-format decode-path pin's key.
     */
   private[graft] def sniffFormat(payload: Array[Byte]): String = {
     def at(off: Int, magic: Int*): Boolean =
@@ -346,6 +549,7 @@ object Multimodal {
     else if (at(0, 0xff, 0xd8, 0xff)) "jpeg"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
+    else if (at(4, 'f', 't', 'y', 'p')) "mp4"
     else "unknown"
   }
 
@@ -471,6 +675,8 @@ object Multimodal {
       case "image" => decodeImageFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
       case "wav"   => decodeWavFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
       case "avi"   => decodeAviFeatures(payload).getOrElse(fakeDecodeFeatures(payload))
+      // mp4: frame decode genuinely needs native codec libs (H.264) —
+      // features take the stub; the METADATA path is real (parseMp4Meta)
       case _       => fakeDecodeFeatures(payload) // unknown container STUB
     }
 
@@ -527,22 +733,35 @@ object Multimodal {
 
   /** 64-bit spectral fingerprint of a PCM16 WAV — the audio analog of
     * [[aHash64]] (a radically simplified chromaprint): 8 time windows
-    * × 8 Goertzel band energies (bands at (b+1)/64 cycles/sample —
-    * 125 Hz steps at the 8 kHz fixture rate), one bit per cell = band
-    * energy above its window's mean. Per-window normalization makes
-    * the hash amplitude-invariant; FREQUENCY bands make it
-    * pitch-sensitive where any time-domain envelope is flat (a
-    * constant tone has a featureless energy envelope — the naive
-    * "energy aHash" would hash every tone to 0). Byte-identical
-    * payloads always collide, same-pitch re-encodes usually do,
-    * different content rarely. None for non-PCM16 payloads.
+    * × 8 Goertzel band energies, one bit per cell = band energy above
+    * its window's mean. Per-window normalization makes the hash
+    * amplitude-invariant; FREQUENCY bands make it pitch-sensitive
+    * where any time-domain envelope is flat (a constant tone has a
+    * featureless energy envelope — the naive "energy aHash" would
+    * hash every tone to 0).
+    *
+    * RESAMPLING-INVARIANT by construction (r11): windows are equal
+    * slices of wall-clock duration (proportional frame slicing — rate
+    * cancels), bands sit at FIXED physical frequencies 125·(b+1) Hz
+    * with the Goertzel coefficient derived from the header sample
+    * rate (`2cos(2π·f/rate)`), and multi-channel payloads walk
+    * channel 0 only — so a 22.05 kHz re-encode of a 44.1 kHz clip
+    * (the commonest real-world audio dup) lands on the SAME cells. A
+    * cycles-per-SAMPLE band layout (the pre-r11 design) doubled every
+    * band frequency under 2× downsampling and never collided. At the
+    * 8 kHz mono fixture rate the bands coincide with the old
+    * (b+1)/64 cycles/sample layout, so fixture hashes are unchanged.
+    * Byte-identical payloads always collide, re-encodes at any rate
+    * ≥ 2 kHz usually do, different content rarely. None for non-PCM16
+    * payloads.
     */
   private[graft] def audioHash64(payload: Array[Byte]): Option[Long] = {
     if (payload.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     try {
       bb.position(12) // past RIFF<size>WAVE
-      var ok = false
+      var sampleRate = 0
+      var channels = 0
       var dataOff = -1
       var dataLen = 0
       while (bb.remaining() >= 8) {
@@ -553,10 +772,11 @@ object Multimodal {
         new String(id, java.nio.charset.StandardCharsets.US_ASCII) match {
           case "fmt " =>
             val audioFormat = bb.getShort()
-            bb.getShort(); bb.getInt(); bb.getInt(); bb.getShort()
+            channels = bb.getShort()
+            sampleRate = bb.getInt()
+            bb.getInt(); bb.getShort() // byte rate, block align
             val bits = bb.getShort()
             if (audioFormat != 1 || bits != 16) return None
-            ok = true
           case "data" =>
             dataOff = body
             dataLen = size
@@ -564,25 +784,30 @@ object Multimodal {
         }
         bb.position(math.min(body + size + (size & 1), payload.length))
       }
-      if (!ok || dataOff < 0) return None
+      if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
       val nSamples = math.min(dataLen, payload.length - dataOff) / 2
-      if (nSamples == 0) return None
+      val nFrames = nSamples / channels
+      if (nFrames == 0) return None
       val nWin = 8
       val nBand = 8
       var hash = 0L
       var w = 0
       while (w < nWin) {
-        val start = (nSamples.toLong * w / nWin).toInt
-        val end = (nSamples.toLong * (w + 1) / nWin).toInt
+        // equal WALL-CLOCK slices: frame index is time·rate, so the
+        // proportional split lands on the same instants at any rate
+        val start = (nFrames.toLong * w / nWin).toInt
+        val end = (nFrames.toLong * (w + 1) / nWin).toInt
         val energies = new Array[Double](nBand)
         var b = 0
         while (b < nBand) {
-          val coeff = 2.0 * math.cos(2.0 * math.Pi * (b + 1) / 64.0)
+          val hz = 125.0 * (b + 1)
+          val coeff = 2.0 * math.cos(2.0 * math.Pi * hz / sampleRate)
           var s1 = 0.0
           var s2 = 0.0
           var i = start
           while (i < end) {
-            val s0 = bb.getShort(dataOff + i * 2) / 32768.0 + coeff * s1 - s2
+            val s0 = bb.getShort(dataOff + i * channels * 2) / 32768.0 +
+              coeff * s1 - s2
             s2 = s1; s1 = s0
             i += 1
           }
@@ -715,6 +940,11 @@ object Multimodal {
           case "image" => ("image", decodeImageFeatures(r.payload).isDefined)
           case "wav"   => ("wav", decodeWavFeatures(r.payload).isDefined)
           case "avi"   => ("avi", decodeAviFeatures(r.payload).isDefined)
+          // the H.264 metadata path: "real" = the container walk got
+          // genuine structure (stts/stss/stsd) out of the payload —
+          // feature extraction still stubs (native codec), which is
+          // exactly what the mp4-meta codec label records
+          case "mp4"   => ("mp4-meta", parseMp4Meta(r.payload).isDefined)
           case other   => (other, false)
         }
         DecodePath(r.media_id, r.kind, codec, sniffFormat(r.payload), real)

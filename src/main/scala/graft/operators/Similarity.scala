@@ -291,13 +291,14 @@ object Similarity {
     * Scale shape: assignment is row-local; the only data-sized
     * exchange is ONE shuffle of the corpus by centroid_id for the
     * within-cluster self-join (the canonical SemDeDup layout). `k`
-    * scales with the corpus — pick k ≈ N/targetCellSize so cells stay
-    * executor-sized; the per-cell pair work is then flat in N.
+    * scales with the corpus: k ≤ 0 (the default path) picks the
+    * [[autoNlist]] N-proportional cluster count, pinning the expected
+    * cell depth so the per-cell pair work stays flat in N.
     */
   def semanticDedup(corpus: DataFrame, k: Int, threshold: Double,
                     sweeps: Int = 1): DataFrame = {
     val live = corpus.filter(col("embedding").isNotNull)
-    val assigned = ivfAssign(live, kmeansCentroids(live, k, sweeps))
+    val assigned = ivfAssign(live, kmeansCentroids(live, resolveNlist(live, k), sweeps))
     val a = assigned.select(col("centroid_id"),
       col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("centroid_id"),
@@ -642,12 +643,35 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Deterministic auto-nlist for the cell-blocked quadratic
+    * operators: nlist = max(minNlist, ceil(N / targetCell)), so the
+    * expected cell depth stays ≈ `targetCell` as the corpus grows and
+    * the Σ|cell|² pair work is ≈ N·targetCell — LINEAR in N. The r10
+    * scale-curve measured the fixed-nlist default at tail slope 1.62
+    * (exactly the predicted Σ|cell|²/nlist at constant nlist); tying
+    * nlist to N is what turns the exponent back to ~1 without the
+    * caller knowing the contract. Replayable by any engine: the input
+    * is one COUNT of the live corpus — the oracle computes the same
+    * `greatest(minNlist, ceil(n/targetCell))` from a window count.
+    */
+  def autoNlist(n: Long, targetCell: Int = 64, minNlist: Int = 16): Int =
+    math.max(minNlist, math.ceil(n.toDouble / targetCell).toInt)
+
+  /** nlist ≤ 0 means "auto" — one bounded driver-side count() action
+    * at plan construction (the [[Analytics]].certainTopK class of
+    * documented eagerness: building the plan triggers a count job;
+    * pass an explicit nlist to stay fully lazy). */
+  private def resolveNlist(live: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist else autoNlist(live.count())
+
   /** Approximate kNN GRAPH: top-k neighbours for EVERY corpus vector
     * (not a handful of query probes) — the input a graph-based
     * curation stage consumes (near-dup components over embeddings,
     * graph diversity sampling, label propagation). Blocking is IVF
     * cells: each vector scores only its own cell, so compute is
-    * Σ|cell|² ≈ N²/nlist instead of N², distributed by cell.
+    * Σ|cell|² ≈ N²/nlist instead of N², distributed by cell; nlist
+    * defaults to the [[autoNlist]] N-proportional choice, which pins
+    * the per-cell depth and keeps total pair work linear in N.
     *
     * Fully oracle-checkable by construction — every ingredient is
     * engine-portable: centroid sampling orders by md5(vec_id) (NOT
@@ -671,11 +695,12 @@ object Similarity {
     * and the join is zero-exchange; the top-k window prunes per map
     * partition (WindowGroupLimit) before its skinny exchange.
     */
-  def knnGraphIvf(corpus: DataFrame, k: Int = 5, nlist: Int = 16): DataFrame = {
+  def knnGraphIvf(corpus: DataFrame, k: Int = 5, nlist: Int = 0): DataFrame = {
     val live = corpus.filter(col("embedding").isNotNull)
+    val nl = resolveNlist(live, nlist)
     val centroids = live
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nlist)
+      .limit(nl)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
     val assigned = ivfAssign(live, centroids)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
@@ -710,7 +735,7 @@ object Similarity {
     * step; the graph generation cost dominates and is cell-bounded.
     */
   def knnPageRank(corpus: DataFrame, iters: Int = 3, k: Int = 5,
-                  nlist: Int = 16): DataFrame = {
+                  nlist: Int = 0): DataFrame = {
     val edges = knnGraphIvf(corpus, k, nlist)
       .select(col("vec_id").as("src"), col("nb_id").as("dst"))
     val nodes = corpus.filter(col("embedding").isNotNull).select(col("vec_id"))
@@ -745,7 +770,7 @@ object Similarity {
     * the vote aggregate partial-reduces to ≤ǀlabelsǀ rows per vector
     * and the argmax window shuffles only those skinny rows.
     */
-  def labelPropagate(corpus: DataFrame, k: Int = 5, nlist: Int = 16,
+  def labelPropagate(corpus: DataFrame, k: Int = 5, nlist: Int = 0,
                      seedMod: Int = 10): DataFrame = {
     val g = knnGraphIvf(corpus, k, nlist)
     val base = corpus.filter(col("embedding").isNotNull)

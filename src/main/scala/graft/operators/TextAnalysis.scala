@@ -478,11 +478,16 @@ object TextAnalysis {
     * policy-sized by nature (the same boundedness that justifies
     * broadcasting it), and the automaton builds once and ships as a
     * codegen reference object.
+    *
+    * Null-text rows are KEPT, matching [[decontaminate]]'s left_anti
+    * (null `contains` → null → no phrase matched → survives) and the
+    * DuckDB NOT EXISTS oracle — a bare `filter(!contains_any)` would
+    * silently drop them (null predicate ⇒ row removed).
     */
   def decontaminateMulti(docs: DataFrame, phrases: Seq[String],
                          textCol: String = "text"): DataFrame =
-    docs.filter(!graft.functions.MultiContains
-      .multi_contains_any(col(textCol), phrases))
+    docs.filter(coalesce(!graft.functions.MultiContains
+      .multi_contains_any(col(textCol), phrases), lit(true)))
 
   /** Bloom-prefiltered exact decontamination: the 100 TB shape of
     * [[contaminationScore]]'s broadcast gram join. Build ONE mergeable

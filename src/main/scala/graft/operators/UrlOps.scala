@@ -49,13 +49,6 @@ object UrlOps {
     * `key=` anchored regex alternation. */
   val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
 
-  /** Multi-part public suffixes recognized by [[registeredDomain]].
-    * A bounded representative subset of the public-suffix list — the
-    * real PSL is a data file a production deployment would broadcast
-    * through the same code path (suffix match, then one extra label).
-    */
-  val MultiPartSuffixRe = "\\.(co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp|com\\.br)$"
-
   private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val hostPortRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -90,9 +83,13 @@ object UrlOps {
     array_join(array_sort(kept), "&")
   }
 
-  /** The full canonical URL per the contract above. */
+  /** The full canonical URL per the contract above; NULL when `u` has
+    * no recognizable `scheme://host` (relative references, garbage) —
+    * a degenerate `"://…"` canonical would otherwise become a dedup/
+    * rollup KEY that collides every malformed URL into one page. */
   def canonicalUrl(u: Column): Column = {
     val s = scheme(u)
+    val h = host(u)
     val p = port(u)
     val defaultPort = (s === "https" && p === "443") ||
       (s === "http" && p === "80")
@@ -100,19 +97,30 @@ object UrlOps {
       when(p =!= "" && !defaultPort, concat(lit(":"), p)).otherwise(lit(""))
     val q = canonicalQuery(u)
     val queryPart = when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))
-    concat(s, lit("://"), host(u), portPart, canonicalPath(u), queryPart)
+    when(s === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(s, lit("://"), h, portPart, canonicalPath(u), queryPart))
   }
 
-  /** Registered (pay-level) domain of `u`: the public suffix plus one
-    * label — `blog.site.co.uk` → `site.co.uk`, `a.b.site.com` →
-    * `site.com`; hosts with no dot (e.g. `localhost`) return
-    * themselves. Multi-part suffixes per [[MultiPartSuffixRe]]. */
+  /** Registered (pay-level) domain of `u` under the Public Suffix
+    * List algorithm ([[graft.functions.PslRegisteredDomain]]): public
+    * suffix plus one label, with wildcard (`*.ck`) and exception
+    * (`!www.ck`) rules honored — `blog.site.co.uk` → `site.co.uk`,
+    * `a.b.site.com` → `site.com`. NULL when `u` has no parsable host,
+    * when the host IS a public suffix (`co.uk`), or when it has no
+    * dot (`localhost`) — PSL semantics, a change from the pre-r11
+    * regex subset which returned such hosts unchanged.
+    *
+    * The PSL lookup runs on the lowercased, port-stripped host
+    * WITHOUT www-stripping (`www.` is just a label to the PSL; the
+    * exception rule `!www.ck` makes `www.ck` itself registrable) —
+    * still a pure row-local projection, no join.
+    */
   def registeredDomain(u: Column): Column = {
-    val h = host(u)
-    val reg = when(h.rlike(MultiPartSuffixRe),
-        regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .otherwise(regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
-    when(reg === "", h).otherwise(reg)
+    val hostWithWww =
+      regexp_replace(lower(regexp_extract(u, hostPortRe, 1)), ":[0-9]+$", "")
+    when(hostWithWww === "", lit(null).cast("string"))
+      .otherwise(graft.functions.PublicSuffixData
+        .psl_registered_domain(hostWithWww))
   }
 
   /** Adds `canonical_url` and `registered_domain` to `docs` — the
@@ -125,17 +133,24 @@ object UrlOps {
   /** URL-level exact dedup: group by canonical URL, keep the lowest
     * `idCol` as the canonical fetch, count the collapsed variants.
     * One skinny groupBy on the canonical string — the pre-shuffle
-    * projection already dropped every other column. */
+    * projection already dropped every other column. Malformed URLs
+    * (NULL canonical) are excluded: a URL that cannot be canonicalized
+    * asserts no equality with anything, and a NULL group would collapse
+    * every malformed fetch into one bogus "page". */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame =
     docs
       .select(canonicalUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .filter(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("keeper_" + idCol),
         count(lit(1)).as("n_urls"))
 
   /** Per-registered-domain rollup (doc count + any numeric sums the
-    * caller selects beforehand must be exact-integer columns). */
+    * caller selects beforehand must be exact-integer columns).
+    * Malformed / suffix-only hosts roll into a NULL-domain row — the
+    * observable "unattributable volume" bucket, not silently merged
+    * into a real site. */
   def domainRollup(docs: DataFrame, urlCol: String = "url",
                    sumCol: String = "n_chars"): DataFrame =
     docs
@@ -147,7 +162,9 @@ object UrlOps {
   /** Drop every doc whose registered domain appears in `blocked`
     * (one `domain` column). The blocklist broadcasts into a hash
     * anti-join keyed on the derived domain — corpus scanned once,
-    * never shuffled. */
+    * never shuffled. Docs with no registered domain (malformed URL,
+    * suffix-only host) are KEPT: a NULL key matches nothing in an
+    * anti-join, and "unattributable" must not read as "blocked". */
   def blocklistFilter(docs: DataFrame, blocked: DataFrame,
                       urlCol: String = "url"): DataFrame =
     docs

@@ -59,6 +59,30 @@ class ClassifierSpec extends SparkSpec {
       "negative-domain docs must score negative log-odds")
   }
 
+  test("bigram features widen the planted-domain margin") {
+    // the two domains share no bigrams at all, while a few unigrams
+    // ("words", "tokens") leak across via the mixed doc — so the
+    // bigram model's evidence per doc strictly grows. Margin = min
+    // positive score − max negative score over the labeled docs.
+    def margin(bigrams: Boolean): Double = {
+      val model = Classifier.nbTrain(labeled, buckets = 64, bigrams = bigrams)
+      val s = Classifier.nbScore(corpus, model, labeled, buckets = 64,
+          bigrams = bigrams)
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+      math.min(s(0L), s(1L)) - math.max(s(2L), s(3L))
+    }
+    val uni = margin(bigrams = false)
+    val bi = margin(bigrams = true)
+    assert(uni > 0.0, "unigram model must already separate the domains")
+    assert(bi > uni,
+      s"bigram features must widen the separation margin ($bi <= $uni)")
+    // bucket ranges are disjoint: bigram model rows live in [0, 128)
+    val model = Classifier.nbTrain(labeled, buckets = 64, bigrams = true)
+    val bs = model.select($"b").as[Long].collect()
+    assert(bs.forall(b => b >= 0 && b < 128) && bs.exists(_ >= 64),
+      "bigram buckets must occupy the offset family [64, 128)")
+  }
+
   test("scoring plan: model broadcasts, doc sum partially aggregates") {
     val model = Classifier.nbTrain(labeled, buckets = 64)
     val plan = Classifier.nbScore(corpus, model, labeled, buckets = 64)

@@ -274,6 +274,86 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHash64(wav.take(40)) === None)
   }
 
+  test("audioHash64: resampling-invariant — half-rate re-encode collides") {
+    // the commonest real-world audio dup: the same clip re-encoded at
+    // a lower sample rate. Wall-clock windows + fixed-Hz Goertzel
+    // bands (r11) make the fingerprint rate-invariant; the pre-r11
+    // cycles-per-sample bands doubled every band frequency under 2×
+    // downsampling and never collided.
+    def toneWav(sr: Int, freqHz: Double, durSec: Double,
+                channels: Int = 1): Array[Byte] = {
+      val nFrames = (sr * durSec).toInt
+      val dataLen = nFrames * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(sr)
+      bb.putInt(sr * channels * 2); bb.putShort((channels * 2).toShort)
+      bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      var i = 0
+      while (i < nFrames) {
+        val s = (0.6 * 32767 *
+          math.sin(2.0 * math.Pi * freqHz * i / sr)).toShort
+        var c = 0
+        while (c < channels) { bb.putShort(s); c += 1 }
+        i += 1
+      }
+      bb.array()
+    }
+    val full = Multimodal.audioHash64(toneWav(44100, 400.0, 0.2))
+    val half = Multimodal.audioHash64(toneWav(22050, 400.0, 0.2))
+    val other = Multimodal.audioHash64(toneWav(44100, 900.0, 0.2))
+    assert(full.isDefined && half.isDefined && other.isDefined)
+    assert(full === half,
+      "half-rate re-encode of the same clip must fingerprint identically")
+    assert(full !== other, "distinct pitches must not collide")
+    // stereo spread of the same mono content collides too (channel-0 walk)
+    val stereo = Multimodal.audioHash64(toneWav(44100, 400.0, 0.2, channels = 2))
+    assert(stereo === full,
+      "stereo re-encode of the same content must fingerprint identically")
+  }
+
+  test("mp4 metadata path: stts/stss/stsd walk, sniff dispatch, totality") {
+    // id 7 → 27 samples, keyframe step 3 → keyframes 1,4,…,25 = 9
+    val p7 = Multimodal.encodeMp4AvcStub(7L)
+    assert(Multimodal.sniff(p7) === "mp4")
+    assert(Multimodal.sniffFormat(p7) === "mp4")
+    val m7 = Multimodal.parseMp4Meta(p7)
+    assert(m7 === Some(Multimodal.Mp4Meta("avc1", 27 * 40L, 27L, 9L)))
+    // id 0 → 20 samples, step 2 → 10 keyframes
+    assert(Multimodal.parseMp4Meta(Multimodal.encodeMp4AvcStub(0L)) ===
+      Some(Multimodal.Mp4Meta("avc1", 800L, 20L, 10L)))
+    // malformed payloads → None, never a throw
+    assert(Multimodal.parseMp4Meta(Array[Byte]()) === None)
+    assert(Multimodal.parseMp4Meta("junk that is not a box".getBytes) === None)
+    assert(Multimodal.parseMp4Meta(p7.take(40)) === None) // moov truncated away
+    // non-mp4 containers take their own path
+    assert(Multimodal.parseMp4Meta(Multimodal.encodeWav(1L)) === None)
+    // keyframe stats unify both container walks with exact structure
+    val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 30)
+    val stats = Multimodal.videoKeyframeStats(
+      Multimodal.syntheticMediaEncoded(docs)
+        .unionByName(Multimodal.syntheticMp4Media(docs)))
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val (avi, mp4) = stats.partition(_._2 == "avi")
+    assert(mp4.length === 30 && avi.nonEmpty)
+    avi.foreach { case (id, _, codec, dur, ns, nk) =>
+      val nFrames = 3 + id % 4
+      assert(codec === "mjpeg" && ns === nFrames && nk === nFrames &&
+        dur === nFrames * 40)
+    }
+    mp4.foreach { case (mid, _, codec, dur, ns, nk) =>
+      val id = mid - 1000000L
+      val n = 20 + id % 10
+      val step = 2 + id % 3
+      assert(codec === "avc1" && ns === n && dur === n * 40 &&
+        nk === (n - 1) / step + 1)
+    }
+  }
+
   test("multi-format fixture: all four JDK image codecs sniff + decode real") {
     val docs = tables.Tables.documents(spark, sf).filter($"doc_id" < 40)
     val paths = Multimodal.decodePaths(

@@ -336,7 +336,8 @@ class PlanContractSpec extends SparkSpec {
       // the audio analog — same shape, same derived count)
       "multimodal_image_dup_check", "multimodal_audio_dup_check",
       // r9: 1-row bloom filter / NB totals+priors broadcast crosses
-      "bloom_decontaminate", "nb_quality_scores",
+      // (r11: the bigram-feature variant composes the same crosses)
+      "bloom_decontaminate", "nb_quality_scores", "nb_quality_scores_bigram",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
       // broadcast cross — the models themselves are broadcast hash.
       "dsir_weights", "dsir_select", "dsir_resample")

@@ -76,9 +76,57 @@ class UrlOpsSpec extends SparkSpec {
         ("https://deep.sub.shop.com/p", "shop.com")))
   }
 
-  test("dotless host registers as itself") {
+  test("dotless host canonicalizes but has no registered domain (PSL)") {
     assert(canon("http://localhost:9999/p") ===
-      Seq(("http://localhost:9999/p", "localhost")))
+      Seq(("http://localhost:9999/p", null)))
+  }
+
+  test("malformed / scheme-less URLs null out instead of degenerating") {
+    assert(canon(
+      "not a url at all",
+      "/relative/path?a=1",
+      "example.com/no-scheme",
+      "http://") ===
+      Seq((null, null), (null, null), (null, null), (null, null)))
+  }
+
+  test("PSL published vectors: wildcard and exception rules") {
+    // drawn from publicsuffix.org's test_psl vectors for *.ck/!www.ck
+    // and *.kobe.jp/!city.kobe.jp — exercised through the URL path
+    // (PublicSuffixSpec drives the host-level function directly)
+    assert(canon(
+      "https://b.test.ck/p",
+      "https://a.b.test.ck/p",
+      "https://www.ck/p",
+      "https://test.ck/p",          // test.ck IS a public suffix → null
+      "https://b.c.kobe.jp/p",
+      "https://city.kobe.jp/p",
+      "https://www.city.kobe.jp/p") ===
+      Seq(("https://b.test.ck/p", "b.test.ck"),
+        ("https://a.b.test.ck/p", "b.test.ck"),
+        // canonical host strips the single leading www.; the PSL walk
+        // runs on the UNstripped host, so www.ck still registers
+        ("https://ck/p", "www.ck"),
+        ("https://test.ck/p", null),
+        ("https://b.c.kobe.jp/p", "b.c.kobe.jp"),
+        ("https://city.kobe.jp/p", "city.kobe.jp"),
+        // canonical strips the single leading www.; registered domain
+        // (PSL on the unstripped host) is unaffected
+        ("https://city.kobe.jp/p", "city.kobe.jp")))
+  }
+
+  test("PSL vectors: us k12 matrix and private-registry suffixes") {
+    assert(canon(
+      "https://test.ak.us/p",
+      "https://www.test.k12.ak.us/p",
+      "https://example.uk.com/p",
+      "https://uk.com/p",            // suffix-only host → null
+      "https://myapp.github.io/p") ===
+      Seq(("https://test.ak.us/p", "test.ak.us"),
+        ("https://test.k12.ak.us/p", "test.k12.ak.us"),
+        ("https://example.uk.com/p", "example.uk.com"),
+        ("https://uk.com/p", null),
+        ("https://myapp.github.io/p", "myapp.github.io")))
   }
 
   test("trailing slash runs collapse; root path survives") {

@@ -51,17 +51,33 @@ ROOT = "/tmp/scalecurve"
 SHIFT = 10_000_000
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
-SCALES = [1, 2, 4, 8]
+# SCALE_CURVE_SCALES=2,4 gives the in-round SMOKE: one doubling in the
+# auto-nlist-active region, two JVMs, fails a gross super-linear
+# regression without the full 4-scale sweep. The tail fit (scales
+# >= 2) works from two points. x1 stays out of the smoke deliberately:
+# below ~1k vectors the auto-nlist floor (min 16 cells) makes the
+# cell-blocked ops honestly quadratic over x1->x2, which the full
+# curve shows and the tail fit ignores.
+SCALES = [int(s) for s in
+          os.environ.get("SCALE_CURVE_SCALES", "1,2,4,8").split(",")]
 
-# Heavy operators from the r9 verdict, with the scaling contract each
-# one DOCUMENTS. "linear" = wall should grow ~N (tail exponent <= 1.3
-# enforced). "cell-quadratic" = Sigma|cell|^2 bound with nlist FIXED in
-# the registered query, so the honest expectation at fixed params is
-# super-linear (up to ~2); production scales nlist with N — measured
-# here to quantify, not gated.
+# Heavy operators with the scaling contract each one DOCUMENTS.
+# "linear" = wall should grow ~N (tail exponent <= 1.3 enforced).
+# r11: knn_graph/semantic_dedup moved INTO the gated-linear set — the
+# r10 measurement showed tail 1.62 at fixed nlist=16, and the fix
+# (Similarity.autoNlist: nlist = max(16, ceil(N/64)), replayed by the
+# oracle from its own window count) pins the per-cell depth so
+# Sigma|cell|^2 ~ 64N. The r11 list also covers the other heavy
+# families the r10 verdict named: packing (bin-covering first-fit and
+# harmonic), incremental clustering, containment pair generation, the
+# IVF-PQ search path, and one real multi-batch streaming replay.
 CLAIMED_LINEAR = ["dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
-                  "span_dedup_clean", "bpe_encode"]
-CELL_QUADRATIC = ["knn_graph", "semantic_dedup"]
+                  "span_dedup_clean", "bpe_encode",
+                  "knn_graph", "semantic_dedup",
+                  "pack_bins_grouped", "pack_harmonic",
+                  "dedup_clusters_incremental", "containment_pairs",
+                  "ann_ivfpq_topk", "streaming_dedup"]
+CELL_QUADRATIC = []
 DEFAULT_QUERIES = CLAIMED_LINEAR + CELL_QUADRATIC
 
 
@@ -190,17 +206,19 @@ def main():
         print("   " + " ".join(f"{q}={out['queries'][q]:.2f}s"
                                for q in queries), flush=True)
 
-    print(f"\n| query | x1 | x2 | x4 | x8 (median/min) | slope-min(all) |"
-          f" slope-min(x2..x8) | contract |")
-    print("|---|---|---|---|---|---|---|---|")
+    scale_hdr = " | ".join(f"x{s}" for s in SCALES)
+    print(f"\n| query | {scale_hdr} (median/min) | slope-min(all) |"
+          f" slope-min(tail) | contract |")
+    print("|" + "---|" * (len(SCALES) + 4))
     bad = []
     for q in queries:
         w = walls[q]
         s_all = fit_slope(SCALES, [w[s][1] for s in SCALES])
         tail = [s for s in SCALES if s >= 2]
+        if len(tail) < 2:
+            tail = SCALES  # degenerate scale set: fall back to the full fit
         s_tail = fit_slope(tail, [w[s][1] for s in tail])
-        contract = ("linear" if q in CLAIMED_LINEAR else
-                    "cell-quadratic (fixed nlist)")
+        contract = "linear" if q in CLAIMED_LINEAR else "ungated"
         print(f"| {q} | " +
               " | ".join(f"{w[s][0]:.2f}/{w[s][1]:.2f}" for s in SCALES) +
               f" | {s_all:.2f} | {s_tail:.2f} | {contract} |")
