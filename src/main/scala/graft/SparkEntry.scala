@@ -3411,6 +3411,36 @@ object SparkEntry {
             .unionByName(Multimodal.syntheticMp4Media(Tables.documents(s, d))))
         .orderBy(col("media_id"))),
 
+    // ---- format-backed MERGE: copy-on-write versioned table --------
+    "cow_merge_upsert" -> ((s, d) =>
+      // Snapshot v2 = MERGE INTO through the CowTable write path
+      // (range-bucket pruning via manifest key stats, touched-bucket
+      // rewrite, atomic manifest commit) — the format-backed physical
+      // twin of operators/Merge's logical upsert. The oracle replays
+      // plain upsert semantics; CowTableSpec pins the mechanism
+      // (carried buckets byte-identical, pruning counts, commit
+      // atomicity).
+      tables.CowTable.read(s, cowTableDir(s, d), Some(2))
+        .orderBy(col("doc_id"))),
+    "cow_delete" -> ((s, d) =>
+      // Latest snapshot (v3) after DELETE of keys [50, 60): touched
+      // buckets rewrote without the rows, the rest carried by path.
+      tables.CowTable.read(s, cowTableDir(s, d))
+        .orderBy(col("doc_id"))),
+    "cow_time_travel" -> ((s, d) => {
+      // Every snapshot stays readable until vacuumed — the audit/
+      // reproducibility read pattern table formats exist for. One row
+      // per version: exact row count + byte-exact integer sum.
+      val root = cowTableDir(s, d)
+      (1 to tables.CowTable.currentVersion(root)).map { v =>
+        tables.CowTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_n_chars"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_n_chars"))
+      }.reduce(_.unionByName(_)).orderBy(col("version"))
+    }),
+
     "pii_card_scrub" -> ((s, d) =>
       // The corpus carries no card numbers, so the query plants one
       // Luhn-VALID formatted card (5 rotating brands/formats) and one
@@ -3523,6 +3553,40 @@ object SparkEntry {
     * over the reloaded index, not a rebuild per invocation.
     */
   private val vindexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Once-per-(process, sf dir) copy-on-write table lifecycle (temp
+    * tree removed on JVM exit): v1 = create from documents (8 range
+    * buckets), v2 = MERGE (n_chars+1000 for doc_id<50; inserts at
+    * +25e6 for doc_id<20 — expressed as generic upsert semantics so
+    * re-scaled corpora that happen to contain those keys still
+    * replay), v3 = DELETE keys in [50,60). Bench reps and Verify
+    * measure the snapshot READS; the build runs once — the persisted-
+    * index discipline. */
+  private val cowCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cowTableDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
+      val updates = base.filter(col("doc_id") < 50)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"),
+          col("source"))
+        .unionByName(base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 25000000L).as("doc_id"), col("n_chars"),
+            col("source")))
+      tables.CowTable.merge(s, dir.toString, updates, "doc_id")
+      tables.CowTable.delete(s, dir.toString,
+        base.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id")), "doc_id")
+      dir.toString
+    })
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -6702,6 +6766,62 @@ object SparkEntry {
     // The fixture's kind assignment is doc_id mod 3, and EVERY encoded
     // payload must decode through its real codec: n_real_decoded pins
     // to the full per-kind count, n_fallback to zero.
+    // Upsert semantics replayed generically (anti ∪ updates) — the
+    // same drop-set at any re-scale, even if a re-scaled corpus
+    // already contains the insert keys.
+    "cow_merge_upsert" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 20)
+         SELECT doc_id, n_chars, source FROM (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         ORDER BY doc_id""",
+    "cow_delete" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         SELECT doc_id, n_chars, source FROM v2
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60)
+         ORDER BY doc_id""",
+    "cow_time_travel" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd),
+         v3 AS (
+           SELECT * FROM v2 WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60))
+         SELECT CAST(1 AS BIGINT) AS version,
+                count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM documents
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT) FROM v2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT) FROM v3
+         ORDER BY version""",
     // Every aggregate is an exact integer by construction (see the
     // query comment): q_f0 per row is w (image/video) or 171 (audio),
     // audio bytes are 44 + 2·(160 + id%100).

@@ -283,7 +283,10 @@ class PlanContractSpec extends SparkSpec {
       n.startsWith("streaming_") || n == "ann_index_persisted" ||
         n == "ann_index_append" ||
         n == "lm_model_persisted" ||
-        n == "csv_roundtrip" || n == "orc_roundtrip"
+        n == "csv_roundtrip" || n == "orc_roundtrip" ||
+        // COW-table snapshot reads: first touch builds the table
+        // (create/merge/delete lifecycle) in a temp tree
+        n.startsWith("cow_")
     // BNLJ is legitimate ONLY with a broadcast-tiny side: block-pair
     // grids, phrase/benchmark lists, per-anchor probes, day calendars.
     val bnljAllowed = Set(
