@@ -3440,6 +3440,13 @@ object SparkEntry {
             col("sum_n_chars"))
       }.reduce(_.unionByName(_)).orderBy(col("version"))
     }),
+    "streaming_cow_merge" -> ((s, d) =>
+      // Final table state after the streaming foreachBatch MERGE
+      // replay ([[streamingCowDir]]): micro-batches with disjoint key
+      // sets upsert into the COW table, so stream ≡ batch and the
+      // oracle replays plain upsert semantics over the whole corpus.
+      tables.CowTable.read(s, streamingCowDir(s, d))
+        .orderBy(col("doc_id"))),
 
     "pii_card_scrub" -> ((s, d) =>
       // The corpus carries no card numbers, so the query plants one
@@ -3585,6 +3592,44 @@ object SparkEntry {
       tables.CowTable.delete(s, dir.toString,
         base.filter(col("doc_id") >= 50 && col("doc_id") < 60)
           .select(col("doc_id")), "doc_id")
+      dir.toString
+    })
+
+  /** Streaming CDC → table-format ingestion (the lakehouse analog of
+    * the reference's hourly Postgres sync): the documents stream
+    * replays as real micro-batches (DocReplay: evens then odds) and
+    * each batch MERGEs its changed rows (doc_id%7==3 → n_chars+5000,
+    * plus an insert twin at +3e7) into the COW table via foreachBatch.
+    * Batches carry DISJOINT key sets, so the final state is
+    * batch-split-independent — exactly the stream ≡ batch pin the
+    * other streaming families use; merge absorbs an empty batch (the
+    * half re-scale has no odd ids) as a carried-only commit. */
+  private def streamingCowDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#stream", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_str_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
+      graft.streaming.DocReplay.run(s, base, s"$d#cowmerge") { batch =>
+        val changed = batch.filter(col("doc_id") % 7 === 3)
+        val upd = changed
+          .select(col("doc_id"), (col("n_chars") + 5000L).as("n_chars"),
+            col("source"))
+          .unionByName(changed.select(
+            (col("doc_id") + 30000000L).as("doc_id"), col("n_chars"),
+            col("source")))
+        val (m, rewritten, carried) =
+          tables.CowTable.merge(s, dir.toString, upd, "doc_id")
+        import s.implicits._
+        Seq((m.version.toLong, rewritten.toLong, carried.toLong))
+          .toDF("version", "n_rewritten", "n_carried")
+      }.count(): Unit // drain the replay sink; reads go through the manifest
       dir.toString
     })
   private val lmModelCache =
@@ -6797,6 +6842,19 @@ object SparkEntry {
          SELECT doc_id, n_chars, source FROM v2
          WHERE doc_id NOT IN (
            SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60)
+         ORDER BY doc_id""",
+    "streaming_cow_merge" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 5000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id % 7 = 3
+           UNION ALL
+           SELECT doc_id + 30000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id % 7 = 3)
+         SELECT doc_id, n_chars, source FROM (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
          ORDER BY doc_id""",
     "cow_time_travel" ->
       """WITH upd AS (

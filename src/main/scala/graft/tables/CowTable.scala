@@ -191,10 +191,17 @@ object CowTable {
       old.map(_.unionByName(updates)).getOrElse(updates)
     }
     val nb = math.max(1, hit.length)
-    val mx = rewriteSrc.agg(max(col(keyCol))).head().getLong(0)
-    val width = math.max(1L, (mx + nb) / nb)
-    val newEntries = writeBuckets(rewriteSrc, root, v, keyCol,
-      least(floor(col(keyCol) / width), lit(nb - 1L)))
+    // an EMPTY update batch (an at-least-once source can deliver one)
+    // commits a carried-only snapshot — same version arithmetic, no
+    // data write, and the empty-relation parquet write/readback that
+    // would otherwise throw never happens
+    val newEntries = rewriteSrc.agg(max(col(keyCol))).head() match {
+      case r if r.isNullAt(0) => Seq.empty[Entry]
+      case r =>
+        val width = math.max(1L, (r.getLong(0) + nb) / nb)
+        writeBuckets(rewriteSrc, root, v, keyCol,
+          least(floor(col(keyCol) / width), lit(nb - 1L)))
+    }
     val nm = Manifest(v, parent, carried.map(_._1) ++ newEntries)
     commit(root, nm)
     (nm, hit.length, carried.length)
