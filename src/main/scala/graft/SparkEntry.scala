@@ -3423,9 +3423,11 @@ object SparkEntry {
       tables.CowTable.read(s, cowTableDir(s, d), Some(2))
         .orderBy(col("doc_id"))),
     "cow_delete" -> ((s, d) =>
-      // Latest snapshot (v3) after DELETE of keys [50, 60): touched
-      // buckets rewrote without the rows, the rest carried by path.
-      tables.CowTable.read(s, cowTableDir(s, d))
+      // Snapshot v3 after DELETE of keys [50, 60): touched buckets
+      // rewrote without the rows, the rest carried by path. Pinned to
+      // its semantic version — the lifecycle's v4 compaction holds the
+      // same content under a different layout ([[cow_compact]]).
+      tables.CowTable.read(s, cowTableDir(s, d), Some(3))
         .orderBy(col("doc_id"))),
     "cow_time_travel" -> ((s, d) => {
       // Every snapshot stays readable until vacuumed — the audit/
@@ -3447,6 +3449,43 @@ object SparkEntry {
       // oracle replays plain upsert semantics over the whole corpus.
       tables.CowTable.read(s, streamingCowDir(s, d))
         .orderBy(col("doc_id"))),
+    "cow_compact" -> ((s, d) =>
+      // Latest snapshot (v4) = COMPACT of v3: every sub-target entry
+      // bin-packed into width-derived range buckets, content
+      // byte-identical to v3 — so this row shares cow_delete's oracle
+      // while reading an entirely different file layout. CowTableSpec
+      // pins the layout claim (fewer entries, stats-coherent manifest).
+      tables.CowTable.read(s, cowTableDir(s, d))
+        .orderBy(col("doc_id"))),
+    "cow_pruned_read" -> ((s, d) =>
+      // Zone-map data skipping on the pre-compaction v3 layout (time
+      // travel + pruning composed): only entries whose manifest
+      // [min,max] intersects [0,39] open; the predicate then pushes
+      // into the parquet scan. CowTableSpec pins entriesSkipped > 0;
+      // the oracle replays the v3 content filtered to the range.
+      tables.CowTable.readWhere(s, cowTableDir(s, d), "doc_id",
+          0L, 39L, Some(3))._1
+        .orderBy(col("doc_id"))),
+    "cow_changefeed" -> ((s, d) => {
+      // Pruned CDC v1→v3: carried entries cancel by path (cost ∝
+      // churn, not table size — CowTableSpec pins the cancellation
+      // count); the path-differing sides full-outer join on the key
+      // and value-identical rewrite survivors drop out. Emits the
+      // MERGE's updates + inserts and the DELETE's deletions with
+      // old_/new_ images — the oracle replays them from the upsert
+      // CTEs via FULL OUTER JOIN.
+      tables.CowTable.changefeed(s, cowTableDir(s, d), "doc_id", 1, 3)._1
+        .orderBy(col("doc_id"))
+    }),
+    "cow_history" -> ((s, d) =>
+      // Snapshot history from manifests ALONE — zero data scanned;
+      // n_rows comes from the per-entry stats recorded at write time,
+      // and the oracle recomputes the same counts from the lifecycle
+      // CTEs, so a green row proves manifest-stats integrity across
+      // create/merge/delete/compact.
+      tables.CowTable.history(s, cowTableDir(s, d))
+        .select(col("version"), col("parent"), col("n_rows"))
+        .orderBy(col("version"))),
 
     "pii_card_scrub" -> ((s, d) =>
       // The corpus carries no card numbers, so the query plants one
@@ -3566,7 +3605,9 @@ object SparkEntry {
     * buckets), v2 = MERGE (n_chars+1000 for doc_id<50; inserts at
     * +25e6 for doc_id<20 — expressed as generic upsert semantics so
     * re-scaled corpora that happen to contain those keys still
-    * replay), v3 = DELETE keys in [50,60). Bench reps and Verify
+    * replay), v3 = DELETE keys in [50,60), v4 = COMPACT (targetRows
+    * 2^20 ⇒ every entry qualifies at test scales — full bin-pack,
+    * content identical to v3 by construction). Bench reps and Verify
     * measure the snapshot READS; the build runs once — the persisted-
     * index discipline. */
   private val cowCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -3592,6 +3633,7 @@ object SparkEntry {
       tables.CowTable.delete(s, dir.toString,
         base.filter(col("doc_id") >= 50 && col("doc_id") < 60)
           .select(col("doc_id")), "doc_id")
+      tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
       dir.toString
     })
 
@@ -6879,6 +6921,100 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT) FROM v2
          UNION ALL
          SELECT CAST(3 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT) FROM v3
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT) FROM v3
+         ORDER BY version""",
+    // COMPACT rewrites layout, never content: v4 ≡ v3 row-for-row.
+    "cow_compact" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         SELECT doc_id, n_chars, source FROM v2
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60)
+         ORDER BY doc_id""",
+    // Zone-map pruned key-range read of v3 ≡ the filtered snapshot.
+    "cow_pruned_read" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd),
+         v3 AS (
+           SELECT * FROM v2 WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60))
+         SELECT doc_id, n_chars, source FROM v3
+         WHERE doc_id BETWEEN 0 AND 39
+         ORDER BY doc_id""",
+    // CDC v1→v3 replayed as v1 FULL OUTER JOIN v3 on the key, keeping
+    // rows where any column differs (null-safely) — the same drop-set
+    // as the engine's value-equality cancellation of rewrite-survivor
+    // rows.
+    "cow_changefeed" ->
+      """WITH upd AS (
+           SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd),
+         v3 AS (
+           SELECT * FROM v2 WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60)),
+         v1 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'insert'
+                     WHEN b.doc_id IS NULL THEN 'delete'
+                     ELSE 'update' END AS op,
+                a.n_chars AS old_n_chars, b.n_chars AS new_n_chars,
+                a.source AS old_source, b.source AS new_source
+         FROM v1 a FULL OUTER JOIN v3 b ON a.doc_id = b.doc_id
+         WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+            OR a.n_chars IS DISTINCT FROM b.n_chars
+            OR a.source IS DISTINCT FROM b.source
+         ORDER BY doc_id""",
+    // History row counts recomputed from the lifecycle CTEs — a green
+    // row proves the manifests' write-time stats match the data.
+    "cow_history" ->
+      """WITH upd AS (
+           SELECT doc_id FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 25000000 AS doc_id FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT doc_id FROM upd),
+         v3 AS (
+           SELECT doc_id FROM v2 WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 60))
+         SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+                count(*) AS n_rows FROM documents
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), count(*) FROM v2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), count(*) FROM v3
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT), count(*) FROM v3
          ORDER BY version""",
     // Every aggregate is an exact integer by construction (see the
     // query comment): q_f0 per row is w (image/video) or 171 (audio),
