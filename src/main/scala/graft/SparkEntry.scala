@@ -584,32 +584,48 @@ object SparkEntry {
             .as("all_planted_grouped"))
     }),
     "multimodal_audio_dups" -> ((s, d) =>
-      // Perceptual duplicate AUDIO groups (spectral fingerprint: 8
-      // time windows × 8 Goertzel bands) over the encoded corpus +
-      // byte-identical clip copies planted at id+10000. Group
-      // membership reflects SPECTRAL similarity — fixture tones share
-      // one of 12 pitches, so same-pitch clips legitimately collide
+      // Perceptual duplicate AUDIO groups (spectral fingerprint: 16
+      // full-clip Goertzel bands at fixed physical Hz — r12 design,
+      // measured rate-invariant) over the encoded corpus + planted
+      // byte copies (id+10000) and 22.05 kHz re-encodes (id+20000).
+      // Group membership reflects SPECTRAL similarity — fixture tones
+      // share pitch classes, so same-pitch clips legitimately collide
       // beyond the planted copies → rows-only; the oracle-checked
       // twin is multimodal_audio_dup_check.
       Multimodal.audioDupGroups(plantedAudioMedia(s, d))),
     "multimodal_audio_dup_check" -> ((s, d) => {
-      // The pinnable property: EVERY planted byte-identical clip lands
-      // in the same group as its original (WAV parse + Goertzel are
-      // deterministic). Expected count DERIVED from the fixture
-      // (audio among doc_id < 20 — 7 on driver data), never
-      // hardcoded, per the image-dup half-re-scale lesson.
+      // The pinnable property, per planted family: EVERY byte-
+      // identical copy (id+10000) AND every 22.05 kHz linear-interp
+      // RE-ENCODE (id+20000 — resampleWav over the 8 kHz fixture
+      // bytes) lands in the same group as its original. The resampled
+      // half driver-verifies the r11 rate-invariance design
+      // (wall-clock windows + fixed-Hz Goertzel bands); a cycles-per-
+      // sample fingerprint would collide on ZERO of them. Expected
+      // counts DERIVED from the fixture (audio among doc_id < 20),
+      // never hardcoded, per the image-dup half-re-scale lesson.
       val media = plantedAudioMedia(s, d)
-      val nPlanted = media.filter(col("media_id") >= 10000L)
-        .agg(count(lit(1)).as("__n_planted"))
+      val nBytes = media.filter(col("media_id").between(10000L, 19999L))
+        .agg(count(lit(1)).as("__n_bytes"))
+      val nRes = media.filter(col("media_id") >= 20000L)
+        .agg(count(lit(1)).as("__n_res"))
       val g = Multimodal.audioDupGroups(media)
-      val planted = g.filter(col("media_id") >= 10000L)
-        .select(col("group_rep"), (col("media_id") - 10000L).as("media_id"))
-      planted.join(g, Seq("group_rep", "media_id"))
-        .agg(count(lit(1)).as("n_planted_grouped"))
-        .crossJoin(broadcast(nPlanted))
-        .select(col("n_planted_grouped"),
-          (col("n_planted_grouped") === col("__n_planted"))
-            .as("all_planted_grouped"))
+      def grouped(offset: Long, lo: Long, hi: Long) = g
+        .filter(col("media_id").between(lo, hi))
+        .select(col("group_rep"), (col("media_id") - offset).as("media_id"))
+        .join(g, Seq("group_rep", "media_id"))
+        .agg(count(lit(1)))
+      grouped(10000L, 10000L, 19999L)
+        .toDF("n_bytes_grouped")
+        .crossJoin(broadcast(grouped(20000L, 20000L, Long.MaxValue)
+          .toDF("n_resampled_grouped")))
+        .crossJoin(broadcast(nBytes))
+        .crossJoin(broadcast(nRes))
+        .select(col("n_bytes_grouped"),
+          (col("n_bytes_grouped") === col("__n_bytes"))
+            .as("all_bytes_grouped"),
+          col("n_resampled_grouped"),
+          (col("n_resampled_grouped") === col("__n_res"))
+            .as("all_resampled_grouped"))
     }),
     "multimodal_frame_dups" -> ((s, d) =>
       // Perceptual duplicate VIDEO-FRAME groups (imageDupGroups lifted
@@ -3486,6 +3502,68 @@ object SparkEntry {
       tables.CowTable.history(s, cowTableDir(s, d))
         .select(col("version"), col("parent"), col("n_rows"))
         .orderBy(col("version"))),
+    "cow_merge_upsert_str" -> ((s, d) =>
+      // STRING-keyed twin of cow_merge_upsert ([[cowStrDir]]): keys
+      // are `source#<12-digit doc_id>` strings, buckets are hash
+      // ranges (xxhash64 mod n) with lexicographic min/max stats —
+      // the URL-keyed-corpus shape bigint range bucketing can't
+      // serve. Same MERGE semantics, same oracle pattern.
+      tables.CowTable.read(s, cowStrDir(s, d), Some(2))
+        .orderBy(col("k"))),
+    "cow_schema_evolution" -> ((s, d) =>
+      // v3 = MERGE with an update batch carrying a NEW column (lang):
+      // the table schema widens, carried old rows read back with lang
+      // NULL (parquet missing-column semantics), and time travel to
+      // v1/v2 keeps the pre-evolution schema (CowTableSpec pins
+      // that). The oracle replays the widened state with NULL fill.
+      tables.CowTable.read(s, cowStrDir(s, d))
+        .orderBy(col("k"))),
+    "cow_idempotent_replay" -> ((s, d) =>
+      // Exactly-once streaming commits: every micro-batch MERGE into
+      // the streaming COW table carries txn=(app, batchId) and
+      // [[streamingCowDir]] REPLAYS each batch a second time inline —
+      // so history() having exactly create + one version PER BATCH
+      // (none for the redeliveries) IS the idempotency proof, and
+      // n_rows per version replays from batch arithmetic (evens then
+      // odds).
+      tables.CowTable.history(s, streamingCowDir(s, d))
+        .select(col("version"), col("n_rows"))
+        .orderBy(col("version"))),
+    "cow_merge_fixed_batch" -> ((s, d) => {
+      // MERGE-cost scale pin #1 — "commit cost ∝ touched data, not
+      // table size", measured: a CONSTANT 50-key update batch into a
+      // corpus-sized table whose bucket COUNT scales with N (bucket
+      // size ~2500 rows is the constant, the production sizing) — the
+      // touched set is O(1) buckets at every scale, so this row's
+      // scale-curve must stay FLAT while the table grows (BASELINE
+      // r12). The merge runs per invocation with ABSOLUTE update
+      // values (idempotent), so every bench rep times identical work
+      // and the post-merge state is deterministic for the oracle.
+      val root = cowBenchDir(s, d, "fixed")
+      val upd = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"),
+          col("source"))
+      tables.CowTable.merge(s, root, upd, "doc_id")
+      tables.CowTable.readWhere(s, root, "doc_id", 0L, 49L)._1
+        .agg(count(lit(1)).as("n_updated"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"))
+    }),
+    "cow_merge_scaled_batch" -> ((s, d) => {
+      // MERGE-cost scale pin #2 — the update batch SCALES with the
+      // corpus (~5% of rows by id residue; re-scale copies keep their
+      // residues under the 10M id shift): touched buckets ∝ N, so
+      // this row gates ~LINEAR on the scale curve. Together with the
+      // fixed-batch row it measures both axes of the copy-on-write
+      // bargain.
+      val root = cowBenchDir(s, d, "scaled")
+      val upd = Tables.documents(s, d).filter(col("doc_id") % 1000 < 50)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"),
+          col("source"))
+      tables.CowTable.merge(s, root, upd, "doc_id")
+      tables.CowTable.read(s, root).filter(col("doc_id") % 1000 < 50)
+        .agg(count(lit(1)).as("n_updated"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"))
+    }),
 
     "pii_card_scrub" -> ((s, d) =>
       // The corpus carries no card numbers, so the query plants one
@@ -3637,6 +3715,66 @@ object SparkEntry {
       dir.toString
     })
 
+  /** Once-per-(process, sf dir) STRING-keyed copy-on-write lifecycle:
+    * keys are `source#<12-digit zero-padded doc_id>` (unique, and the
+    * padding keeps lexicographic order sane), buckets are hash ranges.
+    * v1 = create, v2 = the generic upsert (n_chars+1000 for
+    * doc_id<50; inserts under a disjoint `zzz#` prefix for
+    * doc_id<20), v3 = schema-EVOLVING merge (adds lang for
+    * doc_id<30). cow_merge_upsert_str pins v2; cow_schema_evolution
+    * pins v3's widened, NULL-filled state. */
+  private def cowStrDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#str", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_str2_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+      val key = concat(col("source"), lit("#"),
+        lpad(col("doc_id").cast("string"), 12, "0"))
+      val base = docs.select(key.as("k"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, dir.toString, "k", buckets = 8)
+      val updates = docs.filter(col("doc_id") < 50)
+        .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
+          col("source"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select(concat(lit("zzz#"), col("doc_id").cast("string")).as("k"),
+            col("n_chars"), col("source")))
+      tables.CowTable.merge(s, dir.toString, updates, "k")
+      val evo = docs.filter(col("doc_id") < 30)
+        .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
+          col("source"), col("lang"))
+      tables.CowTable.merge(s, dir.toString, evo, "k")
+      dir.toString
+    })
+
+  /** Corpus-sized CoW tables for the MERGE-cost scale rows
+    * (cow_merge_fixed_batch / cow_merge_scaled_batch). Bucket count
+    * scales with the corpus (target ~2500 rows per bucket) — the
+    * production sizing where bucket SIZE, not count, is the constant,
+    * which is exactly what makes a fixed-size merge's touched set
+    * O(1) buckets at any table size. Fresh root per (process, sf dir,
+    * flavor); the QUERY then performs a real merge per invocation. */
+  private def cowBenchDir(s: SparkSession, d: String,
+                          flavor: String): String =
+    cowCache.getOrElseUpdate(s"$d#bench_$flavor", {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cowb_${flavor}_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      val buckets = math.max(8L, (base.count() + 2499L) / 2500L).toInt
+      tables.CowTable.create(base, dir.toString, "doc_id", buckets = buckets)
+      dir.toString
+    })
+
   /** Streaming CDC → table-format ingestion (the lakehouse analog of
     * the reference's hourly Postgres sync): the documents stream
     * replays as real micro-batches (DocReplay: evens then odds) and
@@ -3658,19 +3796,30 @@ object SparkEntry {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
       tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
-      graft.streaming.DocReplay.run(s, base, s"$d#cowmerge") { batch =>
-        val changed = batch.filter(col("doc_id") % 7 === 3)
-        val upd = changed
-          .select(col("doc_id"), (col("n_chars") + 5000L).as("n_chars"),
-            col("source"))
-          .unionByName(changed.select(
-            (col("doc_id") + 30000000L).as("doc_id"), col("n_chars"),
-            col("source")))
-        val (m, rewritten, carried) =
-          tables.CowTable.merge(s, dir.toString, upd, "doc_id")
-        import s.implicits._
-        Seq((m.version.toLong, rewritten.toLong, carried.toLong))
-          .toDF("version", "n_rewritten", "n_carried")
+      graft.streaming.DocReplay.runWithBatchId(s, base, s"$d#cowmerge") {
+        (batch, batchId) =>
+          val changed = batch.filter(col("doc_id") % 7 === 3)
+          val upd = changed
+            .select(col("doc_id"), (col("n_chars") + 5000L).as("n_chars"),
+              col("source"))
+            .unionByName(changed.select(
+              (col("doc_id") + 30000000L).as("doc_id"), col("n_chars"),
+              col("source")))
+          // exactly-once: the manifest records (app, batchId), so a
+          // foreachBatch REDELIVERY no-ops instead of committing a
+          // duplicate version — replayed immediately below as a
+          // same-id second merge that must leave currentVersion alone
+          val (m, rewritten, carried) = tables.CowTable.merge(
+            s, dir.toString, upd, "doc_id", txn = Some(("cowmerge", batchId)))
+          val vAfter = tables.CowTable.currentVersion(dir.toString)
+          val (mr, _, _) = tables.CowTable.merge(
+            s, dir.toString, upd, "doc_id", txn = Some(("cowmerge", batchId)))
+          require(mr.version == m.version &&
+            tables.CowTable.currentVersion(dir.toString) == vAfter,
+            s"redelivered batch $batchId must not commit a new version")
+          import s.implicits._
+          Seq((m.version.toLong, rewritten.toLong, carried.toLong))
+            .toDF("version", "n_rewritten", "n_carried")
       }.count(): Unit // drain the replay sink; reads go through the manifest
       dir.toString
     })
@@ -3857,17 +4006,34 @@ object SparkEntry {
     media.unionByName(planted)
   }
 
-  /** Encoded media over the first 100 docs plus byte-identical copies
-    * of the audio clips with id < 20 planted at media_id + 10000 —
-    * shared by the audio-dup rows so the group set and the pin agree.
+  /** Encoded media over the first 100 docs plus TWO planted duplicate
+    * families over the audio clips with id < 20: byte-identical
+    * copies at media_id + 10000, and REAL 22.05 kHz linear-interp
+    * re-encodes (Multimodal.resampleWav — the commonest real-world
+    * audio dup) at media_id + 20000. Shared by the audio-dup rows so
+    * the group set and the pin agree; the resampled family is the
+    * driver-verified half of the r11 rate-invariance claim (the
+    * fingerprint's wall-clock windows + fixed-Hz bands must reunite
+    * cross-rate re-encodes, not just byte copies).
     */
   private def plantedAudioMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val media = operators.Multimodal.syntheticMediaEncoded(
       Tables.documents(s, d).filter(col("doc_id") < 100))
     val planted = media
       .filter(col("kind") === "audio" && col("media_id") < 20)
       .withColumn("media_id", col("media_id") + 10000L)
-    media.unionByName(planted)
+    val resampled = media
+      .filter(col("kind") === "audio" && col("media_id") < 20)
+      .as[operators.Multimodal.MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        operators.Multimodal.resampleWav(r.payload, 22050).map(p =>
+          r.copy(media_id = r.media_id + 20000L, payload = p))
+      })
+      .toDF()
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("width"), col("height"), col("duration_ms"))
+    media.unionByName(planted).unionByName(resampled)
   }
 
   /** Encoded media over the first 100 docs plus byte-identical copies
@@ -4816,9 +4982,13 @@ object SparkEntry {
     // planted (7 on driver data — derived, not hardcoded); the WAV
     // parser + spectral fingerprint must reunite every one with its
     // original.
+    // Both planted families — byte copies AND 22.05 kHz re-encodes —
+    // must group with their originals in full.
     "multimodal_audio_dup_check" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_planted_grouped,
-                true AS all_planted_grouped
+      """SELECT CAST(count(*) AS BIGINT) AS n_bytes_grouped,
+                true AS all_bytes_grouped,
+                CAST(count(*) AS BIGINT) AS n_resampled_grouped,
+                true AS all_resampled_grouped
          FROM documents WHERE doc_id < 20 AND doc_id % 3 = 1""",
     // Every planted clip frame must hash-match its original's same
     // frame; the total is arithmetic over the planted video ids
@@ -7016,6 +7186,85 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT), count(*) FROM v3
          ORDER BY version""",
+    // String-keyed upsert: identical semantics over source#doc_id
+    // keys (the padding keeps lexicographic order aligned with id
+    // order inside a source).
+    "cow_merge_upsert_str" ->
+      """WITH keyed AS (
+           SELECT source || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+                  CAST(n_chars AS BIGINT) AS n_chars, source, doc_id
+           FROM documents),
+         upd AS (
+           SELECT k, n_chars + 1000 AS n_chars, source
+           FROM keyed WHERE doc_id < 50
+           UNION ALL
+           SELECT 'zzz#' || CAST(doc_id AS VARCHAR) AS k, n_chars, source
+           FROM keyed WHERE doc_id < 20)
+         SELECT k, n_chars, source FROM (
+           SELECT k, n_chars, source FROM keyed
+           WHERE k NOT IN (SELECT k FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         ORDER BY k""",
+    // Widened v3: rows re-merged with lang carry it; every other row
+    // NULL-fills the evolved column.
+    "cow_schema_evolution" ->
+      """WITH keyed AS (
+           SELECT source || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+                  CAST(n_chars AS BIGINT) AS n_chars, source, doc_id, lang
+           FROM documents),
+         upd AS (
+           SELECT k, n_chars + 1000 AS n_chars, source
+           FROM keyed WHERE doc_id < 50
+           UNION ALL
+           SELECT 'zzz#' || CAST(doc_id AS VARCHAR) AS k, n_chars, source
+           FROM keyed WHERE doc_id < 20),
+         v2 AS (
+           SELECT k, n_chars, source FROM keyed
+           WHERE k NOT IN (SELECT k FROM upd)
+           UNION ALL
+           SELECT * FROM upd),
+         evo AS (
+           SELECT k, n_chars + 1000 AS n_chars, source, lang
+           FROM keyed WHERE doc_id < 30)
+         SELECT k, n_chars, source, lang FROM (
+           SELECT k, n_chars, source, CAST(NULL AS VARCHAR) AS lang
+           FROM v2 WHERE k NOT IN (SELECT k FROM evo)
+           UNION ALL
+           SELECT * FROM evo)
+         ORDER BY k""",
+    // One version per create + per MICRO-BATCH — the inline
+    // redeliveries in [[streamingCowDir]] must not mint versions, so
+    // the row count of this result is itself the exactly-once pin;
+    // n_rows replays from batch arithmetic (evens then odds, one
+    // insert twin per changed row).
+    "cow_idempotent_replay" ->
+      """WITH ins0 AS (
+           SELECT count(*) AS n FROM documents
+           WHERE doc_id % 7 = 3 AND doc_id % 2 = 0),
+         ins1 AS (
+           SELECT count(*) AS n FROM documents
+           WHERE doc_id % 7 = 3 AND doc_id % 2 = 1)
+         SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows
+         FROM documents
+         UNION ALL
+         SELECT CAST(2 AS BIGINT),
+                (SELECT count(*) FROM documents) + (SELECT n FROM ins0)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT),
+                (SELECT count(*) FROM documents) + (SELECT n FROM ins0)
+                  + (SELECT n FROM ins1)
+         ORDER BY version""",
+    // Absolute (idempotent) update values: any number of merge reps
+    // converges to the same state.
+    "cow_merge_fixed_batch" ->
+      """SELECT count(*) AS n_updated,
+                CAST(sum(n_chars + 1000) AS BIGINT) AS sum_n_chars
+         FROM documents WHERE doc_id < 50""",
+    "cow_merge_scaled_batch" ->
+      """SELECT count(*) AS n_updated,
+                CAST(sum(n_chars + 1000) AS BIGINT) AS sum_n_chars
+         FROM documents WHERE doc_id % 1000 < 50""",
     // Every aggregate is an exact integer by construction (see the
     // query comment): q_f0 per row is w (image/video) or 171 (audio),
     // audio bytes are 44 + 2·(160 + id%100).

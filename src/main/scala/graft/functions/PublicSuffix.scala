@@ -140,33 +140,87 @@ object PublicSuffixData {
   /** EXCEPTION rules, stored WITHOUT the `!`. */
   val ExceptionSuffixes: Seq[String] = Seq("www.ck", "city.kobe.jp")
 
-  /** suffix → kind bitmask. */
-  val rules: java.util.HashMap[String, Integer] = {
+  /** Parse the published `public_suffix_list.dat` wire format
+    * (publicsuffix.org/list): one rule per line up to the first
+    * whitespace; `//` lines (including the ICANN/PRIVATE section
+    * markers) and blanks are comments; `!` prefix = exception, `*.`
+    * prefix = wildcard, otherwise normal. Single-label NORMAL rules
+    * (`com`, `net`, …) are DROPPED — they decide exactly like the
+    * implicit `*` default (see the class doc), so only multi-label,
+    * wildcard, and exception rules are data. Returns
+    * (normal, wildcard, exception) with prefixes stripped. */
+  private[graft] def parsePsl(
+      lines: Iterator[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val normal = Seq.newBuilder[String]
+    val wild = Seq.newBuilder[String]
+    val exc = Seq.newBuilder[String]
+    lines.foreach { raw =>
+      val line = raw.trim.takeWhile(c => !Character.isWhitespace(c))
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val l = line.toLowerCase(java.util.Locale.ROOT)
+        if (l.startsWith("!")) exc += l.substring(1)
+        else if (l.startsWith("*.")) wild += l.substring(2)
+        else if (l.contains(".")) normal += l
+      }
+    }
+    (normal.result(), wild.result(), exc.result())
+  }
+
+  /** Full-PSL swap-in: when `GRAFT_PSL_FILE` names a readable copy of
+    * the published `public_suffix_list.dat` (an offline file — zero
+    * egress), every rule loads from it through [[parsePsl]];
+    * otherwise the curated subset applies. Read once at class init —
+    * the rule table ships to executors as a codegen reference object,
+    * so it must be process-stable. */
+  private val loadedRules: (Seq[String], Seq[String], Seq[String]) =
+    sys.env.get("GRAFT_PSL_FILE")
+      .filter(p => java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
+      .map { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try parsePsl(src.getLines()) finally src.close()
+      }
+      .getOrElse((NormalSuffixes, WildcardSuffixes, ExceptionSuffixes))
+
+  private[graft] def buildRules(normal: Seq[String], wild: Seq[String],
+                                exc: Seq[String]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     def add(s: String, k: Int): Unit =
-      m.merge(s, Integer.valueOf(k), (a, b) => Integer.valueOf(a | b))
-    NormalSuffixes.foreach(add(_, Normal))
-    WildcardSuffixes.foreach(add(_, Wildcard))
-    ExceptionSuffixes.foreach(add(_, Exception))
+      m.merge(s, Integer.valueOf(k), (a, b) => Integer.valueOf(a | b)): Unit
+    normal.foreach(add(_, Normal))
+    wild.foreach(add(_, Wildcard))
+    exc.foreach(add(_, Exception))
     m
   }
+
+  /** suffix → kind bitmask (curated subset, or the full PSL when
+    * `GRAFT_PSL_FILE` is set). */
+  val rules: java.util.HashMap[String, Integer] =
+    buildRules(loadedRules._1, loadedRules._2, loadedRules._3)
 
   /** The rule table as a SQL `(sfx, kind)` VALUES body (kind 0 normal,
     * 1 wildcard, 2 exception — one row per kind for dual-kind
     * suffixes), so the DuckDB oracle replays lookups from the SAME
-    * Scala source of truth. */
+    * loaded rule set the engine decides with. */
   lazy val rulesSqlValues: String = {
+    def q(s: String) = s"'${s.replace("'", "''")}'"
     val rows =
-      NormalSuffixes.map(s => s"('$s',0)") ++
-        WildcardSuffixes.map(s => s"('$s',1)") ++
-        ExceptionSuffixes.map(s => s"('$s',2)")
+      loadedRules._1.map(s => s"(${q(s)},0)") ++
+        loadedRules._2.map(s => s"(${q(s)},1)") ++
+        loadedRules._3.map(s => s"(${q(s)},2)")
     rows.mkString(", ")
   }
 
   /** PSL walk over a pre-validated lowercase host; see the class doc
     * for the exact algorithm. Returns null when the host is invalid
     * or is itself a public suffix. */
-  def registeredDomain(hostRaw: String): String = {
+  def registeredDomain(hostRaw: String): String =
+    registeredDomainIn(rules, hostRaw)
+
+  /** [[registeredDomain]] against an explicit rule table — the same
+    * walk the production path compiles against, testable with a
+    * [[parsePsl]]-loaded table. */
+  private[graft] def registeredDomainIn(
+      table: java.util.HashMap[String, Integer], hostRaw: String): String = {
     if (hostRaw == null) return null
     val host = hostRaw.toLowerCase(java.util.Locale.ROOT)
     val n = host.length
@@ -179,7 +233,7 @@ object PublicSuffixData {
     var sfx = labels(nl - 1)
     var i = 1
     while (i <= nl) {
-      val k = rules.get(sfx)
+      val k = table.get(sfx)
       if (k != null) {
         val kv = k.intValue()
         if ((kv & Exception) != 0) excl = math.max(excl, i - 1)

@@ -39,8 +39,13 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
 object WordNgrams {
 
+  // the FULL Java \s set [ \t\n\x0B\f\r] — the token boundary must
+  // agree with TextFunctions.tokens (split on \s+), or unigram and
+  // bigram feature streams of the same text diverge on form-feed /
+  // vertical-tab input (latent on ASCII fixtures, real on crawl text)
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+      b == 0x0b || b == 0x0c
 
   def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes

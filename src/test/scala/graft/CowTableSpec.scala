@@ -27,7 +27,7 @@ class CowTableSpec extends SparkSpec {
     assert(m.version === 1 && m.parent === 0)
     assert(m.entries.length === 4)
     // width = ceil(100/4) = 25: stats are the real per-bucket extremes
-    assert(m.entries.map(e => (e.minKey, e.maxKey, e.rows)).sortBy(_._1) ===
+    assert(m.entries.map(e => (e.minKeyLong, e.maxKeyLong, e.rows)).sortBy(_._1) ===
       Seq((0L, 24L, 25L), (25L, 49L, 25L), (50L, 74L, 25L), (75L, 99L, 25L)))
     val got = CowTable.read(spark, root).as[(Long, Long)].collect().sorted
     assert(got === (0L until 100L).map(i => (i, i * 7L)))
@@ -179,7 +179,172 @@ class CowTableSpec extends SparkSpec {
     assert(after === before)
     // expired versions are gone
     intercept[Exception] { CowTable.readManifest(spark, root, 1) }
+    // history lists only RETAINED snapshots after vacuum (it must not
+    // hardcode a scan from version 1)
+    val h = CowTable.history(spark, root)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h.map(_._1) === Seq(3L) && h.head._4 === 99L)
     // idempotent: nothing left to collect
     assert(CowTable.vacuum(spark, root, retainVersions = 1) === ((0, 0)))
+  }
+
+  test("OCC: a racing commit is detected and the loser rebases + retries") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    // deterministic interleave: just before the outer merge commits,
+    // a competing writer merges and WINS version 2. rename(2) would
+    // silently clobber the winner (the pre-r12 ATOMIC_MOVE bug);
+    // link(2) publish makes the loser see the conflict and rebase.
+    CowTable.beforeCommitHook = () => {
+      CowTable.beforeCommitHook = () => ()
+      CowTable.merge(spark, root,
+        Seq((60L, 6666L)).toDF("doc_id", "v"), "doc_id"): Unit
+    }
+    try {
+      val (m, _, _) = CowTable.merge(spark, root,
+        Seq((10L, 777L)).toDF("doc_id", "v"), "doc_id")
+      // loser retried on the winner's snapshot: BOTH merges committed
+      assert(m.version === 3)
+      val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(10L) === 777L && got(60L) === 6666L && got.size === 100)
+      // ≡ sequential application, and the winner's snapshot is intact
+      val v2 = CowTable.read(spark, root, Some(2))
+        .as[(Long, Long)].collect().toMap
+      assert(v2(60L) === 6666L && v2(10L) === 70L)
+      // the losing attempt's data dir is orphaned → vacuumable without
+      // touching any retained snapshot
+      val before = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      val (orphans, ms) = CowTable.vacuum(spark, root, retainVersions = 100)
+      assert(orphans >= 1 && ms === 0)
+      assert(CowTable.read(spark, root)
+        .as[(Long, Long)].collect().toMap === before)
+    } finally CowTable.beforeCommitHook = () => ()
+  }
+
+  test("OCC: maxAttempts=1 surfaces the conflict instead of clobbering") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.beforeCommitHook = () => {
+      CowTable.beforeCommitHook = () => ()
+      CowTable.merge(spark, root,
+        Seq((60L, 6666L)).toDF("doc_id", "v"), "doc_id"): Unit
+    }
+    try {
+      intercept[CowTable.ConcurrentCommitException] {
+        CowTable.merge(spark, root,
+          Seq((10L, 777L)).toDF("doc_id", "v"), "doc_id", maxAttempts = 1)
+      }
+      // the winner's commit survives untouched
+      val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(60L) === 6666L && got(10L) === 70L)
+    } finally CowTable.beforeCommitHook = () => ()
+  }
+
+  test("txn: a redelivered micro-batch no-ops; watermarks carry across commits") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    val b0 = Seq((10L, 777L)).toDF("doc_id", "v")
+    val (m2, _, _) = CowTable.merge(spark, root, b0, "doc_id",
+      txn = Some(("streamA", 0L)))
+    assert(m2.version === 2)
+    // exactly-once: the SAME (app, batch) re-arrives (foreachBatch is
+    // at-least-once) → no new version, current manifest returned
+    val (mr, rw, cr) = CowTable.merge(spark, root, b0, "doc_id",
+      txn = Some(("streamA", 0L)))
+    assert(mr.version === 2 && rw === 0 && cr === 0)
+    assert(CowTable.currentVersion(root) === 2)
+    // an unrelated DELETE carries the watermark forward…
+    CowTable.delete(spark, root, Seq(Tuple1(30L)).toDF("doc_id"), "doc_id")
+    // …so the replay still no-ops on the new parent
+    val (mr2, _, _) = CowTable.merge(spark, root, b0, "doc_id",
+      txn = Some(("streamA", 0L)))
+    assert(mr2.version === 3 && CowTable.currentVersion(root) === 3)
+    // the NEXT batch commits; an independent stream has its own watermark
+    val (m4, _, _) = CowTable.merge(spark, root,
+      Seq((11L, 888L)).toDF("doc_id", "v"), "doc_id",
+      txn = Some(("streamA", 1L)))
+    assert(m4.version === 4)
+    val (m5, _, _) = CowTable.merge(spark, root,
+      Seq((12L, 999L)).toDF("doc_id", "v"), "doc_id",
+      txn = Some(("streamB", 0L)))
+    assert(m5.version === 5)
+    val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(got(10L) === 777L && got(11L) === 888L && got(12L) === 999L &&
+      !got.contains(30L))
+  }
+
+  test("string keys: hash-range buckets, lexicographic stats, same MERGE semantics") {
+    val root = freshRoot()
+    val baseS = (0L until 100L).map(i => (f"k$i%03d", i * 7L)).toDF("k", "v")
+    val m1 = CowTable.create(baseS, root, "k", buckets = 4)
+    assert(m1.entries.length === 4 && m1.entries.map(_.rows).sum === 100L)
+    // stats are real lexicographic extremes of each hash bucket
+    m1.entries.foreach(e => assert(e.minKey <= e.maxKey))
+    val (m2, rew, _) = CowTable.merge(spark, root,
+      Seq(("k010", 777L), ("k011", 888L)).toDF("k", "v"), "k")
+    assert(m2.version === 2 && rew >= 1)
+    // an insert whose key exceeds every bucket's max prunes EVERYTHING
+    val (_, rew3, car3) = CowTable.merge(spark, root,
+      Seq(("zzz", 1L)).toDF("k", "v"), "k")
+    assert(rew3 === 0 && car3 === m2.entries.length)
+    CowTable.delete(spark, root, Seq(Tuple1("k050")).toDF("k"), "k")
+    val got = CowTable.read(spark, root).as[(String, Long)].collect().toMap
+    assert(got("k010") === 777L && got("k011") === 888L &&
+      got("zzz") === 1L && !got.contains("k050") && got.size === 100)
+    // time travel unaffected
+    assert(CowTable.read(spark, root, Some(1)).count() === 100)
+  }
+
+  test("schema evolution: new update columns widen; time travel keeps old schemas") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    val upd = Seq((10L, 777L, "en"), (1000L, 999L, "de"))
+      .toDF("doc_id", "v", "lang")
+    val (m2, _, _) = CowTable.merge(spark, root, upd, "doc_id")
+    assert(m2.schema.fieldNames.toSeq === Seq("doc_id", "v", "lang"))
+    val rows = CowTable.read(spark, root)
+      .select("doc_id", "v", "lang")
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(10L) === ((777L, Some("en"))))
+    assert(rows(1000L) === ((999L, Some("de"))))
+    // carried old rows null-fill the evolved column
+    assert(rows(50L) === ((350L, None)) && rows.size === 101)
+    // time travel reads v1 under ITS schema — no lang column
+    assert(CowTable.read(spark, root, Some(1)).columns.toSeq ===
+      Seq("doc_id", "v"))
+    // updates may also OMIT table columns (null-filled on insert)
+    val (m3, _, _) = CowTable.merge(spark, root,
+      Seq(Tuple2(2000L, "fr")).toDF("doc_id", "lang"), "doc_id")
+    assert(m3.schema.fieldNames.toSeq === Seq("doc_id", "v", "lang"))
+    val r3 = CowTable.read(spark, root).filter(col("doc_id") === 2000L)
+      .select("v", "lang").as[(Option[Long], Option[String])].head()
+    assert(r3 === ((None, Some("fr"))))
+    // type conflicts refuse loudly — a silent upcast would change what
+    // time travel reads back
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, root,
+        Seq(Tuple2(5L, "not a long")).toDF("doc_id", "v"), "doc_id")
+    }
+  }
+
+  test("a fully-emptied table stays readable, feedable, and mergeable") {
+    val root = freshRoot()
+    val small = (0L until 10L).map(i => (i, i)).toDF("doc_id", "v")
+    CowTable.create(small, root, "doc_id", buckets = 2)
+    val (m2, _, _) = CowTable.delete(spark, root,
+      small.select("doc_id"), "doc_id")
+    assert(m2.entries.isEmpty)
+    // empty-entry snapshot reads as an EMPTY frame with the schema
+    val empty = CowTable.read(spark, root)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "v"))
+    // history and changefeed survive the empty snapshot
+    assert(CowTable.history(spark, root).count() === 2)
+    val (feed, _, _) = CowTable.changefeed(spark, root, "doc_id", 1, 2)
+    assert(feed.filter(col("op") === "delete").count() === 10)
+    // and the table accepts new data again
+    CowTable.merge(spark, root, Seq((5L, 55L)).toDF("doc_id", "v"), "doc_id")
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect() ===
+      Array((5L, 55L)))
   }
 }

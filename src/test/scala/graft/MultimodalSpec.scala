@@ -276,8 +276,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("audioHash64: resampling-invariant — half-rate re-encode collides") {
     // the commonest real-world audio dup: the same clip re-encoded at
-    // a lower sample rate. Wall-clock windows + fixed-Hz Goertzel
-    // bands (r11) make the fingerprint rate-invariant; the pre-r11
+    // a lower sample rate. Fixed-physical-Hz Goertzel bands over the
+    // FULL clip (r12; the r11 8-window slicing flipped bits on short
+    // clips) make the fingerprint rate-invariant; the pre-r11
     // cycles-per-sample bands doubled every band frequency under 2×
     // downsampling and never collided.
     def toneWav(sr: Int, freqHz: Double, durSec: Double,
@@ -313,6 +314,27 @@ class MultimodalSpec extends SparkSpec {
     val stereo = Multimodal.audioHash64(toneWav(44100, 400.0, 0.2, channels = 2))
     assert(stereo === full,
       "stereo re-encode of the same content must fingerprint identically")
+  }
+
+  test("resampleWav: a REAL 22.05 kHz re-encode of every fixture clip collides") {
+    // the driver-gate plant (plantedAudioMedia id+20000): linear-
+    // interp resampling over the payload BYTES, covering every
+    // half-period the encodeWav fixture generates (4..15 via id%12)
+    // and every length residue (id%100) the first-100-docs audio ids
+    // take — so the check row's exact-count pin can't hide a pitch
+    // that only mostly survives resampling.
+    (0L until 100L).filter(_ % 3 == 1).foreach { id =>
+      val orig = Multimodal.encodeWav(id)
+      val re = Multimodal.resampleWav(orig, 22050)
+      assert(re.isDefined, s"fixture clip $id must resample")
+      // a genuine re-encode: different container bytes, different rate
+      assert(!java.util.Arrays.equals(re.get, orig))
+      assert(Multimodal.audioHash64(re.get) === Multimodal.audioHash64(orig),
+        s"22.05 kHz re-encode of clip $id must fingerprint identically")
+    }
+    // degenerate payloads refuse instead of throwing
+    assert(Multimodal.resampleWav("not a wav".getBytes, 22050) === None)
+    assert(Multimodal.resampleWav(Multimodal.encodeWav(1L).take(40), 22050) === None)
   }
 
   test("mp4 metadata path: stts/stss/stsd walk, sniff dispatch, totality") {

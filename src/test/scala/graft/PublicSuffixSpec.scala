@@ -109,4 +109,64 @@ class PublicSuffixSpec extends org.scalatest.funsuite.AnyFunSuite {
     check("blogspot.com", null)
     check("someone.blogspot.com", "someone.blogspot.com")
   }
+
+  test("parsePsl: the published .dat wire format classifies correctly") {
+    val dat =
+      """// This Source Code Form is subject to the terms of the Mozilla
+        |// ===BEGIN ICANN DOMAINS===
+        |
+        |// ac : https://en.wikipedia.org/wiki/.ac
+        |com
+        |co.uk
+        |  org.uk
+        |ac.jp
+        |// ck : https://en.wikipedia.org/wiki/.ck
+        |*.ck
+        |!www.ck
+        |*.kobe.jp
+        |!city.kobe.jp
+        |// ===END ICANN DOMAINS===
+        |// ===BEGIN PRIVATE DOMAINS===
+        |GitHub.io trailing-comment-text ignored
+        |// ===END PRIVATE DOMAINS===
+        |""".stripMargin
+    val (normal, wild, exc) = PublicSuffixData.parsePsl(dat.linesIterator)
+    // single-label normal rules (`com`) drop — they decide like the
+    // implicit * default; everything else survives, lowercased, with
+    // prefixes stripped and rule text cut at the first whitespace
+    assert(normal === Seq("co.uk", "org.uk", "ac.jp", "github.io"))
+    assert(wild === Seq("ck", "kobe.jp"))
+    assert(exc === Seq("www.ck", "city.kobe.jp"))
+  }
+
+  test("a .dat-loaded rule table decides the full vector set like the curated one") {
+    // serialize the curated table back to PSL wire format (plus
+    // single-label rules the parser must drop), parse it, and replay
+    // EVERY host exercised above through the same walk — the loader
+    // path is behavior-identical, so a production GRAFT_PSL_FILE
+    // swap-in changes data, never semantics
+    val dat = (Seq("// round-trip of the curated subset", "com", "net", "org") ++
+      PublicSuffixData.NormalSuffixes ++
+      PublicSuffixData.WildcardSuffixes.map("*." + _) ++
+      PublicSuffixData.ExceptionSuffixes.map("!" + _)).mkString("\n")
+    val (n, w, e) = PublicSuffixData.parsePsl(dat.linesIterator)
+    val table = PublicSuffixData.buildRules(n, w, e)
+    val hosts = Seq(
+      null, "", ".com", "example.com.", "a..com", "COM", "example.COM",
+      "WwW.example.COM", "example", "example.example", "b.example.example",
+      "biz", "domain.biz", "a.b.domain.biz", "com", "example.com",
+      "a.b.example.com", "uk.com", "example.uk.com", "b.example.uk.com",
+      "test.ac", "jp", "test.jp", "www.test.jp", "ac.jp", "test.ac.jp",
+      "kyoto.jp", "test.kyoto.jp", "ide.kyoto.jp", "b.ide.kyoto.jp",
+      "a.b.ide.kyoto.jp", "c.kobe.jp", "b.c.kobe.jp", "a.b.c.kobe.jp",
+      "city.kobe.jp", "www.city.kobe.jp", "ck", "test.ck", "b.test.ck",
+      "a.b.test.ck", "www.ck", "www.www.ck", "us", "test.us", "ak.us",
+      "test.ak.us", "k12.ak.us", "test.k12.ak.us", "www.test.k12.ak.us",
+      "co.uk", "example.co.uk", "a.b.example.co.uk", "github.io",
+      "myapp.github.io", "www.myapp.github.io", "someone.blogspot.com")
+    hosts.foreach { h =>
+      assert(PublicSuffixData.registeredDomainIn(table, h) ===
+        PublicSuffixData.registeredDomain(h), s"loaded-vs-curated on $h")
+    }
+  }
 }

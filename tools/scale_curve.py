@@ -76,7 +76,13 @@ CLAIMED_LINEAR = ["dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
                   "knn_graph", "semantic_dedup",
                   "pack_bins_grouped", "pack_harmonic",
                   "dedup_clusters_incremental", "containment_pairs",
-                  "ann_ivfpq_topk", "streaming_dedup"]
+                  "ann_ivfpq_topk", "streaming_dedup",
+                  # r12 CowTable merge-cost rows: fixed_batch should be
+                  # ~FLAT (commit cost follows the touched set, not the
+                  # table — slope well under 1 is the claim; <=1.3 is
+                  # just the shared gate), scaled_batch ~linear (the
+                  # batch is a constant corpus fraction).
+                  "cow_merge_fixed_batch", "cow_merge_scaled_batch"]
 CELL_QUADRATIC = []
 DEFAULT_QUERIES = CLAIMED_LINEAR + CELL_QUADRATIC
 
