@@ -3529,6 +3529,55 @@ object SparkEntry {
       tables.CowTable.history(s, streamingCowDir(s, d))
         .select(col("version"), col("n_rows"))
         .orderBy(col("version"))),
+    "cow_mor_delete" -> ((s, d) =>
+      // Snapshot v3 of the merge-on-read lifecycle ([[cowMorDir]]):
+      // two overlapping DELETEs expressed as deletion-vector sidecars
+      // — zero buckets rewritten (CowTableSpec pins the carried
+      // paths), readers anti-join the vectors. The oracle replays
+      // both deletes as plain SQL.
+      tables.CowTable.read(s, cowMorDir(s, d), Some(3))
+        .orderBy(col("doc_id"))),
+    "cow_mor_reinsert" -> ((s, d) =>
+      // Snapshot v4: MERGE after MoR deletes — the touched bucket
+      // rewrites from LIVE rows (its vector materializes) and
+      // previously-deleted keys re-insert through the upsert. The
+      // subtle wrong answers (resurrected deleted rows from a
+      // non-dv-applied survivor scan, or a stale vector suppressing
+      // the re-insert) both hash-mismatch here.
+      tables.CowTable.read(s, cowMorDir(s, d), Some(4))
+        .orderBy(col("doc_id"))),
+    "cow_mor_compact" -> ((s, d) =>
+      // Snapshot v5 = COMPACT of v4: remaining vectors materialize
+      // into plain buckets, content identical — shares v4's oracle
+      // under a vector-free layout (CowTableSpec pins dv == null).
+      tables.CowTable.read(s, cowMorDir(s, d))
+        .orderBy(col("doc_id"))),
+    "cow_mor_history" -> ((s, d) =>
+      // Live row counts per version from MANIFEST STATS ALONE —
+      // Σ(rows − dv_rows) with no data scanned; the oracle recomputes
+      // each stage from delete/upsert arithmetic, so a green row
+      // proves the per-entry deleted-count accounting stays exact
+      // through overlapping deletes, materializing rewrites, and
+      // compaction.
+      tables.CowTable.history(s, cowMorDir(s, d))
+        .select(col("version"), col("n_rows"))
+        .orderBy(col("version"))),
+    "cow_delete_mor_batch" -> ((s, d) => {
+      // MoR-delete COST row (the scale-curve twin of
+      // cow_merge_fixed_batch): a constant 50-key DELETE into a
+      // corpus-sized table as a deletion vector — prune + one pruned
+      // read-only scan + a matched-keys-sized sidecar write, no
+      // rewrite. Idempotent per rep (re-deletes absorb; the entry
+      // keeps its sidecar), so every rep times identical work and
+      // the post-delete state is deterministic for the oracle.
+      val root = cowBenchDir(s, d, "mor")
+      tables.CowTable.deleteMor(s, root,
+        Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id")), "doc_id")
+      tables.CowTable.readWhere(s, root, "doc_id", 0L, 99L)._1
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"))
+    }),
     "cow_merge_fixed_batch" -> ((s, d) => {
       // MERGE-cost scale pin #1 — "commit cost ∝ touched data, not
       // table size", measured: a CONSTANT 50-key update batch into a
@@ -3748,6 +3797,44 @@ object SparkEntry {
         .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
           col("source"), col("lang"))
       tables.CowTable.merge(s, dir.toString, evo, "k")
+      dir.toString
+    })
+
+  /** Once-per-(process, sf dir) MERGE-ON-READ lifecycle
+    * ([[tables.CowTable.deleteMor]] — deletion-vector sidecars):
+    * v1 = create (8 range buckets), v2 = MoR delete of [50,60) (one
+    * vector written, ZERO buckets rewritten), v3 = overlapping MoR
+    * delete of [55,65) (re-deletes absorb; the vector grows by
+    * exactly the newly-live matches), v4 = MERGE upsert of [58,70)
+    * at n_chars+2000 (touched bucket rewrites from LIVE rows — the
+    * vector materializes — and previously-deleted keys 58..64
+    * re-insert), v5 = COMPACT (remaining vectors materialize; content
+    * ≡ v4). The cow_mor_* rows pin each stage against plain-SQL
+    * replays; CowTableSpec pins the mechanism (paths carried, exact
+    * dvRows accounting, sidecar vacuum). */
+  private def cowMorDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#mor", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_mor_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
+      tables.CowTable.deleteMor(s, dir.toString,
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id")), "doc_id")
+      tables.CowTable.deleteMor(s, dir.toString,
+        docs.filter(col("doc_id") >= 55 && col("doc_id") < 65)
+          .select(col("doc_id")), "doc_id")
+      tables.CowTable.merge(s, dir.toString,
+        docs.filter(col("doc_id") >= 58 && col("doc_id") < 70)
+          .select(col("doc_id"), (col("n_chars") + 2000L).as("n_chars"),
+            col("source")), "doc_id")
+      tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
       dir.toString
     })
 
@@ -7255,6 +7342,69 @@ object SparkEntry {
                 (SELECT count(*) FROM documents) + (SELECT n FROM ins0)
                   + (SELECT n FROM ins1)
          ORDER BY version""",
+    // Merge-on-read replays: two overlapping deletes, then the upsert
+    // that re-inserts part of the deleted range, then the layout-only
+    // compaction.
+    "cow_mor_delete" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+         FROM documents
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 65)
+         ORDER BY doc_id""",
+    "cow_mor_reinsert" ->
+      """WITH v3 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents
+           WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 65)),
+         upd AS (
+           SELECT doc_id, CAST(n_chars + 2000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 58 AND doc_id < 70)
+         SELECT doc_id, n_chars, source FROM (
+           SELECT * FROM v3 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         ORDER BY doc_id""",
+    "cow_mor_compact" ->
+      """WITH v3 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents
+           WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 65)),
+         upd AS (
+           SELECT doc_id, CAST(n_chars + 2000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 58 AND doc_id < 70)
+         SELECT doc_id, n_chars, source FROM (
+           SELECT * FROM v3 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         ORDER BY doc_id""",
+    // Live counts per version from delete/upsert arithmetic: c(a,b) =
+    // docs in [a,b); v4 = v3 − c(65,70) + c(58,70) = v3 + c(58,65).
+    "cow_mor_history" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+         d1 AS (SELECT count(*) AS c FROM documents
+                WHERE doc_id >= 50 AND doc_id < 60),
+         d2 AS (SELECT count(*) AS c FROM documents
+                WHERE doc_id >= 50 AND doc_id < 65),
+         ri AS (SELECT count(*) AS c FROM documents
+                WHERE doc_id >= 58 AND doc_id < 65)
+         SELECT CAST(1 AS BIGINT) AS version, (SELECT c FROM n) AS n_rows
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), (SELECT c FROM n) - (SELECT c FROM d1)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), (SELECT c FROM n) - (SELECT c FROM d2)
+         UNION ALL
+         SELECT CAST(4 AS BIGINT),
+                (SELECT c FROM n) - (SELECT c FROM d2) + (SELECT c FROM ri)
+         UNION ALL
+         SELECT CAST(5 AS BIGINT),
+                (SELECT c FROM n) - (SELECT c FROM d2) + (SELECT c FROM ri)
+         ORDER BY version""",
+    "cow_delete_mor_batch" ->
+      """SELECT count(*) AS n_live,
+                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM documents WHERE doc_id >= 50 AND doc_id < 100""",
     // Absolute (idempotent) update values: any number of merge reps
     // converges to the same state.
     "cow_merge_fixed_batch" ->

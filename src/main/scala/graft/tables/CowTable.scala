@@ -95,15 +95,20 @@ object CowTable {
     extends RuntimeException(s"concurrent commit of version $version")
 
   /** min/max key stats are stored as strings in the manifest; the
-    * typed accessors parse per the manifest's key type. */
-  case class Entry(path: String, minKey: String, maxKey: String, rows: Long) {
+    * typed accessors parse per the manifest's key type. `dv` is the
+    * entry's DELETION-VECTOR sidecar (a parquet dir of deleted keys —
+    * merge-on-read, see [[deleteMor]]), null when none; `dvRows` its
+    * exact deleted-key count, so `liveRows` stays manifest-derivable. */
+  case class Entry(path: String, minKey: String, maxKey: String, rows: Long,
+                   dv: String = null, dvRows: Long = 0L) {
     def minKeyLong: Long = minKey.toLong
     def maxKeyLong: Long = maxKey.toLong
+    def liveRows: Long = rows - dvRows
   }
 
   case class Manifest(version: Int, parent: Int, keyType: String,
-                      schemaDdl: String, txns: Map[String, Long],
-                      entries: Seq[Entry]) {
+                      keyCol: String, schemaDdl: String,
+                      txns: Map[String, Long], entries: Seq[Entry]) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -135,6 +140,7 @@ object CowTable {
       (j \ "version").extract[Int],
       (j \ "parent").extract[Int],
       (j \ "key_type").extract[String],
+      (j \ "key_col").extract[String],
       (j \ "schema").extract[String],
       (j \ "txns") match {
         case JArray(xs) => xs.map(t =>
@@ -146,7 +152,16 @@ object CowTable {
           (e \ "path").extract[String],
           (e \ "min_key").extract[String],
           (e \ "max_key").extract[String],
-          (e \ "rows").extract[Long]))
+          (e \ "rows").extract[Long],
+          (e \ "dv") match {
+            case JString(p) => p
+            case _ => null
+          },
+          (e \ "dv_rows") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 0L
+          }))
         case _ => Seq.empty[Entry]
       })
   }
@@ -164,14 +179,18 @@ object CowTable {
   }
 
   private def manifestJson(m: Manifest): String = {
-    val es = m.entries.map(e =>
+    val es = m.entries.map { e =>
+      val dv = if (e.dv == null) ""
+        else s""","dv":${jstr(e.dv)},"dv_rows":${e.dvRows}"""
       s"""{"path":${jstr(e.path)},"min_key":${jstr(e.minKey)},""" +
-        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}}""").mkString(",")
+        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}$dv}"""
+    }.mkString(",")
     val ts = m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"""{"app":${jstr(a)},"batch":$b}"""
     }.mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
-      s""""key_type":${jstr(m.keyType)},"schema":${jstr(m.schemaDdl)},""" +
+      s""""key_type":${jstr(m.keyType)},"key_col":${jstr(m.keyCol)},""" +
+      s""""schema":${jstr(m.schemaDdl)},""" +
       s""""txns":[$ts],"entries":[$es]}"""
   }
 
@@ -257,13 +276,40 @@ object CowTable {
   /** Union-scan entries under an explicit schema: carried old-schema
     * files null-fill evolved columns (parquet missing-column reads);
     * ZERO entries read as an empty frame with the right schema (an
-    * all-rows-deleted snapshot stays readable). */
+    * all-rows-deleted snapshot stays readable). PHYSICAL rows — does
+    * not apply deletion vectors; [[readEntriesLive]] does. */
   private def scanEntries(spark: SparkSession, schema: StructType,
                           es: Seq[Entry]): DataFrame =
     if (es.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
       spark.read.schema(schema).parquet(es.map(_.path): _*).drop("__bucket")
+
+  /** Union-scan of deletion-vector sidecars: one column, the key. */
+  private def scanDvs(spark: SparkSession, m: Manifest,
+                      dvPaths: Seq[String]): DataFrame =
+    spark.read
+      .schema(StructType(Seq(StructField(m.keyCol, sparkKeyType(m.keyType)))))
+      .parquet(dvPaths: _*)
+      .select(col(m.keyCol))
+
+  /** LIVE rows of the given entries: physical scan minus the entries'
+    * deletion vectors. One union scan + ONE global anti-join — a
+    * per-entry DV only ever lists keys physically present in THAT
+    * entry, and the table holds each key in exactly one entry (upsert
+    * semantics), so the global anti-join equals the per-entry one. */
+  private def readEntriesLive(spark: SparkSession, m: Manifest,
+                              es: Seq[Entry]): DataFrame =
+    readEntriesLiveAs(spark, m, es, m.schema)
+
+  private def readEntriesLiveAs(spark: SparkSession, m: Manifest,
+                                es: Seq[Entry],
+                                schema: StructType): DataFrame = {
+    val base = scanEntries(spark, schema, es)
+    val dvs = es.filter(_.dv != null).map(_.dv)
+    if (dvs.isEmpty) base
+    else base.join(scanDvs(spark, m, dvs), Seq(m.keyCol), "left_anti")
+  }
 
   /** Null-fill + reorder `df` to `schema` (common columns must already
     * match types — [[evolveSchema]] enforces that). */
@@ -321,17 +367,18 @@ object CowTable {
     val entries = writeBuckets(df, root, 1, keyCol,
       bucketExpr(keyCol, kt, buckets,
         df.agg(max(col(keyCol))).head().getLong(0)))
-    val m = Manifest(1, 0, kt, df.schema.toDDL, Map.empty, entries)
+    val m = Manifest(1, 0, kt, keyCol, df.schema.toDDL, Map.empty, entries)
     commit(root, m)
     m
   }
 
   /** Read a snapshot (default: latest) as one union scan of its
-    * entries under the schema that snapshot committed with. */
+    * entries under the schema that snapshot committed with, minus the
+    * snapshot's deletion vectors (merge-on-read). */
   def read(spark: SparkSession, root: String,
            version: Option[Int] = None): DataFrame = {
     val m = readManifest(spark, root, version.getOrElse(currentVersion(root)))
-    scanEntries(spark, m.schema, m.entries)
+    readEntriesLive(spark, m, m.entries)
   }
 
   /** Manifest-stat pruned read (zone-map data skipping): only entries
@@ -350,7 +397,7 @@ object CowTable {
     require(m.keyType == "bigint", "readWhere requires a BIGINT key")
     val (hit, skip) = m.entries.partition(e =>
       e.maxKeyLong >= lo && e.minKeyLong <= hi)
-    val df = scanEntries(spark, m.schema, hit)
+    val df = readEntriesLive(spark, m, hit)
       .filter(col(keyCol).between(lo, hi))
     (df, hit.length, skip.length)
   }
@@ -365,7 +412,7 @@ object CowTable {
     versions(root).map { v =>
       val m = readManifest(spark, root, v)
       (v.toLong, m.parent.toLong, m.entries.length.toLong,
-        m.entries.map(_.rows).sum)
+        m.entries.map(_.liveRows).sum)
     }.toDF("version", "parent", "n_entries", "n_rows")
   }
 
@@ -414,15 +461,18 @@ object CowTable {
     val (hit, carried) = m.entries.zipWithIndex.partition {
       case (_, i) => touched(i)
     }
-    // survivors of touched buckets (matched keys anti-joined away)
-    // plus every update row, conformed to the evolved schema and
-    // rebucketed under the new version. Bucket ranges are re-derived
+    // LIVE survivors of touched buckets (deletion vectors applied,
+    // then matched keys anti-joined away) plus every update row,
+    // conformed to the evolved schema and rebucketed under the new
+    // version — a rewrite MATERIALIZES its buckets' deletion vectors,
+    // so rewritten entries carry none. Bucket ranges are re-derived
     // per rewrite — stats in the manifest stay the source of truth,
     // not the bucket function.
     val rewriteSrc = {
       val upd = conform(updates, evolved)
       if (hit.isEmpty) upd
-      else conform(scanEntries(spark, evolved, hit.map(_._1))
+      else conform(
+        readEntriesLiveAs(spark, m, hit.map(_._1), evolved)
           .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"),
         evolved).unionByName(upd)
     }
@@ -438,7 +488,7 @@ object CowTable {
         bucketExpr(keyCol, m.keyType, nb,
           if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
     val newTxns = txn.map { case (a, b) => m.txns + (a -> b) }.getOrElse(m.txns)
-    val nm = Manifest(v, parent, m.keyType, evolved.toDDL, newTxns,
+    val nm = Manifest(v, parent, m.keyType, m.keyCol, evolved.toDDL, newTxns,
       carried.map(_._1) ++ newEntries)
     beforeCommitHook()
     commit(root, nm)
@@ -464,7 +514,9 @@ object CowTable {
     val newEntries =
       if (hit.isEmpty) Seq.empty
       else {
-        val survivors = scanEntries(spark, m.schema, hit.map(_._1))
+        // live survivors: the rewrite materializes the touched
+        // buckets' deletion vectors along the way
+        val survivors = readEntriesLive(spark, m, hit.map(_._1))
           .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         // every survivor deleted → zero new entries; the snapshot may
         // legitimately end up with NO entries at all (schema in the
@@ -475,11 +527,114 @@ object CowTable {
           bucketExpr(keyCol, m.keyType, hit.length,
             if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
       }
-    val nm = Manifest(v, parent, m.keyType, m.schemaDdl, m.txns,
+    val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
       carried.map(_._1) ++ newEntries)
     beforeCommitHook()
     commit(root, nm)
     (nm, hit.length, carried.length)
+  }
+
+  /** MERGE-ON-READ DELETE (deletion vectors — the Delta DV / Iceberg
+    * v2 delete-file mechanism): instead of rewriting every touched
+    * bucket, write a per-entry SIDECAR of deleted keys and leave the
+    * data files untouched. Delete cost ∝ matched keys plus ONE
+    * read-only pruned scan — ZERO rewrite — which is the difference
+    * between "delete 100 rows" costing 100 rows and costing the 100 GB
+    * of buckets they live in. Readers anti-join the snapshot's
+    * sidecars ([[readEntriesLive]]); [[merge]]/[[delete]]/[[compact]]
+    * MATERIALIZE the vectors of any bucket they rewrite, so vectors
+    * never outlive their entry.
+    *
+    * Mechanism per touched entry (range-pruned, like [[merge]]):
+    * new vector = (physical keys ∩ delete keys) ∪ old vector,
+    * DISTINCT — re-deleting an already-deleted key is absorbed, keys
+    * absent from the table contribute nothing, and `dvRows` stays the
+    * exact per-entry deleted count, so `history()`'s
+    * Σ(rows − dvRows) remains manifest-derivable truth. Attribution
+    * of a key to its entry rides `input_file_name()` (each entry is
+    * one bucket directory); all touched entries' vectors write in ONE
+    * partitioned job. An entry whose vector grows to cover every
+    * physical row drops out of the manifest entirely (its data dir
+    * and sidecar become vacuum fodder).
+    *
+    * Returns (manifest, #entries whose vector changed, #entries
+    * carried untouched). Same OCC retry as [[merge]]. */
+  def deleteMor(spark: SparkSession, root: String, keys: DataFrame,
+                keyCol: String,
+                maxAttempts: Int = 5): (Manifest, Int, Int) =
+    withRetry(maxAttempts) { deleteMorOnce(spark, root, keys, keyCol) }
+
+  private def deleteMorOnce(spark: SparkSession, root: String,
+                            keys: DataFrame,
+                            keyCol: String): (Manifest, Int, Int) = {
+    val parent = currentVersion(root)
+    val m = readManifest(spark, root, parent)
+    require(keyCol == m.keyCol, s"table is keyed by ${m.keyCol}, not $keyCol")
+    val v = parent + 1
+    val touched = touchedEntries(spark, m, keys.select(col(keyCol)), keyCol)
+    val (hit, carried) = m.entries.zipWithIndex.partition {
+      case (_, i) => touched(i)
+    }
+    if (hit.isEmpty) {
+      val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
+        m.entries)
+      beforeCommitHook()
+      commit(root, nm)
+      return (nm, 0, carried.length)
+    }
+    // one PHYSICAL scan of the touched buckets, each row attributed to
+    // its entry via the bucket directory it was read from
+    val dirToEid = hit.map { case (e, _) => e.path }.zipWithIndex
+    val eidOf = spark.createDataFrame(
+      java.util.Arrays.asList(dirToEid.map { case (p, i) => Row(p, i) }: _*),
+      StructType(Seq(StructField("__dir", StringType),
+        StructField("__eid", IntegerType))))
+    val tagged = scanEntries(spark, m.schema, hit.map(_._1))
+      .select(col(keyCol),
+        regexp_replace(regexp_replace(input_file_name(), "^file:(//)?", ""),
+          "/[^/]+$", "").as("__dir"))
+      .join(broadcast(eidOf), Seq("__dir"))
+    val matched = tagged
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col(keyCol), col("__eid"))
+    // new vector per entry = matched ∪ old vector, DISTINCT (absorbs
+    // re-deletes); old vectors re-read with their entry id attached
+    val oldDvs = hit.zipWithIndex.collect {
+      case ((e, _), i) if e.dv != null => (e.dv, i)
+    }
+    val withOld =
+      if (oldDvs.isEmpty) matched
+      else matched.unionByName(oldDvs.map { case (p, i) =>
+        scanDvs(spark, m, Seq(p)).select(col(keyCol), lit(i).as("__eid"))
+      }.reduce(_.unionByName(_)))
+    val combined = withOld.distinct()
+    val dvDir = s"$root/dv/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    combined.write.mode("errorifexists").partitionBy("__eid").parquet(dvDir)
+    // read back with an explicit schema: a no-keys-matched write
+    // leaves an empty dir, which schema inference would refuse
+    val dvSchema = StructType(Seq(
+      StructField(m.keyCol, sparkKeyType(m.keyType)),
+      StructField("__eid", IntegerType)))
+    val counts = spark.read.schema(dvSchema).parquet(dvDir)
+      .groupBy(col("__eid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val updatedHit = hit.zipWithIndex.flatMap { case ((e, _), i) =>
+      counts.get(i) match {
+        case None => Some(e) // range-touched but no key matched: as-was
+        case Some(n) if n == e.dvRows =>
+          Some(e) // re-deletes only: identical vector, keep the old sidecar
+        case Some(n) if n >= e.rows => None // fully deleted: drop entry
+        case Some(n) => Some(e.copy(dv = s"$dvDir/__eid=$i", dvRows = n))
+      }
+    }
+    val changed = hit.zipWithIndex.count { case ((e, _), i) =>
+      counts.get(i).exists(_ != e.dvRows)
+    }
+    val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
+      carried.map(_._1) ++ updatedHit)
+    beforeCommitHook()
+    commit(root, nm)
+    (nm, changed, carried.length)
   }
 
   /** Compaction (the production OPTIMIZE): entries smaller than
@@ -497,17 +652,19 @@ object CowTable {
     withRetry(maxAttempts) {
       val parent = currentVersion(root)
       val m = readManifest(spark, root, parent)
-      val (small, carried) = m.entries.partition(_.rows < targetRows)
+      val (small, carried) = m.entries.partition(_.liveRows < targetRows)
       if (small.length < 2) (m, 0, m.entries.length)
       else {
         val v = parent + 1
-        val src = scanEntries(spark, m.schema, small)
+        // compaction MATERIALIZES the rewritten entries' deletion
+        // vectors (the production OPTIMIZE / purge behavior)
+        val src = readEntriesLive(spark, m, small)
         val nb = math.max(1L,
-          (small.map(_.rows).sum + targetRows - 1) / targetRows).toInt
+          (small.map(_.liveRows).sum + targetRows - 1) / targetRows).toInt
         val entries = writeBuckets(src, root, v, keyCol,
           bucketExpr(keyCol, m.keyType, nb,
             if (m.keyType == "bigint") small.map(_.maxKeyLong).max else 0L))
-        val nm = Manifest(v, parent, m.keyType, m.schemaDdl, m.txns,
+        val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
           carried ++ entries)
         beforeCommitHook()
         commit(root, nm)
@@ -530,18 +687,22 @@ object CowTable {
                  fromVersion: Int, toVersion: Int): (DataFrame, Int, Int) = {
     val mo = readManifest(spark, root, fromVersion)
     val mn = readManifest(spark, root, toVersion)
-    val oldPaths = mo.entries.map(_.path).toSet
-    val newPaths = mn.entries.map(_.path).toSet
-    val onlyOld = mo.entries.filterNot(e => newPaths(e.path))
-    val onlyNew = mn.entries.filterNot(e => oldPaths(e.path))
+    // entry identity = (path, dv): a bucket whose deletion vector
+    // changed holds different LIVE rows behind the same data path, so
+    // it must diff, while a bucket carried with its dv intact cancels
+    def ident(e: Entry) = (e.path, Option(e.dv))
+    val oldIds = mo.entries.map(ident).toSet
+    val newIds = mn.entries.map(ident).toSet
+    val onlyOld = mo.entries.filterNot(e => newIds(ident(e)))
+    val onlyNew = mn.entries.filterNot(e => oldIds(ident(e)))
     val cancelled = (mo.entries.length - onlyOld.length) +
       (mn.entries.length - onlyNew.length)
     val dataCols = mn.schema.fieldNames.filter(_ != keyCol).toSeq
-    def packed(es: Seq[Entry]): DataFrame =
-      scanEntries(spark, mn.schema, es).select(col(keyCol),
+    def packed(m: Manifest, es: Seq[Entry]): DataFrame =
+      readEntriesLiveAs(spark, m, es, mn.schema).select(col(keyCol),
         struct(dataCols.map(col): _*).as("__v"))
-    val j = packed(onlyOld).withColumnRenamed("__v", "__old")
-      .join(packed(onlyNew).withColumnRenamed("__v", "__new"),
+    val j = packed(mo, onlyOld).withColumnRenamed("__v", "__old")
+      .join(packed(mn, onlyNew).withColumnRenamed("__v", "__new"),
         Seq(keyCol), "full_outer")
       .filter(!(col("__old") <=> col("__new")))
     val out = j.select(
@@ -568,22 +729,32 @@ object CowTable {
     val cur = vs.lastOption.getOrElse(0)
     val keepFrom = math.max(1, cur - retainVersions + 1)
     val referenced = vs.filter(_ >= keepFrom)
-      .flatMap(v => readManifest(spark, root, v).entries.map(_.path))
-      .toSet
-    val dataRoot = new java.io.File(s"$root/data")
+      .flatMap { v =>
+        val m = readManifest(spark, root, v)
+        m.entries.map(_.path) ++ m.entries.collect {
+          case e if e.dv != null => e.dv
+        }
+      }.toSet
     def rmTree(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
     }
-    val versionDirs = Option(dataRoot.listFiles()).map(_.toSeq)
-      .getOrElse(Seq.empty).filter(_.isDirectory)
     var dirsDeleted = 0
-    versionDirs.foreach { vd =>
-      Option(vd.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("__bucket="))
-        .foreach { b =>
-          if (!referenced(b.getPath)) { rmTree(b); dirsDeleted += 1 }
-        }
-      if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
+    // data buckets and deletion-vector sidecars share the sweep: any
+    // per-entry leaf dir (…/__bucket=<b> or …/__eid=<i>) no retained
+    // manifest references goes — including losing-OCC-attempt orphans
+    Seq(s"$root/data", s"$root/dv").foreach { treeRoot =>
+      val versionDirs = Option(new java.io.File(treeRoot).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+      versionDirs.foreach { vd =>
+        Option(vd.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(d => d.isDirectory &&
+            (d.getName.startsWith("__bucket=") ||
+              d.getName.startsWith("__eid=")))
+          .foreach { b =>
+            if (!referenced(b.getPath)) { rmTree(b); dirsDeleted += 1 }
+          }
+        if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
+      }
     }
     var manifestsDeleted = 0
     vs.filter(_ < keepFrom).foreach { v =>

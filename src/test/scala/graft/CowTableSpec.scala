@@ -328,6 +328,112 @@ class CowTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteMor: deletion vectors, zero rewrite, exact accounting") {
+    val root = freshRoot()
+    val m1 = CowTable.create(base, root, "doc_id", buckets = 4)
+    val (m2, changed, carried) = CowTable.deleteMor(spark, root,
+      (10L until 15L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    // keys [10,15) live in bucket [0,24]: ONE vector written, ZERO
+    // buckets rewritten — every data path carries
+    assert(changed === 1 && carried === 3)
+    assert(m2.entries.map(_.path).toSet === m1.entries.map(_.path).toSet)
+    val dvd = m2.entries.filter(_.dv != null)
+    assert(dvd.length === 1 && dvd.head.dvRows === 5L &&
+      dvd.head.liveRows === 20L)
+    val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(got.size === 95 && !got.contains(12L) && got(9L) === 63L)
+    // history derives live counts from manifest stats alone
+    val h = CowTable.history(spark, root)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(_._4) === Seq(100L, 95L))
+    // double-delete (overlap [12,20)): re-deleted keys absorb, the
+    // vector grows by exactly the newly-matched live keys
+    val (m3, chg3, _) = CowTable.deleteMor(spark, root,
+      (12L until 20L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    assert(chg3 === 1)
+    val dv3 = m3.entries.filter(_.dv != null)
+    assert(dv3.head.dvRows === 10L) // [10,20) distinct
+    assert(CowTable.read(spark, root).count() === 90)
+    // pure re-delete: identical vector → entry keeps its OLD sidecar
+    // path and no entry reads as changed
+    val (m4, chg4, _) = CowTable.deleteMor(spark, root,
+      (12L until 15L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    assert(chg4 === 0)
+    assert(m4.entries.filter(_.dv != null).head.dv === dv3.head.dv)
+    // absent keys delete nothing anywhere
+    val (m5, chg5, _) = CowTable.deleteMor(spark, root,
+      Seq(Tuple1(5000L)).toDF("doc_id"), "doc_id")
+    assert(chg5 === 0 && CowTable.read(spark, root).count() === 90)
+    assert(m5.version === 5)
+    // pruned reads apply the vectors of the hit entries
+    val (w, scanned, _) = CowTable.readWhere(spark, root, "doc_id", 5L, 24L)
+    assert(scanned === 1)
+    assert(w.as[(Long, Long)].collect().map(_._1).sorted ===
+      (5L until 10L) ++ (20L until 25L))
+  }
+
+  test("deleteMor: rewrites materialize vectors; re-inserted keys come back") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.deleteMor(spark, root,
+      (10L until 20L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    // MERGE touching the dv'd bucket: survivors are LIVE rows, the
+    // rewritten entry carries no vector, and a previously-deleted key
+    // re-inserted by the update reads back
+    val (m3, rew, _) = CowTable.merge(spark, root,
+      Seq((12L, 7777L), (23L, 8888L)).toDF("doc_id", "v"), "doc_id")
+    assert(rew === 1)
+    assert(m3.entries.forall(_.dv == null))
+    val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(got(12L) === 7777L && got(23L) === 8888L)
+    assert(!got.contains(11L) && got.size === 91) // 90 live − upserted 23 + {12, 23}
+    // history stays exact through the materialization
+    val h = CowTable.history(spark, root)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(_._4) === Seq(100L, 90L, 91L))
+    // changefeed across the dv version: entry identity is (path, dv),
+    // so the dv'd bucket diffs against v1 even though its data path
+    // never changed
+    val (feed, _, cancelled12) = CowTable.changefeed(spark, root, "doc_id", 1, 2)
+    assert(cancelled12 === 6) // 3 untouched entries cancel on each side
+    val dels = feed.as[(Long, String, Option[Long], Option[Long])].collect()
+    assert(dels.length === 10 && dels.forall(_._2 == "delete"))
+    // compact materializes whatever vectors remain
+    val root2 = freshRoot()
+    CowTable.create(base, root2, "doc_id", buckets = 4)
+    CowTable.deleteMor(spark, root2,
+      (10L until 20L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    val (mc, compacted, _) =
+      CowTable.compact(spark, root2, "doc_id", targetRows = 1L << 20)
+    assert(compacted === 4 && mc.entries.forall(_.dv == null))
+    assert(CowTable.read(spark, root2).count() === 90)
+    // a replaced sidecar is vacuum fodder; retained reads unaffected
+    CowTable.deleteMor(spark, root,
+      Seq(Tuple1(23L)).toDF("doc_id"), "doc_id") // new vector on rewritten bucket
+    val before = CowTable.read(spark, root).count()
+    val (orphans, _) = CowTable.vacuum(spark, root, retainVersions = 1)
+    assert(orphans >= 1)
+    assert(CowTable.read(spark, root).count() === before)
+  }
+
+  test("deleteMor: fully-vectored entry drops; whole-table MoR delete stays readable") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    // delete every key of bucket [0,24]: the entry (and its sidecar)
+    // drop from the manifest entirely
+    val (m2, chg, _) = CowTable.deleteMor(spark, root,
+      (0L until 25L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    assert(chg === 1 && m2.entries.length === 3 &&
+      m2.entries.forall(_.dv == null))
+    assert(CowTable.read(spark, root).count() === 75)
+    // and the degenerate end state: everything deleted merge-on-read
+    val (m3, _, _) = CowTable.deleteMor(spark, root,
+      (0L until 100L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    assert(m3.entries.isEmpty)
+    val empty = CowTable.read(spark, root)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "v"))
+  }
+
   test("a fully-emptied table stays readable, feedable, and mergeable") {
     val root = freshRoot()
     val small = (0L until 10L).map(i => (i, i)).toDF("doc_id", "v")

@@ -81,8 +81,11 @@ CLAIMED_LINEAR = ["dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
                   # ~FLAT (commit cost follows the touched set, not the
                   # table — slope well under 1 is the claim; <=1.3 is
                   # just the shared gate), scaled_batch ~linear (the
-                  # batch is a constant corpus fraction).
-                  "cow_merge_fixed_batch", "cow_merge_scaled_batch"]
+                  # batch is a constant corpus fraction), and the
+                  # merge-on-read delete (sidecar write, no rewrite)
+                  # should be ~flat like fixed_batch.
+                  "cow_merge_fixed_batch", "cow_merge_scaled_batch",
+                  "cow_delete_mor_batch"]
 CELL_QUADRATIC = []
 DEFAULT_QUERIES = CLAIMED_LINEAR + CELL_QUADRATIC
 
