@@ -3562,6 +3562,28 @@ object SparkEntry {
       tables.CowTable.history(s, cowMorDir(s, d))
         .select(col("version"), col("n_rows"))
         .orderBy(col("version"))),
+    "cow_zorder_read" -> ((s, d) =>
+      // Multi-column data skipping ([[cowZDir]]): a range read on the
+      // NON-KEY column v through its per-entry zone maps after
+      // OPTIMIZE ZORDER BY (v, doc_id). The oracle replays the filter
+      // over the derived column — a wrong zone map (stale stats after
+      // the rewrite, an off-by-one prune bound) drops or duplicates
+      // rows here.
+      tables.CowTable.readWhereNum(s, cowZDir(s, d), "v", 10.0, 19.0)._1
+        .orderBy(col("doc_id"))),
+    "cow_zorder_skip_check" -> ((s, d) => {
+      // The skipping CLAIM, driver-checked: under the z layout the
+      // v-range read must actually skip buckets (under key-range
+      // layout it provably cannot — v scatters across every key
+      // bucket; CowTableSpec measures skipped == 0 there). Row
+      // content (count) replays in SQL; the skip flag is layout
+      // truth from the manifest zone maps.
+      val (df, scanned, skipped) =
+        tables.CowTable.readWhereNum(s, cowZDir(s, d), "v", 10.0, 19.0)
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"), lit(scanned > 0).as("did_scan"),
+          lit(skipped > 0).as("did_skip"))
+    }),
     "cow_delete_mor_batch" -> ((s, d) => {
       // MoR-delete COST row (the scale-curve twin of
       // cow_merge_fixed_batch): a constant 50-key DELETE into a
@@ -3835,6 +3857,33 @@ object SparkEntry {
           .select(col("doc_id"), (col("n_chars") + 2000L).as("n_chars"),
             col("source")), "doc_id")
       tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
+      dir.toString
+    })
+
+  /** Once-per-(process, sf dir) Z-ORDER lifecycle: create a table
+    * carrying a value column v = (doc_id·37) % 100 that key-range
+    * layout SCATTERS (every v range lands in every key bucket — the
+    * worst case for secondary-column skipping), record zone maps for
+    * it, then OPTIMIZE ZORDER BY (v, doc_id) into 16 z-buckets.
+    * cow_zorder_read pins the pruned read's content; the skip-check
+    * row pins that the z layout actually skips (pre-z-order it
+    * provably cannot — CowTableSpec measures both layouts). */
+  private def cowZDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#z", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_z_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), ((col("doc_id") * 37L) % 100L).as("v"),
+          col("n_chars"))
+      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8,
+        statsCols = Seq("v"))
+      tables.CowTable.compactZOrder(s, dir.toString, Seq("v", "doc_id"),
+        targetBuckets = 16)
       dir.toString
     })
 
@@ -7405,6 +7454,18 @@ object SparkEntry {
       """SELECT count(*) AS n_live,
                 CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
          FROM documents WHERE doc_id >= 50 AND doc_id < 100""",
+    // v = (doc_id·37) % 100 — the derived non-key column the z layout
+    // clusters; the read replays as a plain filter.
+    "cow_zorder_read" ->
+      """SELECT doc_id, (doc_id * 37) % 100 AS v,
+                CAST(n_chars AS BIGINT) AS n_chars
+         FROM documents
+         WHERE (doc_id * 37) % 100 BETWEEN 10 AND 19
+         ORDER BY doc_id""",
+    "cow_zorder_skip_check" ->
+      """SELECT count(*) AS n_rows, true AS did_scan, true AS did_skip
+         FROM documents
+         WHERE (doc_id * 37) % 100 BETWEEN 10 AND 19""",
     // Absolute (idempotent) update values: any number of merge reps
     // converges to the same state.
     "cow_merge_fixed_batch" ->

@@ -100,7 +100,8 @@ object CowTable {
     * merge-on-read, see [[deleteMor]]), null when none; `dvRows` its
     * exact deleted-key count, so `liveRows` stays manifest-derivable. */
   case class Entry(path: String, minKey: String, maxKey: String, rows: Long,
-                   dv: String = null, dvRows: Long = 0L) {
+                   dv: String = null, dvRows: Long = 0L,
+                   colStats: Map[String, (Double, Double)] = Map.empty) {
     def minKeyLong: Long = minKey.toLong
     def maxKeyLong: Long = maxKey.toLong
     def liveRows: Long = rows - dvRows
@@ -108,7 +109,8 @@ object CowTable {
 
   case class Manifest(version: Int, parent: Int, keyType: String,
                       keyCol: String, schemaDdl: String,
-                      txns: Map[String, Long], entries: Seq[Entry]) {
+                      txns: Map[String, Long], entries: Seq[Entry],
+                      statsCols: Seq[String] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -161,8 +163,18 @@ object CowTable {
             case JInt(n) => n.toLong
             case JLong(n) => n
             case _ => 0L
+          },
+          (e \ "col_stats") match {
+            case JArray(cs) => cs.map(c => (
+              (c \ "col").extract[String],
+              ((c \ "min").extract[Double], (c \ "max").extract[Double]))).toMap
+            case _ => Map.empty[String, (Double, Double)]
           }))
         case _ => Seq.empty[Entry]
+      },
+      (j \ "stats_cols") match {
+        case JArray(cs) => cs.map(_.extract[String])
+        case _ => Seq.empty[String]
       })
   }
 
@@ -182,15 +194,20 @@ object CowTable {
     val es = m.entries.map { e =>
       val dv = if (e.dv == null) ""
         else s""","dv":${jstr(e.dv)},"dv_rows":${e.dvRows}"""
+      val cs = if (e.colStats.isEmpty) ""
+        else ""","col_stats":[""" + e.colStats.toSeq.sortBy(_._1).map {
+          case (c, (mn, mx)) => s"""{"col":${jstr(c)},"min":$mn,"max":$mx}"""
+        }.mkString(",") + "]"
       s"""{"path":${jstr(e.path)},"min_key":${jstr(e.minKey)},""" +
-        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}$dv}"""
+        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}$dv$cs}"""
     }.mkString(",")
     val ts = m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"""{"app":${jstr(a)},"batch":$b}"""
     }.mkString(",")
+    val sc = m.statsCols.map(jstr).mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""key_type":${jstr(m.keyType)},"key_col":${jstr(m.keyCol)},""" +
-      s""""schema":${jstr(m.schemaDdl)},""" +
+      s""""schema":${jstr(m.schemaDdl)},"stats_cols":[$sc],""" +
       s""""txns":[$ts],"entries":[$es]}"""
   }
 
@@ -257,19 +274,33 @@ object CowTable {
     * suffix keeps concurrent attempts at the same version from
     * colliding; a losing attempt's dir is unreferenced → vacuumable. */
   private def writeBuckets(df: DataFrame, root: String, version: Int,
-                           keyCol: String, bucketOf: Column): Seq[Entry] = {
+                           keyCol: String, bucketOf: Column,
+                           statsCols: Seq[String] = Seq.empty): Seq[Entry] = {
     val spark = df.sparkSession
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/data/v$version-$uniq"
     df.withColumn("__bucket", bucketOf)
       .write.mode("errorifexists").partitionBy("__bucket").parquet(dir)
+    // one aggregate recovers the key stats AND the per-column zone
+    // maps (numeric min/max as double — exact under 2^53, ample for
+    // pruning bounds)
+    val extra = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val aggs = Seq(max(col(keyCol)).as("mx"), count(lit(1)).as("n")) ++ extra
     spark.read.parquet(dir)
       .groupBy(col("__bucket"))
-      .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
-        count(lit(1)).as("n"))
+      .agg(min(col(keyCol)).as("mn"), aggs: _*)
       .collect()
-      .map(r => Entry(s"$dir/__bucket=${r.get(0)}", r.get(1).toString,
-        r.get(2).toString, r.getLong(3)))
+      .map { r =>
+        val cs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val mnI = 4 + 2 * i
+          if (r.isNullAt(mnI) || r.isNullAt(mnI + 1)) None
+          else Some(c -> ((r.getDouble(mnI), r.getDouble(mnI + 1))))
+        }.toMap
+        Entry(s"$dir/__bucket=${r.get(0)}", r.get(1).toString,
+          r.get(2).toString, r.getLong(3), colStats = cs)
+      }
       .toSeq.sortBy(_.path)
   }
 
@@ -361,13 +392,15 @@ object CowTable {
     * so an oracle (and a rewrite job) can recompute every bucket
     * boundary. String keys: `buckets` hash ranges. */
   def create(df: DataFrame, root: String, keyCol: String,
-             buckets: Int = 8): Manifest = {
+             buckets: Int = 8,
+             statsCols: Seq[String] = Seq.empty): Manifest = {
     require(currentVersion(root) == 0, s"table at $root already exists")
     val kt = keyTypeOf(df, keyCol)
     val entries = writeBuckets(df, root, 1, keyCol,
       bucketExpr(keyCol, kt, buckets,
-        df.agg(max(col(keyCol))).head().getLong(0)))
-    val m = Manifest(1, 0, kt, keyCol, df.schema.toDDL, Map.empty, entries)
+        df.agg(max(col(keyCol))).head().getLong(0)), statsCols)
+    val m = Manifest(1, 0, kt, keyCol, df.schema.toDDL, Map.empty, entries,
+      statsCols)
     commit(root, m)
     m
   }
@@ -486,10 +519,10 @@ object CowTable {
       if (mxRow.isNullAt(0)) Seq.empty[Entry]
       else writeBuckets(rewriteSrc, root, v, keyCol,
         bucketExpr(keyCol, m.keyType, nb,
-          if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
+          if (m.keyType == "bigint") mxRow.getLong(0) else 0L), m.statsCols)
     val newTxns = txn.map { case (a, b) => m.txns + (a -> b) }.getOrElse(m.txns)
     val nm = Manifest(v, parent, m.keyType, m.keyCol, evolved.toDDL, newTxns,
-      carried.map(_._1) ++ newEntries)
+      carried.map(_._1) ++ newEntries, m.statsCols)
     beforeCommitHook()
     commit(root, nm)
     (nm, hit.length, carried.length)
@@ -525,10 +558,10 @@ object CowTable {
         if (mxRow.isNullAt(0)) Seq.empty
         else writeBuckets(survivors, root, v, keyCol,
           bucketExpr(keyCol, m.keyType, hit.length,
-            if (m.keyType == "bigint") mxRow.getLong(0) else 0L))
+            if (m.keyType == "bigint") mxRow.getLong(0) else 0L), m.statsCols)
       }
     val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-      carried.map(_._1) ++ newEntries)
+      carried.map(_._1) ++ newEntries, m.statsCols)
     beforeCommitHook()
     commit(root, nm)
     (nm, hit.length, carried.length)
@@ -577,7 +610,7 @@ object CowTable {
     }
     if (hit.isEmpty) {
       val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-        m.entries)
+        m.entries, m.statsCols)
       beforeCommitHook()
       commit(root, nm)
       return (nm, 0, carried.length)
@@ -631,7 +664,7 @@ object CowTable {
       counts.get(i).exists(_ != e.dvRows)
     }
     val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-      carried.map(_._1) ++ updatedHit)
+      carried.map(_._1) ++ updatedHit, m.statsCols)
     beforeCommitHook()
     commit(root, nm)
     (nm, changed, carried.length)
@@ -663,12 +696,77 @@ object CowTable {
           (small.map(_.liveRows).sum + targetRows - 1) / targetRows).toInt
         val entries = writeBuckets(src, root, v, keyCol,
           bucketExpr(keyCol, m.keyType, nb,
-            if (m.keyType == "bigint") small.map(_.maxKeyLong).max else 0L))
+            if (m.keyType == "bigint") small.map(_.maxKeyLong).max else 0L),
+          m.statsCols)
         val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-          carried ++ entries)
+          carried ++ entries, m.statsCols)
         beforeCommitHook()
         commit(root, nm)
         (nm, small.length, carried.length)
+      }
+    }
+
+  /** Zone-map pruned read on ANY stats column (data skipping beyond
+    * the key): entries whose recorded [min, max] for `column` misses
+    * [lo, hi] never open; the predicate then pushes into the
+    * surviving scans and deletion vectors apply. Entries with no
+    * recorded stats for the column scan conservatively. The payoff
+    * scales with how well the layout CLUSTERS the column — after
+    * [[compactZOrder]] on it, a selective range touches O(selectivity)
+    * buckets; under key-range layout a non-key column's per-bucket
+    * range typically spans everything and nothing skips. */
+  def readWhereNum(spark: SparkSession, root: String, column: String,
+                   lo: Double, hi: Double,
+                   version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(currentVersion(root))
+    val m = readManifest(spark, root, v)
+    val (hit, skip) = m.entries.partition { e =>
+      e.colStats.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val df = readEntriesLive(spark, m, hit)
+      .filter(col(column).between(lit(lo), lit(hi)))
+    (df, hit.length, skip.length)
+  }
+
+  /** Z-ORDER compaction (the production OPTIMIZE ZORDER BY): rewrite
+    * every live row, clustering by the bit-interleaved quantile ranks
+    * of `zCols` ([[Zorder]]), into ~`targetBuckets` buckets. Content
+    * is identical — only layout changes — but the per-entry zone maps
+    * tighten on EVERY z column at once, so [[readWhereNum]] on any of
+    * them prunes. `zCols` join the manifest's stats columns. The
+    * trade: key stats WIDEN (the z layout scatters the key), so
+    * subsequent merges prune less surgically until the next
+    * key-ordered [[compact]] — exactly the production trade-off.
+    * Deletion vectors materialize like any rewrite. Two passes over
+    * the live data (one approxQuantile, one write). Returns
+    * (manifest, entriesRewritten). */
+  def compactZOrder(spark: SparkSession, root: String,
+                    zCols: Seq[String], targetBuckets: Int,
+                    maxAttempts: Int = 5): (Manifest, Int) =
+    withRetry(maxAttempts) {
+      require(zCols.nonEmpty)
+      val parent = currentVersion(root)
+      val m = readManifest(spark, root, parent)
+      if (m.entries.isEmpty) (m, 0)
+      else {
+        val v = parent + 1
+        val src = readEntriesLive(spark, m, m.entries)
+        val statsCols = (m.statsCols ++ zCols).distinct
+        val bitsPerCol = math.max(1,
+          math.ceil(math.log(math.max(2, targetBuckets).toDouble) /
+            math.log(2.0) / zCols.length).toInt)
+        val nLevels = 1 << bitsPerCol
+        val cuts = Zorder.boundaries(src, zCols, nLevels)
+        val z = Zorder.zValue(zCols.map(col), cuts, bitsPerCol)
+        val entries = writeBuckets(src, root, v, m.keyCol, z, statsCols)
+        val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl,
+          m.txns, entries, statsCols)
+        beforeCommitHook()
+        commit(root, nm)
+        (nm, m.entries.length)
       }
     }
 

@@ -434,6 +434,50 @@ class CowTableSpec extends SparkSpec {
     assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "v"))
   }
 
+  test("column stats + z-order: secondary-column skipping needs the z layout") {
+    val root = freshRoot()
+    // v = a value UNCORRELATED with the key under key-range layout:
+    // v = (doc_id * 37) % 100 scatters every v range across every
+    // key bucket, so pre-z-order a v query can skip NOTHING
+    val data = (0L until 400L).map(i => (i, (i * 37L) % 100L))
+      .toDF("doc_id", "v")
+    CowTable.create(data, root, "doc_id", buckets = 8,
+      statsCols = Seq("v"))
+    val m1 = CowTable.readManifest(spark, root, 1)
+    assert(m1.statsCols === Seq("v"))
+    assert(m1.entries.forall(_.colStats.contains("v")))
+    val (r1, scanned1, skipped1) =
+      CowTable.readWhereNum(spark, root, "v", 10.0, 19.0)
+    assert(skipped1 === 0, "key layout cannot skip on the scattered column")
+    assert(r1.count() === 40) // 40 of 400: v uniform over 0..99
+    // OPTIMIZE ZORDER BY (v, doc_id): same content, clustered layout
+    val (m2, rewritten) =
+      CowTable.compactZOrder(spark, root, Seq("v", "doc_id"),
+        targetBuckets = 16)
+    assert(rewritten === 8 && m2.statsCols.toSet === Set("v", "doc_id"))
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().sorted ===
+      data.as[(Long, Long)].collect().sorted)
+    val (r2, scanned2, skipped2) =
+      CowTable.readWhereNum(spark, root, "v", 10.0, 19.0)
+    assert(skipped2 > 0, "z layout must skip buckets on the z column")
+    assert(scanned2 < scanned1 + skipped1)
+    assert(r2.as[(Long, Long)].collect().sorted ===
+      r1.as[(Long, Long)].collect().sorted)
+    // the key dimension still prunes through its own zone maps
+    val (r3, _, skipped3) =
+      CowTable.readWhereNum(spark, root, "doc_id", 0.0, 49.0)
+    assert(skipped3 > 0 && r3.count() === 50)
+    // time travel to the pre-z-order layout is unaffected
+    assert(CowTable.read(spark, root, Some(1)).count() === 400)
+    // stats survive a subsequent MERGE rewrite (statsCols carry)
+    CowTable.merge(spark, root, Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    val m3 = CowTable.readManifest(spark, root, 3)
+    assert(m3.statsCols.toSet === Set("v", "doc_id"))
+    assert(m3.entries.forall(_.colStats.contains("v")))
+    assert(CowTable.readWhereNum(spark, root, "v", 999.0, 999.0)._1
+      .count() === 1)
+  }
+
   test("a fully-emptied table stays readable, feedable, and mergeable") {
     val root = freshRoot()
     val small = (0L until 10L).map(i => (i, i)).toDF("doc_id", "v")
