@@ -3562,6 +3562,16 @@ object SparkEntry {
       tables.CowTable.history(s, cowMorDir(s, d))
         .select(col("version"), col("n_rows"))
         .orderBy(col("version"))),
+    "cow_changes_incremental" -> ((s, d) =>
+      // The CONSUMER side of the CDC loop ([[CowTable.changesSince]]):
+      // one feed batch per version step of the merge-on-read
+      // lifecycle, each ∝ that step's churn (carried entries — and
+      // carried (path, dv) identities — cancel inside every step).
+      // The layout-only compaction step v5 must contribute ZERO rows;
+      // the oracle replays each step from delete/upsert arithmetic.
+      tables.CowTable.changesSince(s, cowMorDir(s, d), "doc_id",
+          fromVersion = 1)
+        .orderBy(col("version"), col("doc_id"))),
     "cow_zorder_read" -> ((s, d) =>
       // Multi-column data skipping ([[cowZDir]]): a range read on the
       // NON-KEY column v through its per-entry zone maps after
@@ -7454,6 +7464,40 @@ object SparkEntry {
       """SELECT count(*) AS n_live,
                 CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
          FROM documents WHERE doc_id >= 50 AND doc_id < 100""",
+    // Per-step CDC replay: v2 deletes [50,60), v3 adds [60,65), v4
+    // re-inserts [58,65) at +2000 and updates [65,70), v5 (compact)
+    // is layout-only and contributes nothing.
+    "cow_changes_incremental" ->
+      """WITH d1 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 50 AND doc_id < 60),
+         d2 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 60 AND doc_id < 65),
+         ins AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 58 AND doc_id < 65),
+         upd AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 65 AND doc_id < 70)
+         SELECT doc_id, 'delete' AS op,
+                n_chars AS old_n_chars, CAST(NULL AS BIGINT) AS new_n_chars,
+                source AS old_source, CAST(NULL AS VARCHAR) AS new_source,
+                CAST(2 AS BIGINT) AS version
+         FROM d1
+         UNION ALL
+         SELECT doc_id, 'delete', n_chars, NULL, source, NULL,
+                CAST(3 AS BIGINT)
+         FROM d2
+         UNION ALL
+         SELECT doc_id, 'insert', NULL, n_chars + 2000, NULL, source,
+                CAST(4 AS BIGINT)
+         FROM ins
+         UNION ALL
+         SELECT doc_id, 'update', n_chars, n_chars + 2000, source, source,
+                CAST(4 AS BIGINT)
+         FROM upd
+         ORDER BY version, doc_id""",
     // v = (doc_id·37) % 100 — the derived non-key column the z layout
     // clusters; the read replays as a plain filter.
     "cow_zorder_read" ->

@@ -814,6 +814,34 @@ object CowTable {
     (out, onlyOld.length + onlyNew.length, cancelled)
   }
 
+  /** Incremental change-data-feed reader — the CONSUMER side of the
+    * CDC loop ([[changefeed]] is the per-step diff): one feed batch
+    * per version step after `fromVersion`, each tagged with the
+    * version that produced it. This is the shape a downstream
+    * incremental job (index refresh, aggregate maintenance, replica
+    * sync) consumes: cost ∝ churn per step (carried entries cancel
+    * inside every step), never table size, and a layout-only step
+    * (compaction, z-ordering) contributes ZERO rows. */
+  def changesSince(spark: SparkSession, root: String, keyCol: String,
+                   fromVersion: Int): DataFrame = {
+    val vs = versions(root).filter(_ > fromVersion).sorted
+    require(vs.nonEmpty, s"no versions after $fromVersion")
+    vs.map { v =>
+      val step =
+        if (v == 1) {
+          // the create itself: every row arrives as an insert
+          val m = readManifest(spark, root, 1)
+          val dataCols = m.schema.fieldNames.filter(_ != keyCol).toSeq
+          readEntriesLive(spark, m, m.entries).select(
+            col(keyCol) +: lit("insert").as("op") +:
+              dataCols.flatMap(c => Seq(
+                lit(null).cast(m.schema(c).dataType).as(s"old_$c"),
+                col(c).as(s"new_$c"))): _*)
+        } else changefeed(spark, root, keyCol, v - 1, v)._1
+      step.withColumn("version", lit(v.toLong))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Vacuum: drop manifests older than the last `retainVersions`
     * snapshots, then delete every data bucket directory no retained
     * manifest references — including orphan dirs from crashed or

@@ -434,6 +434,27 @@ class CowTableSpec extends SparkSpec {
     assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "v"))
   }
 
+  test("changesSince: per-step feed, create as inserts, layout steps empty") {
+    val root = freshRoot()
+    val small = (0L until 10L).map(i => (i, i * 7L)).toDF("doc_id", "v")
+    CowTable.create(small, root, "doc_id", buckets = 2)
+    CowTable.merge(spark, root, Seq((3L, 999L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.deleteMor(spark, root, Seq(Tuple1(7L)).toDF("doc_id"), "doc_id")
+    CowTable.compact(spark, root, "doc_id", targetRows = 1L << 20)
+    val feed = CowTable.changesSince(spark, root, "doc_id", fromVersion = 0)
+      .select("version", "doc_id", "op")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    // v1 = 10 inserts; v2 = 1 update; v3 = 1 MoR delete (the dv
+    // changes the entry identity); v4 compact = layout-only, empty
+    assert(feed.count(_._1 == 1L) === 10)
+    assert(feed.filter(_._1 == 2L) === Seq((2L, 3L, "update")))
+    assert(feed.filter(_._1 == 3L) === Seq((3L, 7L, "delete")))
+    assert(feed.count(_._1 == 4L) === 0)
+    // replaying the feed reconstructs the live table: inserts − deletes
+    assert(feed.count(_._3 == "insert") - feed.count(_._3 == "delete") ===
+      CowTable.read(spark, root).count())
+  }
+
   test("column stats + z-order: secondary-column skipping needs the z layout") {
     val root = freshRoot()
     // v = a value UNCORRELATED with the key under key-range layout:
