@@ -3572,6 +3572,18 @@ object SparkEntry {
       tables.CowTable.changesSince(s, cowMorDir(s, d), "doc_id",
           fromVersion = 1)
         .orderBy(col("version"), col("doc_id"))),
+    "cow_incremental_agg" -> ((s, d) =>
+      // Incremental VIEW MAINTENANCE ([[CowTable.maintainedAgg]]):
+      // per-source (count, sum n_chars) at the latest version,
+      // computed as the v1 aggregate plus the change-feed deltas of
+      // the whole merge-on-read lifecycle — the table itself is never
+      // rescanned. The oracle aggregates the replayed FINAL state
+      // directly, so any delta-accounting error (double-counted
+      // re-insert, missed MoR delete, a compaction step leaking
+      // phantom deltas) mismatches here.
+      tables.CowTable.maintainedAgg(s, cowMorDir(s, d), "doc_id",
+          "source", "n_chars", fromVersion = 1)
+        .orderBy(col("source"))),
     "cow_zorder_read" -> ((s, d) =>
       // Multi-column data skipping ([[cowZDir]]): a range read on the
       // NON-KEY column v through its per-entry zone maps after
@@ -7498,6 +7510,24 @@ object SparkEntry {
                 CAST(4 AS BIGINT)
          FROM upd
          ORDER BY version, doc_id""",
+    // The maintained view must equal the DIRECT aggregate of the
+    // replayed final state.
+    "cow_incremental_agg" ->
+      """WITH v3 AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+           FROM documents
+           WHERE doc_id NOT IN (
+             SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 65)),
+         upd AS (
+           SELECT doc_id, CAST(n_chars + 2000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id >= 58 AND doc_id < 70),
+         v4 AS (
+           SELECT * FROM v3 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL
+           SELECT * FROM upd)
+         SELECT source, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM v4 GROUP BY source ORDER BY source""",
     // v = (doc_id·37) % 100 — the derived non-key column the z layout
     // clusters; the read replays as a plain filter.
     "cow_zorder_read" ->

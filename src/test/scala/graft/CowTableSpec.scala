@@ -455,6 +455,33 @@ class CowTableSpec extends SparkSpec {
       CowTable.read(spark, root).count())
   }
 
+  test("maintainedAgg: deltas equal the direct aggregate, across group moves") {
+    val root = freshRoot()
+    val data = (0L until 60L).map(i => (i, i * 3L, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "v", "g")
+    CowTable.create(data, root, "doc_id", buckets = 3)
+    // churn: an in-group update, a GROUP-MOVING update (a→b), an
+    // insert, a CoW delete, a MoR delete, and a layout-only compact
+    CowTable.merge(spark, root,
+      Seq((4L, 999L, "a"), (6L, 5L, "b"), (100L, 7L, "a"))
+        .toDF("doc_id", "v", "g"), "doc_id")
+    CowTable.delete(spark, root, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    CowTable.deleteMor(spark, root, Seq(Tuple1(3L)).toDF("doc_id"), "doc_id")
+    CowTable.compact(spark, root, "doc_id", targetRows = 1L << 20)
+    val maintained = CowTable
+      .maintainedAgg(spark, root, "doc_id", "g", "v", fromVersion = 1)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = CowTable.read(spark, root)
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(maintained === direct)
+    // and from a mid-lifecycle base too
+    val m3 = CowTable
+      .maintainedAgg(spark, root, "doc_id", "g", "v", fromVersion = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m3 === direct)
+  }
+
   test("column stats + z-order: secondary-column skipping needs the z layout") {
     val root = freshRoot()
     // v = a value UNCORRELATED with the key under key-range layout:
