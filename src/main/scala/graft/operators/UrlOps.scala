@@ -86,8 +86,22 @@ object UrlOps {
   /** The full canonical URL per the contract above; NULL when `u` has
     * no recognizable `scheme://host` (relative references, garbage) —
     * a degenerate `"://…"` canonical would otherwise become a dedup/
-    * rollup KEY that collides every malformed URL into one page. */
-  def canonicalUrl(u: Column): Column = {
+    * rollup KEY that collides every malformed URL into one page.
+    *
+    * Implementation: ONE native single-pass parse
+    * ([[graft.functions.CanonicalUrl]], r12) — the regex-chain
+    * formulation below walks the string ~10 times per row and read
+    * ~0.9 s on the settled url rows; UrlOpsSpec pins the native walk
+    * ≡ the regex chain over the fixtures plus an adversarial corpus,
+    * and the DuckDB oracle keeps replaying the regex contract. */
+  def canonicalUrl(u: Column): Column =
+    graft.functions.UrlCanonData.canonical_url(u)
+
+  /** The original regex-chain formulation — the executable SPEC of
+    * the contract (the DuckDB oracle mirrors these exact patterns).
+    * Kept as the equivalence baseline for the native walk; not on
+    * the hot path. */
+  private[graft] def canonicalUrlRegex(u: Column): Column = {
     val s = scheme(u)
     val h = host(u)
     val p = port(u)

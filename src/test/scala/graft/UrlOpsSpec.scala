@@ -17,6 +17,51 @@ class UrlOpsSpec extends SparkSpec {
         UrlOps.registeredDomain(col("url")).as("d"))
       .as[(String, String)].collect().toSeq
 
+  test("native single-pass walk ≡ the regex-chain contract, adversarially") {
+    // the r12 native CanonicalUrl expression replaced the ~10-pass
+    // regex chain on the hot path; the chain stays as the executable
+    // SPEC (the DuckDB oracle mirrors its patterns) and this
+    // differential corpus is the gate: every rule boundary, plus the
+    // shapes of the driver fixtures, plus deliberate garbage
+    val urls = Seq(
+      // fixture shapes
+      "HTTPS://WWW.Site3.co.uk:443/path/3?utm_source=x&b=2&a=1#frag",
+      "http://blog.site7.com:8080/a/b/", "https://site1.org",
+      "http://news.site11.net:443/x?id=9&utm_campaign=y",
+      // scheme/host edges
+      "ftp+ssh://Host.Example:21/f", "a://b://c", "x://", "://host/p",
+      "http:/one-slash.com", "no-scheme.com/path", "", "h",
+      "http://:8080/p", "http://www./p", "http://WWW.WWW.com/p",
+      // port edges
+      "http://h:80/p", "https://h:443/p", "http://h:443/p",
+      "https://h:80/p", "http://h:0443/p", "http://h:/p",
+      "http://h:8x0/p", "http://a:1:2/p", "http://[::1]:80/p",
+      // path edges
+      "http://h", "http://h/", "http://h///", "http://h/a//b///",
+      "http://h/p#frag/with/slashes", "http://h#?query-after-frag=1",
+      // query edges
+      "http://h/p?", "http://h/p?&", "http://h/p?a=1&&b=2&",
+      "http://h/p?utm_source=1", "http://h/p?utm_=1&z=2",
+      "http://h/p?utm_x-y=1", "http://h/p?UTM_SOURCE=1",
+      "http://h/p?ref=abc&refx=1&gclid=2&fbclid=3&real=4",
+      "http://h/p?b=2&a=1&b=1", "http://h/p?a", "http://h/p?=v",
+      "http://h/p?x=%20&y=+", "http://h/p?a=1#f?notquery=2"
+    ) ++ (0L until 400L).map(i =>
+      s"${if (i % 3 == 0) "HTTP" else "https"}://${if (i % 2 == 0) "www." else ""}site${i % 23}.com" +
+        s"${if (i % 4 == 0) s":${8000 + i % 3}" else ""}/p$i${"/" * (i % 3).toInt}" +
+        s"${if (i % 5 == 0) s"?utm_source=$i&z=$i&a=${i % 7}" else ""}" +
+        s"${if (i % 7 == 0) "#frag" else ""}")
+    val both = urls.toDF("url")
+      .select(col("url"),
+        UrlOps.canonicalUrl(col("url")).as("native"),
+        UrlOps.canonicalUrlRegex(col("url")).as("regex"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"native='${r.get(1)}' regex='${r.get(2)}' for url='${r.get(0)}'")
+    }
+  }
+
   test("case, www, default port, tracking, param order, fragment — all at once") {
     assert(canon("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag") ===
       Seq(("https://example.com/a/b?a=1&b=2", "example.com")))
