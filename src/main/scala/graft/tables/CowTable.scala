@@ -110,7 +110,8 @@ object CowTable {
   case class Manifest(version: Int, parent: Int, keyType: String,
                       keyCol: String, schemaDdl: String,
                       txns: Map[String, Long], entries: Seq[Entry],
-                      statsCols: Seq[String] = Seq.empty) {
+                      statsCols: Seq[String] = Seq.empty,
+                      committedAt: Long = 0L) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -175,6 +176,11 @@ object CowTable {
       (j \ "stats_cols") match {
         case JArray(cs) => cs.map(_.extract[String])
         case _ => Seq.empty[String]
+      },
+      (j \ "committed_at") match {
+        case JInt(t) => t.toLong
+        case JLong(t) => t
+        case _ => 0L
       })
   }
 
@@ -208,6 +214,7 @@ object CowTable {
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""key_type":${jstr(m.keyType)},"key_col":${jstr(m.keyCol)},""" +
       s""""schema":${jstr(m.schemaDdl)},"stats_cols":[$sc],""" +
+      s""""committed_at":${m.committedAt},""" +
       s""""txns":[$ts],"entries":[$es]}"""
   }
 
@@ -228,7 +235,9 @@ object CowTable {
     val dir = Paths.get(manifestDir(root))
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp_v${m.version}_${System.nanoTime()}")
-    Files.write(tmp, manifestJson(m).getBytes("UTF-8"))
+    // commit wall-clock stamped at publish time (timestamp travel)
+    val stamped = m.copy(committedAt = System.currentTimeMillis())
+    Files.write(tmp, manifestJson(stamped).getBytes("UTF-8"))
     val target = Paths.get(manifestPath(root, m.version))
     try {
       try Files.createLink(target, tmp)
@@ -413,6 +422,24 @@ object CowTable {
     val m = readManifest(spark, root, version.getOrElse(currentVersion(root)))
     readEntriesLive(spark, m, m.entries)
   }
+
+  /** TIMESTAMP AS OF: the snapshot whose commit wall-clock is the
+    * latest ≤ `timestampMs` among retained manifests (ties broken by
+    * version — commits are totally ordered, timestamps need not be).
+    * Throws when the timestamp precedes every retained commit. */
+  def versionAsOf(spark: SparkSession, root: String,
+                  timestampMs: Long): Int = {
+    val eligible = versions(root)
+      .filter(v => readManifest(spark, root, v).committedAt <= timestampMs)
+    require(eligible.nonEmpty,
+      s"no snapshot committed at or before $timestampMs")
+    eligible.max
+  }
+
+  /** Read the snapshot current at `timestampMs` (timestamp travel). */
+  def readAsOf(spark: SparkSession, root: String,
+               timestampMs: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, timestampMs)))
 
   /** Manifest-stat pruned read (zone-map data skipping): only entries
     * whose [min_key, max_key] intersects [lo, hi] are opened, and the

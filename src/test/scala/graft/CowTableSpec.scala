@@ -434,6 +434,29 @@ class CowTableSpec extends SparkSpec {
     assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "v"))
   }
 
+  test("timestamp travel: readAsOf resolves the snapshot current at a wall-clock") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 2)
+    val t1 = CowTable.readManifest(spark, root, 1).committedAt
+    assert(t1 > 0L)
+    Thread.sleep(5) // commits are ms-stamped; force distinct stamps
+    CowTable.merge(spark, root, Seq((10L, 777L)).toDF("doc_id", "v"), "doc_id")
+    val t2 = CowTable.readManifest(spark, root, 2).committedAt
+    assert(t2 >= t1)
+    assert(CowTable.versionAsOf(spark, root, t1) === 1)
+    assert(CowTable.versionAsOf(spark, root, t2) === 2)
+    assert(CowTable.versionAsOf(spark, root, t2 + 60000L) === 2)
+    val v1 = CowTable.readAsOf(spark, root, t1)
+      .as[(Long, Long)].collect().toMap
+    assert(v1(10L) === 70L)
+    val v2 = CowTable.readAsOf(spark, root, t2 + 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(v2(10L) === 777L)
+    intercept[IllegalArgumentException] {
+      CowTable.versionAsOf(spark, root, t1 - 1L)
+    }
+  }
+
   test("changesSince: per-step feed, create as inserts, layout steps empty") {
     val root = freshRoot()
     val small = (0L until 10L).map(i => (i, i * 7L)).toDF("doc_id", "v")
