@@ -115,6 +115,16 @@ object GraftExtensions {
       args => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         args(0),
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+    },
+    entry("canonical_url",
+      "canonical_url(url) - canonical crawl URL (case/www/default-port/" +
+        "tracking/fragment normalization); NULL without scheme://host") {
+      args => CanonicalUrl(args(0))
+    },
+    entry("psl_registered_domain",
+      "psl_registered_domain(host) - registered (pay-level) domain under " +
+        "the Public Suffix List rules; NULL for invalid or suffix-only hosts") {
+      args => PslRegisteredDomain(args(0))
     })
     // (BigramProfileScores stays engine-internal: it is parameterized
     // by the language-profile table langId owns, not a standalone

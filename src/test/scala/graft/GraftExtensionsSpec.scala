@@ -46,6 +46,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT repetition_stats('x y\nx y') AS r").select("r.n_lines", "r.top_gram")
       .collect().head
     assert(rep.getLong(0) === 2L && rep.getString(1) === "x y")
+
+    val cu = spark.sql(
+      "SELECT canonical_url('HTTPS://WWW.Ex.com:443/a/?utm_source=1&b=2#f') AS c")
+      .as[String].head()
+    assert(cu === "https://ex.com/a?b=2")
+    val rd = spark.sql(
+      "SELECT psl_registered_domain('a.b.site.co.uk') AS d").as[String].head()
+    assert(rd === "site.co.uk")
   }
 
   test("SQL functions agree with the Column API") {
@@ -74,12 +82,12 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
-      "bloom_agg", "bloom_might_contain",
+      "bloom_agg", "bloom_might_contain", "canonical_url",
       "cosine_similarity", "minhash_band_keys", "nearest_centroid",
       "nfc_normalize", "polyline_decode", "polyline_encode",
-      "repetition_stats", "rolling_hash", "simhash64",
-      "sorted_intersect_count", "srp_buckets", "word_ngrams",
-      "word_shingle_hashes"))
+      "psl_registered_domain", "repetition_stats", "rolling_hash",
+      "simhash64", "sorted_intersect_count", "srp_buckets",
+      "word_ngrams", "word_shingle_hashes"))
     // the injection class instantiates cleanly (deployment path:
     // --conf spark.sql.extensions=graft.GraftExtensions)
     new GraftExtensions()
