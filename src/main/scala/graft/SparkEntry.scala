@@ -3572,6 +3572,23 @@ object SparkEntry {
       tables.CowTable.changesSince(s, cowMorDir(s, d), "doc_id",
           fromVersion = 1)
         .orderBy(col("version"), col("doc_id"))),
+    "cow_point_lookup_str" -> ((s, d) => {
+      // Bloom-sidecar point lookup on the HASH-bucketed string table
+      // ([[cowStrDir]], bloomKeys=true): every hash bucket's
+      // lexicographic [min,max] spans the key space, so range stats
+      // alone scan all buckets — the per-entry key Blooms cut the
+      // lookup to ~1 bucket (did_skip pins it; false negatives are
+      // impossible, so the row content is exact). Reads the evolved
+      // latest version — doc 6 carries the v3 re-merge values.
+      val root = cowStrDir(s, d)
+      val k = Tables.documents(s, d).filter(col("doc_id") === 6)
+        .select(concat(col("source"), lit("#"),
+          lpad(col("doc_id").cast("string"), 12, "0")))
+        .head().getString(0)
+      val (df, scanned, skipped) = tables.CowTable.lookupKey(s, root, k)
+      df.select(col("k"), col("n_chars"), col("source"), col("lang"),
+        lit(scanned > 0).as("did_scan"), lit(skipped > 0).as("did_skip"))
+    }),
     "cow_incremental_agg" -> ((s, d) =>
       // Incremental VIEW MAINTENANCE ([[CowTable.maintainedAgg]]):
       // per-source (count, sum n_chars) at the latest version,
@@ -3829,7 +3846,10 @@ object SparkEntry {
       val key = concat(col("source"), lit("#"),
         lpad(col("doc_id").cast("string"), 12, "0"))
       val base = docs.select(key.as("k"), col("n_chars"), col("source"))
-      tables.CowTable.create(base, dir.toString, "k", buckets = 8)
+      // bloomKeys: per-bucket key Bloom sidecars — the point-lookup
+      // prune hash-bucketed string tables need (cow_point_lookup_str)
+      tables.CowTable.create(base, dir.toString, "k", buckets = 8,
+        bloomKeys = true)
       val updates = docs.filter(col("doc_id") < 50)
         .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
           col("source"))
@@ -7510,6 +7530,13 @@ object SparkEntry {
                 CAST(4 AS BIGINT)
          FROM upd
          ORDER BY version, doc_id""",
+    // doc 6 (< 30) carries the v3 evolution re-merge: n_chars+1000
+    // and its lang.
+    "cow_point_lookup_str" ->
+      """SELECT source || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k,
+                CAST(n_chars + 1000 AS BIGINT) AS n_chars, source, lang,
+                true AS did_scan, true AS did_skip
+         FROM documents WHERE doc_id = 6""",
     // The maintained view must equal the DIRECT aggregate of the
     // replayed final state.
     "cow_incremental_agg" ->

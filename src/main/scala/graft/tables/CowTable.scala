@@ -101,7 +101,8 @@ object CowTable {
     * exact deleted-key count, so `liveRows` stays manifest-derivable. */
   case class Entry(path: String, minKey: String, maxKey: String, rows: Long,
                    dv: String = null, dvRows: Long = 0L,
-                   colStats: Map[String, (Double, Double)] = Map.empty) {
+                   colStats: Map[String, (Double, Double)] = Map.empty,
+                   bloom: String = null) {
     def minKeyLong: Long = minKey.toLong
     def maxKeyLong: Long = maxKey.toLong
     def liveRows: Long = rows - dvRows
@@ -111,7 +112,8 @@ object CowTable {
                       keyCol: String, schemaDdl: String,
                       txns: Map[String, Long], entries: Seq[Entry],
                       statsCols: Seq[String] = Seq.empty,
-                      committedAt: Long = 0L) {
+                      committedAt: Long = 0L,
+                      bloomKeys: Boolean = false) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -170,6 +172,10 @@ object CowTable {
               (c \ "col").extract[String],
               ((c \ "min").extract[Double], (c \ "max").extract[Double]))).toMap
             case _ => Map.empty[String, (Double, Double)]
+          },
+          (e \ "bloom") match {
+            case JString(p) => p
+            case _ => null
           }))
         case _ => Seq.empty[Entry]
       },
@@ -181,6 +187,10 @@ object CowTable {
         case JInt(t) => t.toLong
         case JLong(t) => t
         case _ => 0L
+      },
+      (j \ "bloom_keys") match {
+        case JBool(b) => b
+        case _ => false
       })
   }
 
@@ -204,8 +214,9 @@ object CowTable {
         else ""","col_stats":[""" + e.colStats.toSeq.sortBy(_._1).map {
           case (c, (mn, mx)) => s"""{"col":${jstr(c)},"min":$mn,"max":$mx}"""
         }.mkString(",") + "]"
+      val bl = if (e.bloom == null) "" else s""","bloom":${jstr(e.bloom)}"""
       s"""{"path":${jstr(e.path)},"min_key":${jstr(e.minKey)},""" +
-        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}$dv$cs}"""
+        s""""max_key":${jstr(e.maxKey)},"rows":${e.rows}$dv$cs$bl}"""
     }.mkString(",")
     val ts = m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"""{"app":${jstr(a)},"batch":$b}"""
@@ -214,7 +225,7 @@ object CowTable {
     s"""{"version":${m.version},"parent":${m.parent},""" +
       s""""key_type":${jstr(m.keyType)},"key_col":${jstr(m.keyCol)},""" +
       s""""schema":${jstr(m.schemaDdl)},"stats_cols":[$sc],""" +
-      s""""committed_at":${m.committedAt},""" +
+      s""""committed_at":${m.committedAt},"bloom_keys":${m.bloomKeys},""" +
       s""""txns":[$ts],"entries":[$es]}"""
   }
 
@@ -284,7 +295,8 @@ object CowTable {
     * colliding; a losing attempt's dir is unreferenced → vacuumable. */
   private def writeBuckets(df: DataFrame, root: String, version: Int,
                            keyCol: String, bucketOf: Column,
-                           statsCols: Seq[String] = Seq.empty): Seq[Entry] = {
+                           statsCols: Seq[String] = Seq.empty,
+                           bloomKeys: Boolean = false): Seq[Entry] = {
     val spark = df.sparkSession
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/data/v$version-$uniq"
@@ -292,11 +304,21 @@ object CowTable {
       .write.mode("errorifexists").partitionBy("__bucket").parquet(dir)
     // one aggregate recovers the key stats AND the per-column zone
     // maps (numeric min/max as double — exact under 2^53, ample for
-    // pruning bounds)
+    // pruning bounds) AND, when the table opted in, a per-bucket
+    // Bloom filter over the keys (Spark's own sketch — the sidecar a
+    // POINT lookup prunes hash-bucketed string tables with, where
+    // lexicographic ranges span the whole key space)
     val extra = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
-    val aggs = Seq(max(col(keyCol)).as("mx"), count(lit(1)).as("n")) ++ extra
+    val bloomAgg =
+      if (bloomKeys) Seq(graft.functions.BloomFunctions
+        .bloom_agg(col(keyCol), 4096L, 1L << 15).as("__bloom"))
+      else Seq.empty
+    val aggs = Seq(max(col(keyCol)).as("mx"), count(lit(1)).as("n")) ++
+      extra ++ bloomAgg
+    val bloomDir = s"$root/bloom/v$version-$uniq"
+    if (bloomKeys) Files.createDirectories(Paths.get(bloomDir)): Unit
     spark.read.parquet(dir)
       .groupBy(col("__bucket"))
       .agg(min(col(keyCol)).as("mn"), aggs: _*)
@@ -307,11 +329,30 @@ object CowTable {
           if (r.isNullAt(mnI) || r.isNullAt(mnI + 1)) None
           else Some(c -> ((r.getDouble(mnI), r.getDouble(mnI + 1))))
         }.toMap
+        val bloomPath =
+          if (!bloomKeys) null
+          else {
+            val bytes = r.getAs[Array[Byte]](4 + 2 * statsCols.length)
+            val p = s"$bloomDir/b${r.get(0)}.bloom"
+            Files.write(Paths.get(p), bytes)
+            p
+          }
         Entry(s"$dir/__bucket=${r.get(0)}", r.get(1).toString,
-          r.get(2).toString, r.getLong(3), colStats = cs)
+          r.get(2).toString, r.getLong(3), colStats = cs, bloom = bloomPath)
       }
       .toSeq.sortBy(_.path)
   }
+
+  /** Deserialized Bloom sidecars, cached per path (sidecars are
+    * immutable once written). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.util.sketch.BloomFilter]()
+
+  private def loadBloom(path: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(path, p =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(Paths.get(p)))))
 
   /** Union-scan entries under an explicit schema: carried old-schema
     * files null-fill evolved columns (parquet missing-column reads);
@@ -402,14 +443,15 @@ object CowTable {
     * boundary. String keys: `buckets` hash ranges. */
   def create(df: DataFrame, root: String, keyCol: String,
              buckets: Int = 8,
-             statsCols: Seq[String] = Seq.empty): Manifest = {
+             statsCols: Seq[String] = Seq.empty,
+             bloomKeys: Boolean = false): Manifest = {
     require(currentVersion(root) == 0, s"table at $root already exists")
     val kt = keyTypeOf(df, keyCol)
     val entries = writeBuckets(df, root, 1, keyCol,
       bucketExpr(keyCol, kt, buckets,
-        df.agg(max(col(keyCol))).head().getLong(0)), statsCols)
+        df.agg(max(col(keyCol))).head().getLong(0)), statsCols, bloomKeys)
     val m = Manifest(1, 0, kt, keyCol, df.schema.toDDL, Map.empty, entries,
-      statsCols)
+      statsCols, bloomKeys = bloomKeys)
     commit(root, m)
     m
   }
@@ -546,10 +588,11 @@ object CowTable {
       if (mxRow.isNullAt(0)) Seq.empty[Entry]
       else writeBuckets(rewriteSrc, root, v, keyCol,
         bucketExpr(keyCol, m.keyType, nb,
-          if (m.keyType == "bigint") mxRow.getLong(0) else 0L), m.statsCols)
+          if (m.keyType == "bigint") mxRow.getLong(0) else 0L),
+        m.statsCols, m.bloomKeys)
     val newTxns = txn.map { case (a, b) => m.txns + (a -> b) }.getOrElse(m.txns)
     val nm = Manifest(v, parent, m.keyType, m.keyCol, evolved.toDDL, newTxns,
-      carried.map(_._1) ++ newEntries, m.statsCols)
+      carried.map(_._1) ++ newEntries, m.statsCols, bloomKeys = m.bloomKeys)
     beforeCommitHook()
     commit(root, nm)
     (nm, hit.length, carried.length)
@@ -585,10 +628,11 @@ object CowTable {
         if (mxRow.isNullAt(0)) Seq.empty
         else writeBuckets(survivors, root, v, keyCol,
           bucketExpr(keyCol, m.keyType, hit.length,
-            if (m.keyType == "bigint") mxRow.getLong(0) else 0L), m.statsCols)
+            if (m.keyType == "bigint") mxRow.getLong(0) else 0L),
+          m.statsCols, m.bloomKeys)
       }
     val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-      carried.map(_._1) ++ newEntries, m.statsCols)
+      carried.map(_._1) ++ newEntries, m.statsCols, bloomKeys = m.bloomKeys)
     beforeCommitHook()
     commit(root, nm)
     (nm, hit.length, carried.length)
@@ -637,7 +681,7 @@ object CowTable {
     }
     if (hit.isEmpty) {
       val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-        m.entries, m.statsCols)
+        m.entries, m.statsCols, bloomKeys = m.bloomKeys)
       beforeCommitHook()
       commit(root, nm)
       return (nm, 0, carried.length)
@@ -691,7 +735,7 @@ object CowTable {
       counts.get(i).exists(_ != e.dvRows)
     }
     val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-      carried.map(_._1) ++ updatedHit, m.statsCols)
+      carried.map(_._1) ++ updatedHit, m.statsCols, bloomKeys = m.bloomKeys)
     beforeCommitHook()
     commit(root, nm)
     (nm, changed, carried.length)
@@ -724,14 +768,63 @@ object CowTable {
         val entries = writeBuckets(src, root, v, keyCol,
           bucketExpr(keyCol, m.keyType, nb,
             if (m.keyType == "bigint") small.map(_.maxKeyLong).max else 0L),
-          m.statsCols)
+          m.statsCols, m.bloomKeys)
         val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl, m.txns,
-          carried ++ entries, m.statsCols)
+          carried ++ entries, m.statsCols, bloomKeys = m.bloomKeys)
         beforeCommitHook()
         commit(root, nm)
         (nm, small.length, carried.length)
       }
     }
+
+  /** POINT lookup with Bloom-sidecar pruning: range stats prune
+    * first, then each surviving entry's key Bloom filter (loaded
+    * driver-side, KBs each, cached) rejects buckets that definitely
+    * lack the key. This is what makes point reads on HASH-bucketed
+    * STRING tables cheap: every hash bucket's lexicographic [min,max]
+    * spans essentially the whole key space, so range pruning alone
+    * scans all n buckets — the Bloom pass cuts that to ~1 (false
+    * positives scan harmlessly; false negatives cannot happen).
+    * Entries without sidecars scan conservatively; deletion vectors
+    * apply. The probe hashes exactly like the build side
+    * (xxhash64, evaluated as a foldable expression — no job).
+    * Returns (rows, entriesScanned, entriesSkipped). */
+  def lookupKey(spark: SparkSession, root: String, key: Any,
+                version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(currentVersion(root))
+    val m = readManifest(spark, root, v)
+    val inRange = m.entries.partition { e =>
+      if (m.keyType == "bigint") {
+        val k = key.asInstanceOf[Number].longValue()
+        k >= e.minKeyLong && k <= e.maxKeyLong
+      } else {
+        val k = org.apache.spark.unsafe.types.UTF8String
+          .fromString(key.toString)
+        // compare in the same UTF8-binary order the stats aggregate used
+        k.compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(e.minKey)) >= 0 &&
+          k.compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(e.maxKey)) <= 0
+      }
+    }
+    // hash exactly like the build side (bloom_agg over xxhash64(key)),
+    // evaluated driver-side on a literal — no job
+    val keyLit =
+      if (m.keyType == "bigint")
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          key.asInstanceOf[Number].longValue())
+      else
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(key.toString, StringType)
+    val hash = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(keyLit)).eval(null).asInstanceOf[Long]
+    val (hit, bloomSkipped) = inRange._1.partition { e =>
+      e.bloom == null || loadBloom(e.bloom).mightContainLong(hash)
+    }
+    val df = readEntriesLive(spark, m, hit)
+      .filter(col(m.keyCol) === lit(key))
+    (df, hit.length, inRange._2.length + bloomSkipped.length)
+  }
 
   /** Zone-map pruned read on ANY stats column (data skipping beyond
     * the key): entries whose recorded [min, max] for `column` misses
@@ -788,9 +881,10 @@ object CowTable {
         val nLevels = 1 << bitsPerCol
         val cuts = Zorder.boundaries(src, zCols, nLevels)
         val z = Zorder.zValue(zCols.map(col), cuts, bitsPerCol)
-        val entries = writeBuckets(src, root, v, m.keyCol, z, statsCols)
+        val entries = writeBuckets(src, root, v, m.keyCol, z, statsCols,
+          m.bloomKeys)
         val nm = Manifest(v, parent, m.keyType, m.keyCol, m.schemaDdl,
-          m.txns, entries, statsCols)
+          m.txns, entries, statsCols, bloomKeys = m.bloomKeys)
         beforeCommitHook()
         commit(root, nm)
         (nm, m.entries.length)
@@ -922,9 +1016,9 @@ object CowTable {
     val referenced = vs.filter(_ >= keepFrom)
       .flatMap { v =>
         val m = readManifest(spark, root, v)
-        m.entries.map(_.path) ++ m.entries.collect {
-          case e if e.dv != null => e.dv
-        }
+        m.entries.map(_.path) ++
+          m.entries.collect { case e if e.dv != null => e.dv } ++
+          m.entries.collect { case e if e.bloom != null => e.bloom }
       }.toSet
     def rmTree(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
@@ -947,6 +1041,17 @@ object CowTable {
         if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
       }
     }
+    // bloom sidecars are FILES under bloom/v*-*/: same referenced-set rule
+    Option(new java.io.File(s"$root/bloom").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+      .foreach { vd =>
+        Option(vd.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".bloom"))
+          .foreach { f =>
+            if (!referenced(f.getPath)) { f.delete(); dirsDeleted += 1 }
+          }
+        if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
+      }
     var manifestsDeleted = 0
     vs.filter(_ < keepFrom).foreach { v =>
       if (Files.deleteIfExists(Paths.get(manifestPath(root, v))))

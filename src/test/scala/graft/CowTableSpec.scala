@@ -549,6 +549,42 @@ class CowTableSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("bloom sidecars: point lookups on hash-bucketed string tables prune") {
+    val root = freshRoot()
+    val baseS = (0L until 400L).map(i => (f"k$i%04d", i * 3L)).toDF("k", "v")
+    CowTable.create(baseS, root, "k", buckets = 8, bloomKeys = true)
+    val m1 = CowTable.readManifest(spark, root, 1)
+    assert(m1.bloomKeys && m1.entries.forall(_.bloom != null))
+    // hash buckets: every bucket's lexicographic range spans the key
+    // space, so WITHOUT blooms a point lookup scans all 8
+    val (r1, scanned, skipped) = CowTable.lookupKey(spark, root, "k0123")
+    assert(r1.as[(String, Long)].collect() === Array(("k0123", 369L)))
+    assert(skipped > 0 && scanned < 8,
+      s"bloom must prune hash buckets (scanned=$scanned skipped=$skipped)")
+    // absent key: usually zero buckets scanned, always zero rows
+    val (r0, s0, _) = CowTable.lookupKey(spark, root, "nope")
+    assert(r0.count() === 0 && s0 <= 1)
+    // MERGE rewrites rebuild sidecars; carried entries keep theirs
+    val (m2, rew, _) = CowTable.merge(spark, root,
+      Seq(("k0123", 999L), ("zzzz", 1L)).toDF("k", "v"), "k")
+    assert(rew >= 1 && m2.entries.forall(_.bloom != null))
+    val (r2, _, sk2) = CowTable.lookupKey(spark, root, "k0123")
+    assert(r2.as[(String, Long)].collect() === Array(("k0123", 999L)))
+    assert(sk2 > 0)
+    assert(CowTable.lookupKey(spark, root, "zzzz")._1.count() === 1)
+    // superseded sidecars vacuum with their buckets
+    val before = CowTable.read(spark, root).count()
+    val (orphans, _) = CowTable.vacuum(spark, root, retainVersions = 1)
+    assert(orphans >= 1 && CowTable.read(spark, root).count() === before)
+    assert(CowTable.lookupKey(spark, root, "k0123")._1.count() === 1)
+    // bigint tables prune by range alone: bloom-less lookup still works
+    val root2 = freshRoot()
+    CowTable.create(base, root2, "doc_id", buckets = 4)
+    val (rb, sb, kb) = CowTable.lookupKey(spark, root2, 30L)
+    assert(rb.as[(Long, Long)].collect() === Array((30L, 210L)))
+    assert(sb === 1 && kb === 3)
+  }
+
   test("a fully-emptied table stays readable, feedable, and mergeable") {
     val root = freshRoot()
     val small = (0L until 10L).map(i => (i, i)).toDF("doc_id", "v")
