@@ -307,7 +307,12 @@ object CowTable {
     // pruning bounds) AND, when the table opted in, a per-bucket
     // Bloom filter over the keys (Spark's own sketch — the sidecar a
     // POINT lookup prunes hash-bucketed string tables with, where
-    // lexicographic ranges span the whole key space)
+    // lexicographic ranges span the whole key space). Scale note: the
+    // sidecar bytes (4 KB/bucket) ride this stats collect, so the
+    // driver transfer is bounded by THIS WRITE's bucket count — fine
+    // for merges (touched buckets) and bounded creates; a 100 TB
+    // initial load would stage blooms through a distributed write
+    // (foreachPartition to the store) instead of the collect.
     val extra = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
