@@ -3610,6 +3610,21 @@ object SparkEntry {
       // rows here.
       tables.CowTable.readWhereNum(s, cowZDir(s, d), "v", 10.0, 19.0)._1
         .orderBy(col("doc_id"))),
+    "cow_zorder_read2d" -> ((s, d) => {
+      // CONJUNCTIVE multi-dimension pruning — the read shape Morton
+      // order exists for: both z columns constrain at once, pruning
+      // power multiplies, and the surviving scan carries both
+      // predicates. Content replays as a two-clause SQL filter; the
+      // flags pin that the 2D read scans no more than either
+      // single-dimension read of the same snapshot.
+      val root = cowZDir(s, d)
+      val (_, sv, _) = tables.CowTable.readWhereNum(s, root, "v", 10.0, 19.0)
+      val (df, s2, k2) = tables.CowTable.readWhereNums(s, root,
+        Map("v" -> ((10.0, 19.0)), "doc_id" -> ((0.0, 99.0))))
+      df.orderBy(col("doc_id"))
+        .withColumn("conjunctive_no_wider", lit(s2 <= sv))
+        .withColumn("did_skip", lit(k2 > 0))
+    }),
     "cow_zorder_skip_check" -> ((s, d) => {
       // The skipping CLAIM, driver-checked: under the z layout the
       // v-range read must actually skip buckets (under key-range
@@ -7567,6 +7582,14 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, true AS did_scan, true AS did_skip
          FROM documents
          WHERE (doc_id * 37) % 100 BETWEEN 10 AND 19""",
+    "cow_zorder_read2d" ->
+      """SELECT doc_id, (doc_id * 37) % 100 AS v,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                true AS conjunctive_no_wider, true AS did_skip
+         FROM documents
+         WHERE (doc_id * 37) % 100 BETWEEN 10 AND 19
+           AND doc_id BETWEEN 0 AND 99
+         ORDER BY doc_id""",
     // Absolute (idempotent) update values: any number of merge reps
     // converges to the same state.
     "cow_merge_fixed_batch" ->

@@ -856,6 +856,34 @@ object CowTable {
     (df, hit.length, skip.length)
   }
 
+  /** Conjunctive multi-column zone-map pruning — the read shape
+    * Z-ordering exists for: an entry survives only if EVERY range
+    * intersects its recorded [min, max] for that column, so pruning
+    * power multiplies across dimensions (a 1/k-selective range on
+    * each of two z columns skips ~1−1/k² of the buckets, where any
+    * single-column sort could only deliver one dimension). Columns
+    * without recorded stats scan conservatively; all predicates push
+    * into the surviving scans; deletion vectors apply. */
+  def readWhereNums(spark: SparkSession, root: String,
+                    ranges: Map[String, (Double, Double)],
+                    version: Option[Int] = None): (DataFrame, Int, Int) = {
+    require(ranges.nonEmpty)
+    val v = version.getOrElse(currentVersion(root))
+    val m = readManifest(spark, root, v)
+    val (hit, skip) = m.entries.partition { e =>
+      ranges.forall { case (c, (lo, hi)) =>
+        e.colStats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    val df = ranges.foldLeft(readEntriesLive(spark, m, hit)) {
+      case (d, (c, (lo, hi))) => d.filter(col(c).between(lit(lo), lit(hi)))
+    }
+    (df, hit.length, skip.length)
+  }
+
   /** Z-ORDER compaction (the production OPTIMIZE ZORDER BY): rewrite
     * every live row, clustering by the bit-interleaved quantile ranks
     * of `zCols` ([[Zorder]]), into ~`targetBuckets` buckets. Content

@@ -538,6 +538,16 @@ class CowTableSpec extends SparkSpec {
     val (r3, _, skipped3) =
       CowTable.readWhereNum(spark, root, "doc_id", 0.0, 49.0)
     assert(skipped3 > 0 && r3.count() === 50)
+    // CONJUNCTIVE pruning: both dimensions at once skips at least as
+    // much as either alone — the read shape Morton order exists for
+    val (_, sv, _) = CowTable.readWhereNum(spark, root, "v", 10.0, 19.0)
+    val (_, sd, _) = CowTable.readWhereNum(spark, root, "doc_id", 0.0, 49.0)
+    val (r2d, scanned2d, skipped2d) = CowTable.readWhereNums(spark, root,
+      Map("v" -> ((10.0, 19.0)), "doc_id" -> ((0.0, 49.0))))
+    assert(scanned2d <= math.min(sv, sd) && skipped2d > 0)
+    assert(r2d.as[(Long, Long)].collect().sorted ===
+      (0L until 50L).filter(i => (i * 37) % 100 >= 10 && (i * 37) % 100 <= 19)
+        .map(i => (i, (i * 37) % 100)).sorted)
     // time travel to the pre-z-order layout is unaffected
     assert(CowTable.read(spark, root, Some(1)).count() === 400)
     // stats survive a subsequent MERGE rewrite (statsCols carry)
