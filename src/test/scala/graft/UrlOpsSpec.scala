@@ -62,6 +62,36 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("native walk ≡ regex chain on 2000 seeded-random URL-ish strings") {
+    // fuzz beyond the hand-picked corpus: random compositions of the
+    // grammar's pieces INCLUDING invalid fragments placed anywhere —
+    // fixed seed, so a divergence is a reproducible counterexample
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val schemes = Seq("http", "HTTPS", "ftp+x", "9bad", "", "h")
+    val seps = Seq("://", ":/", "//", ":", "")
+    val hosts = Seq("www.Ex.com", "EX.COM", "a.b.c", "www.", "", "h:x",
+      "[::1]", "host", "SITE.co.uk")
+    val ports = Seq("", ":80", ":443", ":8080", ":0443", ":", ":8x", ":1:2")
+    val paths = Seq("", "/", "//", "/a/b", "/a//", "/a/b///", "/%20x")
+    val queries = Seq("", "?", "?a=1", "?b=2&a=1", "?utm_source=x&k=v",
+      "?ref=1&real=2", "?&&", "?a", "?utm_=1", "?UTM_S=1", "?z=9&z=1")
+    val frags = Seq("", "#", "#f", "#f?x=1", "#a/b")
+    val urls = (0 until 2000).map { _ =>
+      pick(schemes) + pick(seps) + pick(hosts) + pick(ports) +
+        pick(paths) + pick(queries) + pick(frags)
+    }
+    val bad = urls.toDF("url")
+      .select(col("url"),
+        UrlOps.canonicalUrl(col("url")).as("native"),
+        UrlOps.canonicalUrlRegex(col("url")).as("regex"))
+      .collect()
+      .filter(r => r.get(1) != r.get(2))
+    assert(bad.isEmpty, bad.take(5).map(r =>
+      s"url='${r.get(0)}' native='${r.get(1)}' regex='${r.get(2)}'")
+      .mkString("; "))
+  }
+
   test("case, www, default port, tracking, param order, fragment — all at once") {
     assert(canon("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag") ===
       Seq(("https://example.com/a/b?a=1&b=2", "example.com")))
