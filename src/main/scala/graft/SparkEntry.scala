@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Bpe, Dedup, Merge, Multimodal, Reads, Similarity, Skew, TextAnalysis, UrlOps}
+import graft.operators.{Analytics, Bpe, Dedup, Merge, Multimodal, Reads, Retrieval, Similarity, Skew, TextAnalysis, UrlOps}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3791,7 +3791,124 @@ object SparkEntry {
           (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_blocked"))
         .orderBy(col("source"))
     }),
+    // ---- compression-ratio quality signal ----------------------------
+    "compression_ratio" -> ((s, d) =>
+      // Per-source DEFLATE rollup over the real corpus: rows-only
+      // (DuckDB has no DEFLATE surface to hash against); the planted
+      // companion below is the oracle-green pin for the signal.
+      // One native codegen'd pass per row, agg partial-pushed.
+      TextAnalysis.compressionSignals(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("deflate_bytes")).as("sum_deflate"),
+          min(col("ratio_q")).as("min_ratio_q"),
+          max(col("ratio_q")).as("max_ratio_q"))
+        .orderBy(col("source"))),
+    "compression_ratio_check" -> ((s, d) => {
+      // Planted-fixture pin: repetitive docs ("ab"×128, ratio ≈2.7%)
+      // and hex-noise docs (8 chained md5, ratio ≈59%) must classify
+      // into their own bands at (25%, 45%) thresholds. The oracle
+      // derives the planted counts from the same doc_id rule — if the
+      // compressor ever misclassifies, n_classified ≠ n_planted and
+      // the row goes red. (Same pattern as the multimodal dup checks.)
+      val fix = Tables.documents(s, d).filter(col("doc_id") < 32)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("repetitive"))
+            .otherwise(lit("noise")).as("class"),
+          when(col("doc_id") % 2 === 0, repeat(lit("ab"), 128))
+            .otherwise(concat((1 to 8).map(i =>
+              md5(concat(col("doc_id").cast("string"), lit(s"#$i")))): _*))
+            .as("text"))
+      TextAnalysis.compressionBand(fix, loQ = 250000L, hiQ = 450000L)
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("band") === col("class"), 1L).otherwise(0L))
+            .as("n_classified"))
+        .orderBy(col("class"))
+    }),
+    // ---- write-audit-publish branches -------------------------------
+    "cow_wap_publish" -> ((s, d) =>
+      // Main head after the WAP flow: the audited branch's merge is
+      // visible (fast-forward publish re-homed its files under main);
+      // the abandoned bad branch never is. Oracle replays plain upsert
+      // semantics of the GOOD branch's update set only.
+      tables.CowTable.read(s, cowWapState(s, d)._1).orderBy(col("doc_id"))),
+    "cow_wap_isolation" -> ((s, d) =>
+      // Main v1 (time travel): byte-equal to the original corpus —
+      // NEITHER branch's writes leaked into the fork snapshot, even
+      // though both wrote and one published.
+      tables.CowTable.read(s, cowWapState(s, d)._1, Some(1))
+        .orderBy(col("doc_id"))),
+    "cow_wap_audit" -> ((s, d) => {
+      // The audit gate's own numbers, from live branch reads: the bad
+      // branch shows exactly the planted negative rows; the published
+      // branch shows zero. published is the gate decision (0/1).
+      val (_, badNeg, wapNeg) = cowWapState(s, d)
+      import s.implicits._
+      Seq(("bad", badNeg, 0L), ("wap", wapNeg, 1L))
+        .toDF("branch", "n_negative", "published")
+        .orderBy(col("branch"))
+    }),
+    // ---- lexical retrieval / hybrid search --------------------------
+    "bm25_topk" -> ((s, d) =>
+      // BM25 ranked retrieval off the staged inverted postings. The
+      // quantized-idf discipline (ln over EXACTLY representable args:
+      // N+1 and df+0.5) makes score_q an exact integer the DuckDB
+      // oracle reproduces bit-for-bit; everything else is a mirrored
+      // correctly-rounded IEEE chain. 100 TB: postings are the stored
+      // term-bucketed artifact; this query touches only its terms'
+      // postings, the query relation and term stats broadcast.
+      Retrieval.bm25TopK(Tables.documents(s, d), RetrievalQueries, k = 10)),
+    "bm25_incremental" -> ((s, d) => {
+      // Roll-forward index maintenance: three disjoint ingest batches
+      // each stage their own posting/df/corpus-stat increments; the
+      // artifacts merge ADDITIVELY (union / sum / sum) and scoring
+      // reads the merged index — ≡ full rebuild, pinned by sharing
+      // bm25_topk's oracle verbatim. The 100 TB contract: a new batch
+      // costs its own postings, never a corpus rescan.
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25TopKIncremental(
+        Seq(docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 === 1),
+          docs.filter(col("doc_id") % 3 === 2)),
+        RetrievalQueries, k = 10)
+    }),
+    "retrieval_boolean_and" -> ((s, d) =>
+      // Posting-intersection AND search: group-count == n_terms over
+      // the term-pruned postings. Never scans the corpus text.
+      Retrieval.booleanAnd(Tables.documents(s, d), BooleanQueries)),
+    "retrieval_phrase" -> ((s, d) =>
+      // Exact-phrase containment: a pure string predicate evaluated in
+      // the scan (filter pushdown carries it to parquet row groups).
+      Retrieval.phraseSearch(Tables.documents(s, d), "hash join")),
+    "hybrid_rrf_topk" -> ((s, d) =>
+      // Reciprocal-rank fusion of BM25 lexical candidates and cosine
+      // vector candidates (query vec = the query doc's embedding).
+      // Rank-only arithmetic: 1/(60+r) sums are deterministic doubles
+      // both engines compute identically. The fusion join is
+      // queries×k-sized — driver-trivial at any corpus scale.
+      Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        HybridQueries, kLex = 20, kAnn = 20, k = 10)),
   )
+
+  /** Term queries for the retrieval rows: 'dup' is the corpus's one
+    * rare term (df≈5% of docs) — it exercises the high-idf path the
+    * uniform vocabulary otherwise never hits. */
+  private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "stream", "hash"),
+    1L -> Seq("customer", "order"),
+    2L -> Seq("dup", "join"))
+
+  private val BooleanQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "join"),
+    1L -> Seq("vector", "stream", "hash"),
+    2L -> Seq("dup", "key", "scan"))
+
+  private val HybridQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "stream"),
+    1L -> Seq("customer", "order"),
+    2L -> Seq("dup", "merge"))
 
   /** The corpus-prep pipeline shared by clean_corpus (exact-baseline
     * dedup, oracle-mirrorable at any scale) and clean_corpus_sketch
@@ -3838,6 +3955,58 @@ object SparkEntry {
           .select(col("doc_id")), "doc_id")
       tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
       dir.toString
+    })
+
+  /** Once-per-(process, sf dir) write-audit-publish lifecycle over a
+    * fresh COW table: a BAD branch plants negative n_chars, fails the
+    * audit gate, and is abandoned; a GOOD branch upserts+inserts,
+    * passes, and publishes (fast-forward, files re-homed into main).
+    * Returns (tableRoot, badNegativeCount, wapNegativeCount) — the
+    * audit numbers come from LIVE branch reads so cow_wap_audit is
+    * driver-verified, not hardcoded.
+    */
+  private val cowWapCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+  private def cowWapState(s: SparkSession, d: String): (String, Long, Long) =
+    cowWapCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cowwap_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val root = dir.toString
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, root, "doc_id", buckets = 8)
+      def negatives(r: String): Long =
+        tables.CowTable.read(s, r).filter(col("n_chars") < 0).count()
+      // attempt 1: the write the gate must catch
+      tables.CowTable.createBranch(s, root, "bad")
+      val badBr = tables.CowTable.branchRoot(root, "bad")
+      tables.CowTable.merge(s, badBr,
+        base.filter(col("doc_id") < 10)
+          .select(col("doc_id"), lit(-1L).as("n_chars"), col("source")),
+        "doc_id")
+      val badNeg = negatives(badBr)
+      tables.CowTable.dropBranch(root, "bad") // audit failed: abandon
+      // attempt 2: clean write → audit passes → publish
+      tables.CowTable.createBranch(s, root, "wap")
+      val wapBr = tables.CowTable.branchRoot(root, "wap")
+      tables.CowTable.merge(s, wapBr,
+        base.filter(col("doc_id") < 40)
+          .select(col("doc_id"), (col("n_chars") + 5000L).as("n_chars"),
+            col("source"))
+          .unionByName(base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 30000000L).as("doc_id"),
+              col("n_chars"), col("source"))),
+        "doc_id")
+      val wapNeg = negatives(wapBr)
+      assert(wapNeg == 0L, "WAP audit gate must pass on the clean branch")
+      tables.CowTable.publishBranch(s, root, "wap")
+      tables.CowTable.dropBranch(root, "wap")
+      (root, badNeg, wapNeg)
     })
 
   /** Once-per-(process, sf dir) STRING-keyed copy-on-write lifecycle:
@@ -4950,6 +5119,66 @@ object SparkEntry {
   private val DedupClustersSql: String =
     s"""WITH RECURSIVE $DedupClusterCtes
        SELECT doc_id, cluster_id FROM clu ORDER BY doc_id"""
+
+  /** Shared inverted-postings CTE chain for the retrieval oracles:
+    * terminal CTEs `p(term, doc_id, dl, tf)` and
+    * `c(n_docs, sum_dl)` — the corpus-stats row counts ALL docs (null
+    * text = 0 tokens), matching Retrieval.corpusStatsStaged. */
+  private val RetrievalPostingsCtes: String =
+    """t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM documents)"""
+
+  private def sqlTermValues(qs: Seq[(Long, Seq[String])]): String =
+    qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+
+  /** BM25 scoring SQL mirroring Retrieval.bm25TopK operation-for-
+    * operation: quantized-ln idf over exact args, the same IEEE
+    * multiply/divide tree for the tf norm (1.2 + 1.0 and 1.0 - 0.75
+    * are spelled as OPERATIONS, exactly as the Scala side computes
+    * them), contributions rounded to longs and summed exactly. */
+  private def bm25Sql(qs: Seq[(Long, Seq[String])], k: Int): String =
+    s"""WITH $RetrievalPostingsCtes,
+       q(query_id, term) AS (VALUES ${sqlTermValues(qs)}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
+         FROM agg)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+              CAST(rn AS BIGINT) AS rank,
+              CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
+       FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -9617,5 +9846,116 @@ object SparkEntry {
                    'site13.io','site16.com','site19.org','site22.net')
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
          FROM canon GROUP BY source ORDER BY source"""),
+    "compression_ratio_check" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'repetitive' ELSE 'noise' END
+                AS class,
+              CAST(count(*) AS BIGINT) AS n_planted,
+              CAST(count(*) AS BIGINT) AS n_classified
+         FROM documents WHERE doc_id < 32
+         GROUP BY 1 ORDER BY class""",
+    "cow_wap_publish" ->
+      """WITH upd AS (
+           SELECT doc_id, n_chars + 5000 AS n_chars, source
+           FROM documents WHERE doc_id < 40
+           UNION ALL
+           SELECT doc_id + 30000000, n_chars, source
+           FROM documents WHERE doc_id < 10),
+         merged AS (
+           SELECT d.doc_id, COALESCE(u.n_chars, d.n_chars) AS n_chars,
+                  COALESCE(u.source, d.source) AS source
+           FROM documents d LEFT JOIN upd u USING (doc_id)
+           UNION ALL
+           SELECT u.doc_id, u.n_chars, u.source
+           FROM upd u LEFT JOIN documents d USING (doc_id)
+           WHERE d.doc_id IS NULL)
+         SELECT doc_id, n_chars, source FROM merged ORDER BY doc_id""",
+    "cow_wap_isolation" ->
+      "SELECT doc_id, n_chars, source FROM documents ORDER BY doc_id",
+    "cow_wap_audit" ->
+      """SELECT 'bad' AS branch,
+                (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 10)
+                  AS n_negative,
+                CAST(0 AS BIGINT) AS published
+         UNION ALL
+         SELECT 'wap', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         ORDER BY branch""",
+    "bm25_topk" -> bm25Sql(RetrievalQueries, 10),
+    // incremental ≡ full rebuild: the roll-forward index must produce
+    // exactly the full-corpus ranking, so the oracle IS bm25_topk's
+    "bm25_incremental" -> bm25Sql(RetrievalQueries, 10),
+    "retrieval_boolean_and" ->
+      (s"""WITH $RetrievalPostingsCtes,
+       q(query_id, term) AS (VALUES ${sqlTermValues(
+        BooleanQueries.map { case (qid, ts) => (qid, ts.distinct) })}),
+       sizes AS (
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY 1),
+       hit AS (
+         SELECT q.query_id, p.doc_id, p.dl, CAST(count(*) AS BIGINT) AS n_hit
+         FROM p JOIN q USING (term) GROUP BY 1, 2, 3)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
+       FROM hit JOIN sizes USING (query_id)
+       WHERE n_hit = n_terms ORDER BY query_id, doc_id"""),
+    "retrieval_phrase" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE text IS NOT NULL
+           AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
+                        ' hash join ')
+         ORDER BY doc_id""",
+    "hybrid_rrf_topk" ->
+      (s"""WITH $RetrievalPostingsCtes,
+       q(query_id, term) AS (VALUES ${sqlTermValues(HybridQueries)}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       lex AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT)
+                  AS lex_rank
+         FROM agg QUALIFY lex_rank <= 20),
+       e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       qv AS (SELECT vec_id AS query_id, emb AS query_emb FROM e
+              WHERE vec_id IN (0, 1, 2)),
+       cos AS (
+         SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(e.emb, qv.query_emb) AS cosine
+         FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       ann AS (
+         SELECT query_id, doc_id,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT)
+                  AS ann_rank
+         FROM cos QUALIFY ann_rank <= 20),
+       fused AS (
+         SELECT COALESCE(lex.query_id, ann.query_id) AS query_id,
+                COALESCE(lex.doc_id, ann.doc_id) AS doc_id,
+                lex.lex_rank, ann.ann_rank,
+                COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(lex.lex_rank AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(ann.ann_rank AS DOUBLE)), 0.0) AS rrf
+         FROM lex FULL OUTER JOIN ann
+           ON lex.query_id = ann.query_id AND lex.doc_id = ann.doc_id),
+       out AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         FROM fused QUALIFY rank <= 10)
+       SELECT query_id, doc_id, lex_rank, ann_rank, rrf, rank
+       FROM out ORDER BY query_id, rank"""),
   )
 }

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Lexical retrieval over the corpus: an inverted posting relation,
+  * BM25 ranked search, boolean-AND search, exact phrase filter, and
+  * reciprocal-rank-fusion of lexical + vector candidates (hybrid
+  * search — the retrieval shape RAG-style training-data tooling runs
+  * over a pretraining corpus).
+  *
+  * 100 TB shape: [[postingsStaged]] is THE stored artifact — an
+  * inverted index keyed by term, hash-bucketed on term so a query
+  * touches only its own terms' buckets, rolled forward batch over
+  * batch exactly like the MinHash pair sets and LM counts. Per-query
+  * work is then postings-of-query-terms sized, never corpus sized;
+  * the query relation and per-term stats are broadcast (bounded by
+  * vocabulary, not data); the final fusion joins are over
+  * queries×k rows. Nothing in the query path scans the corpus.
+  *
+  * Exactness discipline (the DuckDB oracle hash-matches): BM25's only
+  * transcendental is the idf. Lucene's variant
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` is identically
+  * `ln(N + 1) - ln(df + 0.5)` — BOTH ln arguments are exactly
+  * representable doubles (an integer and an integer plus one half),
+  * so the established quantized-ln rule applies: `round(ln(x)*1e12)`
+  * as a long, integer subtraction, and every remaining factor is a
+  * correctly-rounded IEEE chain mirrored operation-for-operation in
+  * the oracle SQL.
+  */
+object Retrieval {
+
+  /** Inverted posting relation: one row per (term, doc) with the term
+    * frequency and the document length — dl rides on the posting row
+    * so scoring never re-joins a doc-stats relation. Blank/null-text
+    * docs contribute no postings (they can never match a term query).
+    */
+  def postingsStaged(docs: DataFrame): DataFrame =
+    Stage.relation("retrieval.postings", Seq(docs)) {
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-term document frequency — vocabulary-sized by construction
+    * (one row per distinct term), hence always broadcast at the join.
+    */
+  def termStatsStaged(docs: DataFrame): DataFrame =
+    Stage.relation("retrieval.termstats", Seq(docs)) {
+      postingsStaged(docs).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+
+  /** Corpus-level constants (one row): document count and total token
+    * count over ALL docs (null text counts 0 tokens, matching the
+    * oracle's coalesce convention). avgdl is derived at use sites as
+    * `sum_dl / n_docs` so Spark and DuckDB share the division tree.
+    */
+  def corpusStatsStaged(docs: DataFrame): DataFrame =
+    Stage.relation("retrieval.corpusstats", Seq(docs)) {
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, lit(0L))
+          .otherwise(size(tokens(col("text"))).cast("long"))).as("sum_dl"))
+    }
+
+  private def queryRelation(docs: DataFrame,
+                            queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+  }
+
+  /** BM25 top-k: ranked documents per term query.
+    *
+    * Plan: postings ⋈ broadcast(query terms) prunes to query-term
+    * postings, ⋈ broadcast(term df), × broadcast(1-row corpus stats);
+    * per-(query, doc) contributions sum as exact longs; a per-query
+    * window takes the top k on (score desc, doc_id). The quantized
+    * idf makes the score an integer — ties and ordering are exact.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreBm25(postingsStaged(docs), termStatsStaged(docs),
+      corpusStatsStaged(docs), queries, k, k1, b)
+
+  private def scoreBm25(p: DataFrame, termStats: DataFrame,
+                        corpusStats: DataFrame,
+                        queries: Seq[(Long, Seq[String])],
+                        k: Int, k1: Double, b: Double): DataFrame = {
+    val q = queryRelation(p, queries)
+    val idfQ =
+      (round(log(col("n_docs").cast("double") + 1.0d) * 1e12d) -
+        round(log(col("df").cast("double") + 0.5d) * 1e12d)).cast("long")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val tfNorm = (tfD * (k1 + 1.0d)) /
+      (tfD + lit(k1) * (lit(1.0d - b) + lit(b) *
+        (col("dl").cast("double") / avgdl)))
+    val scored = p
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(termStats), Seq("term"))
+      .crossJoin(broadcast(corpusStats))
+      .select(col("query_id"), col("doc_id"),
+        round(idfQ.cast("double") * tfNorm).cast("long").as("contrib_q"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_q")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("score", col("score_q").cast("double") / 1e12d)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** BM25 over a ROLLED-FORWARD index: the corpus arrives as batches
+    * with disjoint doc sets, and every index artifact is additive —
+    * postings union (disjoint docs never collide on (term, doc)),
+    * per-term df sums, and the 1-row corpus stats sum component-wise.
+    * Scoring then runs the exact [[bm25TopK]] plan over the merged
+    * artifacts, so incremental ≡ full-rebuild bit-for-bit (the driver
+    * gate pins it against the SAME oracle as bm25_topk).
+    *
+    * This is the 100 TB maintenance path: a day's ingest appends its
+    * posting increment and bumps term/corpus stats; the corpus is
+    * never rescanned. (In-process the increments stage per batch via
+    * [[Stage.relation]]; a deployment persists them — same contract
+    * as the IVF-PQ append and the Bloom-gated exact dedup.)
+    */
+  def bm25TopKIncremental(batches: Seq[DataFrame],
+                          queries: Seq[(Long, Seq[String])],
+                          k: Int = 10, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    require(batches.nonEmpty, "need at least one corpus batch")
+    val p = batches.map(postingsStaged).reduce(_.unionByName(_))
+    val df = batches.map(termStatsStaged).reduce(_.unionByName(_))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val corpus = batches.map(corpusStatsStaged).reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    scoreBm25(p, df, corpus, queries, k, k1, b)
+  }
+
+  /** Boolean-AND search: documents containing EVERY query term, via
+    * posting intersection (group count over the pruned postings —
+    * postings hold one row per (term, doc), so `count == n_terms` is
+    * the intersection test). Returns (query_id, doc_id, dl).
+    */
+  def booleanAnd(docs: DataFrame,
+                 queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sizes = queries.map { case (qid, ts) => (qid, ts.distinct.length.toLong) }
+      .toDF("query_id", "n_terms")
+    val q = queryRelation(docs, queries)
+      .distinct()
+    postingsStaged(docs)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(sizes), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), col("dl"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Exact phrase filter: documents whose text contains the words of
+    * `phrase` adjacent and in order (single-space padded containment —
+    * the corpus tokenizer's whitespace-run convention means adjacency
+    * in token space is single-space adjacency after squeezing runs).
+    * Pure string predicate, pushed to the scan; no postings needed.
+    */
+  def phraseSearch(docs: DataFrame, phrase: String): DataFrame =
+    docs
+      .filter(col("text").isNotNull &&
+        concat(lit(" "),
+          regexp_replace(col("text"), "\\s+", " "), lit(" "))
+          .contains(s" $phrase "))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Reciprocal-rank fusion of a lexical (BM25) candidate list and a
+    * vector (cosine top-k) candidate list: each query's fused score is
+    * Σ 1/(kRrf + rank) over the sources that surfaced the doc. Rank
+    * arithmetic only — no score calibration across modalities, which
+    * is exactly why RRF is the standard fusion baseline.
+    *
+    * `queries` pairs each term query with the embedding vec_id that
+    * plays its dense counterpart; candidates are doc_ids (the corpus
+    * embedding table indexes documents by the same id domain). The
+    * fusion join is over queries×k rows — driver-trivial at any
+    * corpus size; all the heavy lifting happened inside the two
+    * candidate generators, each with its own 100 TB path (term-pruned
+    * postings; IVF cells).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+                queries: Seq[(Long, Seq[String])],
+                kLex: Int = 20, kAnn: Int = 20, kRrf: Int = 60,
+                k: Int = 10): DataFrame = {
+    val lex = bm25TopK(docs, queries, kLex)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val qIds = queries.map(_._1)
+    val annRaw = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id").isin(qIds: _*)), kAnn)
+    val wAnn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ann = annRaw
+      .withColumn("ann_rank", row_number().over(wAnn).cast("long"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("ann_rank"))
+    val fused = lex.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("ann_rank"),
+        (coalesce(lit(1.0d) / (lit(kRrf).cast("double") + col("lex_rank").cast("double")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(kRrf).cast("double") + col("ann_rank").cast("double")), lit(0.0d)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

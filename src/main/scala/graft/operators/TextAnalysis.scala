@@ -148,6 +148,43 @@ object TextAnalysis {
     * pure row-local gate, the cheapest shape a corpus filter can
     * have at 100 TB.
     */
+  /** Compression-ratio quality signal (Gopher/RefinedWeb family):
+    * per-doc DEFLATE size and the quantized ratio
+    * `ratio_q = deflate_bytes·1e6 div n_bytes` (integer, non-negative
+    * by construction — the truncating-division discipline). Low ratio
+    * = repetitive boilerplate, high = noise; prose sits between. One
+    * native codegen'd pass per row
+    * ([[graft.functions.DeflateSize]]), no shuffle — row-local like
+    * every other quality gate. Spec-pinned + planted-fixture-checked
+    * (`compression_ratio_check`) rather than oracle-hashed: DuckDB
+    * has no DEFLATE surface.
+    */
+  def compressionSignals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_bytes",
+        coalesce(octet_length(col("text")).cast("long"), lit(0L)))
+      .withColumn("deflate_bytes",
+        coalesce(graft.functions.DeflateSize.deflate_size(col("text")),
+          lit(0L)))
+      .withColumn("ratio_q",
+        when(col("n_bytes") > 0,
+          expr("(deflate_bytes * 1000000) div n_bytes"))
+          .otherwise(lit(0L)))
+      .drop("text") // signals computed; never carry the string onward
+
+  /** Band classifier over [[compressionSignals]]: keep docs whose
+    * compression ratio is plausible prose; flag the repetitive floor
+    * and the incompressible ceiling. Thresholds are quantized-ratio
+    * integers (defaults: 25% / 85% — 4-bit/char hex noise deflates to
+    * ~55-65%, English prose ~30-50%, hard boilerplate <10%).
+    */
+  def compressionBand(docs: DataFrame, loQ: Long = 250000L,
+                      hiQ: Long = 850000L): DataFrame =
+    compressionSignals(docs).withColumn("band",
+      when(col("ratio_q") < loQ, lit("repetitive"))
+        .when(col("ratio_q") > hiQ, lit("noise"))
+        .otherwise(lit("prose")))
+
   def gopherQualityFilter(docs: DataFrame, minWords: Int = 10,
                           maxWords: Int = 100000): DataFrame = {
     val q = graft.functions.QualityStats.quality_stats(col("text"), Stopwords)

@@ -1034,25 +1034,159 @@ object CowTable {
       .filter(col("n_rows") > 0L)
   }
 
+  // ---------------------------------------------------------------
+  // Branches: write-audit-publish (WAP)
+  //
+  // A branch is a full table rooted at `$root/_branches/<name>` whose
+  // version-1 manifest is a copy of a main snapshot — entries are
+  // immutable files, so branching is O(manifest) metadata, never a
+  // data copy. Every existing op (merge/delete/compact/read/…) works
+  // on the branch root unchanged; branch writes land under the
+  // BRANCH's data tree, so main never sees them until publish. The
+  // WAP flow: createBranch → write → audit (any reads/gates over
+  // read(branchRoot)) → publishBranch (fast-forward main) or
+  // dropBranch (abandon — branch-local files die with the branch).
+  // ---------------------------------------------------------------
+
+  /** Publish found main advanced past the branch's base snapshot —
+    * a fast-forward would silently drop main's newer commits. */
+  final class BranchDivergedException(msg: String)
+    extends RuntimeException(msg)
+
+  def branchRoot(root: String, name: String): String =
+    s"$root/_branches/$name"
+
+  private def branchMetaPath(root: String, name: String) =
+    Paths.get(s"${branchRoot(root, name)}/_branch.json")
+
+  /** Fork `name` off main at `fromVersion` (default: current head).
+    * Returns the base version the branch froze. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   fromVersion: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("/"), s"bad branch name: $name")
+    val base = fromVersion.getOrElse(currentVersion(root))
+    val m = readManifest(spark, root, base)
+    val br = branchRoot(root, name)
+    require(versions(br).isEmpty, s"branch $name already exists")
+    Files.createDirectories(Paths.get(br))
+    Files.write(branchMetaPath(root, name),
+      s"""{"name": ${jstr(name)}, "base_version": $base}""".getBytes("UTF-8"))
+    commit(br, m.copy(version = 1, parent = 0))
+    base
+  }
+
+  /** The main-table version the branch was forked from. */
+  def branchBaseVersion(root: String, name: String): Int = {
+    val body = new String(Files.readAllBytes(branchMetaPath(root, name)), "UTF-8")
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(body) \ "base_version").extract[Int]
+  }
+
+  def listBranches(root: String): Seq[String] =
+    Option(new java.io.File(s"$root/_branches").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(d => d.isDirectory && versions(d.getPath).nonEmpty)
+      .map(_.getName).sorted
+
+  /** Move every branch-local version directory under the main tree
+    * and return the entries with their paths re-homed. Version dirs
+    * carry a fresh-UUID suffix, so names never collide under main. */
+  private def rehome(entries: Seq[Entry], br: String,
+                     root: String): Seq[Entry] = {
+    def moveTree(sub: String, paths: Seq[String]): Unit = {
+      val prefix = s"$br/$sub/"
+      paths.filter(_.startsWith(prefix))
+        .map(p => p.stripPrefix(prefix).takeWhile(_ != '/'))
+        .distinct.foreach { d =>
+          val from = Paths.get(s"$br/$sub/$d")
+          val to = Paths.get(s"$root/$sub/$d")
+          if (Files.exists(from) && !Files.exists(to)) {
+            Files.createDirectories(to.getParent)
+            Files.move(from, to): Unit
+          }
+        }
+    }
+    moveTree("data", entries.map(_.path))
+    moveTree("dv", entries.collect { case e if e.dv != null => e.dv })
+    moveTree("bloom", entries.collect { case e if e.bloom != null => e.bloom })
+    def patch(p: String): String =
+      if (p == null) null
+      else if (p.startsWith(s"$br/")) s"$root/${p.stripPrefix(s"$br/")}"
+      else p
+    entries.map(e => e.copy(path = patch(e.path), dv = patch(e.dv),
+      bloom = patch(e.bloom)))
+  }
+
+  /** Fast-forward main to the branch head (the "publish" of WAP).
+    *
+    * Contract: main's head must still be the branch's base snapshot —
+    * anything else throws [[BranchDivergedException]] (a fast-forward
+    * over later main commits would drop them; rebase is the caller's
+    * decision, e.g. re-branch + re-apply). Branch-local files are
+    * re-homed into main's data tree FIRST and the branch head is
+    * re-committed against the re-homed paths, so a lost publish race
+    * leaves the branch fully readable and the moved files referenced
+    * (vacuum is branch-aware). Returns the new main version. */
+  def publishBranch(spark: SparkSession, root: String,
+                    name: String): Int = {
+    val br = branchRoot(root, name)
+    val base = branchBaseVersion(root, name)
+    val cur = currentVersion(root)
+    if (cur != base)
+      throw new BranchDivergedException(
+        s"main at v$cur but branch $name forked from v$base")
+    val head = readManifest(spark, br, currentVersion(br))
+    val rehomed = rehome(head.entries, br, root)
+    if (rehomed != head.entries)
+      commit(br, head.copy(version = head.version + 1,
+        parent = head.version, entries = rehomed))
+    try {
+      commit(root, head.copy(version = base + 1, parent = base,
+        entries = rehomed))
+      base + 1
+    } catch {
+      case e: ConcurrentCommitException =>
+        throw new BranchDivergedException(
+          s"main advanced to v${e.version} during publish of $name")
+    }
+  }
+
+  /** Delete the branch: its manifests and every still-branch-local
+    * file. Published data was re-homed under main and is unaffected;
+    * unpublished work dies here by design (the "abandon" arm of WAP). */
+  def dropBranch(root: String, name: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(branchRoot(root, name)))
+  }
+
   /** Vacuum: drop manifests older than the last `retainVersions`
     * snapshots, then delete every data bucket directory no retained
     * manifest references — including orphan dirs from crashed or
     * OCC-losing write attempts. Listing here is local-FS (the sandbox
     * has no object store); at 100 TB the listing is a distributed job
     * but the referenced-set is still only manifest-count-sized.
+    * BRANCH-AWARE: live branches' manifests extend the referenced set
+    * (a branch carries pointers into main's data tree; a published
+    * branch's re-homed files live there too), so vacuuming main never
+    * strands a branch that is still within its own retention.
     * Returns (bucketDirsDeleted, manifestsDeleted). */
   def vacuum(spark: SparkSession, root: String,
              retainVersions: Int): (Int, Int) = {
     val vs = versions(root)
     val cur = vs.lastOption.getOrElse(0)
     val keepFrom = math.max(1, cur - retainVersions + 1)
-    val referenced = vs.filter(_ >= keepFrom)
-      .flatMap { v =>
-        val m = readManifest(spark, root, v)
+    def referencedBy(r: String, from: Int): Set[String] =
+      versions(r).filter(_ >= from).flatMap { v =>
+        val m = readManifest(spark, r, v)
         m.entries.map(_.path) ++
           m.entries.collect { case e if e.dv != null => e.dv } ++
           m.entries.collect { case e if e.bloom != null => e.bloom }
       }.toSet
+    val referenced = referencedBy(root, keepFrom) ++
+      listBranches(root).flatMap(b =>
+        referencedBy(branchRoot(root, b), 1))
     def rmTree(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
     }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.CowTable
+
+/** Write-audit-publish branches: fork isolation, O(manifest)
+  * branching, publish fast-forward + file re-homing, divergence
+  * detection, abandon semantics, and branch-aware vacuum.
+  */
+class CowBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cowbranch_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  private def base = (0L until 100L).map(i => (i, i * 7L)).toDF("doc_id", "v")
+
+  test("branch writes stay invisible to main until publish") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    val baseV = CowTable.createBranch(spark, root, "exp")
+    assert(baseV === 1)
+    val br = CowTable.branchRoot(root, "exp")
+    // branching copied a manifest, not data: branch entries are main's
+    assert(CowTable.readManifest(spark, br, 1).entries.map(_.path) ===
+      CowTable.readManifest(spark, root, 1).entries.map(_.path))
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L)).toDF("doc_id", "v"), "doc_id")
+    // the branch sees the write; main does not
+    assert(CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+      .get(200L) === Some(1L))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 70L && !main.contains(200L))
+    assert(CowTable.currentVersion(root) === 1)
+    assert(CowTable.listBranches(root) === Seq("exp"))
+  }
+
+  test("publish fast-forwards main and re-homes branch files") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L)).toDF("doc_id", "v"), "doc_id")
+    val v = CowTable.publishBranch(spark, root, "exp")
+    assert(v === 2 && CowTable.currentVersion(root) === 2)
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main(200L) === 1L && main.size === 101)
+    // published entries live under MAIN's tree — dropping the branch
+    // must not strand them
+    val m2 = CowTable.readManifest(spark, root, 2)
+    assert(m2.entries.forall(e => !e.path.contains("_branches")))
+    CowTable.dropBranch(root, "exp")
+    assert(CowTable.listBranches(root).isEmpty)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(200L) === 1L)
+    // time travel still sees pre-publish main
+    assert(CowTable.read(spark, root, Some(1)).as[(Long, Long)]
+      .collect().toMap.get(200L).isEmpty)
+  }
+
+  test("publish refuses when main advanced past the fork point") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br, Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    // main moves on independently
+    CowTable.merge(spark, root, Seq((20L, 123L)).toDF("doc_id", "v"), "doc_id")
+    intercept[CowTable.BranchDivergedException] {
+      CowTable.publishBranch(spark, root, "exp")
+    }
+    // nothing published; the failed publish left BOTH sides readable
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 70L && main(20L) === 123L)
+    assert(CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+      .apply(10L) === 999L)
+  }
+
+  test("abandoned branch dies with its local files; main untouched") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "bad")
+    val br = CowTable.branchRoot(root, "bad")
+    CowTable.merge(spark, br, Seq((5L, -1L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.dropBranch(root, "bad")
+    assert(!new java.io.File(br).exists())
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(5L) === 35L)
+  }
+
+  test("vacuum on main keeps files a live branch still references") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    // churn main so v1's rewritten buckets become main-unreferenced
+    (1 to 3).foreach { i =>
+      CowTable.merge(spark, root,
+        Seq((10L, i.toLong)).toDF("doc_id", "v"), "doc_id")
+    }
+    CowTable.vacuum(spark, root, retainVersions = 1)
+    // the branch still reads its full fork snapshot (v1 files live)
+    val got = CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+    assert(got(10L) === 70L && got.size === 100)
+    // after the branch is gone, the same vacuum may collect them
+    CowTable.dropBranch(root, "exp")
+    val (dirs, _) = CowTable.vacuum(spark, root, retainVersions = 1)
+    assert(dirs > 0)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(10L) === 3L)
+  }
+
+  test("WAP audit loop: failing gate abandons, passing gate publishes") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    // attempt 1: writes a negative value; the audit gate rejects it
+    CowTable.createBranch(spark, root, "wap")
+    val br = CowTable.branchRoot(root, "wap")
+    CowTable.merge(spark, br, Seq((7L, -7L)).toDF("doc_id", "v"), "doc_id")
+    def audit(r: String): Boolean =
+      CowTable.read(spark, r).filter(col("v") < 0).isEmpty
+    assert(!audit(br))
+    CowTable.dropBranch(root, "wap")
+    // attempt 2: clean write passes the gate and publishes
+    CowTable.createBranch(spark, root, "wap")
+    CowTable.merge(spark, CowTable.branchRoot(root, "wap"),
+      Seq((7L, 700L)).toDF("doc_id", "v"), "doc_id")
+    assert(audit(CowTable.branchRoot(root, "wap")))
+    assert(CowTable.publishBranch(spark, root, "wap") === 2)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(7L) === 700L)
+  }
+}

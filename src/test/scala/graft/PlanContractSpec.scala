@@ -343,7 +343,12 @@ class PlanContractSpec extends SparkSpec {
       "bloom_decontaminate", "nb_quality_scores", "nb_quality_scores_bigram",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
       // broadcast cross — the models themselves are broadcast hash.
-      "dsir_weights", "dsir_select", "dsir_resample")
+      "dsir_weights", "dsir_select", "dsir_resample",
+      // BM25: the 1-row (n_docs, sum_dl) corpus-stats aggregate rides
+      // in as a broadcast cross; postings⋈query and postings⋈df are
+      // broadcast hash joins (hybrid composes bm25 + the brute-cosine
+      // whitelisted query cross)
+      "bm25_topk", "bm25_incremental", "hybrid_rrf_topk")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.queries.toSeq

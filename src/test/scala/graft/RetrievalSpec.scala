@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Retrieval
+
+/** BM25 / boolean / phrase / RRF retrieval: hand-computed scores on a
+  * tiny corpus, ranking invariants, and fusion arithmetic.
+  */
+class RetrievalSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "cat dog cat", "en", "s", 11L),
+    (1L, "cat dog dog dog fish", "en", "s", 20L),
+    (2L, "fish fish fish fish fish fish", "en", "s", 29L),
+    (3L, "dog", "en", "s", 3L),
+    (4L, "bird bird bird cat", "en", "s", 18L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("postings carry tf and dl per (term, doc)") {
+    val p = Retrieval.postingsStaged(corpus)
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    p should contain(("cat", 0L, 3L, 2L))
+    p should contain(("dog", 1L, 5L, 3L))
+    p should contain(("fish", 2L, 6L, 6L))
+    p.count(_._1 == "cat") shouldBe 3
+  }
+
+  test("bm25 matches the hand formula and ranks tf up, dl down") {
+    val res = Retrieval.bm25TopK(corpus, Seq((0L, Seq("dog"))), k = 5)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    // Hand BM25 (k1=1.2, b=0.75): N=5, df(dog)=3, avgdl=19/5
+    val idfQ = math.round(math.log(6.0) * 1e12) - math.round(math.log(3.5) * 1e12)
+    def tfNorm(tf: Long, dl: Long): Double = {
+      val avgdl = 19.0 / 5.0
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    }
+    def score(tf: Long, dl: Long): Long =
+      math.round(idfQ.toDouble * tfNorm(tf, dl))
+    res(3L) shouldBe score(1, 1) // "dog": tf=1, dl=1
+    res(1L) shouldBe score(3, 5)
+    res(0L) shouldBe score(1, 3)
+    // short doc with same tf outranks longer doc; higher tf outranks
+    res(3L) should be > res(0L)
+    res(1L) should be > res(0L)
+    res.keySet shouldBe Set(0L, 1L, 3L) // fish/bird docs never match
+  }
+
+  test("bm25 sums per-term contributions for multi-term queries") {
+    val single =
+      Retrieval.bm25TopK(corpus, Seq((0L, Seq("cat")), (1L, Seq("dog"))), k = 5)
+        .select("query_id", "doc_id", "score_q").as[(Long, Long, Long)]
+        .collect()
+    val both = Retrieval.bm25TopK(corpus, Seq((7L, Seq("cat", "dog"))), k = 5)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    val catScores = single.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val dogScores = single.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    both(0L) shouldBe catScores(0L) + dogScores(0L)
+    both(1L) shouldBe catScores(1L) + dogScores(1L)
+    both(3L) shouldBe dogScores(3L) // cat absent: pure dog term
+  }
+
+  test("booleanAnd intersects postings exactly") {
+    val hits = Retrieval.booleanAnd(corpus,
+      Seq((0L, Seq("cat", "dog")), (1L, Seq("fish")), (2L, Seq("cat", "bird"))))
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    hits shouldBe Set((0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L), (2L, 4L))
+  }
+
+  test("booleanAnd dedups repeated query terms") {
+    val hits = Retrieval.booleanAnd(corpus, Seq((0L, Seq("dog", "dog"))))
+      .select("doc_id").as[Long].collect().toSet
+    hits shouldBe Set(0L, 1L, 3L)
+  }
+
+  test("phraseSearch requires adjacency in order") {
+    val df = Seq(
+      (0L, "hash join wins", 14L),
+      (1L, "join hash wins", 14L),
+      (2L, "hash  join", 10L), // whitespace run squeezes to adjacency
+      (3L, "hash nothing join", 17L),
+      (4L, null.asInstanceOf[String], 0L)
+    ).toDF("doc_id", "text", "n_chars")
+    Retrieval.phraseSearch(df, "hash join")
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 2L)
+  }
+
+  test("hybridRrf fuses ranks with 1/(60+r) arithmetic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val res = Retrieval.hybridRrf(docs, emb,
+      Seq((0L, Seq("vector", "stream")), (1L, Seq("customer", "order"))),
+      kLex = 10, kAnn = 10, k = 5)
+    val rows = res.collect()
+    rows.map(_.getAs[Long]("query_id")).toSet shouldBe Set(0L, 1L)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      g.length shouldBe 5
+      g.map(_.getAs[Long]("rank")).sorted shouldBe Array(1L, 2L, 3L, 4L, 5L)
+    }
+    // every fused score is reconstructible from its two rank columns
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank"))
+        .map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+      val ann = Option(r.getAs[java.lang.Long]("ann_rank"))
+        .map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+      r.getAs[Double]("rrf") shouldBe (lex + ann)
+    }
+    // a doc surfaced by both sources outranks one seen by just one at
+    // similar ranks: verified structurally — top fused hit has both
+    val top = rows.filter(r => r.getAs[Long]("rank") == 1L)
+    top.foreach { r =>
+      val both = r.getAs[java.lang.Long]("lex_rank") != null ||
+        r.getAs[java.lang.Long]("ann_rank") != null
+      both shouldBe true
+    }
+  }
+
+  test("incremental bm25 over disjoint batches ≡ full rebuild") {
+    val batches = Seq(
+      corpus.filter(col("doc_id") % 3 === 0),
+      corpus.filter(col("doc_id") % 3 === 1),
+      corpus.filter(col("doc_id") % 3 === 2))
+    val qs = Seq((0L, Seq("cat", "dog")), (1L, Seq("fish")))
+    val full = Retrieval.bm25TopK(corpus, qs, k = 5).collect().toSeq
+    val inc = Retrieval.bm25TopKIncremental(batches, qs, k = 5).collect().toSeq
+    inc shouldBe full
+  }
+
+  test("incremental bm25 tolerates an empty batch") {
+    val batches = Seq(corpus, corpus.filter(col("doc_id") < 0))
+    val qs = Seq((0L, Seq("dog")))
+    Retrieval.bm25TopKIncremental(batches, qs, k = 5).collect().toSeq shouldBe
+      Retrieval.bm25TopK(corpus, qs, k = 5).collect().toSeq
+  }
+
+  test("bm25 plan prunes postings via broadcast query join") {
+    val plan = Retrieval.bm25TopK(corpus, Seq((0L, Seq("cat"))), k = 3)
+      .queryExecution.executedPlan.toString()
+    plan should include("BroadcastHashJoin")
+    // the only nested-loop is the 1-row corpus-stats broadcast cross
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).length should be <= 1
+    plan should not include "CartesianProduct"
+  }
+}
