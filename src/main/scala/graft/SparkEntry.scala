@@ -3878,6 +3878,27 @@ object SparkEntry {
       // Posting-intersection AND search: group-count == n_terms over
       // the term-pruned postings. Never scans the corpus text.
       Retrieval.booleanAnd(Tables.documents(s, d), BooleanQueries)),
+    "streaming_wap_publish" -> ((s, d) =>
+      // Main head after the streaming WAP flow ([[streamingWapDir]]):
+      // micro-batch merges landed on a branch (exactly-once txns,
+      // same-id redelivery no-ops), main held still mid-stream, the
+      // audited branch fast-forward published. Oracle replays plain
+      // upsert semantics of the full update set.
+      tables.CowTable.read(s, streamingWapDir(s, d)).orderBy(col("doc_id"))),
+    "streaming_wap_history" -> ((s, d) =>
+      // Main's manifest history after the streaming publish: exactly
+      // TWO versions (create, publish) no matter how many micro-batch
+      // commits the branch absorbed — row counts from stats alone.
+      tables.CowTable.history(s, streamingWapDir(s, d))
+        .select(col("version"), col("parent"), col("n_rows"))
+        .orderBy(col("version"))),
+    "retrieval_phrase_indexed" -> ((s, d) =>
+      // Positional-index phrase search: adjacency via pos arithmetic
+      // over the staged positional postings — never scans text; the
+      // 100 TB path reads only the phrase's terms' posting buckets.
+      // Pinned against the SAME oracle as retrieval_phrase: padded
+      // containment ≡ token adjacency by the tokenizer's contract.
+      Retrieval.phraseSearchIndexed(Tables.documents(s, d), "hash join")),
     "retrieval_phrase" -> ((s, d) =>
       // Exact-phrase containment: a pure string predicate evaluated in
       // the scan (filter pushdown carries it to parquet row groups).
@@ -4185,6 +4206,59 @@ object SparkEntry {
       }.count(): Unit // drain the replay sink; reads go through the manifest
       dir.toString
     })
+  /** Once-per-(process, sf dir) STREAMING write-audit-publish: the
+    * ingest stream merges its micro-batches into a BRANCH (exactly-
+    * once via (app, batchId) txns — each batch also replays a
+    * same-id redelivery that must no-op), main stays untouched while
+    * the stream runs, then the drained branch passes the audit gate
+    * and fast-forward publishes. The production shape: continuous
+    * ingest lands on an isolated ref; main only ever moves by an
+    * audited, atomic publish.
+    */
+  private def streamingWapDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#wapstream", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_wapstr_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val root = dir.toString
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      tables.CowTable.create(base, root, "doc_id", buckets = 8)
+      tables.CowTable.createBranch(s, root, "ingest")
+      val br = tables.CowTable.branchRoot(root, "ingest")
+      graft.streaming.DocReplay.runWithBatchId(s, base, s"$d#wapstream") {
+        (batch, batchId) =>
+          val changed = batch.filter(col("doc_id") % 5 === 2)
+          val upd = changed
+            .select(col("doc_id"), (col("n_chars") + 7000L).as("n_chars"),
+              col("source"))
+            .unionByName(changed.select(
+              (col("doc_id") + 40000000L).as("doc_id"), col("n_chars"),
+              col("source")))
+          val (m, _, _) = tables.CowTable.merge(
+            s, br, upd, "doc_id", txn = Some(("wapingest", batchId)))
+          val (mr, _, _) = tables.CowTable.merge(
+            s, br, upd, "doc_id", txn = Some(("wapingest", batchId)))
+          require(mr.version == m.version,
+            s"redelivered branch batch $batchId must not mint a version")
+          require(tables.CowTable.currentVersion(root) == 1,
+            "main must not move while the ingest stream runs")
+          import s.implicits._
+          Seq(m.version.toLong).toDF("version")
+      }.count(): Unit
+      // the WAP gate: audit the drained branch, then publish
+      require(tables.CowTable.read(s, br)
+        .filter(col("n_chars") < 0 || col("n_chars").isNull).isEmpty,
+        "ingest audit gate failed")
+      tables.CowTable.publishBranch(s, root, "ingest")
+      tables.CowTable.dropBranch(root, "ingest")
+      root
+    })
+
   private val lmModelCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -9895,6 +9969,38 @@ object SparkEntry {
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
        FROM hit JOIN sizes USING (query_id)
        WHERE n_hit = n_terms ORDER BY query_id, doc_id"""),
+    "streaming_wap_publish" ->
+      """WITH upd AS (
+           SELECT doc_id, n_chars + 7000 AS n_chars, source
+           FROM documents WHERE doc_id % 5 = 2
+           UNION ALL
+           SELECT doc_id + 40000000, n_chars, source
+           FROM documents WHERE doc_id % 5 = 2),
+         merged AS (
+           SELECT d.doc_id, COALESCE(u.n_chars, d.n_chars) AS n_chars,
+                  COALESCE(u.source, d.source) AS source
+           FROM documents d LEFT JOIN upd u USING (doc_id)
+           UNION ALL
+           SELECT u.doc_id, u.n_chars, u.source
+           FROM upd u LEFT JOIN documents d USING (doc_id)
+           WHERE d.doc_id IS NULL)
+         SELECT doc_id, n_chars, source FROM merged ORDER BY doc_id""",
+    "streaming_wap_history" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         i AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM documents WHERE doc_id % 5 = 2)
+         SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+                c.n AS n_rows FROM c
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), c.n + i.n
+         FROM c CROSS JOIN i
+         ORDER BY version""",
+    "retrieval_phrase_indexed" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE text IS NOT NULL
+           AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
+                        ' hash join ')
+         ORDER BY doc_id""",
     "retrieval_phrase" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE text IS NOT NULL

@@ -185,6 +185,47 @@ object Retrieval {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Positional postings: one row per token OCCURRENCE (doc, position,
+    * term) — the classic positional inverted index. Staged like
+    * [[postingsStaged]]; term-bucketed in production so a phrase query
+    * reads only its own terms' buckets.
+    */
+  def positionalPostingsStaged(docs: DataFrame): DataFrame =
+    Stage.relation("retrieval.pospostings", Seq(docs)) {
+      docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "term")
+    }
+
+  /** Index-backed exact phrase search: adjacency via position
+    * arithmetic over [[positionalPostingsStaged]] — the i-th phrase
+    * word must sit at `anchor_pos + i`. Semantically ≡ [[phraseSearch]]
+    * (tokens are whitespace-delimited, so padded containment IS token
+    * adjacency — the driver gate pins both against the same oracle),
+    * but this variant never scans document text: at 100 TB the joins
+    * touch only the phrase's terms' posting buckets, each join keyed
+    * skinny on (doc_id, pos). Repeated words self-join the same
+    * posting bucket at shifted offsets — correct by the same
+    * arithmetic.
+    */
+  def phraseSearchIndexed(docs: DataFrame, phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty, "empty phrase")
+    val p = positionalPostingsStaged(docs)
+    val anchor = p.filter(col("term") === words.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = words.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(
+          p.filter(col("term") === w)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.select(col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reciprocal-rank fusion of a lexical (BM25) candidate list and a
     * vector (cosine top-k) candidate list: each query's fused score is
     * Σ 1/(kRrf + rank) over the sources that surfaced the doc. Rank

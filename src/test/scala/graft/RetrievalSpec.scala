@@ -88,6 +88,35 @@ class RetrievalSpec extends SparkSpec with Matchers {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 2L)
   }
 
+  test("phraseSearchIndexed ≡ phraseSearch, including repeated words") {
+    val df = Seq(
+      (0L, "hash join wins", 14L),
+      (1L, "join hash wins", 14L),
+      (2L, "hash  join", 10L),
+      (3L, "hash nothing join", 17L),
+      (4L, null.asInstanceOf[String], 0L),
+      (5L, "go go go", 8L),
+      (6L, "go stop go go", 13L),
+      (7L, "go go", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    def both(phrase: String): (Set[Long], Set[Long]) = (
+      Retrieval.phraseSearch(df, phrase)
+        .select("doc_id").as[Long].collect().toSet,
+      Retrieval.phraseSearchIndexed(df, phrase)
+        .select("doc_id").as[Long].collect().toSet)
+    val (s1, i1) = both("hash join")
+    i1 shouldBe s1
+    i1 shouldBe Set(0L, 2L)
+    // tripled word: needs THREE adjacent occurrences (self-join at
+    // shifted offsets) — doc 6 has "go go" twice but never "go go go"
+    val (s2, i2) = both("go go go")
+    i2 shouldBe s2
+    i2 shouldBe Set(5L)
+    val (s3, i3) = both("go go")
+    i3 shouldBe s3
+    i3 shouldBe Set(5L, 6L, 7L)
+  }
+
   test("hybridRrf fuses ranks with 1/(60+r) arithmetic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -85,7 +85,11 @@ CLAIMED_LINEAR = ["dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
                   # merge-on-read delete (sidecar write, no rewrite)
                   # should be ~flat like fixed_batch.
                   "cow_merge_fixed_batch", "cow_merge_scaled_batch",
-                  "cow_delete_mor_batch"]
+                  "cow_delete_mor_batch",
+                  # r13 retrieval: postings build is one scan + one agg
+                  # (linear); scoring touches only query-term postings.
+                  # compression_ratio is a pure row-local pass.
+                  "bm25_topk", "bm25_incremental", "compression_ratio"]
 CELL_QUADRATIC = []
 DEFAULT_QUERIES = CLAIMED_LINEAR + CELL_QUADRATIC
 
