@@ -3874,6 +3874,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 2)),
         RetrievalQueries, k = 10)
     }),
+    "retrieval_eval_bm25" -> ((s, d) => {
+      // Ranked-retrieval evaluation: nDCG@10 / MRR / recall@10 of the
+      // bm25_topk run against qrels DERIVED from the corpus (rel =
+      // #query terms present). The only transcendental (log2 rank
+      // discount) is quantized once per position; DCG sums are exact
+      // integers. Evaluation is rank-bounded — free at any corpus
+      // scale once run + qrels exist.
+      val docs = Tables.documents(s, d)
+      Retrieval.evalMetrics(
+        Retrieval.bm25TopK(docs, RetrievalQueries, k = 10),
+        Retrieval.relevanceFromTerms(docs, RetrievalQueries), k = 10)
+    }),
     "retrieval_boolean_and" -> ((s, d) =>
       // Posting-intersection AND search: group-count == n_terms over
       // the term-pruned postings. Never scans the corpus text.
@@ -5253,6 +5265,86 @@ object SparkEntry {
               CAST(rn AS BIGINT) AS rank,
               CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
        FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
+
+  /** nDCG/MRR/recall oracle over the bm25 run: the scored/agg CTEs are
+    * bm25Sql's verbatim; qrels derive from the distinct query terms;
+    * the log2 discount quantizes exactly as the Scala side
+    * (`round(1e12/(ln(r+1)/ln 2))` — ln over exact integer args). */
+  private def retrievalEvalSql(qs: Seq[(Long, Seq[String])], k: Int): String = {
+    val gainDisc = (rankCol: String) =>
+      s"""((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) *
+          CAST(round(1000000000000.0 /
+            (ln(CAST($rankCol AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)"""
+    s"""WITH $RetrievalPostingsCtes,
+       q(query_id, term) AS (VALUES ${sqlTermValues(qs)}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       run AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT)
+                  AS rank
+         FROM agg QUALIFY rank <= $k),
+       qd(query_id, term) AS (VALUES ${sqlTermValues(
+        qs.map { case (qid, ts) => (qid, ts.distinct) })}),
+       qrels AS (
+         SELECT CAST(qd.query_id AS BIGINT) AS query_id, p.doc_id,
+                CAST(count(*) AS BIGINT) AS rel
+         FROM p JOIN qd USING (term) GROUP BY 1, 2),
+       judged AS (
+         SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+         FROM run r LEFT JOIN qrels qr
+           ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+       perq AS (
+         SELECT query_id,
+                CAST(sum(${gainDisc("rank")}) AS BIGINT) AS dcg_q,
+                min(CASE WHEN rel > 0 THEN rank END) AS fr,
+                CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hit_topk
+         FROM judged GROUP BY 1),
+       ideal AS (
+         SELECT query_id, CAST(sum(${gainDisc("rn")}) AS BIGINT) AS idcg_q
+         FROM (SELECT query_id, rel,
+                      CAST(row_number() OVER (
+                        PARTITION BY query_id ORDER BY rel DESC, doc_id)
+                        AS BIGINT) AS rn
+               FROM qrels QUALIFY rn <= $k)
+         GROUP BY 1),
+       nrel AS (
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM qrels GROUP BY 1)
+       SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel, p.n_hit_topk,
+              COALESCE(p.fr, 0) AS first_rel_rank,
+              CASE WHEN COALESCE(p.fr, 0) > 0
+                   THEN 1.0 / CAST(p.fr AS DOUBLE) ELSE 0.0 END AS rr,
+              CASE WHEN COALESCE(n.n_rel, 0) > 0
+                   THEN CAST(p.n_hit_topk AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+                   ELSE 0.0 END AS recall_at_k,
+              p.dcg_q, COALESCE(i.idcg_q, 0) AS idcg_q,
+              CASE WHEN COALESCE(i.idcg_q, 0) > 0
+                   THEN CAST(p.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE)
+                   ELSE 0.0 END AS ndcg
+       FROM perq p
+       LEFT JOIN ideal i USING (query_id)
+       LEFT JOIN nrel n USING (query_id)
+       ORDER BY query_id"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -9954,6 +10046,7 @@ object SparkEntry {
          SELECT 'wap', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
          ORDER BY branch""",
     "bm25_topk" -> bm25Sql(RetrievalQueries, 10),
+    "retrieval_eval_bm25" -> retrievalEvalSql(RetrievalQueries, 10),
     // incremental ≡ full rebuild: the roll-forward index must produce
     // exactly the full-corpus ranking, so the oracle IS bm25_topk's
     "bm25_incremental" -> bm25Sql(RetrievalQueries, 10),

@@ -226,6 +226,76 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** Graded relevance judgments DERIVED from the corpus: rel(q, d) =
+    * how many of q's distinct terms appear in d (1..n; docs matching
+    * no term are absent — standard sparse qrels). Self-contained
+    * ground truth both engines can replay, which is what makes the
+    * evaluation row hash-checkable.
+    */
+  def relevanceFromTerms(docs: DataFrame,
+                         queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val q = queryRelation(docs, queries).distinct()
+    postingsStaged(docs)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+  }
+
+  /** Ranked-retrieval evaluation: nDCG@k, MRR and recall@k per query.
+    *
+    * Exactness discipline: the only transcendental is the log2 rank
+    * discount — quantized ONCE per position as
+    * `disc_q = round(1e12 / (ln(rank+1)/ln(2)))` (ln over exact
+    * integer args, mirrored operation-for-operation in the oracle);
+    * gains `2^rel − 1` are exact integers, so DCG/IDCG are exact
+    * integer sums and `ndcg = dcg_q / idcg_q` is one deterministic
+    * double division. Both inputs are rank-bounded relations
+    * (queries×k and queries×|rel docs|) — evaluation costs nothing at
+    * any corpus scale once the run and qrels exist.
+    */
+  def evalMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    def discQ(rank: org.apache.spark.sql.Column) =
+      round(lit(1e12d) /
+        (log(rank.cast("double") + 1.0d) / log(lit(2.0d)))).cast("long")
+    val gain = (expr("shiftleft(1, CAST(rel AS INT))") - 1).cast("long")
+    val topk = run.filter(col("rank") <= k)
+    val judged = topk.join(qrels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val perQ = judged.groupBy(col("query_id")).agg(
+      sum(gain * discQ(col("rank"))).as("dcg_q"),
+      min(when(col("rel") > 0, col("rank"))).as("__fr"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit_topk"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val ideal = qrels
+      .withColumn("__rn", row_number().over(wIdeal).cast("long"))
+      .filter(col("__rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(gain * discQ(col("__rn"))).as("idcg_q"))
+    val nRel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    perQ
+      .join(ideal, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hit_topk"),
+        coalesce(col("__fr"), lit(0L)).as("first_rel_rank"),
+        when(coalesce(col("__fr"), lit(0L)) > 0,
+          lit(1.0d) / col("__fr").cast("double")).otherwise(lit(0.0d))
+          .as("rr"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          col("n_hit_topk").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0d)).as("recall_at_k"),
+        col("dcg_q"),
+        coalesce(col("idcg_q"), lit(0L)).as("idcg_q"),
+        when(coalesce(col("idcg_q"), lit(0L)) > 0,
+          col("dcg_q").cast("double") / col("idcg_q").cast("double"))
+          .otherwise(lit(0.0d)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Reciprocal-rank fusion of a lexical (BM25) candidate list and a
     * vector (cosine top-k) candidate list: each query's fused score is
     * Σ 1/(kRrf + rank) over the sources that surfaced the doc. Rank

@@ -348,7 +348,8 @@ class PlanContractSpec extends SparkSpec {
       // in as a broadcast cross; postings⋈query and postings⋈df are
       // broadcast hash joins (hybrid composes bm25 + the brute-cosine
       // whitelisted query cross)
-      "bm25_topk", "bm25_incremental", "hybrid_rrf_topk")
+      "bm25_topk", "bm25_incremental", "hybrid_rrf_topk",
+      "retrieval_eval_bm25")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.queries.toSeq

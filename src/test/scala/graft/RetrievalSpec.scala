@@ -165,6 +165,45 @@ class RetrievalSpec extends SparkSpec with Matchers {
       Retrieval.bm25TopK(corpus, qs, k = 5).collect().toSeq
   }
 
+  test("evalMetrics: hand-computed nDCG/MRR/recall on a fixed run") {
+    val run = Seq( // query 0: ranks 1..3
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (0L, 13L, 4L)) // rank 4 excluded at k=3
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq( // doc 11 rel=2, doc 12 rel=1, doc 99 rel=3 (missed)
+      (0L, 11L, 2L), (0L, 12L, 1L), (0L, 99L, 3L), (0L, 13L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val m = Retrieval.evalMetrics(run, qrels, k = 3).collect().head
+    def disc(r: Int): Long =
+      math.round(1e12 / (math.log(r + 1.0) / math.log(2.0)))
+    // DCG: rank1 rel0 → 0; rank2 rel2 → 3·disc(2); rank3 rel1 → 1·disc(3)
+    val dcg = 3L * disc(2) + 1L * disc(3)
+    // ideal top-3 by (rel desc, doc_id): 99(rel3), 11(rel2), 12(rel1)
+    val idcg = 7L * disc(1) + 3L * disc(2) + 1L * disc(3)
+    m.getAs[Long]("dcg_q") shouldBe dcg
+    m.getAs[Long]("idcg_q") shouldBe idcg
+    m.getAs[Double]("ndcg") shouldBe dcg.toDouble / idcg.toDouble
+    m.getAs[Long]("n_rel") shouldBe 4L
+    m.getAs[Long]("n_hit_topk") shouldBe 2L
+    m.getAs[Long]("first_rel_rank") shouldBe 2L
+    m.getAs[Double]("rr") shouldBe 0.5
+    m.getAs[Double]("recall_at_k") shouldBe 0.5
+  }
+
+  test("evalMetrics: perfect run scores ndcg 1, no-rel run scores 0") {
+    val qrels = Seq((0L, 1L, 2L), (0L, 2L, 1L)).toDF("query_id", "doc_id", "rel")
+    val perfect = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val mPerfect = Retrieval.evalMetrics(perfect, qrels, k = 5).collect().head
+    mPerfect.getAs[Double]("ndcg") shouldBe 1.0
+    mPerfect.getAs[Double]("rr") shouldBe 1.0
+    mPerfect.getAs[Double]("recall_at_k") shouldBe 1.0
+    val miss = Seq((0L, 7L, 1L), (0L, 8L, 2L)).toDF("query_id", "doc_id", "rank")
+    val mMiss = Retrieval.evalMetrics(miss, qrels, k = 5).collect().head
+    mMiss.getAs[Double]("ndcg") shouldBe 0.0
+    mMiss.getAs[Long]("first_rel_rank") shouldBe 0L
+    mMiss.getAs[Double]("rr") shouldBe 0.0
+  }
+
   test("bm25 plan prunes postings via broadcast query join") {
     val plan = Retrieval.bm25TopK(corpus, Seq((0L, Seq("cat"))), k = 3)
       .queryExecution.executedPlan.toString()
