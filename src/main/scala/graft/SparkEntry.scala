@@ -3874,6 +3874,14 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 2)),
         RetrievalQueries, k = 10)
     }),
+    "mmr_rerank" -> ((s, d) =>
+      // Diversified top-6 over cosine top-12 candidates: greedy MMR
+      // (λ=0.5) per query in a candidate-bounded flatMapGroups; the
+      // oracle unrolls the six selection steps as chained CTEs. At
+      // scale the candidate generator (IVF/LSH) does the heavy work;
+      // MMR itself touches queries×kCand rows.
+      Retrieval.mmrRerank(Tables.embeddings(s, d), Seq(0L, 1L, 2L),
+        kCand = 12, k = 6)),
     "retrieval_eval_bm25" -> ((s, d) => {
       // Ranked-retrieval evaluation: nDCG@10 / MRR / recall@10 of the
       // bm25_topk run against qrels DERIVED from the corpus (rel =
@@ -5344,6 +5352,68 @@ object SparkEntry {
        LEFT JOIN ideal i USING (query_id)
        LEFT JOIN nrel n USING (query_id)
        ORDER BY query_id"""
+  }
+
+  /** MMR oracle: the greedy selection unrolls into k chained CTEs
+    * (the knn_pagerank iterative-SQL pattern) — step t's argmax reads
+    * the union of steps 1..t−1; every float op (cosines, 0.5·rel −
+    * 0.5·maxsim) mirrors the Scala kernel operation-for-operation. */
+  private def mmrSql(queryIds: Seq[Long], kCand: Int, k: Int): String = {
+    val ids = queryIds.mkString(", ")
+    val base = s"""WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e
+               WHERE vec_id IN ($ids)),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS doc_id, e.emb,
+                  list_cosine_similarity(e.emb, q.query_emb) AS rel
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         cand AS (
+           SELECT * FROM scored
+           QUALIFY row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, doc_id) <= $kCand),
+         sim AS (
+           SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+                  list_cosine_similarity(a.emb, b.emb) AS s
+           FROM cand a JOIN cand b
+             ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+         sel1 AS (
+           SELECT query_id, doc_id, 0.5 * rel - 0.5 * 0.0 AS score
+           FROM cand
+           QUALIFY row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY (0.5 * rel - 0.5 * 0.0) DESC, doc_id) = 1),
+         acc1 AS (SELECT query_id, doc_id, CAST(1 AS BIGINT) AS mmr_rank,
+                         score FROM sel1)"""
+    val steps = (2 to k).map { t =>
+      val prev = s"acc${t - 1}"
+      s""",
+         ms$t AS (
+           SELECT si.query_id, si.da AS doc_id, max(si.s) AS ms
+           FROM sim si JOIN $prev sp
+             ON sp.query_id = si.query_id AND sp.doc_id = si.db
+           GROUP BY 1, 2),
+         sc$t AS (
+           SELECT c.query_id, c.doc_id, 0.5 * c.rel - 0.5 * m.ms AS score
+           FROM cand c JOIN ms$t m
+             ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM $prev a
+                             WHERE a.query_id = c.query_id
+                               AND a.doc_id = c.doc_id)),
+         sel$t AS (
+           SELECT query_id, doc_id, score FROM sc$t
+           QUALIFY row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) = 1),
+         acc$t AS (SELECT * FROM $prev
+                   UNION ALL
+                   SELECT query_id, doc_id, CAST($t AS BIGINT), score
+                   FROM sel$t)"""
+    }.mkString
+    base + steps +
+      s"""
+       SELECT query_id, doc_id, mmr_rank, score FROM acc$k
+       ORDER BY query_id, mmr_rank"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -10047,6 +10117,7 @@ object SparkEntry {
          ORDER BY branch""",
     "bm25_topk" -> bm25Sql(RetrievalQueries, 10),
     "retrieval_eval_bm25" -> retrievalEvalSql(RetrievalQueries, 10),
+    "mmr_rerank" -> mmrSql(Seq(0L, 1L, 2L), 12, 6),
     // incremental ≡ full rebuild: the roll-forward index must produce
     // exactly the full-corpus ranking, so the oracle IS bm25_topk's
     "bm25_incremental" -> bm25Sql(RetrievalQueries, 10),

@@ -296,6 +296,91 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** Maximal Marginal Relevance: greedily re-rank each query's
+    * candidate list for diversity —
+    * `score(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` with the max
+    * taken as 0.0 while S is empty, ties on (score, doc_id asc).
+    *
+    * Candidates are the brute-cosine top-`kCand` per query (rel =
+    * cosine to the query vector). The greedy selection is inherently
+    * sequential PER QUERY, so it runs in `flatMapGroups` over the
+    * candidate-bounded group (kCand rows × 64 floats — never corpus
+    * data; the justified tier-(d) fallback, like the binary codecs).
+    * Every float op mirrors the engine's cosine kernel
+    * ([[graft.functions.CosineSimilarity]]'s clamp + double
+    * accumulation), so the k-step-unrolled DuckDB oracle reproduces
+    * scores bit-for-bit.
+    */
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long], kCand: Int = 12,
+                k: Int = 6, lambda: Double = 0.5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id").isin(queryIds: _*)), kCand)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").as("rel"), col("embedding"))
+      .as[(Long, Long, Double, Seq[Float])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val embs = cs.map(_._4.toArray)
+        val nSel = math.min(k, cs.length)
+        val selected = new Array[Boolean](cs.length)
+        // true running max of cos(d, s) over selected s — may be
+        // NEGATIVE (embeddings anticorrelate); 0.0 only while S empty
+        val maxSim = Array.fill(cs.length)(Double.NegativeInfinity)
+        val out = new Array[(Long, Long, Long, Double)](nSel)
+        var step = 0
+        while (step < nSel) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < cs.length) {
+            if (!selected(i)) {
+              val ms = if (step == 0) 0.0 else maxSim(i)
+              val score = lambda * cs(i)._3 - (1.0 - lambda) * ms
+              if (best < 0 || score > bestScore ||
+                (score == bestScore && cs(i)._2 < cs(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          selected(best) = true
+          out(step) = (qid, cs(best)._2, step + 1L, bestScore)
+          i = 0
+          while (i < cs.length) {
+            if (!selected(i)) {
+              val s = Retrieval.cosineF(embs(i), embs(best))
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "doc_id", "mmr_rank", "score")
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** Float-array cosine mirroring
+    * [[graft.functions.CosineSimilarity.cosine]] exactly (double
+    * accumulation over float inputs, clamped to [−1, 1]). */
+  private[operators] def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+  }
+
   /** Reciprocal-rank fusion of a lexical (BM25) candidate list and a
     * vector (cosine top-k) candidate list: each query's fused score is
     * Σ 1/(kRrf + rank) over the sources that surfaced the doc. Rank

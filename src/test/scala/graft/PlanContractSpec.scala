@@ -349,7 +349,10 @@ class PlanContractSpec extends SparkSpec {
       // broadcast hash joins (hybrid composes bm25 + the brute-cosine
       // whitelisted query cross)
       "bm25_topk", "bm25_incremental", "hybrid_rrf_topk",
-      "retrieval_eval_bm25")
+      "retrieval_eval_bm25",
+      // MMR candidates come from the whitelisted brute-cosine query
+      // cross; the greedy itself is candidate-bounded flatMapGroups
+      "mmr_rerank")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val offenders = SparkEntry.queries.toSeq

@@ -204,6 +204,47 @@ class RetrievalSpec extends SparkSpec with Matchers {
     mMiss.getAs[Double]("rr") shouldBe 0.0
   }
 
+  test("mmrRerank defers near-duplicates in favor of diverse hits") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+    }
+    val q = Array(1f, 0f, 0f)
+    val a = Array(0.9f, 0.1f, 0f) // best hit
+    val b = Array(0.89f, 0.12f, 0f) // near-dup of a
+    val c = Array(0.5f, -0.5f, 0f) // diverse, lower rel
+    val emb = Seq(
+      (0L, q.toSeq, 0), (10L, a.toSeq, 0), (11L, b.toSeq, 0), (12L, c.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.mmrRerank(emb, Seq(0L), kCand = 3, k = 3)
+      .select("doc_id", "mmr_rank", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // rank 1: pure relevance argmax (a); rank 2: the DIVERSE c beats
+    // the near-dup b despite b's higher rel; rank 3: b last
+    got.map(_._1).toSeq shouldBe Seq(10L, 12L, 11L)
+    // scores match the hand formula at every step
+    got(0)._3 shouldBe (0.5 * cos(a, q) - 0.5 * 0.0)
+    got(1)._3 shouldBe (0.5 * cos(c, q) - 0.5 * cos(c, a))
+    got(2)._3 shouldBe (0.5 * cos(b, q) - 0.5 * math.max(cos(b, a), cos(b, c)))
+  }
+
+  test("mmrRerank is deterministic under re-partitioning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r1 = Retrieval.mmrRerank(emb, Seq(0L, 1L), kCand = 8, k = 4)
+      .collect().toSeq
+    val r2 = Retrieval.mmrRerank(emb.repartition(7), Seq(0L, 1L),
+      kCand = 8, k = 4).collect().toSeq
+    r2 shouldBe r1
+    r1.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      g.map(_.getAs[Long]("doc_id")).distinct.length shouldBe 4
+    }
+  }
+
   test("bm25 plan prunes postings via broadcast query join") {
     val plan = Retrieval.bm25TopK(corpus, Seq((0L, Seq("cat"))), k = 3)
       .queryExecution.executedPlan.toString()
