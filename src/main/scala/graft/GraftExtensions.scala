@@ -125,6 +125,12 @@ object GraftExtensions {
       "psl_registered_domain(host) - registered (pay-level) domain under " +
         "the Public Suffix List rules; NULL for invalid or suffix-only hosts") {
       args => PslRegisteredDomain(args(0))
+    },
+    entry("deflate_size",
+      "deflate_size(text) - raw-DEFLATE byte count of the UTF-8 bytes " +
+        "(level 6, nowrap); deflate_size(t)/octet_length(t) is the " +
+        "compression-ratio quality signal") {
+      args => graft.functions.DeflateSize(args(0))
     })
     // (BigramProfileScores stays engine-internal: it is parameterized
     // by the language-profile table langId owns, not a standalone

@@ -3874,6 +3874,25 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 2)),
         RetrievalQueries, k = 10)
     }),
+    "bm25_indexed" -> ((s, d) =>
+      // BM25 over the PERSISTED term-bucketed inverted index: the
+      // scoring plan is bm25_topk's verbatim, but postings come from
+      // the index tree with only the query terms' buckets opened —
+      // the stored-artifact form of the retrieval family. Same oracle
+      // as bm25_topk (the index must not change a single score bit).
+      tables.InvertedIndex.bm25TopK(s, invIndexDir(s, d),
+        RetrievalQueries, k = 10)),
+    "bm25_indexed_skip_check" -> ((s, d) => {
+      // The skip HAPPENS: bucket-read counts from the actual pruned
+      // path list vs the oracle's derivation from the same md5
+      // term→bucket rule (cow_zorder_skip_check's pattern).
+      val terms = RetrievalQueries.flatMap(_._2).distinct
+      val (_, read, skipped) =
+        tables.InvertedIndex.postingsFor(s, invIndexDir(s, d), terms)
+      import s.implicits._
+      Seq((terms.length.toLong, read.toLong, skipped.toLong))
+        .toDF("n_terms", "buckets_read", "buckets_skipped")
+    }),
     "mmr_rerank" -> ((s, d) =>
       // Diversified top-6 over cosine top-12 candidates: greedy MMR
       // (λ=0.5) per query in a candidate-bounded flatMapGroups; the
@@ -4277,6 +4296,22 @@ object SparkEntry {
       tables.CowTable.publishBranch(s, root, "ingest")
       tables.CowTable.dropBranch(root, "ingest")
       root
+    })
+
+  /** Once-per-(process, sf dir) persisted inverted index. */
+  private val invIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def invIndexDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.InvertedIndex.write(Tables.documents(s, d), dir.toString)
+      dir.toString
     })
 
   private val lmModelCache =
@@ -10118,6 +10153,22 @@ object SparkEntry {
     "bm25_topk" -> bm25Sql(RetrievalQueries, 10),
     "retrieval_eval_bm25" -> retrievalEvalSql(RetrievalQueries, 10),
     "mmr_rerank" -> mmrSql(Seq(0L, 1L, 2L), 12, 6),
+    // the persisted index must reproduce bm25_topk bit-for-bit
+    "bm25_indexed" -> bm25Sql(RetrievalQueries, 10),
+    "bm25_indexed_skip_check" ->
+      """WITH t(term) AS (VALUES ('vector'), ('stream'), ('hash'),
+                          ('customer'), ('order'), ('dup'), ('join')),
+         b AS (
+           SELECT DISTINCT
+                  list_reduce([strpos('0123456789abcdef', x) - 1
+                               for x in [substr(md5(term), i, 1)
+                                         for i in range(1, 9)]],
+                              (a, c) -> a * 16 + c) % 64 AS tb
+           FROM t)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_terms,
+                CAST(count(*) AS BIGINT) AS buckets_read,
+                CAST(64 - count(*) AS BIGINT) AS buckets_skipped
+         FROM b""",
     // incremental ≡ full rebuild: the roll-forward index must produce
     // exactly the full-corpus ranking, so the oracle IS bm25_topk's
     "bm25_incremental" -> bm25Sql(RetrievalQueries, 10),

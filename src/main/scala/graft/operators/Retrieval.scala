@@ -91,7 +91,7 @@ object Retrieval {
     scoreBm25(postingsStaged(docs), termStatsStaged(docs),
       corpusStatsStaged(docs), queries, k, k1, b)
 
-  private def scoreBm25(p: DataFrame, termStats: DataFrame,
+  private[graft] def scoreBm25(p: DataFrame, termStats: DataFrame,
                         corpusStats: DataFrame,
                         queries: Seq[(Long, Seq[String])],
                         k: Int, k1: Double, b: Double): DataFrame = {

@@ -54,6 +54,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val rd = spark.sql(
       "SELECT psl_registered_domain('a.b.site.co.uk') AS d").as[String].head()
     assert(rd === "site.co.uk")
+
+    val dz = spark.sql(
+      "SELECT deflate_size(repeat('ab', 128)) AS z").as[Long].head()
+    assert(dz === graft.functions.DeflateSize.compressedSize(
+      ("ab" * 128).getBytes("UTF-8")))
   }
 
   test("SQL functions agree with the Column API") {
@@ -83,11 +88,11 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extensions class exposes the same registration list") {
     assert(GraftExtensions.registrations.map(_._1.funcName).sorted === Seq(
       "bloom_agg", "bloom_might_contain", "canonical_url",
-      "cosine_similarity", "minhash_band_keys", "nearest_centroid",
-      "nfc_normalize", "polyline_decode", "polyline_encode",
-      "psl_registered_domain", "repetition_stats", "rolling_hash",
-      "simhash64", "sorted_intersect_count", "srp_buckets",
-      "word_ngrams", "word_shingle_hashes"))
+      "cosine_similarity", "deflate_size", "minhash_band_keys",
+      "nearest_centroid", "nfc_normalize", "polyline_decode",
+      "polyline_encode", "psl_registered_domain", "repetition_stats",
+      "rolling_hash", "simhash64", "sorted_intersect_count",
+      "srp_buckets", "word_ngrams", "word_shingle_hashes"))
     // the injection class instantiates cleanly (deployment path:
     // --conf spark.sql.extensions=graft.GraftExtensions)
     new GraftExtensions()

@@ -284,6 +284,8 @@ class PlanContractSpec extends SparkSpec {
         n == "ann_index_append" ||
         n == "lm_model_persisted" ||
         n == "csv_roundtrip" || n == "orc_roundtrip" ||
+        // persisted-inverted-index reads: first touch writes the index
+        n.startsWith("bm25_indexed") ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")
