@@ -3938,6 +3938,12 @@ object SparkEntry {
       // Pinned against the SAME oracle as retrieval_phrase: padded
       // containment ≡ token adjacency by the tokenizer's contract.
       Retrieval.phraseSearchIndexed(Tables.documents(s, d), "hash join")),
+    "retrieval_phrase_positions" -> ((s, d) =>
+      // Occurrence report for the highlighter: first 1-based token
+      // position + match count per doc, pure position arithmetic over
+      // the same pruned postings as the indexed search. The oracle
+      // recomputes positions with 1-based list filtering.
+      Retrieval.phraseOccurrences(Tables.documents(s, d), "hash join")),
     "retrieval_phrase" -> ((s, d) =>
       // Exact-phrase containment: a pure string predicate evaluated in
       // the scan (filter pushdown carries it to parquet row groups).
@@ -10216,6 +10222,20 @@ object SparkEntry {
            AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
                         ' hash join ')
          ORDER BY doc_id""",
+    "retrieval_phrase_positions" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id,
+                  list_filter(range(1, len(w)),
+                              i -> w[i] = 'hash' AND w[i+1] = 'join') AS hits
+           FROM t)
+         SELECT doc_id, CAST(hits[1] AS BIGINT) AS first_pos,
+                CAST(len(hits) AS BIGINT) AS n_matches
+         FROM m WHERE len(hits) > 0 ORDER BY doc_id""",
     "retrieval_phrase" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE text IS NOT NULL

@@ -208,23 +208,42 @@ object Retrieval {
     * posting bucket at shifted offsets — correct by the same
     * arithmetic.
     */
-  def phraseSearchIndexed(docs: DataFrame, phrase: String): DataFrame = {
+  def phraseSearchIndexed(docs: DataFrame, phrase: String): DataFrame =
+    phraseAnchors(docs, phrase)
+      .select(col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Anchor positions (0-based token index of each phrase START) —
+    * the shared relation behind indexed phrase search and occurrence
+    * reporting. */
+  private def phraseAnchors(docs: DataFrame, phrase: String): DataFrame = {
     val words = phrase.trim.split("\\s+").toSeq
     require(words.nonEmpty && words.head.nonEmpty, "empty phrase")
     val p = positionalPostingsStaged(docs)
     val anchor = p.filter(col("term") === words.head)
       .select(col("doc_id"), col("pos"))
-    val matched = words.zipWithIndex.drop(1).foldLeft(anchor) {
+    words.zipWithIndex.drop(1).foldLeft(anchor) {
       case (acc, (w, i)) =>
         acc.join(
           p.filter(col("term") === w)
             .select(col("doc_id"), (col("pos") - i).as("pos")),
           Seq("doc_id", "pos"))
     }
-    matched.select(col("doc_id")).distinct()
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Phrase occurrence report per matching doc: 1-based token
+    * position of the FIRST match and the total match count — the
+    * relation a highlighter/snippet generator consumes. Same pruned
+    * positional-postings path as [[phraseSearchIndexed]]; match
+    * arithmetic only, text never re-scanned.
+    */
+  def phraseOccurrences(docs: DataFrame, phrase: String): DataFrame =
+    phraseAnchors(docs, phrase)
+      .groupBy(col("doc_id"))
+      .agg((min(col("pos")) + 1L).cast("long").as("first_pos"),
+        count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
 
   /** Graded relevance judgments DERIVED from the corpus: rel(q, d) =
     * how many of q's distinct terms appear in d (1..n; docs matching

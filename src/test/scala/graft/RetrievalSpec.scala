@@ -204,6 +204,21 @@ class RetrievalSpec extends SparkSpec with Matchers {
     mMiss.getAs[Double]("rr") shouldBe 0.0
   }
 
+  test("phraseOccurrences: 1-based first position and exact counts") {
+    val df = Seq(
+      (0L, "hash join wins hash join", 24L), // matches at tokens 1 and 4
+      (1L, "x hash join", 11L), // match at token 2
+      (2L, "join hash", 9L), // no match
+      (3L, "go go go", 8L) // overlapping: "go go" at 1 and 2
+    ).toDF("doc_id", "text", "n_chars")
+    val hj = Retrieval.phraseOccurrences(df, "hash join")
+      .as[(Long, Long, Long)].collect().toSeq
+    hj shouldBe Seq((0L, 1L, 2L), (1L, 2L, 1L))
+    val gg = Retrieval.phraseOccurrences(df, "go go")
+      .as[(Long, Long, Long)].collect().toSeq
+    gg shouldBe Seq((3L, 1L, 2L))
+  }
+
   test("mmrRerank defers near-duplicates in favor of diverse hits") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
