@@ -3827,6 +3827,20 @@ object SparkEntry {
             .as("n_classified"))
         .orderBy(col("class"))
     }),
+    // ---- shallow clones ----------------------------------------------
+    "cow_clone_read" -> ((s, d) =>
+      // A shallow clone taken AT the lifecycle's v2: zero data copy,
+      // v1-of-clone ≡ v2-of-source byte-for-byte (shares
+      // cow_merge_upsert's oracle). Source and clone then evolve
+      // independently — the source's own cow_* rows staying green in
+      // the same run IS the isolation pin.
+      tables.CowTable.read(s, cowCloneDir(s, d), Some(1))
+        .orderBy(col("doc_id"))),
+    "cow_clone_evolved" -> ((s, d) =>
+      // The clone's own v2 (a 9000-bump upsert for doc_id<10) applied
+      // over the cloned v2 state — writes landed under the CLONE's
+      // root only; oracle replays both upsert layers.
+      tables.CowTable.read(s, cowCloneDir(s, d)).orderBy(col("doc_id"))),
     // ---- write-audit-publish branches -------------------------------
     "cow_wap_publish" -> ((s, d) =>
       // Main head after the WAP flow: the audited branch's merge is
@@ -4073,6 +4087,27 @@ object SparkEntry {
       tables.CowTable.publishBranch(s, root, "wap")
       tables.CowTable.dropBranch(root, "wap")
       (root, badNeg, wapNeg)
+    })
+
+  /** Once-per-(process, sf dir) shallow clone of the COW lifecycle at
+    * v2, then one clone-side upsert — proving zero-copy cloning and
+    * write independence (the clone's data dirs live under its root).
+    */
+  private def cowCloneDir(s: SparkSession, d: String): String =
+    cowCache.getOrElseUpdate(s"$d#clone", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cow_clone_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.CowTable.cloneAt(s, cowTableDir(s, d), dir.toString, Some(2))
+      val upd = Tables.documents(s, d).filter(col("doc_id") < 10)
+        .select(col("doc_id"), (col("n_chars") + 9000L).as("n_chars"),
+          col("source"))
+      tables.CowTable.merge(s, dir.toString, upd, "doc_id")
+      dir.toString
     })
 
   /** Once-per-(process, sf dir) STRING-keyed copy-on-write lifecycle:
@@ -5456,6 +5491,23 @@ object SparkEntry {
        SELECT query_id, doc_id, mmr_rank, score FROM acc$k
        ORDER BY query_id, mmr_rank"""
   }
+
+  /** Plain-SQL replay of the COW lifecycle's v2 upsert — shared by
+    * cow_merge_upsert (the snapshot itself) and cow_clone_read (a
+    * shallow clone at v2 must read back identically). */
+  private val CowUpsertV2Sql: String =
+    """WITH upd AS (
+         SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
+         FROM documents WHERE doc_id < 50
+         UNION ALL
+         SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+         FROM documents WHERE doc_id < 20)
+       SELECT doc_id, n_chars, source FROM (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+         UNION ALL
+         SELECT * FROM upd)
+       ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -7725,18 +7777,30 @@ object SparkEntry {
     // Upsert semantics replayed generically (anti ∪ updates) — the
     // same drop-set at any re-scale, even if a re-scaled corpus
     // already contains the insert keys.
-    "cow_merge_upsert" ->
+    "cow_merge_upsert" -> CowUpsertV2Sql,
+    // a shallow clone AT v2 must read back exactly the source's v2
+    "cow_clone_read" -> CowUpsertV2Sql,
+    "cow_clone_evolved" ->
       """WITH upd AS (
            SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars, source
            FROM documents WHERE doc_id < 50
            UNION ALL
            SELECT doc_id + 25000000 AS doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
-           FROM documents WHERE doc_id < 20)
+           FROM documents WHERE doc_id < 20),
+         v2 AS (
+           SELECT doc_id, n_chars, source FROM (
+             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+             FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+             UNION ALL
+             SELECT * FROM upd)),
+         cupd AS (
+           SELECT doc_id, CAST(n_chars + 9000 AS BIGINT) AS n_chars, source
+           FROM documents WHERE doc_id < 10)
          SELECT doc_id, n_chars, source FROM (
-           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
-           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           SELECT doc_id, n_chars, source FROM v2
+           WHERE doc_id NOT IN (SELECT doc_id FROM cupd)
            UNION ALL
-           SELECT * FROM upd)
+           SELECT * FROM cupd)
          ORDER BY doc_id""",
     "cow_delete" ->
       """WITH upd AS (

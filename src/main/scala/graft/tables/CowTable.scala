@@ -1151,6 +1151,49 @@ object CowTable {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Shallow clones (Delta-style CLONE): an INDEPENDENT table whose v1
+  // manifest copies a source snapshot — zero data copy; the clone's
+  // own writes land under its root, the source never sees them, and
+  // each evolves its own version line (unlike a branch, a clone is
+  // never published back). The source records its clones in
+  // `_clones.json` so vacuum() keeps files a live clone still
+  // references; deleting the clone's directory detaches it (vacuum
+  // skips missing roots).
+  // ---------------------------------------------------------------
+
+  private def clonesPath(root: String) = Paths.get(s"$root/_clones.json")
+
+  /** Clone roots recorded against `root`, pruned to those still on
+    * disk with at least one manifest. */
+  def listClones(root: String): Seq[String] = {
+    if (!Files.exists(clonesPath(root))) return Seq.empty
+    val body = new String(Files.readAllBytes(clonesPath(root)), "UTF-8")
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(body) \ "clones") match {
+      case JArray(xs) =>
+        xs.map(_.extract[String]).filter(r => versions(r).nonEmpty)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Shallow-clone `srcRoot`'s snapshot (default: latest) into a new
+    * independent table at `dstRoot`. O(manifest) metadata; returns the
+    * clone's v1 manifest. */
+  def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String,
+              version: Option[Int] = None): Manifest = {
+    require(versions(dstRoot).isEmpty, s"clone target $dstRoot not empty")
+    val m = readManifest(spark, srcRoot,
+      version.getOrElse(currentVersion(srcRoot)))
+    Files.createDirectories(Paths.get(dstRoot))
+    commit(dstRoot, m.copy(version = 1, parent = 0))
+    val recorded = listClones(srcRoot) :+ dstRoot
+    Files.write(clonesPath(srcRoot),
+      s"""{"clones": [${recorded.distinct.map(jstr).mkString(", ")}]}"""
+        .getBytes("UTF-8"))
+    readManifest(spark, dstRoot, 1)
+  }
+
   /** Delete the branch: its manifests and every still-branch-local
     * file. Published data was re-homed under main and is unaffected;
     * unpublished work dies here by design (the "abandon" arm of WAP). */
@@ -1186,7 +1229,9 @@ object CowTable {
       }.toSet
     val referenced = referencedBy(root, keepFrom) ++
       listBranches(root).flatMap(b =>
-        referencedBy(branchRoot(root, b), 1))
+        referencedBy(branchRoot(root, b), 1)) ++
+      // live shallow clones keep their referenced source files too
+      listClones(root).flatMap(c => referencedBy(c, 1))
     def rmTree(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
     }

@@ -115,6 +115,58 @@ class CowBranchSpec extends SparkSpec {
       .apply(10L) === 3L)
   }
 
+  test("shallow clone: zero-copy snapshot, then independent evolution") {
+    val root = freshRoot()
+    val cl = freshRoot() + "/clone"
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.merge(spark, root, Seq((3L, 33L)).toDF("doc_id", "v"), "doc_id")
+    val m = CowTable.cloneAt(spark, root, cl, Some(2))
+    // zero data copy: the clone's v1 entries ARE the source's v2 paths
+    assert(m.entries.map(_.path) ===
+      CowTable.readManifest(spark, root, 2).entries.map(_.path))
+    assert(CowTable.read(spark, cl).as[(Long, Long)].collect().toMap
+      .apply(3L) === 33L)
+    // clone evolves; source does not see it
+    CowTable.merge(spark, cl, Seq((5L, 500L)).toDF("doc_id", "v"), "doc_id")
+    assert(CowTable.read(spark, cl).as[(Long, Long)].collect().toMap
+      .apply(5L) === 500L)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(5L) === 35L)
+    // source evolves; clone does not see it
+    CowTable.merge(spark, root, Seq((7L, 700L)).toDF("doc_id", "v"), "doc_id")
+    assert(CowTable.read(spark, cl).as[(Long, Long)].collect().toMap
+      .apply(7L) === 49L)
+    // clone target must be empty
+    intercept[IllegalArgumentException] {
+      CowTable.cloneAt(spark, root, cl)
+    }
+    assert(CowTable.listClones(root) === Seq(cl))
+  }
+
+  test("vacuum on the source keeps files a live clone references") {
+    val root = freshRoot()
+    val cl = freshRoot() + "/clone"
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.cloneAt(spark, root, cl)
+    // churn the source so v1's buckets become source-unreferenced
+    (1 to 3).foreach { i =>
+      CowTable.merge(spark, root,
+        Seq((10L, i.toLong)).toDF("doc_id", "v"), "doc_id")
+    }
+    CowTable.vacuum(spark, root, retainVersions = 1)
+    val got = CowTable.read(spark, cl).as[(Long, Long)].collect().toMap
+    assert(got(10L) === 70L && got.size === 100)
+    // a deleted clone detaches: the same vacuum may then collect
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(cl))
+    val (dirs, _) = CowTable.vacuum(spark, root, retainVersions = 1)
+    assert(dirs > 0)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+      .apply(10L) === 3L)
+  }
+
   test("WAP audit loop: failing gate abandons, passing gate publishes") {
     val root = freshRoot()
     CowTable.create(base, root, "doc_id", buckets = 4)
