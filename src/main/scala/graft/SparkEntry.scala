@@ -3970,7 +3970,58 @@ object SparkEntry {
       // queries×k-sized — driver-trivial at any corpus scale.
       Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
         HybridQueries, kLex = 20, kAnn = 20, k = 10)),
+    "hybrid_rrf_indexed" -> ((s, d) =>
+      // The SERVING-path hybrid: both arms read their persisted index
+      // — lexical candidates from the term-bucketed inverted index
+      // (only the query terms' buckets open), dense candidates from
+      // the IVF cell tree (only probed partitions read). Full probe
+      // (nprobe = nlist = 16) keeps the dense arm ≡ brute force, so
+      // this shares hybrid_rrf_topk's oracle verbatim — the index
+      // composition must not change a single fused rank. At 100 TB
+      // nprobe drops and query cost is index-buckets, never corpus.
+      Retrieval.hybridRrfIndexed(s, invIndexDir(s, d), vectorIndexDir(s, d),
+        Tables.embeddings(s, d), HybridQueries, kLex = 20, kAnn = 20,
+        k = 10, nprobe = 16)),
+    "mmr_rerank_indexed" -> ((s, d) =>
+      // MMR with candidates nominated by the persisted IVF index probe
+      // instead of a corpus scan (the greedy kernel is candidate-set
+      // deterministic, so full probe shares mmr_rerank's oracle
+      // bit-for-bit). The plan the verdict asked for: nothing in the
+      // query path touches unprobed cells or the embedding corpus
+      // beyond the kCand candidate fetch.
+      Retrieval.mmrRerankIndexed(s, vectorIndexDir(s, d),
+        Tables.embeddings(s, d), Seq(0L, 1L, 2L), kCand = 12, k = 6,
+        nprobe = 16)),
+    "bm25_indexed_append" -> ((s, d) =>
+      // On-disk roll-forward index maintenance: the persisted index
+      // built on ⅔ of the corpus, the remaining third APPENDED as a
+      // posting/df/corpus increment (standing trees never touched —
+      // InvertedIndexSpec pins the files byte-identical), readers
+      // merge additively. Shares bm25_topk's oracle verbatim:
+      // append-then-query ≡ full-rebuild bit-for-bit, the disk form
+      // of bm25_incremental's contract.
+      tables.InvertedIndex.bm25TopK(s, invIndexAppendDir(s, d),
+        RetrievalQueries, k = 10)),
+    "retrieval_phrase_persisted" -> ((s, d) =>
+      // Phrase search over the PERSISTED positions tree: only the
+      // phrase words' positional buckets open, the anchor fold runs
+      // on stored rows, and matching docs fetch n_chars by id — the
+      // 100 TB phrase path end to end. Same oracle as
+      // retrieval_phrase (the stored tree must not change a match).
+      tables.InvertedIndex.phraseSearch(s, invIndexDir(s, d),
+        Tables.documents(s, d), "hash join")),
+    "retrieval_snippets" -> ((s, d) =>
+      // The highlighter: a ±3-token window around each matching doc's
+      // first occurrence, re-materialized row-locally from the doc's
+      // own tokens (chunk_documents' list-slicing discipline, so the
+      // oracle replays it exactly). Occurrence discovery is the
+      // pruned positional path; only matching docs touch their text.
+      Retrieval.snippets(Tables.documents(s, d), "hash join", window = 3)),
   )
+
+  /** Bucket count of the persisted inverted indexes — shared with the
+    * skip-check oracle so the two can never desynchronize. */
+  private val InvIndexBuckets: Int = 64
 
   /** Term queries for the retrieval rows: 'dup' is the corpus's one
     * rare term (df≈5% of docs) — it exercises the high-idf path the
@@ -4351,7 +4402,29 @@ object SparkEntry {
         }
         rm(dir.toFile)
       }))
-      tables.InvertedIndex.write(Tables.documents(s, d), dir.toString)
+      tables.InvertedIndex.write(Tables.documents(s, d), dir.toString,
+        buckets = InvIndexBuckets, positions = true)
+      dir.toString
+    })
+
+  /** Persisted inverted index built on ⅔ of the corpus then rolled
+    * FORWARD with the remaining third via [[tables.InvertedIndex
+    * .append]] — per (process, sf dir), the maintenance lifecycle
+    * bm25_indexed_append queries. */
+  private def invIndexAppendDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#append", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_app_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+      tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
+        dir.toString)
+      tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
+        dir.toString)
       dir.toString
     })
 
@@ -5433,9 +5506,19 @@ object SparkEntry {
   /** MMR oracle: the greedy selection unrolls into k chained CTEs
     * (the knn_pagerank iterative-SQL pattern) — step t's argmax reads
     * the union of steps 1..t−1; every float op (cosines, 0.5·rel −
-    * 0.5·maxsim) mirrors the Scala kernel operation-for-operation. */
+    * 0.5·maxsim) mirrors the Scala kernel operation-for-operation.
+    * The cosine is SPELLED OUT as the kernel's literal IEEE tree —
+    * `clamp(dot / (sqrt(Σa²) · sqrt(Σb²)))`, sequential double
+    * accumulation — rather than relying on `list_cosine_similarity`
+    * happening to implement the same tree (it does: bit-identical on
+    * 20k random double-vector trials, but the chained greedy steps
+    * would cascade a last-ulp divergence into a different selection
+    * order, so the mirror must be literal, not coincidental). */
   private def mmrSql(queryIds: Seq[Long], kCand: Int, k: Int): String = {
     val ids = queryIds.mkString(", ")
+    def cosSql(a: String, b: String): String =
+      s"""greatest(-1.0, least(1.0, list_dot_product($a, $b) /
+            (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))))"""
     val base = s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
@@ -5443,7 +5526,7 @@ object SparkEntry {
                WHERE vec_id IN ($ids)),
          scored AS (
            SELECT q.query_id, e.vec_id AS doc_id, e.emb,
-                  list_cosine_similarity(e.emb, q.query_emb) AS rel
+                  ${cosSql("e.emb", "q.query_emb")} AS rel
            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
          cand AS (
            SELECT * FROM scored
@@ -5451,7 +5534,7 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY rel DESC, doc_id) <= $kCand),
          sim AS (
            SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
-                  list_cosine_similarity(a.emb, b.emb) AS s
+                  ${cosSql("a.emb", "b.emb")} AS s
            FROM cand a JOIN cand b
              ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
          sel1 AS (
@@ -10225,19 +10308,22 @@ object SparkEntry {
     "mmr_rerank" -> mmrSql(Seq(0L, 1L, 2L), 12, 6),
     // the persisted index must reproduce bm25_topk bit-for-bit
     "bm25_indexed" -> bm25Sql(RetrievalQueries, 10),
+    // Terms and bucket count DERIVED from the same constants the query
+    // uses (RetrievalQueries / InvIndexBuckets) — an edit to either
+    // re-generates the oracle instead of silently desynchronizing it.
     "bm25_indexed_skip_check" ->
-      """WITH t(term) AS (VALUES ('vector'), ('stream'), ('hash'),
-                          ('customer'), ('order'), ('dup'), ('join')),
+      s"""WITH t(term) AS (VALUES ${RetrievalQueries.flatMap(_._2).distinct
+              .map(t => s"('$t')").mkString(", ")}),
          b AS (
            SELECT DISTINCT
                   list_reduce([strpos('0123456789abcdef', x) - 1
                                for x in [substr(md5(term), i, 1)
                                          for i in range(1, 9)]],
-                              (a, c) -> a * 16 + c) % 64 AS tb
+                              (a, c) -> a * 16 + c) % $InvIndexBuckets AS tb
            FROM t)
          SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_terms,
                 CAST(count(*) AS BIGINT) AS buckets_read,
-                CAST(64 - count(*) AS BIGINT) AS buckets_skipped
+                CAST($InvIndexBuckets - count(*) AS BIGINT) AS buckets_skipped
          FROM b""",
     // incremental ≡ full rebuild: the roll-forward index must produce
     // exactly the full-corpus ranking, so the oracle IS bm25_topk's
@@ -10306,7 +10392,57 @@ object SparkEntry {
            AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
                         ' hash join ')
          ORDER BY doc_id""",
-    "hybrid_rrf_topk" ->
+    "hybrid_rrf_topk" -> HybridRrfOracleSql,
+    // The indexed twin MUST reproduce the scan-backed hybrid exactly:
+    // full probe makes the dense candidate set identical and the
+    // inverted index must not change a score bit — same oracle.
+    "hybrid_rrf_indexed" -> HybridRrfOracleSql,
+    // Same contract for the index-probed MMR: candidate-set equality
+    // under full probe ⇒ identical greedy selection.
+    "mmr_rerank_indexed" -> mmrSql(Seq(0L, 1L, 2L), 12, 6),
+    // Append-then-query must equal full-rebuild bit-for-bit: the
+    // on-disk roll-forward shares the from-scratch BM25 oracle.
+    "bm25_indexed_append" -> bm25Sql(RetrievalQueries, 10),
+    // The persisted positions tree must not change a single match:
+    // same padded-containment oracle as retrieval_phrase.
+    "retrieval_phrase_persisted" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE text IS NOT NULL
+           AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
+                        ' hash join ')
+         ORDER BY doc_id""",
+    "retrieval_snippets" ->
+      // The highlighter's window replayed with 1-based list slicing —
+      // the same occurrence CTE as retrieval_phrase_positions, then
+      // greatest/least clamps and an inclusive slice (snip_end =
+      // first_pos + len(phrase) - 1 + window = first_pos + 4 here).
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, w,
+                  list_filter(range(1, len(w)),
+                              i -> w[i] = 'hash' AND w[i+1] = 'join') AS hits
+           FROM t),
+         o AS (
+           SELECT doc_id, w, CAST(hits[1] AS BIGINT) AS first_pos,
+                  CAST(len(hits) AS BIGINT) AS n_matches
+           FROM m WHERE len(hits) > 0),
+         s AS (
+           SELECT doc_id, first_pos, n_matches,
+                  greatest(1, first_pos - 3) AS snip_start,
+                  least(CAST(len(w) AS BIGINT), first_pos + 4) AS snip_end, w
+           FROM o)
+         SELECT doc_id, first_pos, n_matches,
+                CAST(snip_start AS BIGINT) AS snip_start,
+                CAST(snip_end AS BIGINT) AS snip_end,
+                array_to_string(w[snip_start:snip_end], ' ') AS snippet
+         FROM s ORDER BY doc_id""",
+  )
+
+  private lazy val HybridRrfOracleSql: String =
       (s"""WITH $RetrievalPostingsCtes,
        q(query_id, term) AS (VALUES ${sqlTermValues(HybridQueries)}),
        scored AS (
@@ -10361,6 +10497,5 @@ object SparkEntry {
            PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
          FROM fused QUALIFY rank <= 10)
        SELECT query_id, doc_id, lex_rank, ann_rank, rrf, rank
-       FROM out ORDER BY query_id, rank"""),
-  )
+       FROM out ORDER BY query_id, rank""")
 }

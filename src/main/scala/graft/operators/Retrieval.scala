@@ -219,8 +219,15 @@ object Retrieval {
     * reporting. */
   private def phraseAnchors(docs: DataFrame, phrase: String): DataFrame = {
     val words = phrase.trim.split("\\s+").toSeq
+    phraseAnchorsFrom(positionalPostingsStaged(docs), words)
+  }
+
+  /** The anchor fold over ANY positional-posting relation
+    * (term, doc_id, pos) — shared by the staged path and the
+    * persisted positions tree ([[graft.tables.InvertedIndex]]). */
+  private[graft] def phraseAnchorsFrom(p: DataFrame,
+                                       words: Seq[String]): DataFrame = {
     require(words.nonEmpty && words.head.nonEmpty, "empty phrase")
-    val p = positionalPostingsStaged(docs)
     val anchor = p.filter(col("term") === words.head)
       .select(col("doc_id"), col("pos"))
     words.zipWithIndex.drop(1).foldLeft(anchor) {
@@ -244,6 +251,35 @@ object Retrieval {
       .agg((min(col("pos")) + 1L).cast("long").as("first_pos"),
         count(lit(1)).as("n_matches"))
       .orderBy(col("doc_id"))
+
+  /** Snippet/highlight generation — the consumer of
+    * [[phraseOccurrences]]: each matching doc re-materializes a token
+    * window of `window` tokens either side of its FIRST match
+    * (clamped to the document), joined back to text form with single
+    * spaces (the tokenizer's whitespace-run convention makes that
+    * lossless in token space — the chunk_documents list-slicing
+    * discipline, so the DuckDB oracle replays it exactly).
+    *
+    * 100 TB shape: occurrence discovery is the pruned positional-
+    * postings path (phrase-term buckets only); ONLY matching docs
+    * fetch their text, by id — a candidates-sized join against the
+    * store, never a corpus scan — and the window slice is row-local.
+    */
+  def snippets(docs: DataFrame, phrase: String, window: Int = 3): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    val start = greatest(lit(1L), col("first_pos") - window)
+    val end = least(size(col("__toks")).cast("long"),
+      col("first_pos") + lit((words.length - 1 + window).toLong))
+    phraseOccurrences(docs, phrase)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("first_pos"), col("n_matches"),
+        tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("first_pos"), col("n_matches"),
+        start.as("snip_start"), end.as("snip_end"),
+        array_join(slice(col("__toks"), start.cast("int"),
+          (end - start + 1L).cast("int")), " ").as("snippet"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Graded relevance judgments DERIVED from the corpus: rel(q, d) =
     * how many of q's distinct terms appear in d (1..n; docs matching
@@ -331,11 +367,44 @@ object Retrieval {
     * scores bit-for-bit.
     */
   def mmrRerank(emb: DataFrame, queryIds: Seq[Long], kCand: Int = 12,
-                k: Int = 6, lambda: Double = 0.5): DataFrame = {
+                k: Int = 6, lambda: Double = 0.5): DataFrame =
+    mmrFromCandidates(emb,
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id").isin(queryIds: _*)), kCand),
+      k, lambda)
+
+  /** MMR over candidates drawn from the PERSISTED IVF index
+    * ([[graft.tables.VectorIndex]]) instead of a corpus scan — the
+    * serving-path composition: the index probe nominates `kCand` rows
+    * per query reading only probed cell partitions, then the same
+    * greedy kernel as [[mmrRerank]] diversifies them. With
+    * `nprobe == nlist` the candidate set is EXACTLY brute force's
+    * (probing every cell reads every vector), so this pins against
+    * mmr_rerank's oracle bit-for-bit; production drops nprobe and the
+    * plan cost becomes nprobe/nlist of the store, never the corpus.
+    */
+  def mmrRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, emb: DataFrame,
+                       queryIds: Seq[Long], kCand: Int = 12, k: Int = 6,
+                       lambda: Double = 0.5, nprobe: Int = 16): DataFrame =
+    mmrFromCandidates(emb,
+      graft.tables.VectorIndex.topK(spark, indexDir,
+        emb.filter(col("vec_id").isin(queryIds: _*)), kCand, nprobe),
+      k, lambda)
+
+  /** The greedy MMR kernel over an already-nominated candidate list
+    * (query_id, vec_id, cosine) — shared by the brute-force and
+    * index-probed front ends. Candidates fetch their float vectors
+    * from `emb` by id (candidates-at-a-time, never a corpus scan);
+    * the in-memory sort on (−rel, doc_id) makes the result
+    * independent of candidate row order, so ANY generator producing
+    * the same candidate SET produces the same rerank.
+    */
+  private[graft] def mmrFromCandidates(emb: DataFrame, candidates: DataFrame,
+                                       k: Int, lambda: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cands = Similarity
-      .bruteForceTopK(emb, emb.filter(col("vec_id").isin(queryIds: _*)), kCand)
+    val cands = candidates
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("cosine").as("rel"), col("embedding"))
@@ -418,11 +487,47 @@ object Retrieval {
                 queries: Seq[(Long, Seq[String])],
                 kLex: Int = 20, kAnn: Int = 20, kRrf: Int = 60,
                 k: Int = 10): DataFrame = {
-    val lex = bm25TopK(docs, queries, kLex)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val qIds = queries.map(_._1)
-    val annRaw = Similarity.bruteForceTopK(
-      emb, emb.filter(col("vec_id").isin(qIds: _*)), kAnn)
+    rrfFuse(
+      bm25TopK(docs, queries, kLex),
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id").isin(qIds: _*)), kAnn),
+      kRrf, k)
+  }
+
+  /** RRF hybrid search over the PERSISTED artifacts — both arms read
+    * their stored index, never the corpus: lexical candidates from the
+    * term-bucketed inverted index ([[graft.tables.InvertedIndex]],
+    * only the query terms' posting buckets open) and dense candidates
+    * from the IVF cell tree ([[graft.tables.VectorIndex]], only probed
+    * cell partitions read). With `nprobe == nlist` the dense candidate
+    * list is EXACTLY the brute-force one, so this pins against
+    * hybrid_rrf_topk's oracle bit-for-bit; at 100 TB nprobe drops and
+    * the query cost is (query-term buckets) + (nprobe/nlist of cells).
+    */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       invIndexRoot: String, vecIndexDir: String,
+                       emb: DataFrame, queries: Seq[(Long, Seq[String])],
+                       kLex: Int = 20, kAnn: Int = 20, kRrf: Int = 60,
+                       k: Int = 10, nprobe: Int = 16): DataFrame = {
+    val qIds = queries.map(_._1)
+    rrfFuse(
+      graft.tables.InvertedIndex.bm25TopK(spark, invIndexRoot, queries, kLex),
+      graft.tables.VectorIndex.topK(spark, vecIndexDir,
+        emb.filter(col("vec_id").isin(qIds: _*)), kAnn, nprobe),
+      kRrf, k)
+  }
+
+  /** Fusion core shared by the scan-backed and index-backed hybrid
+    * paths: rank the dense arm (cosine desc, vec_id — the generators'
+    * own ordering, so rank assignment is generator-independent for
+    * equal candidate sets), full-outer join the two rank lists, and
+    * sum reciprocal ranks. Every input is queries×k-sized.
+    */
+  private[graft] def rrfFuse(lexTopK: DataFrame, annRaw: DataFrame,
+                             kRrf: Int, k: Int): DataFrame = {
+    val lex = lexTopK
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val wAnn = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     val ann = annRaw

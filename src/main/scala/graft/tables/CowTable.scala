@@ -1088,11 +1088,26 @@ object CowTable {
       .filter(d => d.isDirectory && versions(d.getPath).nonEmpty)
       .map(_.getName).sorted
 
-  /** Move every branch-local version directory under the main tree
-    * and return the entries with their paths re-homed. Version dirs
-    * carry a fresh-UUID suffix, so names never collide under main. */
-  private def rehome(entries: Seq[Entry], br: String,
-                     root: String): Seq[Entry] = {
+  /** The entries with branch-local paths rewritten to their main-tree
+    * locations — pure path arithmetic, no filesystem effects. Version
+    * dirs carry a fresh-UUID suffix, so names never collide under
+    * main. */
+  private def rehomedEntries(entries: Seq[Entry], br: String,
+                             root: String): Seq[Entry] = {
+    def patch(p: String): String =
+      if (p == null) null
+      else if (p.startsWith(s"$br/")) s"$root/${p.stripPrefix(s"$br/")}"
+      else p
+    entries.map(e => e.copy(path = patch(e.path), dv = patch(e.dv),
+      bloom = patch(e.bloom)))
+  }
+
+  /** Move every branch-local version directory named by `entries`
+    * under the main tree. Each move is a same-filesystem directory
+    * rename (atomic per dir); already-moved dirs are skipped, so a
+    * crashed publish resumes by re-running it. */
+  private def moveRehomed(entries: Seq[Entry], br: String,
+                          root: String): Unit = {
     def moveTree(sub: String, paths: Seq[String]): Unit = {
       val prefix = s"$br/$sub/"
       paths.filter(_.startsWith(prefix))
@@ -1109,24 +1124,29 @@ object CowTable {
     moveTree("data", entries.map(_.path))
     moveTree("dv", entries.collect { case e if e.dv != null => e.dv })
     moveTree("bloom", entries.collect { case e if e.bloom != null => e.bloom })
-    def patch(p: String): String =
-      if (p == null) null
-      else if (p.startsWith(s"$br/")) s"$root/${p.stripPrefix(s"$br/")}"
-      else p
-    entries.map(e => e.copy(path = patch(e.path), dv = patch(e.dv),
-      bloom = patch(e.bloom)))
   }
 
   /** Fast-forward main to the branch head (the "publish" of WAP).
     *
     * Contract: main's head must still be the branch's base snapshot —
     * anything else throws [[BranchDivergedException]] (a fast-forward
-    * over later main commits would drop them; rebase is the caller's
-    * decision, e.g. re-branch + re-apply). Branch-local files are
-    * re-homed into main's data tree FIRST and the branch head is
-    * re-committed against the re-homed paths, so a lost publish race
-    * leaves the branch fully readable and the moved files referenced
-    * (vacuum is branch-aware). Returns the new main version. */
+    * over later main commits would drop them; [[rebaseBranch]] replays
+    * the branch's net changes onto the new head, and
+    * [[publishBranchRebasing]] loops the two under OCC).
+    *
+    * Crash/vacuum safety — the ordering matters: the branch head is
+    * re-committed against the RE-HOMED paths BEFORE any file moves.
+    * From that commit on, the branch's manifest history references
+    * every moved dir at both its old location (versions ≤ head) and
+    * its new one (head+1), and [[vacuum]]'s referenced set spans the
+    * branch's full history — so no instant exists where a moved dir is
+    * referenced by no manifest (the previous move-first ordering had
+    * exactly that window, in which a concurrent vacuum(root) could
+    * delete the only copy). Each move is an atomic per-dir rename; a
+    * crash mid-publish is recovered by RE-RUNNING publish (already-
+    * moved dirs are skipped, the re-homed commit is idempotent), and
+    * until the moves finish the branch stays fully readable at its
+    * pre-publish version. Returns the new main version. */
   def publishBranch(spark: SparkSession, root: String,
                     name: String): Int = {
     val br = branchRoot(root, name)
@@ -1136,10 +1156,11 @@ object CowTable {
       throw new BranchDivergedException(
         s"main at v$cur but branch $name forked from v$base")
     val head = readManifest(spark, br, currentVersion(br))
-    val rehomed = rehome(head.entries, br, root)
+    val rehomed = rehomedEntries(head.entries, br, root)
     if (rehomed != head.entries)
       commit(br, head.copy(version = head.version + 1,
         parent = head.version, entries = rehomed))
+    moveRehomed(head.entries, br, root)
     try {
       commit(root, head.copy(version = base + 1, parent = base,
         entries = rehomed))
@@ -1149,6 +1170,66 @@ object CowTable {
         throw new BranchDivergedException(
           s"main advanced to v${e.version} during publish of $name")
     }
+  }
+
+  /** REBASE the branch onto main's current head: the branch's NET
+    * row-level changes against its base snapshot (one [[changefeed]]
+    * diff v1→head — carried entries cancel, so the delta is
+    * churn-sized, never table-sized) replay onto a fresh fork of
+    * main's head as one merge (upserts) + one delete. Overlapping
+    * keys resolve branch-wins — standard rebase semantics; main
+    * commits on keys the branch never touched are preserved because
+    * the new fork starts from main's head. The delta parquet-stages
+    * under the branch tree before the old branch drops (its files are
+    * the delta's backing store), and the staging dir has no manifest,
+    * so [[listBranches]]/[[vacuum]] never see it as a branch. Returns
+    * the new base version. */
+  def rebaseBranch(spark: SparkSession, root: String, name: String,
+                   keyCol: String): Int = {
+    val br = branchRoot(root, name)
+    val head = currentVersion(br)
+    val newBase = currentVersion(root)
+    val m = readManifest(spark, br, head)
+    val dataCols = m.schema.fieldNames.filter(_ != keyCol).toSeq
+    val (feed, _, _) = changefeed(spark, br, keyCol, 1, head)
+    val tmp = s"$root/_branches/.rebase_$name"
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    feed.filter(col("op") =!= "delete")
+      .select(col(keyCol) +: dataCols.map(c => col(s"new_$c").as(c)): _*)
+      .write.parquet(s"$tmp/upserts")
+    feed.filter(col("op") === "delete").select(col(keyCol))
+      .write.parquet(s"$tmp/deletes")
+    dropBranch(root, name)
+    createBranch(spark, root, name, Some(newBase))
+    val ups = spark.read.parquet(s"$tmp/upserts")
+    if (!ups.isEmpty) merge(spark, br, ups, keyCol): Unit
+    val dels = spark.read.parquet(s"$tmp/deletes")
+    if (!dels.isEmpty) delete(spark, br, dels, keyCol): Unit
+    rm(new java.io.File(tmp))
+    newBase
+  }
+
+  /** Publish with rebase-retry under OCC: fast-forward if main never
+    * moved; otherwise rebase onto the new head and try again — the
+    * same contend-and-retry discipline as [[merge]]'s OCC loop, at
+    * branch granularity. Returns the new main version. */
+  def publishBranchRebasing(spark: SparkSession, root: String,
+                            name: String, keyCol: String,
+                            maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return publishBranch(spark, root, name)
+      catch {
+        case e: BranchDivergedException =>
+          if (attempt >= maxAttempts) throw e
+          rebaseBranch(spark, root, name, keyCol): Unit
+      }
+    }
+    -1 // unreachable
   }
 
   // ---------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.tables
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,7 +14,16 @@ import graft.operators.{Retrieval, Sampling}
   *   root/postings/__tb=<b>/   posting rows (term, doc_id, dl, tf)
   *   root/termstats/           per-term df (vocabulary-sized)
   *   root/corpus/              1 row (n_docs, sum_dl)
+  *   root/positions/__tb=<b>/  optional positional postings
+  *                             (term, doc_id, pos) for phrase queries
   *   root/_index.json          bucket count
+  *
+  * plus roll-forward APPEND artifacts (see [[append]]):
+  *
+  *   root/postings_batch_<id>/__tb=<b>/   a batch's posting increment
+  *   root/termstats_batch_<id>/           its per-term df increment
+  *   root/corpus_batch_<id>/              its 1-row corpus increment
+  *   root/positions_batch_<id>/__tb=<b>/  its positional increment
   *
   * The bucket of a term is the engine-portable md5 bucket
   * ([[Sampling.hashBucket]]) — the same 32-hex-bit idiom every
@@ -23,28 +32,105 @@ import graft.operators.{Retrieval, Sampling}
   * terms' buckets DRIVER-SIDE (a few md5s) and open only those
   * partition directories: at 100 TB a 3-term query reads 3/|buckets|
   * of the index, never the corpus and never the full posting set.
+  *
+  * Crash safety: [[write]] stages every parquet tree under a hidden
+  * `root/.staging/` dir, renames each into place (same-FS atomic
+  * per-tree moves), and writes the `_index.json` marker LAST — the
+  * index "exists" only once complete. A crashed write leaves either
+  * staging debris or marker-less trees; the next write() sweeps both
+  * and starts clean, so a partial failure can always be retried (the
+  * previous marker-last-but-no-staging layout could neither be read
+  * — bucketCount threw — nor rewritten — the trees already existed).
   */
 object InvertedIndex {
 
-  def write(docs: DataFrame, root: String, buckets: Int = 64): Unit = {
-    require(!Files.exists(Paths.get(s"$root/_index.json")),
-      s"index already exists at $root")
-    val postings = Retrieval.postingsStaged(docs)
+  private def marker(root: String): Path = Paths.get(s"$root/_index.json")
+
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
+  }
+
+  def write(docs: DataFrame, root: String, buckets: Int = 64,
+            positions: Boolean = false): Unit = {
+    require(!Files.exists(marker(root)), s"index already exists at $root")
+    // sweep debris from a crashed earlier attempt (no marker ⇒ any
+    // existing trees are partial output, not a live index)
+    Seq(".staging", "postings", "termstats", "corpus", "positions")
+      .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+    val staging = s"$root/.staging"
+    Retrieval.postingsStaged(docs)
       .withColumn("__tb", Sampling.hashBucket(col("term"), buckets))
-    postings.write.partitionBy("__tb").parquet(s"$root/postings")
-    Retrieval.termStatsStaged(docs).write.parquet(s"$root/termstats")
-    Retrieval.corpusStatsStaged(docs).write.parquet(s"$root/corpus")
-    Files.write(Paths.get(s"$root/_index.json"),
-      s"""{"buckets": $buckets}""".getBytes("UTF-8")): Unit
+      .write.partitionBy("__tb").parquet(s"$staging/postings")
+    Retrieval.termStatsStaged(docs).write.parquet(s"$staging/termstats")
+    Retrieval.corpusStatsStaged(docs).write.parquet(s"$staging/corpus")
+    if (positions)
+      Retrieval.positionalPostingsStaged(docs)
+        .withColumn("__tb", Sampling.hashBucket(col("term"), buckets))
+        .write.partitionBy("__tb").parquet(s"$staging/positions")
+    (Seq("postings", "termstats", "corpus") ++
+      (if (positions) Seq("positions") else Nil)).foreach { d =>
+      Files.move(Paths.get(s"$staging/$d"), Paths.get(s"$root/$d")): Unit
+    }
+    rmTree(new java.io.File(staging))
+    Files.write(marker(root),
+      s"""{"buckets": $buckets, "positions": $positions}"""
+        .getBytes("UTF-8")): Unit
+  }
+
+  /** Roll the persisted index FORWARD by one ingest batch — the
+    * on-disk form of [[Retrieval.bm25TopKIncremental]]'s additivity
+    * (batches carry disjoint doc sets, so postings union without
+    * collision, per-term df sums, corpus stats sum component-wise):
+    * the batch's posting/df/corpus increments write to their own
+    * roots; the STANDING trees are never read, moved, or rewritten,
+    * and readers merge additively at query time. This is the 100 TB
+    * maintenance path a daily-ingest deployment runs — mirror of
+    * [[VectorIndex.append]] on the ANN side; without it the index
+    * must rebuild from scratch per ingest.
+    *
+    * `batch` follows [[VectorIndex.append]]'s at-least-once
+    * discipline: with an id, the increments land in the batch's OWN
+    * roots with overwrite, so a redelivered micro-batch replaces its
+    * prior attempt instead of double-counting; when None, a one-shot
+    * driver append gets a fresh unique id. Positional increments are
+    * written iff the base index carries a positions tree.
+    */
+  def append(fresh: DataFrame, root: String,
+             batch: Option[String] = None): Unit = {
+    val nb = bucketCount(root)
+    val id = batch.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    Retrieval.postingsStaged(fresh)
+      .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(s"$root/postings_batch_$id")
+    Retrieval.termStatsStaged(fresh).write.mode("overwrite")
+      .parquet(s"$root/termstats_batch_$id")
+    Retrieval.corpusStatsStaged(fresh).write.mode("overwrite")
+      .parquet(s"$root/corpus_batch_$id")
+    if (hasPositions(root))
+      Retrieval.positionalPostingsStaged(fresh)
+        .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$root/positions_batch_$id")
   }
 
   def bucketCount(root: String): Int = {
-    val body = new String(
-      Files.readAllBytes(Paths.get(s"$root/_index.json")), "UTF-8")
+    val body = new String(Files.readAllBytes(marker(root)), "UTF-8")
     """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"bad _index.json at $root"))
   }
+
+  def hasPositions(root: String): Boolean =
+    Files.exists(Paths.get(s"$root/positions"))
+
+  /** Batch-append roots for `prefix` (e.g. "postings"), sorted — a
+    * driver-side directory listing, once per query plan. */
+  private def batchRoots(root: String, prefix: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
+      .map(_.getAbsolutePath).sorted
 
   /** Driver-side md5 bucket of a term — bit-identical to
     * [[Sampling.hashBucket]]'s Column form (first 8 hex chars of md5,
@@ -56,35 +142,87 @@ object InvertedIndex {
     java.lang.Long.parseLong(hex, 16) % buckets
   }
 
-  /** Postings for `terms`, reading ONLY their buckets. Returns
-    * (postings, bucketsRead, bucketsSkipped); a requested bucket with
-    * no directory (no corpus term hashed there) prunes to zero rows
-    * and still counts as read — the counts derive purely from the
-    * term→bucket rule, which is what the skip check pins. */
-  def postingsFor(spark: SparkSession, root: String,
-                  terms: Seq[String]): (DataFrame, Int, Int) = {
+  /** The rows of tree `prefix` relevant to `terms`: ONLY the terms'
+    * `__tb=` bucket dirs open, in the base tree and in every batch
+    * root (each root prunes independently). Returns (rows,
+    * bucketsRead, bucketsSkipped) counted against the base tree's
+    * bucket space; a requested bucket with no directory (no corpus
+    * term hashed there) prunes to zero rows and still counts as read
+    * — the counts derive purely from the term→bucket rule, which is
+    * what the skip check pins. */
+  private def bucketedFor(spark: SparkSession, root: String, prefix: String,
+                          terms: Seq[String]): (DataFrame, Int, Int) = {
     val nb = bucketCount(root)
     val want = terms.distinct.map(bucketOf(_, nb)).distinct.sorted
-    val paths = want.map(b => s"$root/postings/__tb=$b")
+    val roots = s"$root/$prefix" +: batchRoots(root, prefix)
+    val paths = roots.flatMap(r => want.map(b => s"$r/__tb=$b"))
       .filter(p => Files.exists(Paths.get(p)))
     val df =
       if (paths.isEmpty)
-        spark.read.parquet(s"$root/postings").limit(0).drop("__tb")
+        spark.read.parquet(s"$root/$prefix").limit(0).drop("__tb")
       else spark.read.parquet(paths: _*)
     (df.filter(col("term").isin(terms.distinct: _*)),
       want.length, nb - want.length)
   }
 
+  /** Postings for `terms`, reading ONLY their buckets (base tree +
+    * batch increments). */
+  def postingsFor(spark: SparkSession, root: String,
+                  terms: Seq[String]): (DataFrame, Int, Int) =
+    bucketedFor(spark, root, "postings", terms)
+
+  /** Positional postings for `terms`, same bucket pruning. The index
+    * must have been written with `positions = true`. */
+  def positionsFor(spark: SparkSession, root: String,
+                   terms: Seq[String]): (DataFrame, Int, Int) = {
+    require(hasPositions(root), s"index at $root has no positions tree")
+    bucketedFor(spark, root, "positions", terms)
+  }
+
+  /** Per-term df across the base tree and every appended increment —
+    * summed at read (vocabulary-sized work; disjoint batch doc sets
+    * make df purely additive). */
+  def termStats(spark: SparkSession, root: String): DataFrame =
+    batchRoots(root, "termstats")
+      .foldLeft(spark.read.parquet(s"$root/termstats"))(
+        (acc, p) => acc.unionByName(spark.read.parquet(p)))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+
+  /** Corpus stats across base + increments, summed component-wise
+    * (one row per root in flight, one row out). */
+  def corpusStats(spark: SparkSession, root: String): DataFrame =
+    batchRoots(root, "corpus")
+      .foldLeft(spark.read.parquet(s"$root/corpus"))(
+        (acc, p) => acc.unionByName(spark.read.parquet(p)))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+
   /** BM25 over the persisted index: identical scoring plan to
     * [[Retrieval.bm25TopK]], inputs read from the index tree (postings
-    * bucket-pruned; term/corpus stats are vocabulary-/1-row-sized). */
+    * bucket-pruned; term/corpus stats are vocabulary-/1-row-sized and
+    * merge any appended increments additively — append-then-query ≡
+    * rebuild-then-query bit-for-bit). */
   def bm25TopK(spark: SparkSession, root: String,
                queries: Seq[(Long, Seq[String])], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (p, _, _) = postingsFor(spark, root, queries.flatMap(_._2))
-    Retrieval.scoreBm25(p,
-      spark.read.parquet(s"$root/termstats"),
-      spark.read.parquet(s"$root/corpus"),
+    Retrieval.scoreBm25(p, termStats(spark, root), corpusStats(spark, root),
       queries, k, k1, b)
+  }
+
+  /** Exact phrase search over the PERSISTED positions tree: the same
+    * position-arithmetic fold as
+    * [[Retrieval.phraseSearchIndexed]], but the positional postings
+    * come off disk with only the phrase words' buckets open — the
+    * 100 TB phrase path reads phrase-term buckets, never document
+    * text. Matching docs then fetch (doc_id, n_chars) from the store
+    * by id — candidates-at-a-time attribute lookup, not a scan. */
+  def phraseSearch(spark: SparkSession, root: String, docs: DataFrame,
+                   phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    val (p, _, _) = positionsFor(spark, root, words)
+    Retrieval.phraseAnchorsFrom(p, words)
+      .select(col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -63,6 +63,55 @@ class CowBranchSpec extends SparkSpec {
       .collect().toMap.get(200L).isEmpty)
   }
 
+  test("rebase replays the branch's net changes onto the new head; publish then lands") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    // branch: upsert 10→999, insert 200→1, delete 20, and churn 30
+    // twice (31 then 32 — the changefeed must carry only the NET 32)
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L), (30L, 31L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.merge(spark, br, Seq((30L, 32L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.delete(spark, br, Seq(20L).toDF("doc_id"), "doc_id")
+    // meanwhile main commits: 40→444 (disjoint) and 10→111 (conflict)
+    CowTable.merge(spark, root,
+      Seq((40L, 444L), (10L, 111L)).toDF("doc_id", "v"), "doc_id")
+    intercept[CowTable.BranchDivergedException] {
+      CowTable.publishBranch(spark, root, "exp")
+    }
+    val newBase = CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    assert(newBase === CowTable.currentVersion(root))
+    val v = CowTable.publishBranch(spark, root, "exp")
+    CowTable.dropBranch(root, "exp")
+    assert(v === CowTable.currentVersion(root))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    // final state ≡ sequential: main's commit applied, then the branch
+    assert(main(40L) === 444L)           // main-only key preserved
+    assert(main(10L) === 999L)           // conflict: branch wins
+    assert(main(200L) === 1L)            // branch insert
+    assert(main(30L) === 32L)            // net of the branch's churn
+    assert(!main.contains(20L))          // branch delete
+    assert(main.size === 100)            // 100 base − 1 delete + 1 insert
+    // the rebase staging dir is gone and never looked like a branch
+    assert(CowTable.listBranches(root).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_branches/.rebase_exp")))
+  }
+
+  test("publishBranchRebasing retries through concurrent main commits") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br, Seq((5L, 555L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.merge(spark, root, Seq((6L, 666L)).toDF("doc_id", "v"), "doc_id")
+    val v = CowTable.publishBranchRebasing(spark, root, "exp", "doc_id")
+    assert(v === CowTable.currentVersion(root))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(5L) === 555L && main(6L) === 666L)
+  }
+
   test("publish refuses when main advanced past the fork point") {
     val root = freshRoot()
     CowTable.create(base, root, "doc_id", buckets = 4)

@@ -75,4 +75,84 @@ class InvertedIndexSpec extends SparkSpec with Matchers {
       .collect().toSeq
     indexed shouldBe direct
   }
+
+  /** Every file under the base trees with (size, mtime) — the
+    * untouched-standing-files fingerprint. */
+  private def treeState(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    Seq("postings", "termstats", "corpus", "positions")
+      .flatMap(d => walk(new java.io.File(s"$root/$d")))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("append rolls the index forward; standing trees byte-untouched; query ≡ rebuild") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2), root,
+      buckets = 64)
+    val before = treeState(root)
+    InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2), root)
+    treeState(root) shouldBe before // maintenance never rewrites the base
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    val full = freshRoot()
+    InvertedIndex.write(docs, full, buckets = 64)
+    InvertedIndex.bm25TopK(spark, root, qs, k = 8).collect().toSeq shouldBe
+      InvertedIndex.bm25TopK(spark, full, qs, k = 8).collect().toSeq
+  }
+
+  test("append with a batch id: a redelivered batch replaces, never double-counts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id") % 2 === 0), root,
+      buckets = 64)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    InvertedIndex.append(fresh, root, batch = Some("7"))
+    val once = InvertedIndex
+      .bm25TopK(spark, root, Seq((0L, Seq("dup", "join"))), k = 8)
+      .collect().toSeq
+    InvertedIndex.append(fresh, root, batch = Some("7")) // redelivery
+    InvertedIndex
+      .bm25TopK(spark, root, Seq((0L, Seq("dup", "join"))), k = 8)
+      .collect().toSeq shouldBe once
+    // corpus stats must not have double-counted either
+    InvertedIndex.corpusStats(spark, root)
+      .select("n_docs").as[Long].head() shouldBe docs.count()
+  }
+
+  test("crashed write leaves a retryable root; marker is written last") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = freshRoot()
+    // simulate a crash: partial trees + staging debris, NO marker
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/postings/__tb=3"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/.staging/termstats"))
+    InvertedIndex.write(docs, root, buckets = 64) // must sweep and succeed
+    val qs = Seq((0L, Seq("vector", "stream")))
+    InvertedIndex.bm25TopK(spark, root, qs, k = 5).collect().toSeq shouldBe
+      Retrieval.bm25TopK(docs, qs, k = 5).collect().toSeq
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/.staging")))
+  }
+
+  test("persisted positions: phrase search ≡ staged indexed search; appends carry positions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id") % 2 === 0), root,
+      buckets = 64, positions = true)
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), root)
+    val got = InvertedIndex.phraseSearch(spark, root, docs, "hash join")
+      .as[(Long, Long)].collect().toSeq
+    val want = Retrieval.phraseSearchIndexed(docs, "hash join")
+      .as[(Long, Long)].collect().toSeq
+    got shouldBe want
+    // an index written WITHOUT positions refuses phrase queries
+    val bare = freshRoot()
+    InvertedIndex.write(docs, bare, buckets = 64)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(spark, bare, docs, "hash join")
+    }
+  }
 }

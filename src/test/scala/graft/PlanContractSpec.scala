@@ -286,6 +286,10 @@ class PlanContractSpec extends SparkSpec {
         n == "csv_roundtrip" || n == "orc_roundtrip" ||
         // persisted-inverted-index reads: first touch writes the index
         n.startsWith("bm25_indexed") ||
+        // index-composed serving rows: first touch writes BOTH index
+        // trees; their plan contract is the dedicated corpus-scan test
+        n == "hybrid_rrf_indexed" || n == "mmr_rerank_indexed" ||
+        n == "retrieval_phrase_persisted" ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")
@@ -369,6 +373,54 @@ class PlanContractSpec extends SparkSpec {
         }
       assert(offenders.isEmpty,
         s"unexpected nested-loop plans:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("indexed hybrid/MMR serving path: candidates come off the persisted trees, never a corpus nested loop") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // an embeddings-table scan feeding a nested loop is only legal
+      // when the pushed vec_id predicate makes it query-sized — a
+      // corpus-sized side is exactly the brute-force shape the indexed
+      // twins exist to avoid
+      def corpusNestedLoops(name: String): Seq[String] = {
+        val exec = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        exec.collect {
+          case b: BroadcastNestedLoopJoinExec => b.collectLeaves().collect {
+            case f: FileSourceScanExec
+              if f.relation.location.rootPaths
+                   .exists(_.toString.contains("embeddings")) &&
+                 // a SELECTIVE pushed key predicate (In/EqualTo) makes
+                 // the side query-sized; IsNotNull alone does not
+                 !Seq("In(vec_id", "EqualTo(vec_id").exists(
+                   f.metadata.getOrElse("PushedFilters", "").contains) =>
+              f.relation.location.rootPaths.mkString(",")
+          }
+        }.flatten
+      }
+      def scanRoots(name: String): Seq[String] =
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+      // first touch builds the persisted trees (memoized per process)
+      SparkEntry.queries("hybrid_rrf_indexed")(spark, sf)
+      Seq("hybrid_rrf_indexed", "mmr_rerank_indexed").foreach { name =>
+        assert(corpusNestedLoops(name).isEmpty,
+          s"$name nested-loops an unfiltered corpus scan")
+        assert(scanRoots(name).exists(_.contains("graft_vindex_")),
+          s"$name must draw dense candidates from the persisted IVF cells")
+      }
+      assert(scanRoots("hybrid_rrf_indexed")
+          .exists(_.contains("graft_invidx_")),
+        "hybrid_rrf_indexed must draw lexical candidates from the persisted inverted index")
+      // the contrast that proves the detector bites: the scan-backed
+      // twins DO nested-loop the (broadcast-query × corpus) cross
+      assert(corpusNestedLoops("mmr_rerank").nonEmpty &&
+        corpusNestedLoops("hybrid_rrf_topk").nonEmpty,
+        "detector no longer recognizes the brute-force corpus cross")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

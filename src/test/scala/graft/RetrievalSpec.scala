@@ -268,4 +268,43 @@ class RetrievalSpec extends SparkSpec with Matchers {
     "BroadcastNestedLoopJoin".r.findAllIn(plan).length should be <= 1
     plan should not include "CartesianProduct"
   }
+
+  test("snippets: window clamps at both document edges; single-space joined") {
+    val docs = Seq(
+      (1L, "hash join early words", 21L),           // match at pos 1: left clamp
+      (2L, "a b c d hash join x y z w", 26L),       // interior: full ±3
+      (3L, "one two three hash join", 23L),         // right clamp
+      (4L, "no match here", 13L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Retrieval.snippets(docs, "hash join", window = 3)
+      .select("doc_id", "first_pos", "n_matches", "snip_start", "snip_end",
+        "snippet")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 1L, 1L, 1L, 4L, "hash join early words"),
+      (2L, 5L, 1L, 2L, 9L, "b c d hash join x y z"),
+      (3L, 4L, 1L, 1L, 5L, "one two three hash join"))
+  }
+
+  test("indexed hybrid/MMR ≡ scan-backed under full probe (fresh persisted trees)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p)
+      d.toFile.deleteOnExit(); d.toString
+    }
+    val vdir = tmp("graft_rspec_vidx_")
+    graft.tables.VectorIndex.write(emb, vdir, nlist = 16)
+    val idir = tmp("graft_rspec_iidx_")
+    graft.tables.InvertedIndex.write(docs, idir)
+    val qs = Seq(0L -> Seq("vector", "stream"), 2L -> Seq("dup", "join"))
+    Retrieval.hybridRrfIndexed(spark, idir, vdir, emb, qs,
+        kLex = 15, kAnn = 15, k = 8, nprobe = 16).collect().toSeq shouldBe
+      Retrieval.hybridRrf(docs, emb, qs, kLex = 15, kAnn = 15, k = 8)
+        .collect().toSeq
+    Retrieval.mmrRerankIndexed(spark, vdir, emb, Seq(0L, 2L), kCand = 10,
+        k = 5, nprobe = 16).collect().toSeq shouldBe
+      Retrieval.mmrRerank(emb, Seq(0L, 2L), kCand = 10, k = 5)
+        .collect().toSeq
+  }
 }
