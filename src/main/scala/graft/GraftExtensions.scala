@@ -112,9 +112,15 @@ object GraftExtensions {
     },
     entry("bloom_might_contain",
       "bloom_might_contain(bloom, key) - membership probe; false = definitely absent") {
-      args => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        args(0),
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+      args => {
+        // a foldable (literal) key must not reach might_contain's
+        // codegen as an inlined long literal — see CodegenMaterialized
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(args(1)))
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0),
+          if (h.foldable) functions.CodegenMaterialized(h) else h)
+      }
     },
     entry("canonical_url",
       "canonical_url(url) - canonical crawl URL (case/www/default-port/" +

@@ -42,6 +42,17 @@ object BloomFunctions {
       ColumnBridge.expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
 
+  /** The hashed probe key, safe to hand to `might_contain`'s codegen:
+    * a FOLDABLE hash (literal key) would constant-fold to a long
+    * literal that Spark's generated `(Long)<value>` cast mis-parses
+    * under janino when negative — see [[CodegenMaterialized]]. Column
+    * keys (every production path) pass through untouched. */
+  private def probeHash(
+      key: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val h = ColumnBridge.expression(xxhash64(key))
+    if (h.foldable) CodegenMaterialized(h) else h
+  }
+
   /** Probe: might `key` be in `bloom`? False ⇒ definitely absent
     * (the load-bearing direction); true ⇒ present or false positive.
     * `bloom` must be foldable (a literal filter) — for a
@@ -50,8 +61,7 @@ object BloomFunctions {
     */
   def bloom_might_contain(bloom: Column, key: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
-      ColumnBridge.expression(bloom),
-      ColumnBridge.expression(xxhash64(key))))
+      ColumnBridge.expression(bloom), probeHash(key)))
 
   /** Probe against a filter built by a 1-row, 1-column aggregate plan
     * (`bloomDf` = `relation.agg(bloom_agg(...))`): the filter rides
@@ -67,6 +77,6 @@ object BloomFunctions {
       s"bloom_probe expects a 1-column bloom aggregate, got ${plan.output.length}")
     ColumnBridge.column(BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(plan),
-      ColumnBridge.expression(xxhash64(key))))
+      probeHash(key)))
   }
 }

@@ -83,4 +83,30 @@ class BloomSpec extends SparkSpec {
     assert(hit, "inserted key must probe true through the SQL surface")
     assert(!miss, "at 65 bits/item a single absent key colliding is ~impossible")
   }
+
+  test("literal-key codegen: upstream (Long)-literal mis-parse reproduced; the guard compiles") {
+    // Upstream Spark emits `bf.mightContainLong((Long)<value>)`; when
+    // the probe key constant-folds to a NEGATIVE long literal, janino
+    // parses `(Long)-N` as `java.lang.Long − N` and codegen falls back
+    // to the interpreter. Pin the trigger with fallback DISABLED
+    // (GenerateUnsafeProjection propagates the CompileException), and
+    // pin that CodegenMaterialized — what BloomFunctions wraps every
+    // foldable probe hash in — makes the same tree compile. If a
+    // future Spark release fixes the cast emission, the intercept
+    // below fails: that is the signal to drop the guard.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val bytes = keys(100, "m-")
+      .agg(bloom_agg(col("k"), 1000L, 65536L))
+      .head.getAs[Array[Byte]](0)
+    val negHash = Literal(-863305594884437625L) // any negative long
+    intercept[Exception] {
+      GenerateUnsafeProjection.generate(
+        Seq(BloomFilterMightContain(Literal(bytes), negHash)))
+    }
+    val proj = GenerateUnsafeProjection.generate(Seq(BloomFilterMightContain(
+      Literal(bytes), graft.functions.CodegenMaterialized(negHash))))
+    proj(InternalRow.empty).getBoolean(0): Unit // compiled, evaluates
+  }
 }
