@@ -4002,6 +4002,32 @@ object SparkEntry {
       // of bm25_incremental's contract.
       tables.InvertedIndex.bm25TopK(s, invIndexAppendDir(s, d),
         RetrievalQueries, k = 10)),
+    "streaming_bm25_append" -> ((s, d) =>
+      // Continuous text ingest maintaining the persisted lexical
+      // index: the fresh third streams in as real micro-batches, each
+      // appending its increment under its batchId (a replayed same-id
+      // redelivery rewrites its own roots — exactly-once state from
+      // at-least-once delivery). Query over the final index shares
+      // bm25_topk's oracle verbatim, like the batch append row.
+      tables.InvertedIndex.bm25TopK(s, streamingInvIndexDir(s, d),
+        RetrievalQueries, k = 10)),
+    "bm25_indexed_compacted" -> ((s, d) =>
+      // Index COMPACTION: the appended index's batch roots fold into
+      // a fresh single-generation index at a new root (write-new,
+      // flip-pointer, GC-old — the object-store discipline); source
+      // untouched, crash costs nothing. Query over the compacted
+      // index shares bm25_topk's oracle verbatim — compaction must
+      // not move a score bit.
+      tables.InvertedIndex.bm25TopK(s, invIndexCompactDir(s, d),
+        RetrievalQueries, k = 10)),
+    "ann_index_compacted" -> ((s, d) =>
+      // The ANN-side compaction twin: cells_batch_* roots fold into
+      // one cells tree (centroids carried verbatim). Full probe over
+      // the compacted index ≡ brute force over the union corpus —
+      // same oracle as ann_index_append.
+      tables.VectorIndex.topK(s, vectorIndexCompactDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
     "retrieval_phrase_persisted" -> ((s, d) =>
       // Phrase search over the PERSISTED positions tree: only the
       // phrase words' positional buckets open, the anchor fold runs
@@ -4017,6 +4043,39 @@ object SparkEntry {
       // oracle replays it exactly). Occurrence discovery is the
       // pruned positional path; only matching docs touch their text.
       Retrieval.snippets(Tables.documents(s, d), "hash join", window = 3)),
+    "hybrid_rrf_pruned" -> ((s, d) =>
+      // The PRODUCTION serving config: nprobe=4 of 16 — the dense arm
+      // reads ¼ of the cell partitions (approximate by design →
+      // rows-only; quality pinned by hybrid_rrf_pruned_check). The
+      // lexical arm stays exact (query-term buckets), which is what
+      // keeps fused recall far above the dense arm's scanned
+      // fraction.
+      Retrieval.hybridRrfIndexed(s, invIndexDir(s, d), vectorIndexDir(s, d),
+        Tables.embeddings(s, d), HybridQueries, kLex = 20, kAnn = 20,
+        k = 10, nprobe = 4)),
+    "hybrid_rrf_pruned_check" -> ((s, d) => {
+      // Retrieval-quality pin for the pruned serving config (the
+      // ann_pq_recall contract): per-query overlap of pruned top-10
+      // vs the exact (full-probe) top-10; n_exact is hash-matched
+      // through the hybrid oracle, the floor boolean is total.
+      // Measured overlap at nprobe=4: 10/7/10 of 10 at sf0.01 —
+      // floor 0.5 leaves headroom for per-query dips at other SFs
+      // (isotropic-noise embeddings are the worst case; the exact
+      // lexical arm anchors the fusion).
+      def run(np: Int) = Retrieval.hybridRrfIndexed(s, invIndexDir(s, d),
+        vectorIndexDir(s, d), Tables.embeddings(s, d), HybridQueries,
+        kLex = 20, kAnn = 20, k = 10, nprobe = np)
+      val exact = run(16).select(col("query_id"), col("doc_id"))
+      val pruned = run(4)
+        .select(col("query_id"), col("doc_id"), lit(1).as("__hit"))
+      exact.join(pruned, Seq("query_id", "doc_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__m"))
+        .select(col("query_id"), col("n_exact"),
+          (col("__m").cast("double") / col("n_exact").cast("double")
+            >= 0.5d).as("recall_floor_met"))
+        .orderBy(col("query_id"))
+    }),
   )
 
   /** Bucket count of the persisted inverted indexes — shared with the
@@ -4425,6 +4484,71 @@ object SparkEntry {
         dir.toString)
       tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
         dir.toString)
+      dir.toString
+    })
+
+  /** The appended index compacted into a fresh root — batch increments
+    * folded into one generation, source untouched. */
+  private def invIndexCompactDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#compact", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cmp_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      // compactTo refuses a marker-bearing target; the temp dir is
+      // fresh, so only the createTempDirectory dir itself pre-exists
+      tables.InvertedIndex.compactTo(s, invIndexAppendDir(s, d),
+        dir.toString)
+      dir.toString
+    })
+
+  /** [[vectorIndexAppendDir]] compacted into a fresh root. */
+  private def vectorIndexCompactDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#compact", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cmp_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.VectorIndex.compactTo(s, vectorIndexAppendDir(s, d),
+        s"${dir.toString}/idx")
+      s"${dir.toString}/idx"
+    })
+
+  /** [[invIndexAppendDir]]'s STREAMING twin: the fresh third arrives
+    * as real micro-batches, each appending its posting/df/corpus
+    * increment into the persisted index via foreachBatch — continuous
+    * text ingest maintaining the lexical index end to end. Each batch
+    * also replays a SAME-ID redelivery (foreachBatch is
+    * at-least-once), which must overwrite its own roots instead of
+    * double-counting. */
+  private def streamingInvIndexDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#stream", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_str_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+      tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
+        dir.toString)
+      graft.streaming.DocReplay.runWithBatchId(s,
+          docs.filter(col("doc_id") % 3 === 2), s"$d#invfresh") {
+        (batch, batchId) =>
+          tables.InvertedIndex.append(batch, dir.toString,
+            batch = Some(batchId.toString))
+          // redelivery: same id rewrites its own roots — no-op on state
+          tables.InvertedIndex.append(batch, dir.toString,
+            batch = Some(batchId.toString))
+          batch.select(col("doc_id"))
+      }.count(): Unit
       dir.toString
     })
 
@@ -8924,22 +9048,10 @@ object SparkEntry {
          ORDER BY query_id, cosine DESC, vec_id""",
     // Append-then-probe must lose nothing vs the union corpus: same
     // brute-force oracle as ann_index_persisted.
-    "ann_index_append" ->
-      """WITH e AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
-         scored AS (
-           SELECT q.query_id, e.vec_id, e.label,
-                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
-           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-         ranked AS (
-           SELECT *, row_number() OVER (
-             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
-           FROM scored)
-         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
-         ORDER BY query_id, cosine DESC, vec_id""",
+    "ann_index_append" -> IndexBruteForceOracleSql,
+    // compaction folds the batch roots into one generation — probing
+    // the compacted index must still equal brute force over the union
+    "ann_index_compacted" -> IndexBruteForceOracleSql,
     "ann_index_persisted" ->
       """WITH e AS (
            SELECT vec_id, label,
@@ -10403,6 +10515,19 @@ object SparkEntry {
     // Append-then-query must equal full-rebuild bit-for-bit: the
     // on-disk roll-forward shares the from-scratch BM25 oracle.
     "bm25_indexed_append" -> bm25Sql(RetrievalQueries, 10),
+    // The streaming-maintained index owes the identical contract —
+    // micro-batching and redeliveries must not move a score bit.
+    "streaming_bm25_append" -> bm25Sql(RetrievalQueries, 10),
+    // ... and so does compaction: folding batch roots into one
+    // generation is a layout op, invisible to every score.
+    "bm25_indexed_compacted" -> bm25Sql(RetrievalQueries, 10),
+    // n_exact derives from the exact hybrid's own oracle (10 per
+    // query); the floor boolean is total — the ann_pq_recall scheme.
+    "hybrid_rrf_pruned_check" ->
+      s"""SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                 true AS recall_floor_met
+          FROM ($HybridRrfOracleSql)
+          GROUP BY query_id ORDER BY query_id""",
     // The persisted positions tree must not change a single match:
     // same padded-containment oracle as retrieval_phrase.
     "retrieval_phrase_persisted" ->
@@ -10441,6 +10566,27 @@ object SparkEntry {
                 array_to_string(w[snip_start:snip_end], ' ') AS snippet
          FROM s ORDER BY doc_id""",
   )
+
+  /** Brute-force cosine top-10 over the FULL embeddings table — the
+    * shared oracle of every full-probe persisted-index row
+    * (ann_index_append / ann_index_compacted): probing all cells must
+    * read every vector, wherever index maintenance put it. */
+  private lazy val IndexBruteForceOracleSql: String =
+    """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id"""
 
   private lazy val HybridRrfOracleSql: String =
       (s"""WITH $RetrievalPostingsCtes,

@@ -209,6 +209,52 @@ object InvertedIndex {
       queries, k, k1, b)
   }
 
+  /** COMPACT the index: fold every batch-append increment into a
+    * fresh single-generation index at `dstRoot` — postings re-bucketed
+    * union (same bucket count and md5 rule, so pruning contracts are
+    * unchanged), df summed, corpus stats summed, positions carried iff
+    * the source has them. After enough appends the read-side batch
+    * listing and per-bucket file counts grow; compaction bounds both
+    * (CowTable.compact's job, at index granularity).
+    *
+    * Object-store discipline: the compacted index builds at a NEW
+    * root (same staging + marker-last crash safety as [[write]]);
+    * the SOURCE is never touched, so a crash mid-compact costs
+    * nothing and the deployment flips its index pointer only once
+    * `dstRoot` carries a marker — write-new, flip, GC-old, exactly
+    * like the CoW table's version swap. Query-over-compacted must
+    * equal query-over-(base+batches) bit-for-bit. */
+  def compactTo(spark: SparkSession, srcRoot: String,
+                dstRoot: String): Unit = {
+    require(!Files.exists(marker(dstRoot)),
+      s"compaction target $dstRoot already an index")
+    val nb = bucketCount(srcRoot)
+    val staging = s"$dstRoot/.staging"
+    Seq(".staging", "postings", "termstats", "corpus", "positions")
+      .foreach(d => rmTree(new java.io.File(s"$dstRoot/$d")))
+    def allBuckets(prefix: String): DataFrame =
+      batchRoots(srcRoot, prefix)
+        .foldLeft(spark.read.parquet(s"$srcRoot/$prefix"))(
+          (acc, p) => acc.unionByName(spark.read.parquet(p)))
+    allBuckets("postings")
+      .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+      .write.partitionBy("__tb").parquet(s"$staging/postings")
+    termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
+    corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
+    val pos = hasPositions(srcRoot)
+    if (pos)
+      allBuckets("positions")
+        .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+        .write.partitionBy("__tb").parquet(s"$staging/positions")
+    (Seq("postings", "termstats", "corpus") ++
+      (if (pos) Seq("positions") else Nil)).foreach { d =>
+      Files.move(Paths.get(s"$staging/$d"), Paths.get(s"$dstRoot/$d")): Unit
+    }
+    rmTree(new java.io.File(staging))
+    Files.write(marker(dstRoot),
+      s"""{"buckets": $nb, "positions": $pos}""".getBytes("UTF-8")): Unit
+  }
+
   /** Exact phrase search over the PERSISTED positions tree: the same
     * position-arithmetic fold as
     * [[Retrieval.phraseSearchIndexed]], but the positional postings

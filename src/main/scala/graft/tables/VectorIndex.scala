@@ -89,6 +89,26 @@ object VectorIndex {
     Similarity.ivfProbe(centroids, cells(spark, dir), queries, k, nprobe)
   }
 
+  /** COMPACT the index: fold every `cells_batch_*` append root into a
+    * fresh single-generation index at `dstDir` — centroids carried
+    * verbatim (assignments stay valid by construction), the unioned
+    * cells rewritten once partitioned by centroid_id. Bounds the
+    * read-side batch listing and per-cell file counts that grow with
+    * continuous ingest. Same object-store discipline as
+    * [[graft.tables.InvertedIndex.compactTo]]: the source is never
+    * touched; the deployment flips its pointer to the new root and
+    * GCs the old — probe-over-compacted ≡ probe-over-(base+batches).
+    */
+  def compactTo(spark: SparkSession, srcDir: String,
+                dstDir: String): Unit = {
+    require(!new java.io.File(s"$dstDir/cells").exists(),
+      s"compaction target $dstDir already an index")
+    spark.read.parquet(s"$srcDir/centroids")
+      .write.parquet(s"$dstDir/centroids")
+    cells(spark, srcDir)
+      .write.partitionBy("centroid_id").parquet(s"$dstDir/cells")
+  }
+
   // ---- compressed (IVF-PQ) index lifecycle --------------------------
 
   /** Persist the COMPRESSED index (FAISS `IVFx,PQy` shape): coarse

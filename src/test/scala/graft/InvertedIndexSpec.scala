@@ -121,6 +121,32 @@ class InvertedIndexSpec extends SparkSpec with Matchers {
       .select("n_docs").as[Long].head() shouldBe docs.count()
   }
 
+  test("compactTo folds batch roots into one generation; queries and phrase search unmoved; source untouched") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val src = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id") % 3 === 0), src,
+      buckets = 64, positions = true)
+    InvertedIndex.append(docs.filter(col("doc_id") % 3 === 1), src)
+    InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2), src)
+    val srcState = treeState(src)
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    val before = InvertedIndex.bm25TopK(spark, src, qs, k = 8)
+      .collect().toSeq
+    val dst = freshRoot()
+    InvertedIndex.compactTo(spark, src, dst)
+    // one generation: no batch roots, positions carried, marker present
+    assert(Option(new java.io.File(dst).listFiles()).toSeq.flatten
+      .forall(f => !f.getName.contains("_batch_")))
+    assert(InvertedIndex.hasPositions(dst))
+    InvertedIndex.bm25TopK(spark, dst, qs, k = 8)
+      .collect().toSeq shouldBe before
+    InvertedIndex.phraseSearch(spark, dst, docs, "hash join")
+      .as[(Long, Long)].collect().toSeq shouldBe
+      InvertedIndex.phraseSearch(spark, src, docs, "hash join")
+        .as[(Long, Long)].collect().toSeq
+    treeState(src) shouldBe srcState // write-new never touches the source
+  }
+
   test("crashed write leaves a retryable root; marker is written last") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = freshRoot()

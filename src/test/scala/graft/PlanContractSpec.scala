@@ -281,7 +281,7 @@ class PlanContractSpec extends SparkSpec {
     // their plan shapes are pinned by their own dedicated contracts.
     val effectful = (n: String) =>
       n.startsWith("streaming_") || n == "ann_index_persisted" ||
-        n == "ann_index_append" ||
+        n == "ann_index_append" || n == "ann_index_compacted" ||
         n == "lm_model_persisted" ||
         n == "csv_roundtrip" || n == "orc_roundtrip" ||
         // persisted-inverted-index reads: first touch writes the index
@@ -289,6 +289,7 @@ class PlanContractSpec extends SparkSpec {
         // index-composed serving rows: first touch writes BOTH index
         // trees; their plan contract is the dedicated corpus-scan test
         n == "hybrid_rrf_indexed" || n == "mmr_rerank_indexed" ||
+        n == "hybrid_rrf_pruned" || n == "hybrid_rrf_pruned_check" ||
         n == "retrieval_phrase_persisted" ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree

@@ -225,6 +225,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index compaction: batch roots fold into one cells tree, probe unmoved, source untouched") {
+    import graft.tables.VectorIndex
+    val emb = tables.Tables.embeddings(spark, sf)
+    val src = java.nio.file.Files.createTempDirectory("vindex_cmp_src").toString
+    val dstBase = java.nio.file.Files.createTempDirectory("vindex_cmp_dst").toString
+    val dst = s"$dstBase/idx"
+    try {
+      VectorIndex.write(emb.filter($"vec_id" >= 50), src, nlist = 8)
+      VectorIndex.append(emb.filter($"vec_id" < 50), src,
+        batch = Some("0")) // a batch root, so compaction has one to fold
+      val q = emb.filter($"vec_id" < 3)
+      def top(d: String) = VectorIndex.topK(spark, d, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+      val before = top(src)
+      val srcFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+        .iterator()
+      val srcState = {
+        import scala.jdk.CollectionConverters._
+        srcFiles.asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      }
+      VectorIndex.compactTo(spark, src, dst)
+      // one generation at the target, nothing batch-rooted
+      assert(Option(new java.io.File(dst).listFiles()).toSeq.flatten
+        .forall(f => !f.getName.startsWith("cells_batch_")))
+      assert(top(dst) === before, "compaction moved a probe result")
+      val srcAfter = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(src)).iterator()
+          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      }
+      assert(srcAfter === srcState, "write-new compaction touched the source")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(dstBase))
+    }
+  }
+
   test("pq index append: standing codes untouched, append ≡ one-shot encode, probe ≡ in-flight") {
     import graft.tables.VectorIndex
     val emb = tables.Tables.embeddings(spark, sf)
