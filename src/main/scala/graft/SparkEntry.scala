@@ -4028,6 +4028,20 @@ object SparkEntry {
       tables.VectorIndex.topK(s, vectorIndexCompactDir(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
         nprobe = 16)),
+    "bm25_indexed_deleted" -> ((s, d) =>
+      // TOMBSTONED index, live: deleted docs (doc_id%10==4) stop
+      // matching immediately while df/corpus stats still count them
+      // — Lucene's maxDoc-vs-numDocs drift between merges. The drift
+      // is oracle-SPELLED, not tolerated: live postings scored under
+      // FULL-corpus statistics, bit-exact.
+      tables.InvertedIndex.bm25TopK(s, invIndexDeleteDir(s, d),
+        RetrievalQueries, k = 10)),
+    "bm25_indexed_delete_compacted" -> ((s, d) =>
+      // Compaction folds the tombstones: deleted postings gone, df
+      // and corpus stats recomputed EXACTLY over the live corpus —
+      // the oracle is plain BM25 over live documents end to end.
+      tables.InvertedIndex.bm25TopK(s, invIndexDeleteCompactDir(s, d),
+        RetrievalQueries, k = 10)),
     "retrieval_phrase_persisted" -> ((s, d) =>
       // Phrase search over the PERSISTED positions tree: only the
       // phrase words' positional buckets open, the anchor fold runs
@@ -4501,6 +4515,45 @@ object SparkEntry {
       // compactTo refuses a marker-bearing target; the temp dir is
       // fresh, so only the createTempDirectory dir itself pre-exists
       tables.InvertedIndex.compactTo(s, invIndexAppendDir(s, d),
+        dir.toString)
+      dir.toString
+    })
+
+  /** The appended index with TOMBSTONE deletes (doc_id % 10 == 4) —
+    * the live Lucene-shaped state: queries filter immediately, stats
+    * drift until compaction. Per (process, sf dir). */
+  private def invIndexDeleteDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#del", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_del_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+      tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
+        dir.toString)
+      tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
+        dir.toString)
+      tables.InvertedIndex.delete(
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        dir.toString)
+      dir.toString
+    })
+
+  /** [[invIndexDeleteDir]] compacted: tombstones folded, stats exact
+    * over the live corpus. */
+  private def invIndexDeleteCompactDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#delcmp", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_dc_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.InvertedIndex.compactTo(s, invIndexDeleteDir(s, d),
         dir.toString)
       dir.toString
     })
@@ -5518,7 +5571,36 @@ object SparkEntry {
     * are spelled as OPERATIONS, exactly as the Scala side computes
     * them), contributions rounded to longs and summed exactly. */
   private def bm25Sql(qs: Seq[(Long, Seq[String])], k: Int): String =
-    s"""WITH $RetrievalPostingsCtes,
+    bm25SqlWhere(qs, k, "TRUE", "TRUE", "TRUE")
+
+  /** [[bm25Sql]] with delete-lifecycle predicates spelled per CTE —
+    * the mirror of the engine's tombstone semantics: `docsWhere`
+    * filters the POSTINGS corpus (compacted index: deleted docs'
+    * postings are gone, so df and scoring see only live docs),
+    * `statsWhere` filters the (n_docs, sum_dl) corpus stats
+    * (compacted: recomputed over live docs; live tombstoned index:
+    * stats DRIFT — keep TRUE), `scoredWhere` drops rows at scoring
+    * (live tombstoned index: deleted docs stop matching while df and
+    * stats still count them). */
+  private def bm25SqlWhere(qs: Seq[(Long, Seq[String])], k: Int,
+                           docsWhere: String, statsWhere: String,
+                           scoredWhere: String): String =
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL AND ($docsWhere)),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM documents WHERE ($statsWhere)),
        q(query_id, term) AS (VALUES ${sqlTermValues(qs)}),
        scored AS (
          SELECT q.query_id, p.doc_id,
@@ -5534,7 +5616,8 @@ object SparkEntry {
          JOIN q USING (term)
          JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
            USING (term)
-         CROSS JOIN c),
+         CROSS JOIN c
+         WHERE ($scoredWhere)),
        agg AS (
          SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
          FROM scored GROUP BY 1, 2),
@@ -10521,6 +10604,15 @@ object SparkEntry {
     // ... and so does compaction: folding batch roots into one
     // generation is a layout op, invisible to every score.
     "bm25_indexed_compacted" -> bm25Sql(RetrievalQueries, 10),
+    // Tombstoned-live drift semantics SPELLED: full postings feed df
+    // and stats; only the scoring rows drop deleted docs.
+    "bm25_indexed_deleted" -> bm25SqlWhere(RetrievalQueries, 10,
+      "TRUE", "TRUE", "p.doc_id % 10 <> 4"),
+    // Post-compaction exactness: postings, df, and stats all over the
+    // live corpus (every fixture doc is token-bearing, so dropping
+    // posting-bearing deleted docs ≡ dropping deleted docs).
+    "bm25_indexed_delete_compacted" -> bm25SqlWhere(RetrievalQueries, 10,
+      "doc_id % 10 <> 4", "doc_id % 10 <> 4", "TRUE"),
     // n_exact derives from the exact hybrid's own oracle (10 per
     // query); the floor boolean is total — the ann_pq_recall scheme.
     "hybrid_rrf_pruned_check" ->

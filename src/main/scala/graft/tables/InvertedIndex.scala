@@ -115,6 +115,52 @@ object InvertedIndex {
         .parquet(s"$root/positions_batch_$id")
   }
 
+  /** TOMBSTONE-delete documents from the index — the Lucene-shaped
+    * contract: the delete itself is O(|ids|) (one skinny doc_id
+    * relation written; NO posting bucket is read or rewritten), query
+    * paths anti-join the broadcast tombstone set so deleted docs stop
+    * matching IMMEDIATELY, and the per-term/corpus statistics DRIFT
+    * (they still count the deleted docs) until [[compactTo]] folds the
+    * tombstones and recomputes them exactly — precisely Lucene's
+    * maxDoc-vs-numDocs behavior between segment merges. The drift is
+    * part of the contract, not an approximation: the driver row's
+    * oracle spells it (live postings scored under full-corpus stats),
+    * so the drifted scores are still bit-exact.
+    *
+    * Same at-least-once discipline as [[append]]: a batch id makes a
+    * redelivered delete rewrite its own root. Deleting an id that is
+    * absent (or a blank doc, which has no postings) is a no-op on
+    * every query and, at compaction, on the recomputed stats.
+    */
+  def delete(docIds: DataFrame, root: String,
+             batch: Option[String] = None): Unit = {
+    val id = batch.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes_batch_$id")
+  }
+
+  /** The union of all tombstone sets, distinct — None when the index
+    * has never seen a delete, so un-deleted indexes keep their exact
+    * query plans. */
+  def deletedDocs(spark: SparkSession, root: String): Option[DataFrame] =
+    batchRoots(root, "deletes") match {
+      case Seq() => None
+      case roots =>
+        Some(roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          .distinct())
+    }
+
+  /** `rows` minus tombstoned docs — a broadcast anti-join (the
+    * tombstone set is ids-only and policy-sized); identity when no
+    * deletes exist. */
+  private def filterDeleted(spark: SparkSession, root: String,
+                            rows: DataFrame): DataFrame =
+    deletedDocs(spark, root) match {
+      case None => rows
+      case Some(dd) => rows.join(broadcast(dd), Seq("doc_id"), "left_anti")
+    }
+
   def bucketCount(root: String): Int = {
     val body = new String(Files.readAllBytes(marker(root)), "UTF-8")
     """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
@@ -181,20 +227,30 @@ object InvertedIndex {
 
   /** Per-term df across the base tree and every appended increment —
     * summed at read (vocabulary-sized work; disjoint batch doc sets
-    * make df purely additive). */
-  def termStats(spark: SparkSession, root: String): DataFrame =
-    batchRoots(root, "termstats")
-      .foldLeft(spark.read.parquet(s"$root/termstats"))(
+    * make df purely additive). An un-appended index keeps the plain
+    * read: its base tree already holds per-term totals, so the merge
+    * aggregation (and its exchange) only enters the plan once an
+    * increment exists. */
+  def termStats(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/termstats")
+    val batches = batchRoots(root, "termstats")
+    if (batches.isEmpty) base
+    else batches.foldLeft(base)(
         (acc, p) => acc.unionByName(spark.read.parquet(p)))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
+  }
 
   /** Corpus stats across base + increments, summed component-wise
-    * (one row per root in flight, one row out). */
-  def corpusStats(spark: SparkSession, root: String): DataFrame =
-    batchRoots(root, "corpus")
-      .foldLeft(spark.read.parquet(s"$root/corpus"))(
+    * (one row per root in flight, one row out); plain 1-row read when
+    * no increment exists. */
+  def corpusStats(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/corpus")
+    val batches = batchRoots(root, "corpus")
+    if (batches.isEmpty) base
+    else batches.foldLeft(base)(
         (acc, p) => acc.unionByName(spark.read.parquet(p)))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+  }
 
   /** BM25 over the persisted index: identical scoring plan to
     * [[Retrieval.bm25TopK]], inputs read from the index tree (postings
@@ -205,8 +261,10 @@ object InvertedIndex {
                queries: Seq[(Long, Seq[String])], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (p, _, _) = postingsFor(spark, root, queries.flatMap(_._2))
-    Retrieval.scoreBm25(p, termStats(spark, root), corpusStats(spark, root),
-      queries, k, k1, b)
+    // tombstoned docs drop BEFORE scoring (they must not absorb
+    // ranks); stats keep counting them until compaction — see delete
+    Retrieval.scoreBm25(filterDeleted(spark, root, p),
+      termStats(spark, root), corpusStats(spark, root), queries, k, k1, b)
   }
 
   /** COMPACT the index: fold every batch-append increment into a
@@ -236,14 +294,38 @@ object InvertedIndex {
       batchRoots(srcRoot, prefix)
         .foldLeft(spark.read.parquet(s"$srcRoot/$prefix"))(
           (acc, p) => acc.unionByName(spark.read.parquet(p)))
-    allBuckets("postings")
+    // tombstones FOLD here: deleted docs' rows drop from the new
+    // generation, and the statistics the live index let drift are
+    // recomputed EXACTLY from the surviving postings — df by group
+    // count, (n_docs, sum_dl) by subtracting the dropped docs'
+    // contributions (one skinny (doc_id, dl) row per posting-bearing
+    // deleted doc; blank/absent ids had no postings and no effect)
+    val live = filterDeleted(spark, srcRoot, allBuckets("postings"))
+      .drop("__tb")
+    live
       .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
       .write.partitionBy("__tb").parquet(s"$staging/postings")
-    termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
-    corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
+    val hasTombstones = deletedDocs(spark, srcRoot).isDefined
+    if (!hasTombstones) {
+      termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
+      corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
+    } else {
+      live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.parquet(s"$staging/termstats")
+      val dropped = deletedDocs(spark, srcRoot).get
+        .join(allBuckets("postings").select(col("doc_id"), col("dl")),
+          Seq("doc_id"))
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("__nd"),
+          coalesce(sum(col("dl")), lit(0L)).as("__dl"))
+      corpusStats(spark, srcRoot).crossJoin(dropped)
+        .select((col("n_docs") - col("__nd")).as("n_docs"),
+          (col("sum_dl") - col("__dl")).as("sum_dl"))
+        .write.parquet(s"$staging/corpus")
+    }
     val pos = hasPositions(srcRoot)
     if (pos)
-      allBuckets("positions")
+      filterDeleted(spark, srcRoot, allBuckets("positions").drop("__tb"))
         .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
         .write.partitionBy("__tb").parquet(s"$staging/positions")
     (Seq("postings", "termstats", "corpus") ++
@@ -266,8 +348,10 @@ object InvertedIndex {
                    phrase: String): DataFrame = {
     val words = phrase.trim.split("\\s+").toSeq
     val (p, _, _) = positionsFor(spark, root, words)
-    Retrieval.phraseAnchorsFrom(p, words)
-      .select(col("doc_id")).distinct()
+    // tombstones filter the MATCH SET (candidates-sized), not the
+    // position rows — cheapest point with identical results
+    filterDeleted(spark, root,
+        Retrieval.phraseAnchorsFrom(p, words).select(col("doc_id")).distinct())
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .orderBy(col("doc_id"))
   }

@@ -147,6 +147,47 @@ class InvertedIndexSpec extends SparkSpec with Matchers {
     treeState(src) shouldBe srcState // write-new never touches the source
   }
 
+  test("tombstone deletes: O(|ids|) write, immediate filtering, drift until compaction, compacted ≡ rebuilt-on-live") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = freshRoot()
+    InvertedIndex.write(docs, root, buckets = 64, positions = true)
+    val before = treeState(root)
+    val deleted = docs.filter(col("doc_id") % 10 === 4).select(col("doc_id"))
+    InvertedIndex.delete(deleted, root)
+    treeState(root) shouldBe before // delete never touches a posting bucket
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    // deleted docs stop matching immediately — bm25 and phrase alike
+    val live = InvertedIndex.bm25TopK(spark, root, qs, k = 20).collect()
+    live.foreach(r => assert(r.getAs[Long]("doc_id") % 10 != 4))
+    InvertedIndex.phraseSearch(spark, root, docs, "hash join").collect()
+      .foreach(r => assert(r.getAs[Long]("doc_id") % 10 != 4))
+    // redelivered delete (same batch id) is a no-op on state
+    InvertedIndex.delete(deleted, root, batch = Some("9"))
+    val onceDeleted = InvertedIndex.bm25TopK(spark, root, qs, k = 20)
+      .collect().toSeq
+    InvertedIndex.delete(deleted, root, batch = Some("9"))
+    InvertedIndex.bm25TopK(spark, root, qs, k = 20)
+      .collect().toSeq shouldBe onceDeleted
+    // compaction folds tombstones: the new generation must be
+    // indistinguishable from an index BUILT on the live corpus —
+    // stats, scores, and phrase matches all bit-equal
+    val cmp = freshRoot()
+    InvertedIndex.compactTo(spark, root, cmp)
+    val rebuilt = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id") % 10 =!= 4), rebuilt,
+      buckets = 64, positions = true)
+    InvertedIndex.corpusStats(spark, cmp).collect().toSeq shouldBe
+      InvertedIndex.corpusStats(spark, rebuilt).collect().toSeq
+    InvertedIndex.termStats(spark, cmp).orderBy("term").collect().toSeq shouldBe
+      InvertedIndex.termStats(spark, rebuilt).orderBy("term").collect().toSeq
+    InvertedIndex.bm25TopK(spark, cmp, qs, k = 20).collect().toSeq shouldBe
+      InvertedIndex.bm25TopK(spark, rebuilt, qs, k = 20).collect().toSeq
+    InvertedIndex.phraseSearch(spark, cmp, docs, "hash join")
+      .as[(Long, Long)].collect().toSeq shouldBe
+      InvertedIndex.phraseSearch(spark, rebuilt, docs, "hash join")
+        .as[(Long, Long)].collect().toSeq
+  }
+
   test("crashed write leaves a retryable root; marker is written last") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = freshRoot()
