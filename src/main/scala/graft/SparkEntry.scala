@@ -4028,6 +4028,16 @@ object SparkEntry {
       tables.VectorIndex.topK(s, vectorIndexCompactDir(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
         nprobe = 16)),
+    "ann_index_deleted" -> ((s, d) =>
+      // ANN tombstones: deleted vectors (vec_id%7==3) drop from every
+      // probe immediately via a broadcast anti-join on the skinny
+      // tombstone set — no cell partition rewritten, and nothing
+      // drifts (IVF carries no corpus statistics), so full probe over
+      // the tombstoned index equals brute force over the live corpus
+      // exactly.
+      tables.VectorIndex.topK(s, vectorIndexDeleteDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
     "bm25_indexed_deleted" -> ((s, d) =>
       // TOMBSTONED index, live: deleted docs (doc_id%10==4) stop
       // matching immediately while df/corpus stats still count them
@@ -4554,6 +4564,28 @@ object SparkEntry {
         rm(dir.toFile)
       }))
       tables.InvertedIndex.compactTo(s, invIndexDeleteDir(s, d),
+        dir.toString)
+      dir.toString
+    })
+
+  /** The appended float index with TOMBSTONE deletes (vec_id%7==3) —
+    * one batch-append root plus a delete set, the live maintained
+    * state. */
+  private def vectorIndexDeleteDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#del", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_del_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val emb = Tables.embeddings(s, d)
+      tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
+        dir.toString, nlist = 16)
+      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir.toString)
+      tables.VectorIndex.delete(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
         dir.toString)
       dir.toString
     })
@@ -9131,10 +9163,14 @@ object SparkEntry {
          ORDER BY query_id, cosine DESC, vec_id""",
     // Append-then-probe must lose nothing vs the union corpus: same
     // brute-force oracle as ann_index_persisted.
-    "ann_index_append" -> IndexBruteForceOracleSql,
+    "ann_index_append" -> indexBruteForceSql("TRUE"),
     // compaction folds the batch roots into one generation — probing
     // the compacted index must still equal brute force over the union
-    "ann_index_compacted" -> IndexBruteForceOracleSql,
+    "ann_index_compacted" -> indexBruteForceSql("TRUE"),
+    // tombstoned vectors must stop being retrievable with NOTHING
+    // drifting (IVF has no corpus stats): full probe over the
+    // tombstoned index ≡ brute force over the live corpus, exactly
+    "ann_index_deleted" -> indexBruteForceSql("vec_id % 7 <> 3"),
     "ann_index_persisted" ->
       """WITH e AS (
            SELECT vec_id, label,
@@ -10659,16 +10695,23 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
   )
 
-  /** Brute-force cosine top-10 over the FULL embeddings table — the
-    * shared oracle of every full-probe persisted-index row
-    * (ann_index_append / ann_index_compacted): probing all cells must
-    * read every vector, wherever index maintenance put it. */
-  private lazy val IndexBruteForceOracleSql: String =
-    """WITH e AS (
+  /** Brute-force cosine top-10 over the embeddings table (optionally
+    * corpus-filtered) — the shared oracle shape of every full-probe
+    * persisted-index row (ann_index_append / ann_index_compacted /
+    * ann_index_deleted): probing all cells must read every LIVE
+    * vector, wherever index maintenance put it. */
+  private def indexBruteForceSql(corpusWhere: String): String =
+    // q derives from the UNFILTERED table: the engine's query vectors
+    // come from the embeddings relation, not the index, so a query
+    // whose own corpus entry was deleted still queries (and simply
+    // can't retrieve itself — self-matches were always excluded)
+    s"""WITH e AS (
            SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, emb AS query_emb FROM e WHERE vec_id < 5),
+           FROM embeddings WHERE ($corpusWhere)),
+         q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_emb
+               FROM embeddings WHERE vec_id < 5),
          scored AS (
            SELECT q.query_id, e.vec_id, e.label,
                   list_cosine_similarity(e.emb, q.query_emb) AS cosine

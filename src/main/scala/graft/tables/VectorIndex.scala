@@ -69,19 +69,59 @@ object VectorIndex {
     }
   }
 
-  /** All cell roots of the index: the base build plus every per-batch
-    * append root, unioned. Listing the index dir is a driver-side
-    * metadata op (one per query plan, never per row); each root scans
-    * with its own centroid_id partition pruning.
+  /** TOMBSTONE-delete vectors from the index: one skinny vec_id
+    * relation written (O(|ids|) — no cell partition read or
+    * rewritten); [[cells]]/[[pqCodes]] anti-join the broadcast
+    * tombstone set, so deleted vectors stop being retrievable
+    * IMMEDIATELY on both the float and the compressed path. Unlike
+    * the lexical index there is NOTHING to drift — IVF carries no
+    * corpus statistics and the PQ codebooks are fixed by design — so
+    * tombstoned retrieval is exact: full probe over the tombstoned
+    * index ≡ brute force over the live corpus, same-oracle-shape as
+    * the append rows. [[compactTo]] folds the tombstones into the
+    * next generation. Batch-id'd deletes absorb at-least-once
+    * redelivery like [[append]].
     */
-  def cells(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(dir)
-    val batchRoots = Option(base.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("cells_batch_"))
-      .map(_.getAbsolutePath).sorted
-    batchRoots.foldLeft(spark.read.parquet(s"$dir/cells"))(
-      (acc, p) => acc.unionByName(spark.read.parquet(p)))
+  def delete(vecIds: DataFrame, dir: String,
+             batch: Option[String] = None): Unit = {
+    val id = batch.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/deletes_batch_$id")
   }
+
+  private def batchRoots(dir: String, prefix: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
+      .map(_.getAbsolutePath).sorted
+
+  /** The union of all tombstone sets, distinct; None when the index
+    * has never seen a delete (un-deleted plans unchanged). */
+  def deletedVecs(spark: SparkSession, dir: String): Option[DataFrame] =
+    batchRoots(dir, "deletes") match {
+      case Seq() => None
+      case roots =>
+        Some(roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          .distinct())
+    }
+
+  private def filterDeleted(spark: SparkSession, dir: String,
+                            rows: DataFrame): DataFrame =
+    deletedVecs(spark, dir) match {
+      case None => rows
+      case Some(dd) => rows.join(broadcast(dd), Seq("vec_id"), "left_anti")
+    }
+
+  /** All cell roots of the index: the base build plus every per-batch
+    * append root, unioned, minus tombstoned vectors. Listing the
+    * index dir is a driver-side metadata op (one per query plan,
+    * never per row); each root scans with its own centroid_id
+    * partition pruning.
+    */
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    filterDeleted(spark, dir,
+      batchRoots(dir, "cells").foldLeft(spark.read.parquet(s"$dir/cells"))(
+        (acc, p) => acc.unionByName(spark.read.parquet(p))))
 
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
            k: Int, nprobe: Int): DataFrame = {
@@ -89,12 +129,14 @@ object VectorIndex {
     Similarity.ivfProbe(centroids, cells(spark, dir), queries, k, nprobe)
   }
 
-  /** COMPACT the index: fold every `cells_batch_*` append root into a
-    * fresh single-generation index at `dstDir` — centroids carried
-    * verbatim (assignments stay valid by construction), the unioned
-    * cells rewritten once partitioned by centroid_id. Bounds the
-    * read-side batch listing and per-cell file counts that grow with
-    * continuous ingest. Same object-store discipline as
+  /** COMPACT the index: fold every `cells_batch_*` append root AND
+    * every tombstone into a fresh single-generation index at `dstDir`
+    * — centroids carried verbatim (assignments stay valid by
+    * construction), the unioned live cells rewritten once partitioned
+    * by centroid_id ([[cells]] already drops tombstoned vectors, and
+    * the new root carries no delete sets). Bounds the read-side batch
+    * listing and per-cell file counts that grow with continuous
+    * ingest. Same object-store discipline as
     * [[graft.tables.InvertedIndex.compactTo]]: the source is never
     * touched; the deployment flips its pointer to the new root and
     * GCs the old — probe-over-compacted ≡ probe-over-(base+batches).
@@ -176,16 +218,13 @@ object VectorIndex {
   }
 
   /** All code roots of the compressed index (base build + per-batch
-    * appends), unioned — the [[cells]] pattern for codes.
+    * appends), unioned, minus tombstoned vectors — the [[cells]]
+    * pattern for codes.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(dir)
-    val batchRoots = Option(base.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("codes_batch_"))
-      .map(_.getAbsolutePath).sorted
-    batchRoots.foldLeft(spark.read.parquet(s"$dir/codes"))(
-      (acc, p) => acc.unionByName(spark.read.parquet(p)))
-  }
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    filterDeleted(spark, dir,
+      batchRoots(dir, "codes").foldLeft(spark.read.parquet(s"$dir/codes"))(
+        (acc, p) => acc.unionByName(spark.read.parquet(p))))
 
   /** ADC retrieval over the persisted compressed index — reloads the
     * artifacts and runs [[Similarity.ivfpqProbe]]; the float vectors

@@ -282,6 +282,7 @@ class PlanContractSpec extends SparkSpec {
     val effectful = (n: String) =>
       n.startsWith("streaming_") || n == "ann_index_persisted" ||
         n == "ann_index_append" || n == "ann_index_compacted" ||
+        n == "ann_index_deleted" ||
         n == "lm_model_persisted" ||
         n == "csv_roundtrip" || n == "orc_roundtrip" ||
         // persisted-inverted-index reads: first touch writes the index

@@ -268,6 +268,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index tombstones: O(|ids|) delete, immediate on float AND pq paths, compaction folds") {
+    import graft.tables.VectorIndex
+    val emb = tables.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("vindex_del_test").toString
+    val cmpBase = java.nio.file.Files.createTempDirectory("vindex_del_cmp").toString
+    val cmp = s"$cmpBase/idx"
+    try {
+      VectorIndex.write(emb, dir, nlist = 8)
+      VectorIndex.writePq(emb, dir, nlist = 8, m = 8, ksub = 16)
+      def cellFileState() = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      val cellFiles = cellFileState()
+      val dead = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+      VectorIndex.delete(dead, dir, batch = Some("1"))
+      VectorIndex.delete(dead, dir, batch = Some("1")) // redelivery no-op
+      // no cell partition was rewritten by the delete
+      assert(cellFileState() === cellFiles)
+      val q = emb.filter($"vec_id" < 3)
+      // float path: full probe ≡ brute force over the LIVE corpus
+      val live = emb.filter($"vec_id" % 7 =!= 3)
+      assert(VectorIndex.topK(spark, dir, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq ===
+        Similarity.bruteForceTopK(live, q, 5)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq)
+      // compressed path filters too: no tombstoned id in any ADC top-k
+      VectorIndex.pqTopK(spark, dir, q, 5, nprobe = 8).collect()
+        .foreach(r => assert(r.getAs[Long]("vec_id") % 7 != 3))
+      // compaction folds the tombstones: the new generation carries no
+      // delete sets and probes identically
+      VectorIndex.compactTo(spark, dir, cmp)
+      assert(Option(new java.io.File(cmp).listFiles()).toSeq.flatten
+        .forall(f => !f.getName.startsWith("deletes_batch_")))
+      assert(VectorIndex.topK(spark, cmp, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq ===
+        VectorIndex.topK(spark, dir, q, 5, nprobe = 8)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(cmpBase))
+    }
+  }
+
   test("pq index append: standing codes untouched, append ≡ one-shot encode, probe ≡ in-flight") {
     import graft.tables.VectorIndex
     val emb = tables.Tables.embeddings(spark, sf)
