@@ -4046,6 +4046,15 @@ object SparkEntry {
       // FULL-corpus statistics, bit-exact.
       tables.InvertedIndex.bm25TopK(s, invIndexDeleteDir(s, d),
         RetrievalQueries, k = 10)),
+    "cdc_search_index" -> ((s, d) =>
+      // Lakehouse CDC drives the search indexer: the CoW table's
+      // change feed (inserts + deletes since the indexed version)
+      // maintains the persisted inverted index — append increments
+      // and tombstones, never a table rescan. Final ranking must
+      // equal the tombstoned-live contract over the final table
+      // state (drifted stats spelled in the oracle).
+      tables.InvertedIndex.bm25TopK(s, cdcIndexDir(s, d),
+        RetrievalQueries, k = 10)),
     "bm25_indexed_delete_compacted" -> ((s, d) =>
       // Compaction folds the tombstones: deleted postings gone, df
       // and corpus stats recomputed EXACTLY over the live corpus —
@@ -4527,6 +4536,49 @@ object SparkEntry {
       tables.InvertedIndex.compactTo(s, invIndexAppendDir(s, d),
         dir.toString)
       dir.toString
+    })
+
+  /** CHANGEFEED → SEARCH INDEX: a CoW documents table evolves
+    * (v2 = insert the remaining corpus third, v3 = delete
+    * doc_id%10==4) and the persisted inverted index is maintained
+    * purely by CONSUMING the table's change feed — inserts append
+    * their posting increment, deletes tombstone. The lakehouse-CDC-
+    * drives-the-search-indexer production shape: the indexer never
+    * rescans the table, its cost is churn-sized per version step.
+    * Final index state ≡ the tombstoned-live contract (stats drift
+    * until compaction), which is exactly what the row's oracle
+    * spells. */
+  private def cdcIndexDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdc", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdc_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tableRoot = s"${dir.toString}/table"
+      val indexRoot = s"${dir.toString}/index"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        tableRoot, "doc_id", buckets = 8)
+      tables.InvertedIndex.write(
+        tables.CowTable.read(s, tableRoot, Some(1)), indexRoot)
+      tables.CowTable.merge(s, tableRoot,
+        docs.filter(col("doc_id") % 3 === 2), "doc_id")
+      tables.CowTable.delete(s, tableRoot,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      // the indexer: one changefeed read since the indexed version,
+      // inserts → posting increment, deletes → tombstone set
+      val feed = tables.CowTable.changesSince(s, tableRoot, "doc_id", 1)
+      tables.InvertedIndex.append(
+        feed.filter(col("op") === "insert")
+          .select(col("doc_id"), col("new_text").as("text")), indexRoot)
+      tables.InvertedIndex.delete(
+        feed.filter(col("op") === "delete").select(col("doc_id")),
+        indexRoot)
+      indexRoot
     })
 
   /** The appended index with TOMBSTONE deletes (doc_id % 10 == 4) —
@@ -10643,6 +10695,11 @@ object SparkEntry {
     // Tombstoned-live drift semantics SPELLED: full postings feed df
     // and stats; only the scoring rows drop deleted docs.
     "bm25_indexed_deleted" -> bm25SqlWhere(RetrievalQueries, 10,
+      "TRUE", "TRUE", "p.doc_id % 10 <> 4"),
+    // The CDC-maintained index lands in the same live-tombstoned
+    // state: full corpus indexed (base + insert feed), %10==4
+    // tombstoned — identical drift contract, identical oracle.
+    "cdc_search_index" -> bm25SqlWhere(RetrievalQueries, 10,
       "TRUE", "TRUE", "p.doc_id % 10 <> 4"),
     // Post-compaction exactness: postings, df, and stats all over the
     // live corpus (every fixture doc is token-bearing, so dropping

@@ -291,7 +291,7 @@ class PlanContractSpec extends SparkSpec {
         // trees; their plan contract is the dedicated corpus-scan test
         n == "hybrid_rrf_indexed" || n == "mmr_rerank_indexed" ||
         n == "hybrid_rrf_pruned" || n == "hybrid_rrf_pruned_check" ||
-        n == "retrieval_phrase_persisted" ||
+        n == "retrieval_phrase_persisted" || n == "cdc_search_index" ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")
