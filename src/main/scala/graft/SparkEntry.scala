@@ -4046,6 +4046,16 @@ object SparkEntry {
       // FULL-corpus statistics, bit-exact.
       tables.InvertedIndex.bm25TopK(s, invIndexDeleteDir(s, d),
         RetrievalQueries, k = 10)),
+    "bm25_filtered" -> ((s, d) =>
+      // Filtered (faceted) search, Elasticsearch filter-context
+      // semantics: only src1/src2/src3 docs may rank, but df and
+      // corpus stats stay corpus-wide — surviving docs keep their
+      // unfiltered scores bit-exactly. The facet rides the posting
+      // rows (the dl discipline), so the predicate prunes the
+      // postings scan itself; nothing joins the corpus.
+      Retrieval.bm25TopKFiltered(Tables.documents(s, d), RetrievalQueries,
+        carry = Seq("source"),
+        filter = col("source").isin("src1", "src2", "src3"), k = 10)),
     "cdc_search_index" -> ((s, d) =>
       // Lakehouse CDC drives the search indexer: the CoW table's
       // change feed (inserts + deletes since the indexed version)
@@ -10701,6 +10711,11 @@ object SparkEntry {
     // tombstoned — identical drift contract, identical oracle.
     "cdc_search_index" -> bm25SqlWhere(RetrievalQueries, 10,
       "TRUE", "TRUE", "p.doc_id % 10 <> 4"),
+    // Filter-context semantics spelled: candidate membership by facet
+    // subquery, df/stats corpus-wide.
+    "bm25_filtered" -> bm25SqlWhere(RetrievalQueries, 10,
+      "TRUE", "TRUE",
+      "p.doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src1', 'src2', 'src3'))"),
     // Post-compaction exactness: postings, df, and stats all over the
     // live corpus (every fixture doc is token-bearing, so dropping
     // posting-bearing deleted docs ≡ dropping deleted docs).

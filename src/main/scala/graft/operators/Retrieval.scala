@@ -49,6 +49,47 @@ object Retrieval {
         .agg(count(lit(1)).as("tf"))
     }
 
+  /** [[postingsStaged]] with FACET columns riding each posting row
+    * (the dl discipline applied to metadata): a filtered query then
+    * prunes postings by a pushed predicate on its own scan instead of
+    * joining a corpus-sized doc-metadata relation — the only filter
+    * shape that survives 100 TB when the predicate is unselective.
+    */
+  def postingsStagedWith(docs: DataFrame, carry: Seq[String]): DataFrame =
+    Stage.relation(s"retrieval.postings.${carry.mkString("+")}",
+      Seq(docs)) {
+      docs
+        .select(col("doc_id") +: carry.map(col) :+
+          tokens(col("text")).as("__toks"): _*)
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id") +: carry.map(col) :+
+          size(col("__toks")).cast("long").as("dl") :+
+          explode(col("__toks")).as("term"): _*)
+        .groupBy((Seq("term", "doc_id", "dl") ++ carry).map(col): _*)
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** FILTERED (faceted) search — Elasticsearch's filter-context
+    * semantics: `filter` restricts which documents may rank, while
+    * df and corpus statistics stay CORPUS-WIDE (a filter narrows the
+    * candidate set, it does not re-weigh term rarity — scores of
+    * surviving docs are bit-identical to their unfiltered scores).
+    * The facet columns named in `carry` ride the posting rows, so the
+    * predicate prunes the postings scan directly; nothing joins the
+    * corpus. Fully exact — the oracle spells the same semantics with
+    * a membership subquery.
+    */
+  def bm25TopKFiltered(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                       carry: Seq[String],
+                       filter: org.apache.spark.sql.Column,
+                       k: Int = 10, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val p = postingsStagedWith(docs, carry).filter(filter)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    scoreBm25(p, termStatsStaged(docs), corpusStatsStaged(docs),
+      queries, k, k1, b)
+  }
+
   /** Per-term document frequency — vocabulary-sized by construction
     * (one row per distinct term), hence always broadcast at the join.
     */

@@ -269,6 +269,26 @@ class RetrievalSpec extends SparkSpec with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("filtered bm25: filter-context semantics — candidates restricted, scores unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qs = Seq((0L, Seq("dup", "join")))
+    val unfiltered = Retrieval.bm25TopK(docs, qs, k = 100000).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    val keep = docs.filter(col("source").isin("src1", "src2", "src3"))
+      .select("doc_id").as[Long].collect().toSet
+    val filtered = Retrieval.bm25TopKFiltered(docs, qs, Seq("source"),
+      col("source").isin("src1", "src2", "src3"), k = 100000).collect()
+    filtered.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(keep(id), s"doc $id ranked despite failing the filter")
+      // ES filter-context: the filter never re-weighs — a surviving
+      // doc's score is bit-identical to its unfiltered score
+      r.getAs[Long]("score_q") shouldBe unfiltered(id)
+    }
+    filtered.map(_.getAs[Long]("doc_id")).toSet shouldBe
+      unfiltered.keySet.intersect(keep)
+  }
+
   test("snippets: window clamps at both document edges; single-space joined") {
     val docs = Seq(
       (1L, "hash join early words", 21L),           // match at pos 1: left clamp
