@@ -4580,8 +4580,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
         "doc_id")
       // the indexer: one changefeed read since the indexed version,
-      // inserts → posting increment, deletes → tombstone set
+      // inserts → posting increment, deletes → tombstone set.
+      // UPDATE ops are refused LOUDLY: id-level tombstones cannot
+      // express re-indexing a changed doc (tombstoning the id would
+      // also kill its re-appended postings) — an updating feed needs
+      // versioned doc identities or the rebuild path, and silently
+      // dropping updates would serve stale rankings.
       val feed = tables.CowTable.changesSince(s, tableRoot, "doc_id", 1)
+      require(feed.filter(col("op") === "update").isEmpty,
+        "cdc indexer consumes insert/delete feeds only (see comment)")
       tables.InvertedIndex.append(
         feed.filter(col("op") === "insert")
           .select(col("doc_id"), col("new_text").as("text")), indexRoot)

@@ -1102,14 +1102,21 @@ object CowTable {
       bloom = patch(e.bloom)))
   }
 
-  /** Move every branch-local version directory named by `entries`
-    * under the main tree. Each move is a same-filesystem directory
-    * rename (atomic per dir); already-moved dirs are skipped, so a
-    * crashed publish resumes by re-running it. */
+  /** Move every still-branch-local version directory named by the
+    * RE-HOMED `entries` under the main tree. The move list derives
+    * from the TARGET paths (each `$root/sub/d` whose source
+    * `$br/sub/d` still exists moves), NOT from the branch prefix —
+    * this is what makes a crashed publish recoverable: after the
+    * re-homed branch commit, a recovery re-run reads entries that are
+    * already main-pathed, and a source-prefix filter would match
+    * nothing and move nothing while the dirs still sit under the
+    * branch (then committing main against absent paths). Each move is
+    * a same-filesystem directory rename (atomic per dir);
+    * already-moved dirs have no surviving source and skip. */
   private def moveRehomed(entries: Seq[Entry], br: String,
                           root: String): Unit = {
     def moveTree(sub: String, paths: Seq[String]): Unit = {
-      val prefix = s"$br/$sub/"
+      val prefix = s"$root/$sub/"
       paths.filter(_.startsWith(prefix))
         .map(p => p.stripPrefix(prefix).takeWhile(_ != '/'))
         .distinct.foreach { d =>
@@ -1160,7 +1167,7 @@ object CowTable {
     if (rehomed != head.entries)
       commit(br, head.copy(version = head.version + 1,
         parent = head.version, entries = rehomed))
-    moveRehomed(head.entries, br, root)
+    moveRehomed(rehomed, br, root)
     try {
       commit(root, head.copy(version = base + 1, parent = base,
         entries = rehomed))

@@ -54,9 +54,14 @@ object InvertedIndex {
             positions: Boolean = false): Unit = {
     require(!Files.exists(marker(root)), s"index already exists at $root")
     // sweep debris from a crashed earlier attempt (no marker ⇒ any
-    // existing trees are partial output, not a live index)
+    // existing trees are partial output, not a live index) — INCLUDING
+    // stray batch-append/tombstone roots, which would otherwise
+    // silently merge into (or delete from) the fresh index
     Seq(".staging", "postings", "termstats", "corpus", "positions")
       .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("_batch_"))
+      .foreach(rmTree)
     val staging = s"$root/.staging"
     Retrieval.postingsStaged(docs)
       .withColumn("__tb", Sampling.hashBucket(col("term"), buckets))
@@ -128,12 +133,18 @@ object InvertedIndex {
     * so the drifted scores are still bit-exact.
     *
     * Same at-least-once discipline as [[append]]: a batch id makes a
-    * redelivered delete rewrite its own root. Deleting an id that is
-    * absent (or a blank doc, which has no postings) is a no-op on
-    * every query and, at compaction, on the recomputed stats.
+    * redelivered delete rewrite its own root. Deleting an absent id is
+    * a no-op everywhere. CONTRACT EDGE: deleting a BLANK-text doc (it
+    * has no postings) is a no-op on every query — a blank doc can
+    * never match a term — but compacted (n_docs, sum_dl) keep counting
+    * it (the index cannot distinguish a deleted blank doc from a
+    * deleted absent id), so exact compacted statistics assume
+    * tombstones reference posting-bearing docs; blank-doc tombstones
+    * leave only an avgdl/idf residue that a rebuild clears.
     */
   def delete(docIds: DataFrame, root: String,
              batch: Option[String] = None): Unit = {
+    bucketCount(root): Unit // an index must exist before it can tombstone
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
     docIds.select(col("doc_id")).distinct()
@@ -299,33 +310,39 @@ object InvertedIndex {
     // recomputed EXACTLY from the surviving postings — df by group
     // count, (n_docs, sum_dl) by subtracting the dropped docs'
     // contributions (one skinny (doc_id, dl) row per posting-bearing
-    // deleted doc; blank/absent ids had no postings and no effect)
-    val live = filterDeleted(spark, srcRoot, allBuckets("postings"))
-      .drop("__tb")
+    // deleted doc; blank/absent ids had no postings and no effect —
+    // the contract edge [[delete]] documents). The tombstone set is
+    // read ONCE and reused across every consumer below.
+    val tombstones = deletedDocs(spark, srcRoot)
+    def dropDead(rows: DataFrame): DataFrame = tombstones match {
+      case None => rows
+      case Some(dd) => rows.join(broadcast(dd), Seq("doc_id"), "left_anti")
+    }
+    val allPostings = allBuckets("postings").drop("__tb")
+    val live = dropDead(allPostings)
     live
       .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
       .write.partitionBy("__tb").parquet(s"$staging/postings")
-    val hasTombstones = deletedDocs(spark, srcRoot).isDefined
-    if (!hasTombstones) {
-      termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
-      corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
-    } else {
-      live.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .write.parquet(s"$staging/termstats")
-      val dropped = deletedDocs(spark, srcRoot).get
-        .join(allBuckets("postings").select(col("doc_id"), col("dl")),
-          Seq("doc_id"))
-        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("__nd"),
-          coalesce(sum(col("dl")), lit(0L)).as("__dl"))
-      corpusStats(spark, srcRoot).crossJoin(dropped)
-        .select((col("n_docs") - col("__nd")).as("n_docs"),
-          (col("sum_dl") - col("__dl")).as("sum_dl"))
-        .write.parquet(s"$staging/corpus")
+    tombstones match {
+      case None =>
+        termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
+        corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
+      case Some(dd) =>
+        live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.parquet(s"$staging/termstats")
+        val dropped = dd
+          .join(allPostings.select(col("doc_id"), col("dl")), Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("__nd"),
+            coalesce(sum(col("dl")), lit(0L)).as("__dl"))
+        corpusStats(spark, srcRoot).crossJoin(dropped)
+          .select((col("n_docs") - col("__nd")).as("n_docs"),
+            (col("sum_dl") - col("__dl")).as("sum_dl"))
+          .write.parquet(s"$staging/corpus")
     }
     val pos = hasPositions(srcRoot)
     if (pos)
-      filterDeleted(spark, srcRoot, allBuckets("positions").drop("__tb"))
+      dropDead(allBuckets("positions").drop("__tb"))
         .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
         .write.partitionBy("__tb").parquet(s"$staging/positions")
     (Seq("postings", "termstats", "corpus") ++

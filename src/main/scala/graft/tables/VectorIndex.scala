@@ -1,5 +1,7 @@
 package graft.tables
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,12 +145,41 @@ object VectorIndex {
     */
   def compactTo(spark: SparkSession, srcDir: String,
                 dstDir: String): Unit = {
-    require(!new java.io.File(s"$dstDir/cells").exists(),
-      s"compaction target $dstDir already an index")
+    require(!Files.exists(Paths.get(s"$dstDir/_vindex.json")),
+      s"compaction target $dstDir already a completed index")
+    def rmTree(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
+    }
+    // sweep debris from a crashed earlier attempt (no marker ⇒ any
+    // existing trees are partial output), then build under staging and
+    // rename into place with the marker LAST — InvertedIndex.write's
+    // crash discipline
+    Seq(".staging", "centroids", "cells", "codebooks", "codes", "params")
+      .foreach(d => rmTree(new java.io.File(s"$dstDir/$d")))
+    val staging = s"$dstDir/.staging"
     spark.read.parquet(s"$srcDir/centroids")
-      .write.parquet(s"$dstDir/centroids")
+      .write.parquet(s"$staging/centroids")
     cells(spark, srcDir)
-      .write.partitionBy("centroid_id").parquet(s"$dstDir/cells")
+      .write.partitionBy("centroid_id").parquet(s"$staging/cells")
+    // the compressed side travels too: codebooks/params verbatim, the
+    // unioned LIVE codes (tombstones folded) rewritten once
+    val hasPq = Files.exists(Paths.get(s"$srcDir/codes"))
+    if (hasPq) {
+      spark.read.parquet(s"$srcDir/codebooks")
+        .write.parquet(s"$staging/codebooks")
+      spark.read.parquet(s"$srcDir/params")
+        .coalesce(1).write.parquet(s"$staging/params")
+      pqCodes(spark, srcDir)
+        .write.partitionBy("centroid_id").parquet(s"$staging/codes")
+    }
+    (Seq("centroids", "cells") ++
+      (if (hasPq) Seq("codebooks", "params", "codes") else Nil))
+      .foreach { d =>
+        Files.move(Paths.get(s"$staging/$d"), Paths.get(s"$dstDir/$d")): Unit
+      }
+    rmTree(new java.io.File(staging))
+    Files.write(Paths.get(s"$dstDir/_vindex.json"),
+      s"""{"pq": $hasPq}""".getBytes("UTF-8")): Unit
   }
 
   // ---- compressed (IVF-PQ) index lifecycle --------------------------

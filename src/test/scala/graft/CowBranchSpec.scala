@@ -112,6 +112,41 @@ class CowBranchSpec extends SparkSpec {
     assert(main(5L) === 555L && main(6L) === 666L)
   }
 
+  test("publish recovers crashed states: partial moves skip-and-finish; a lost main commit re-runs") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L)).toDF("doc_id", "v"), "doc_id")
+    // crash emulation 1: SOME branch-local dirs already sit under main
+    // (a publish died mid-move) — the re-run must skip those and move
+    // the rest; deriving the move list from the branch prefix would
+    // move nothing once the re-homed manifest is committed
+    val head = CowTable.readManifest(spark, br, CowTable.currentVersion(br))
+    val brDirs = head.entries.map(_.path)
+      .filter(_.startsWith(s"$br/data/"))
+      .map(_.stripPrefix(s"$br/data/").takeWhile(_ != '/')).distinct
+    assert(brDirs.nonEmpty)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/data"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$br/data/${brDirs.head}"),
+      java.nio.file.Paths.get(s"$root/data/${brDirs.head}"))
+    val v = CowTable.publishBranch(spark, root, "exp")
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main(200L) === 1L && main.size === 101)
+    // crash emulation 2: publish completed the moves and the branch
+    // re-commit but LOST the main commit — delete main's head manifest
+    // and re-run; everything is already moved, so the re-run is a pure
+    // idempotent re-commit
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(f"$root/_manifests/v$v%05d.json")))
+    assert(CowTable.publishBranch(spark, root, "exp") === v)
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect()
+      .toMap === main)
+  }
+
   test("publish refuses when main advanced past the fork point") {
     val root = freshRoot()
     CowTable.create(base, root, "doc_id", buckets = 4)

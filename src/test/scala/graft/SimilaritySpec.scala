@@ -305,6 +305,14 @@ class SimilaritySpec extends SparkSpec {
         .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq ===
         VectorIndex.topK(spark, dir, q, 5, nprobe = 8)
           .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq)
+      // the COMPRESSED side traveled with the compaction: ADC works
+      // off the new root with no tombstoned id and matches the source
+      assert(VectorIndex.pqTopK(spark, cmp, q, 5, nprobe = 8)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq ===
+        VectorIndex.pqTopK(spark, dir, q, 5, nprobe = 8)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq)
+      VectorIndex.pqTopK(spark, cmp, q, 5, nprobe = 8).collect()
+        .foreach(r => assert(r.getAs[Long]("vec_id") % 7 != 3))
     } finally {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
