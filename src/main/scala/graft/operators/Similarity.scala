@@ -106,11 +106,21 @@ object Similarity {
     * null-embedding rows get cell -1, which no probe ever matches.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignWith(corpus, centroids, Nil)
+
+  /** [[ivfAssign]] with FACET columns riding each assigned row — the
+    * [[graft.operators.Retrieval.postingsStagedWith]] discipline on
+    * the dense side: a filtered probe then prunes cells by a pushed
+    * predicate on its own scan instead of joining a corpus-sized
+    * metadata relation. */
+  def ivfAssignWith(corpus: DataFrame, centroids: DataFrame,
+                    carry: Seq[String]): DataFrame =
     corpus.crossJoin(packedCentroids(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .select(Seq(col("vec_id"), col("label"), col("embedding")) ++
+        carry.map(col) :+
         coalesce(graft.functions.NearestCentroid
           .nearest_centroid(col("embedding"), col("cents")), lit(-1L))
-          .as("centroid_id"))
+          .as("centroid_id"): _*)
 
   /** Probe half of the IVF search, over any (centroids, assigned)
     * pair — in-flight or reloaded from a persisted index.

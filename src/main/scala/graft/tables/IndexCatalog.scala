@@ -1,0 +1,169 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** GENERATION POINTER + OCC for persisted search indexes — the tiny
+  * manifest [[InvertedIndex]]/[[VectorIndex]] maintenance needs to be
+  * safe under CONCURRENT append and compaction. Without it,
+  * `compactTo` + caller-side pointer flip has a lost-update window: an
+  * append landing between the compaction's snapshot of the batch
+  * roots and the flip is silently absent from the new generation —
+  * the loss mode [[CowTable]]'s link(2) manifest commit exists to
+  * prevent, now applied at index granularity.
+  *
+  * Layout under the catalog root:
+  *
+  *   root/_catalog/v<N>.json   {"generation": "<dir>", "batches": […]}
+  *   root/g<K>/                index generations (full index roots)
+  *
+  * The head version IS the serving state: which generation directory
+  * to read, and which batch ids within it are COMMITTED (readers pass
+  * the registered set to the index's `only` filter, so an in-flight
+  * or crashed-before-commit append is never served). Commits use the
+  * same `link(2)` discipline as [[CowTable.commit]]: creating
+  * `v<N>.json` atomically fails if the version exists, so exactly one
+  * writer wins each version and the loser re-reads and retries.
+  *
+  * - [[append]]: write the batch's increments into the CURRENT
+  *   generation under a fresh id, then CAS-register the id. If a
+  *   compaction flipped the generation in between, the physical
+  *   write re-runs into the new generation (the old files are
+  *   orphaned in the dead generation — harmless, GC'd with it) — "a
+  *   concurrent append either lands in the new generation or
+  *   re-homes itself".
+  * - [[compact]]: snapshot the head, fold EXACTLY the registered
+  *   batches into a fresh generation dir, then CAS-flip the pointer.
+  *   If an append registered meanwhile, the commit loses and the
+  *   compaction re-runs over the grown batch set — no append is ever
+  *   silently dropped. Unregistered batch files present in the source
+  *   generation (a concurrent append's in-flight write) are excluded
+  *   by the `only` filter, so they can never be double-counted when
+  *   that append later re-homes.
+  */
+object IndexCatalog {
+
+  /** One committed catalog state: the serving generation dir and the
+    * batch ids committed into it. */
+  final case class State(version: Int, generation: String,
+                         batches: Seq[String])
+
+  final class ConcurrentCatalogCommit(val version: Int)
+    extends RuntimeException(s"catalog version $version already committed")
+
+  /** Test seam: runs after a writer computed its new state but before
+    * the atomic commit — lets a spec interleave a competing commit. */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  private def catDir(root: String) = s"$root/_catalog"
+
+  private def versionOf(name: String): Option[Int] =
+    if (name.startsWith("v") && name.endsWith(".json"))
+      name.stripPrefix("v").stripSuffix(".json").toIntOption
+    else None
+
+  /** The head state — one directory listing + one tiny JSON read. */
+  def current(root: String): State = {
+    val vs = Option(new java.io.File(catDir(root)).listFiles()).toSeq
+      .flatten.flatMap(f => versionOf(f.getName))
+    require(vs.nonEmpty, s"no index catalog at $root")
+    val v = vs.max
+    val body = new String(
+      Files.readAllBytes(Paths.get(s"${catDir(root)}/v$v.json")), "UTF-8")
+    val gen = """"generation"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(s"bad catalog v$v at $root"))
+    val batches = """"batches"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    State(v, gen, batches)
+  }
+
+  /** Commit `state` as version `state.version` — link(2) atomic; the
+    * loser of a race gets [[ConcurrentCatalogCommit]]. */
+  private def commit(root: String, state: State): Unit = {
+    val dir = Paths.get(catDir(root))
+    Files.createDirectories(dir)
+    val body = s"""{"generation": "${state.generation}", "batches": [${
+      state.batches.map(b => s""""$b"""").mkString(", ")}]}"""
+    val tmp = dir.resolve(s".tmp_v${state.version}_${System.nanoTime()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    val target = dir.resolve(s"v${state.version}.json")
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.createFile(target) // atomic claim; throws if committed
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCatalogCommit(state.version)
+    } finally {
+      Files.deleteIfExists(tmp): Unit
+    }
+  }
+
+  /** Create the catalog: `build` writes generation 1 into its dir,
+    * then v1 commits the pointer. The index exists only once the
+    * catalog says so. */
+  def create(root: String)(build: String => Unit): State = {
+    val gen = s"$root/g1"
+    build(gen)
+    val s = State(1, gen, Seq.empty)
+    beforeCommitHook()
+    commit(root, s)
+    s
+  }
+
+  /** Register one appended batch: `write(generationDir, batchId)`
+    * performs the physical increment write (e.g.
+    * [[InvertedIndex.append]] with that batch id — idempotent under
+    * overwrite), then the id CAS-commits onto the head. Retries
+    * re-read the head; if a compaction flipped the generation since
+    * the write, the increment re-writes into the new generation
+    * before re-committing (same id ⇒ overwrite, never double). */
+  def append(root: String)(write: (String, String) => Unit): State = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    var s = current(root)
+    write(s.generation, id)
+    while (true) {
+      val cand = State(s.version + 1, s.generation, s.batches :+ id)
+      beforeCommitHook()
+      try { commit(root, cand); return cand }
+      catch {
+        case _: ConcurrentCatalogCommit =>
+          val head = current(root)
+          if (head.generation != s.generation) write(head.generation, id)
+          s = head
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Fold the head's registered batches into a fresh generation and
+    * CAS-flip the pointer: `fold(srcGen, registeredBatchIds, dstGen)`
+    * builds the new generation (e.g. [[InvertedIndex.compactTo]] with
+    * `only = registered` — unregistered in-flight files excluded). A
+    * losing CAS means an append registered meanwhile: the fold
+    * re-runs over the grown batch set into a fresh dir — nothing is
+    * ever dropped. Superseded generation dirs are left for GC (the
+    * write-new / flip / GC-old discipline). */
+  def compact(root: String)
+             (fold: (String, Set[String], String) => Unit): State = {
+    var s = current(root)
+    while (true) {
+      // uniq suffix: two racing compacts of the same snapshot must
+      // not collide on the destination dir (the loser's build is
+      // orphaned-but-harmless, like CowTable's losing data dirs)
+      val dst = s"$root/g${s.version + 1}_${
+        java.util.UUID.randomUUID().toString.take(8)}"
+      fold(s.generation, s.batches.toSet, dst)
+      val cand = State(s.version + 1, dst, Seq.empty)
+      beforeCommitHook()
+      try { commit(root, cand); return cand }
+      catch { case _: ConcurrentCatalogCommit => s = current(root) }
+    }
+    sys.error("unreachable")
+  }
+}

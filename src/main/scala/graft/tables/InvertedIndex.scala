@@ -5,17 +5,23 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.tokens
 import graft.operators.{Retrieval, Sampling}
 
 /** PERSISTED inverted index, term-bucketed on disk — the stored form
   * of [[graft.operators.Retrieval.postingsStaged]]'s contract that "a
   * query touches only its own terms' buckets". Layout:
   *
-  *   root/postings/__tb=<b>/   posting rows (term, doc_id, dl, tf)
+  *   root/postings/__tb=<b>/   posting rows (term, doc_id, ver, dl, tf)
   *   root/termstats/           per-term df (vocabulary-sized)
   *   root/corpus/              1 row (n_docs, sum_dl)
+  *   root/doclens/             one (doc_id, ver, dl) row per indexed
+  *                             doc VERSION — dl=0 for blank/null text,
+  *                             so compaction can recompute (n_docs,
+  *                             sum_dl) exactly even for docs that
+  *                             carry no postings
   *   root/positions/__tb=<b>/  optional positional postings
-  *                             (term, doc_id, pos) for phrase queries
+  *                             (term, doc_id, ver, pos) for phrases
   *   root/_index.json          bucket count
   *
   * plus roll-forward APPEND artifacts (see [[append]]):
@@ -23,7 +29,21 @@ import graft.operators.{Retrieval, Sampling}
   *   root/postings_batch_<id>/__tb=<b>/   a batch's posting increment
   *   root/termstats_batch_<id>/           its per-term df increment
   *   root/corpus_batch_<id>/              its 1-row corpus increment
+  *   root/doclens_batch_<id>/             its per-doc-version lengths
   *   root/positions_batch_<id>/__tb=<b>/  its positional increment
+  *
+  * VERSIONED DOC IDENTITIES: every posting/position/doclens row
+  * carries the version of the doc it was indexed under. An UPDATE to
+  * a document is then two already-cheap operations — [[supersede]]
+  * the old version (one skinny (doc_id, kill_below) row: every
+  * indexed version BELOW the new one stops matching immediately) and
+  * [[append]] the new text under the new version — which is how a
+  * change feed with genuine update ops maintains the index without
+  * any rescan ([[applyChanges]]). Statistics DRIFT exactly as for
+  * deletes (superseded versions keep counting in df/corpus stats
+  * until [[compactTo]] folds them — Lucene's maxDoc-vs-numDocs
+  * between merges); the drift is part of the contract the driver
+  * oracle spells.
   *
   * The bucket of a term is the engine-portable md5 bucket
   * ([[Sampling.hashBucket]]) — the same 32-hex-bit idiom every
@@ -50,29 +70,61 @@ object InvertedIndex {
     Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
   }
 
-  def write(docs: DataFrame, root: String, buckets: Int = 64,
-            positions: Boolean = false): Unit = {
-    require(!Files.exists(marker(root)), s"index already exists at $root")
-    // sweep debris from a crashed earlier attempt (no marker ⇒ any
-    // existing trees are partial output, not a live index) — INCLUDING
-    // stray batch-append/tombstone roots, which would otherwise
-    // silently merge into (or delete from) the fresh index
-    Seq(".staging", "postings", "termstats", "corpus", "positions")
-      .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+  /** Sweep the standard trees AND any stray `*_batch_*` roots at a
+    * marker-less root — leftover append/tombstone debris would
+    * otherwise silently merge into (or delete from) the fresh index. */
+  private def sweepRoot(root: String): Unit = {
+    Seq(".staging", "postings", "termstats", "corpus", "doclens",
+      "positions").foreach(d => rmTree(new java.io.File(s"$root/$d")))
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.contains("_batch_"))
       .foreach(rmTree)
+  }
+
+  // ---- staged relations over a docs relation CARRYING `ver` --------
+
+  /** Postings with the doc version riding each row (the dl
+    * discipline applied to identity): same content as
+    * [[Retrieval.postingsStaged]] plus `ver`, and two versions of one
+    * doc in a single batch stay distinct rows. */
+  private def postingsV(dv: DataFrame): DataFrame =
+    Retrieval.postingsStagedWith(dv, Seq("ver"))
+      .select(col("term"), col("doc_id"), col("ver"), col("dl"), col("tf"))
+
+  /** One (doc_id, ver, dl) row per doc VERSION — including blank/null
+    * text docs at dl=0, which is what lets [[compactTo]] recompute
+    * corpus stats exactly without postings to witness them. */
+  private def docLensV(dv: DataFrame): DataFrame =
+    dv.select(col("doc_id"), col("ver"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(tokens(col("text"))).cast("long")).as("dl"))
+
+  private def positionsV(dv: DataFrame): DataFrame =
+    dv.select(col("doc_id"), col("ver"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "ver", "pos", "term")
+
+  private def termStatsV(dv: DataFrame): DataFrame =
+    postingsV(dv).groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  def write(docs: DataFrame, root: String, buckets: Int = 64,
+            positions: Boolean = false, ver: Long = 0L): Unit = {
+    require(!Files.exists(marker(root)), s"index already exists at $root")
+    // sweep debris from a crashed earlier attempt (no marker ⇒ any
+    // existing trees are partial output, not a live index)
+    sweepRoot(root)
     val staging = s"$root/.staging"
-    Retrieval.postingsStaged(docs)
+    val dv = docs.withColumn("ver", lit(ver))
+    postingsV(dv)
       .withColumn("__tb", Sampling.hashBucket(col("term"), buckets))
       .write.partitionBy("__tb").parquet(s"$staging/postings")
-    Retrieval.termStatsStaged(docs).write.parquet(s"$staging/termstats")
+    termStatsV(dv).write.parquet(s"$staging/termstats")
     Retrieval.corpusStatsStaged(docs).write.parquet(s"$staging/corpus")
+    docLensV(dv).write.parquet(s"$staging/doclens")
     if (positions)
-      Retrieval.positionalPostingsStaged(docs)
+      positionsV(dv)
         .withColumn("__tb", Sampling.hashBucket(col("term"), buckets))
         .write.partitionBy("__tb").parquet(s"$staging/positions")
-    (Seq("postings", "termstats", "corpus") ++
+    (Seq("postings", "termstats", "corpus", "doclens") ++
       (if (positions) Seq("positions") else Nil)).foreach { d =>
       Files.move(Paths.get(s"$staging/$d"), Paths.get(s"$root/$d")): Unit
     }
@@ -84,37 +136,51 @@ object InvertedIndex {
 
   /** Roll the persisted index FORWARD by one ingest batch — the
     * on-disk form of [[Retrieval.bm25TopKIncremental]]'s additivity
-    * (batches carry disjoint doc sets, so postings union without
-    * collision, per-term df sums, corpus stats sum component-wise):
-    * the batch's posting/df/corpus increments write to their own
-    * roots; the STANDING trees are never read, moved, or rewritten,
-    * and readers merge additively at query time. This is the 100 TB
-    * maintenance path a daily-ingest deployment runs — mirror of
-    * [[VectorIndex.append]] on the ANN side; without it the index
-    * must rebuild from scratch per ingest.
+    * (batches carry disjoint doc identities, so postings union
+    * without collision, per-term df sums, corpus stats sum
+    * component-wise): the batch's posting/df/corpus/doclens
+    * increments write to their own roots; the STANDING trees are
+    * never read, moved, or rewritten, and readers merge additively at
+    * query time. This is the 100 TB maintenance path a daily-ingest
+    * deployment runs — mirror of [[VectorIndex.append]] on the ANN
+    * side; without it the index must rebuild from scratch per ingest.
     *
     * `batch` follows [[VectorIndex.append]]'s at-least-once
     * discipline: with an id, the increments land in the batch's OWN
     * roots with overwrite, so a redelivered micro-batch replaces its
     * prior attempt instead of double-counting; when None, a one-shot
     * driver append gets a fresh unique id. Positional increments are
-    * written iff the base index carries a positions tree.
+    * written iff the base index carries a positions tree. `ver`
+    * stamps the batch's doc version (a re-indexed doc appends under a
+    * HIGHER version than the one it supersedes).
     */
   def append(fresh: DataFrame, root: String,
-             batch: Option[String] = None): Unit = {
+             batch: Option[String] = None, ver: Long = 0L): Unit =
+    appendVersioned(fresh.withColumn("ver", lit(ver)), root, batch)
+
+  /** [[append]] for a batch whose rows carry their OWN `ver` column —
+    * the change-feed shape, where one batch can hold several table
+    * versions' worth of churn (and even two versions of the same
+    * doc: postings key on (term, doc_id, ver), so they never
+    * collide). The batch must be non-empty (an empty parquet
+    * partition tree cannot be re-read); [[applyChanges]] guards. */
+  def appendVersioned(fresh: DataFrame, root: String,
+                      batch: Option[String] = None): Unit = {
     val nb = bucketCount(root)
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    Retrieval.postingsStaged(fresh)
+    postingsV(fresh)
       .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$root/postings_batch_$id")
-    Retrieval.termStatsStaged(fresh).write.mode("overwrite")
+    termStatsV(fresh).write.mode("overwrite")
       .parquet(s"$root/termstats_batch_$id")
-    Retrieval.corpusStatsStaged(fresh).write.mode("overwrite")
+    Retrieval.corpusStatsStaged(fresh.drop("ver")).write.mode("overwrite")
       .parquet(s"$root/corpus_batch_$id")
+    docLensV(fresh).write.mode("overwrite")
+      .parquet(s"$root/doclens_batch_$id")
     if (hasPositions(root))
-      Retrieval.positionalPostingsStaged(fresh)
+      positionsV(fresh)
         .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$root/positions_batch_$id")
@@ -124,23 +190,19 @@ object InvertedIndex {
     * contract: the delete itself is O(|ids|) (one skinny doc_id
     * relation written; NO posting bucket is read or rewritten), query
     * paths anti-join the broadcast tombstone set so deleted docs stop
-    * matching IMMEDIATELY, and the per-term/corpus statistics DRIFT
-    * (they still count the deleted docs) until [[compactTo]] folds the
-    * tombstones and recomputes them exactly — precisely Lucene's
-    * maxDoc-vs-numDocs behavior between segment merges. The drift is
-    * part of the contract, not an approximation: the driver row's
-    * oracle spells it (live postings scored under full-corpus stats),
-    * so the drifted scores are still bit-exact.
+    * matching IMMEDIATELY (every version), and the per-term/corpus
+    * statistics DRIFT (they still count the deleted docs) until
+    * [[compactTo]] folds the tombstones and recomputes them exactly —
+    * precisely Lucene's maxDoc-vs-numDocs behavior between segment
+    * merges. The drift is part of the contract, not an approximation:
+    * the driver row's oracle spells it (live postings scored under
+    * full-corpus stats), so the drifted scores are still bit-exact.
     *
     * Same at-least-once discipline as [[append]]: a batch id makes a
-    * redelivered delete rewrite its own root. Deleting an absent id is
-    * a no-op everywhere. CONTRACT EDGE: deleting a BLANK-text doc (it
-    * has no postings) is a no-op on every query — a blank doc can
-    * never match a term — but compacted (n_docs, sum_dl) keep counting
-    * it (the index cannot distinguish a deleted blank doc from a
-    * deleted absent id), so exact compacted statistics assume
-    * tombstones reference posting-bearing docs; blank-doc tombstones
-    * leave only an avgdl/idf residue that a rebuild clears.
+    * redelivered delete rewrite its own root. Deleting an absent id
+    * is a no-op everywhere; deleting a blank-text doc is a no-op on
+    * every query and — thanks to the doclens sidecar — still folds
+    * exactly at compaction.
     */
   def delete(docIds: DataFrame, root: String,
              batch: Option[String] = None): Unit = {
@@ -151,25 +213,84 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$root/deletes_batch_$id")
   }
 
-  /** The union of all tombstone sets, distinct — None when the index
-    * has never seen a delete, so un-deleted indexes keep their exact
-    * query plans. */
-  def deletedDocs(spark: SparkSession, root: String): Option[DataFrame] =
-    batchRoots(root, "deletes") match {
-      case Seq() => None
-      case roots =>
-        Some(roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-          .distinct())
-    }
+  /** VERSION-level tombstone: every indexed version of `doc_id`
+    * BELOW `kill_below` stops matching immediately. The update
+    * primitive — an update at table version v is
+    * `supersede(doc → v)` + `append(new text, ver = v)`; a delete at
+    * v is `supersede(doc → v)` alone (nothing re-appends, and a later
+    * RE-INSERT at v' > v simply appends under v', alive because
+    * v' ≥ kill_below). Stateless by construction: no per-doc "current
+    * version" bookkeeping exists anywhere — later supersedes compose
+    * by max(kill_below). O(|rows|) like [[delete]]; statistics drift
+    * identically until compaction.
+    */
+  def supersede(docVers: DataFrame, root: String,
+                batch: Option[String] = None): Unit = {
+    bucketCount(root): Unit
+    val id = batch.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    docVers.select(col("doc_id"), col("kill_below").cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("kill_below")).as("kill_below"))
+      .write.mode("overwrite").parquet(s"$root/supersedes_batch_$id")
+  }
 
-  /** `rows` minus tombstoned docs — a broadcast anti-join (the
-    * tombstone set is ids-only and policy-sized); identity when no
-    * deletes exist. */
+  /** Consume a CoW change feed ([[CowTable.changesSince]] shape:
+    * op ∈ insert/update/delete, doc_id, new_text, version) — the
+    * lakehouse-CDC-drives-the-search-indexer path, UPDATE ops
+    * included: inserts and updates append their postings under the
+    * feed row's version; updates and deletes supersede every version
+    * below it. Two churn-sized writes total, whatever the feed mixes;
+    * the table is never rescanned. At-least-once safe under a batch
+    * id (both increments rewrite their own roots on redelivery).
+    */
+  def applyChanges(feed: DataFrame, root: String,
+                   batch: Option[String] = None): Unit = {
+    val ups = feed.filter(col("op") =!= "delete")
+      .select(col("doc_id"), col("new_text").as("text"),
+        col("version").cast("long").as("ver"))
+    val downs = feed.filter(col("op") =!= "insert")
+      .select(col("doc_id"), col("version").cast("long").as("kill_below"))
+    if (!ups.isEmpty) appendVersioned(ups, root, batch.map(b => s"${b}u"))
+    if (!downs.isEmpty) supersede(downs, root, batch.map(b => s"${b}d"))
+  }
+
+  /** The unified kill rule: one (doc_id, kill_below) row per
+    * tombstoned doc — id-level [[delete]]s kill every version
+    * (kill_below = Long.MaxValue), [[supersede]]s kill the versions
+    * below theirs, and overlaps compose by max. None when the index
+    * has never seen a tombstone, so untouched indexes keep their
+    * exact query plans. */
+  private def killRules(spark: SparkSession, root: String,
+                        only: Option[Set[String]] = None)
+      : Option[DataFrame] = {
+    val dels = batchRoots(root, "deletes", only).map(p =>
+      spark.read.parquet(p)
+        .select(col("doc_id"), lit(Long.MaxValue).as("kill_below")))
+    val sups = batchRoots(root, "supersedes", only).map(spark.read.parquet(_))
+    (dels ++ sups) match {
+      case Seq() => None
+      case parts =>
+        Some(parts.reduce(_.unionByName(_))
+          .groupBy(col("doc_id"))
+          .agg(max(col("kill_below")).as("kill_below")))
+    }
+  }
+
+  /** `rows` (carrying doc_id + ver) minus tombstoned versions — a
+    * broadcast join against the policy-sized kill set; identity when
+    * no tombstone exists. A row survives iff its doc has no rule or
+    * its version is at/above the doc's kill_below. */
   private def filterDeleted(spark: SparkSession, root: String,
-                            rows: DataFrame): DataFrame =
-    deletedDocs(spark, root) match {
+                            rows: DataFrame,
+                            only: Option[Set[String]] = None): DataFrame =
+    killRules(spark, root, only) match {
       case None => rows
-      case Some(dd) => rows.join(broadcast(dd), Seq("doc_id"), "left_anti")
+      case Some(kr) =>
+        rows.join(broadcast(kr), Seq("doc_id"), "left")
+          .filter(col("kill_below").isNull ||
+            col("ver") >= col("kill_below"))
+          .drop("kill_below")
     }
 
   def bucketCount(root: String): Int = {
@@ -183,10 +304,17 @@ object InvertedIndex {
     Files.exists(Paths.get(s"$root/positions"))
 
   /** Batch-append roots for `prefix` (e.g. "postings"), sorted — a
-    * driver-side directory listing, once per query plan. */
-  private def batchRoots(root: String, prefix: String): Seq[String] =
+    * driver-side directory listing, once per query plan. With `only`
+    * set (the [[IndexCatalog]] serving path), roots whose batch id is
+    * not registered are EXCLUDED — an in-flight or
+    * crashed-before-commit append is never served and never folded. */
+  private def batchRoots(root: String, prefix: String,
+                         only: Option[Set[String]] = None): Seq[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
+      .filter(f => only.forall(ids =>
+        ids.contains(f.getName.substring(
+          f.getName.indexOf("_batch_") + "_batch_".length))))
       .map(_.getAbsolutePath).sorted
 
   /** Driver-side md5 bucket of a term — bit-identical to
@@ -208,10 +336,12 @@ object InvertedIndex {
     * — the counts derive purely from the term→bucket rule, which is
     * what the skip check pins. */
   private def bucketedFor(spark: SparkSession, root: String, prefix: String,
-                          terms: Seq[String]): (DataFrame, Int, Int) = {
+                          terms: Seq[String],
+                          only: Option[Set[String]] = None)
+      : (DataFrame, Int, Int) = {
     val nb = bucketCount(root)
     val want = terms.distinct.map(bucketOf(_, nb)).distinct.sorted
-    val roots = s"$root/$prefix" +: batchRoots(root, prefix)
+    val roots = s"$root/$prefix" +: batchRoots(root, prefix, only)
     val paths = roots.flatMap(r => want.map(b => s"$r/__tb=$b"))
       .filter(p => Files.exists(Paths.get(p)))
     val df =
@@ -224,27 +354,28 @@ object InvertedIndex {
 
   /** Postings for `terms`, reading ONLY their buckets (base tree +
     * batch increments). */
-  def postingsFor(spark: SparkSession, root: String,
-                  terms: Seq[String]): (DataFrame, Int, Int) =
-    bucketedFor(spark, root, "postings", terms)
+  def postingsFor(spark: SparkSession, root: String, terms: Seq[String],
+                  only: Option[Set[String]] = None): (DataFrame, Int, Int) =
+    bucketedFor(spark, root, "postings", terms, only)
 
   /** Positional postings for `terms`, same bucket pruning. The index
     * must have been written with `positions = true`. */
-  def positionsFor(spark: SparkSession, root: String,
-                   terms: Seq[String]): (DataFrame, Int, Int) = {
+  def positionsFor(spark: SparkSession, root: String, terms: Seq[String],
+                   only: Option[Set[String]] = None): (DataFrame, Int, Int) = {
     require(hasPositions(root), s"index at $root has no positions tree")
-    bucketedFor(spark, root, "positions", terms)
+    bucketedFor(spark, root, "positions", terms, only)
   }
 
   /** Per-term df across the base tree and every appended increment —
-    * summed at read (vocabulary-sized work; disjoint batch doc sets
-    * make df purely additive). An un-appended index keeps the plain
-    * read: its base tree already holds per-term totals, so the merge
-    * aggregation (and its exchange) only enters the plan once an
-    * increment exists. */
-  def termStats(spark: SparkSession, root: String): DataFrame = {
+    * summed at read (vocabulary-sized work; disjoint batch doc
+    * identities make df purely additive). An un-appended index keeps
+    * the plain read: its base tree already holds per-term totals, so
+    * the merge aggregation (and its exchange) only enters the plan
+    * once an increment exists. */
+  def termStats(spark: SparkSession, root: String,
+                only: Option[Set[String]] = None): DataFrame = {
     val base = spark.read.parquet(s"$root/termstats")
-    val batches = batchRoots(root, "termstats")
+    val batches = batchRoots(root, "termstats", only)
     if (batches.isEmpty) base
     else batches.foldLeft(base)(
         (acc, p) => acc.unionByName(spark.read.parquet(p)))
@@ -254,14 +385,24 @@ object InvertedIndex {
   /** Corpus stats across base + increments, summed component-wise
     * (one row per root in flight, one row out); plain 1-row read when
     * no increment exists. */
-  def corpusStats(spark: SparkSession, root: String): DataFrame = {
+  def corpusStats(spark: SparkSession, root: String,
+                  only: Option[Set[String]] = None): DataFrame = {
     val base = spark.read.parquet(s"$root/corpus")
-    val batches = batchRoots(root, "corpus")
+    val batches = batchRoots(root, "corpus", only)
     if (batches.isEmpty) base
     else batches.foldLeft(base)(
         (acc, p) => acc.unionByName(spark.read.parquet(p)))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
   }
+
+  /** The (doc_id, ver, dl) sidecar across base + increments — one row
+    * per indexed doc version, vocabulary-of-docs-sized (never the
+    * postings). */
+  private def docLens(spark: SparkSession, root: String,
+                      only: Option[Set[String]] = None): DataFrame =
+    batchRoots(root, "doclens", only)
+      .foldLeft(spark.read.parquet(s"$root/doclens"))(
+        (acc, p) => acc.unionByName(spark.read.parquet(p)))
 
   /** BM25 over the persisted index: identical scoring plan to
     * [[Retrieval.bm25TopK]], inputs read from the index tree (postings
@@ -270,82 +411,91 @@ object InvertedIndex {
     * rebuild-then-query bit-for-bit). */
   def bm25TopK(spark: SparkSession, root: String,
                queries: Seq[(Long, Seq[String])], k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (p, _, _) = postingsFor(spark, root, queries.flatMap(_._2))
-    // tombstoned docs drop BEFORE scoring (they must not absorb
-    // ranks); stats keep counting them until compaction — see delete
-    Retrieval.scoreBm25(filterDeleted(spark, root, p),
-      termStats(spark, root), corpusStats(spark, root), queries, k, k1, b)
+               k1: Double = 1.2, b: Double = 0.75,
+               only: Option[Set[String]] = None): DataFrame = {
+    val (p, _, _) = postingsFor(spark, root, queries.flatMap(_._2), only)
+    // tombstoned/superseded versions drop BEFORE scoring (they must
+    // not absorb ranks); stats keep counting them until compaction
+    Retrieval.scoreBm25(filterDeleted(spark, root, p, only),
+      termStats(spark, root, only), corpusStats(spark, root, only),
+      queries, k, k1, b)
   }
 
-  /** COMPACT the index: fold every batch-append increment into a
-    * fresh single-generation index at `dstRoot` — postings re-bucketed
-    * union (same bucket count and md5 rule, so pruning contracts are
-    * unchanged), df summed, corpus stats summed, positions carried iff
-    * the source has them. After enough appends the read-side batch
-    * listing and per-bucket file counts grow; compaction bounds both
+  /** COMPACT the index: fold every batch-append increment AND every
+    * tombstone into a fresh single-generation index at `dstRoot` —
+    * live postings re-bucketed union (same bucket count and md5 rule,
+    * so pruning contracts are unchanged), statistics recomputed
+    * EXACTLY over the survivors, positions carried iff the source has
+    * them. After enough appends the read-side batch listing and
+    * per-bucket file counts grow; compaction bounds both
     * (CowTable.compact's job, at index granularity).
+    *
+    * Exactness: df recomputes from the live postings; (n_docs,
+    * sum_dl) recompute from the live DOCLENS sidecar — which carries
+    * a dl=0 row for every blank/null-text doc version, so even a
+    * tombstone on a posting-less doc folds exactly (no residue; the
+    * compacted index is bit-indistinguishable from one built on the
+    * live corpus).
     *
     * Object-store discipline: the compacted index builds at a NEW
     * root (same staging + marker-last crash safety as [[write]]);
     * the SOURCE is never touched, so a crash mid-compact costs
     * nothing and the deployment flips its index pointer only once
     * `dstRoot` carries a marker — write-new, flip, GC-old, exactly
-    * like the CoW table's version swap. Query-over-compacted must
-    * equal query-over-(base+batches) bit-for-bit. */
-  def compactTo(spark: SparkSession, srcRoot: String,
-                dstRoot: String): Unit = {
+    * like the CoW table's version swap (see [[IndexCatalog]] for the
+    * OCC pointer flip). Query-over-compacted must equal
+    * query-over-(base+batches) bit-for-bit. */
+  def compactTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+                only: Option[Set[String]] = None): Unit = {
     require(!Files.exists(marker(dstRoot)),
       s"compaction target $dstRoot already an index")
     val nb = bucketCount(srcRoot)
     val staging = s"$dstRoot/.staging"
-    Seq(".staging", "postings", "termstats", "corpus", "positions")
-      .foreach(d => rmTree(new java.io.File(s"$dstRoot/$d")))
+    // sweep standard trees AND stray batch/tombstone roots at the
+    // destination — a reused dstRoot with leftover *_batch_* debris
+    // would otherwise silently merge into (or delete from) the
+    // compacted generation, the exact hazard write() sweeps
+    sweepRoot(dstRoot)
     def allBuckets(prefix: String): DataFrame =
-      batchRoots(srcRoot, prefix)
+      batchRoots(srcRoot, prefix, only)
         .foldLeft(spark.read.parquet(s"$srcRoot/$prefix"))(
           (acc, p) => acc.unionByName(spark.read.parquet(p)))
-    // tombstones FOLD here: deleted docs' rows drop from the new
-    // generation, and the statistics the live index let drift are
-    // recomputed EXACTLY from the surviving postings — df by group
-    // count, (n_docs, sum_dl) by subtracting the dropped docs'
-    // contributions (one skinny (doc_id, dl) row per posting-bearing
-    // deleted doc; blank/absent ids had no postings and no effect —
-    // the contract edge [[delete]] documents). The tombstone set is
-    // read ONCE and reused across every consumer below.
-    val tombstones = deletedDocs(spark, srcRoot)
-    def dropDead(rows: DataFrame): DataFrame = tombstones match {
+    // the kill set is read ONCE and reused across every consumer
+    val kill = killRules(spark, srcRoot, only)
+    def dropDead(rows: DataFrame): DataFrame = kill match {
       case None => rows
-      case Some(dd) => rows.join(broadcast(dd), Seq("doc_id"), "left_anti")
+      case Some(kr) =>
+        rows.join(broadcast(kr), Seq("doc_id"), "left")
+          .filter(col("kill_below").isNull ||
+            col("ver") >= col("kill_below"))
+          .drop("kill_below")
     }
-    val allPostings = allBuckets("postings").drop("__tb")
-    val live = dropDead(allPostings)
+    val live = dropDead(allBuckets("postings").drop("__tb"))
     live
       .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
       .write.partitionBy("__tb").parquet(s"$staging/postings")
-    tombstones match {
+    val liveLens = dropDead(docLens(spark, srcRoot, only))
+    kill match {
       case None =>
-        termStats(spark, srcRoot).write.parquet(s"$staging/termstats")
-        corpusStats(spark, srcRoot).write.parquet(s"$staging/corpus")
-      case Some(dd) =>
+        // nothing tombstoned: stats are purely additive — merge the
+        // standing totals instead of re-aggregating postings
+        termStats(spark, srcRoot, only).write.parquet(s"$staging/termstats")
+        corpusStats(spark, srcRoot, only).write.parquet(s"$staging/corpus")
+      case Some(_) =>
         live.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .write.parquet(s"$staging/termstats")
-        val dropped = dd
-          .join(allPostings.select(col("doc_id"), col("dl")), Seq("doc_id"))
-          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-          .agg(count(lit(1)).as("__nd"),
-            coalesce(sum(col("dl")), lit(0L)).as("__dl"))
-        corpusStats(spark, srcRoot).crossJoin(dropped)
-          .select((col("n_docs") - col("__nd")).as("n_docs"),
-            (col("sum_dl") - col("__dl")).as("sum_dl"))
+        liveLens
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
           .write.parquet(s"$staging/corpus")
     }
+    liveLens.write.parquet(s"$staging/doclens")
     val pos = hasPositions(srcRoot)
     if (pos)
       dropDead(allBuckets("positions").drop("__tb"))
         .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
         .write.partitionBy("__tb").parquet(s"$staging/positions")
-    (Seq("postings", "termstats", "corpus") ++
+    (Seq("postings", "termstats", "corpus", "doclens") ++
       (if (pos) Seq("positions") else Nil)).foreach { d =>
       Files.move(Paths.get(s"$staging/$d"), Paths.get(s"$dstRoot/$d")): Unit
     }
@@ -360,15 +510,17 @@ object InvertedIndex {
     * come off disk with only the phrase words' buckets open — the
     * 100 TB phrase path reads phrase-term buckets, never document
     * text. Matching docs then fetch (doc_id, n_chars) from the store
-    * by id — candidates-at-a-time attribute lookup, not a scan. */
+    * by id — candidates-at-a-time attribute lookup, not a scan.
+    * Tombstoned/superseded versions filter BEFORE the anchor fold, so
+    * only the live version's positions participate (two versions of
+    * one doc must never cross-match). */
   def phraseSearch(spark: SparkSession, root: String, docs: DataFrame,
-                   phrase: String): DataFrame = {
+                   phrase: String,
+                   only: Option[Set[String]] = None): DataFrame = {
     val words = phrase.trim.split("\\s+").toSeq
-    val (p, _, _) = positionsFor(spark, root, words)
-    // tombstones filter the MATCH SET (candidates-sized), not the
-    // position rows — cheapest point with identical results
-    filterDeleted(spark, root,
-        Retrieval.phraseAnchorsFrom(p, words).select(col("doc_id")).distinct())
+    val (p, _, _) = positionsFor(spark, root, words, only)
+    Retrieval.phraseAnchorsFrom(filterDeleted(spark, root, p, only), words)
+      .select(col("doc_id")).distinct()
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .orderBy(col("doc_id"))
   }

@@ -30,10 +30,13 @@ import graft.operators.Similarity
 object VectorIndex {
 
   def write(corpus: DataFrame, dir: String, nlist: Int = 16,
-            refine: Int = 0): Unit = {
+            refine: Int = 0, carry: Seq[String] = Nil): Unit = {
     val centroids = Similarity.ivfCentroids(corpus, nlist, refine)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    Similarity.ivfAssign(corpus, centroids)
+    // facet columns named in `carry` ride the cell rows (the
+    // postingsStagedWith discipline), so a filtered probe prunes on
+    // its own scan — see [[topKFiltered]]
+    Similarity.ivfAssignWith(corpus, centroids, carry)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/cells")
   }
@@ -86,21 +89,35 @@ object VectorIndex {
     */
   def delete(vecIds: DataFrame, dir: String,
              batch: Option[String] = None): Unit = {
+    // an index must exist before it can tombstone (InvertedIndex
+    // .delete's guard) — a mistyped dir must fail loudly, not record
+    // tombstones nowhere
+    require(Files.exists(Paths.get(s"$dir/centroids")),
+      s"no vector index at $dir")
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
     vecIds.select(col("vec_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/deletes_batch_$id")
   }
 
-  private def batchRoots(dir: String, prefix: String): Seq[String] =
+  /** Batch roots for `prefix`, sorted; with `only` set (the
+    * [[IndexCatalog]] serving path) unregistered batch ids are
+    * excluded — an in-flight or crashed-before-commit append is never
+    * served and never folded. */
+  private def batchRoots(dir: String, prefix: String,
+                         only: Option[Set[String]] = None): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
+      .filter(f => only.forall(ids =>
+        ids.contains(f.getName.substring(
+          f.getName.indexOf("_batch_") + "_batch_".length))))
       .map(_.getAbsolutePath).sorted
 
   /** The union of all tombstone sets, distinct; None when the index
     * has never seen a delete (un-deleted plans unchanged). */
-  def deletedVecs(spark: SparkSession, dir: String): Option[DataFrame] =
-    batchRoots(dir, "deletes") match {
+  def deletedVecs(spark: SparkSession, dir: String,
+                  only: Option[Set[String]] = None): Option[DataFrame] =
+    batchRoots(dir, "deletes", only) match {
       case Seq() => None
       case roots =>
         Some(roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
@@ -108,8 +125,9 @@ object VectorIndex {
     }
 
   private def filterDeleted(spark: SparkSession, dir: String,
-                            rows: DataFrame): DataFrame =
-    deletedVecs(spark, dir) match {
+                            rows: DataFrame,
+                            only: Option[Set[String]] = None): DataFrame =
+    deletedVecs(spark, dir, only) match {
       case None => rows
       case Some(dd) => rows.join(broadcast(dd), Seq("vec_id"), "left_anti")
     }
@@ -120,16 +138,48 @@ object VectorIndex {
     * never per row); each root scans with its own centroid_id
     * partition pruning.
     */
-  def cells(spark: SparkSession, dir: String): DataFrame =
+  def cells(spark: SparkSession, dir: String,
+            only: Option[Set[String]] = None): DataFrame =
     filterDeleted(spark, dir,
-      batchRoots(dir, "cells").foldLeft(spark.read.parquet(s"$dir/cells"))(
-        (acc, p) => acc.unionByName(spark.read.parquet(p))))
+      batchRoots(dir, "cells", only)
+        .foldLeft(spark.read.parquet(s"$dir/cells"))(
+          (acc, p) => acc.unionByName(spark.read.parquet(p))), only)
 
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
-           k: Int, nprobe: Int): DataFrame = {
+           k: Int, nprobe: Int,
+           only: Option[Set[String]] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    Similarity.ivfProbe(centroids, cells(spark, dir), queries, k, nprobe)
+    Similarity.ivfProbe(centroids, cells(spark, dir, only), queries, k,
+      nprobe)
   }
+
+  /** FILTERED (faceted) retrieval — Elasticsearch's filter-context
+    * semantics on the dense arm: `filter` restricts which vectors may
+    * rank; surviving cosines are bit-identical to their unfiltered
+    * values (cosine carries no corpus statistics, so there is nothing
+    * to drift). The predicate evaluates on the CELL rows themselves
+    * (facets ride them via `carry` at [[write]]), after partition
+    * pruning selects the probed cells — only facet-eligible vectors
+    * in probed cells score; nothing joins the corpus. With
+    * nprobe = nlist this is EXACTLY brute force over the filtered
+    * corpus. */
+  def topKFiltered(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int, nprobe: Int,
+                   filter: org.apache.spark.sql.Column): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    Similarity.ivfProbe(centroids, cells(spark, dir).filter(filter),
+      queries, k, nprobe)
+  }
+
+  /** Per-cell population audit — (centroid_id, n_vecs) over the live
+    * index (tombstones excluded, batch roots included): the signal a
+    * deployment watches for assignment skew after sustained appends,
+    * and the gauge [[compactTo]]'s recluster option exists to reset.
+    * nlist-sized output; one aggregate over cell metadata columns. */
+  def cellDepths(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("centroid_id"))
 
   /** COMPACT the index: fold every `cells_batch_*` append root AND
     * every tombstone into a fresh single-generation index at `dstDir`
@@ -143,33 +193,64 @@ object VectorIndex {
     * touched; the deployment flips its pointer to the new root and
     * GCs the old — probe-over-compacted ≡ probe-over-(base+batches).
     */
-  def compactTo(spark: SparkSession, srcDir: String,
-                dstDir: String): Unit = {
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+                recluster: Int = 0,
+                only: Option[Set[String]] = None): Unit = {
     require(!Files.exists(Paths.get(s"$dstDir/_vindex.json")),
       s"compaction target $dstDir already a completed index")
     def rmTree(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rmTree)); p.delete(): Unit
     }
     // sweep debris from a crashed earlier attempt (no marker ⇒ any
-    // existing trees are partial output), then build under staging and
-    // rename into place with the marker LAST — InvertedIndex.write's
-    // crash discipline
+    // existing trees are partial output) — INCLUDING stray *_batch_*
+    // roots, which a reused dstDir would otherwise silently merge
+    // into (or delete from) the compacted generation — then build
+    // under staging and rename into place with the marker LAST —
+    // InvertedIndex.write's crash discipline
     Seq(".staging", "centroids", "cells", "codebooks", "codes", "params")
       .foreach(d => rmTree(new java.io.File(s"$dstDir/$d")))
+    Option(new java.io.File(dstDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("_batch_"))
+      .foreach(rmTree)
     val staging = s"$dstDir/.staging"
-    spark.read.parquet(s"$srcDir/centroids")
-      .write.parquet(s"$staging/centroids")
-    cells(spark, srcDir)
-      .write.partitionBy("centroid_id").parquet(s"$staging/cells")
+    val hasPqSrc = Files.exists(Paths.get(s"$srcDir/codes"))
+    if (recluster > 0) {
+      // RECLUSTER-ON-COMPACT: after sustained appends the persisted
+      // centroids go stale (fresh vectors assigned to the nearest OLD
+      // centroid skew cell depths). Refresh with `recluster` exact
+      // integer-domain Lloyd sweeps over the LIVE corpus
+      // (refineCentroidsExact — deterministic and oracle-replayable),
+      // then reassign; full-probe retrieval is invariant (every live
+      // vector still scores, whatever cell it sits in), cell depths
+      // rebalance. PQ codes encode residuals against the OLD coarse
+      // centroids, so a compressed index must retrain, not recluster.
+      require(!hasPqSrc,
+        "recluster invalidates PQ residual codebooks — retrain instead")
+      val live = cells(spark, srcDir, only)
+      val carry = live.columns.toSeq
+        .filterNot(Set("vec_id", "label", "embedding", "centroid_id"))
+      val fresh = (1 to recluster).foldLeft(
+          spark.read.parquet(s"$srcDir/centroids"))(
+        (c, _) => Similarity.refineCentroidsExact(live, c))
+      fresh.write.parquet(s"$staging/centroids")
+      Similarity.ivfAssignWith(live.drop("centroid_id"),
+          spark.read.parquet(s"$staging/centroids"), carry)
+        .write.partitionBy("centroid_id").parquet(s"$staging/cells")
+    } else {
+      spark.read.parquet(s"$srcDir/centroids")
+        .write.parquet(s"$staging/centroids")
+      cells(spark, srcDir, only)
+        .write.partitionBy("centroid_id").parquet(s"$staging/cells")
+    }
     // the compressed side travels too: codebooks/params verbatim, the
     // unioned LIVE codes (tombstones folded) rewritten once
-    val hasPq = Files.exists(Paths.get(s"$srcDir/codes"))
+    val hasPq = hasPqSrc
     if (hasPq) {
       spark.read.parquet(s"$srcDir/codebooks")
         .write.parquet(s"$staging/codebooks")
       spark.read.parquet(s"$srcDir/params")
         .coalesce(1).write.parquet(s"$staging/params")
-      pqCodes(spark, srcDir)
+      pqCodes(spark, srcDir, only)
         .write.partitionBy("centroid_id").parquet(s"$staging/codes")
     }
     (Seq("centroids", "cells") ++
@@ -252,10 +333,12 @@ object VectorIndex {
     * appends), unioned, minus tombstoned vectors — the [[cells]]
     * pattern for codes.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+  def pqCodes(spark: SparkSession, dir: String,
+              only: Option[Set[String]] = None): DataFrame =
     filterDeleted(spark, dir,
-      batchRoots(dir, "codes").foldLeft(spark.read.parquet(s"$dir/codes"))(
-        (acc, p) => acc.unionByName(spark.read.parquet(p))))
+      batchRoots(dir, "codes", only)
+        .foldLeft(spark.read.parquet(s"$dir/codes"))(
+          (acc, p) => acc.unionByName(spark.read.parquet(p))), only)
 
   /** ADC retrieval over the persisted compressed index — reloads the
     * artifacts and runs [[Similarity.ivfpqProbe]]; the float vectors
