@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.tables.{IndexCatalog, InvertedIndex, VectorIndex}
+
+/** Generation pointer + OCC for the persisted search indexes: the
+  * serving state is what the catalog says (never a directory
+  * listing), compaction CAS-fails when an append registered after its
+  * snapshot, an append re-homes itself across a generation flip, and
+  * unregistered in-flight batch files are never served or folded.
+  */
+class IndexCatalogSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcat_spec_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  /** The catalog-served BM25: resolve the head, query the generation
+    * restricted to REGISTERED batches. */
+  private def serve(root: String, k: Int = 8) = {
+    val s = IndexCatalog.current(root)
+    InvertedIndex.bm25TopK(spark, s.generation, qs, k,
+      only = Some(s.batches.toSet))
+  }
+
+  test("create → append → compact → append: serving ≡ plain full index at every step") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(a, qs, k = 8).collect().toSeq
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.append(b, gen, batch = Some(id)))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopKIncremental(Seq(a, b), qs, k = 8)
+        .collect().toSeq
+    val flipped = IndexCatalog.compact(root)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    flipped.batches shouldBe empty
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.append(c, gen, batch = Some(id)))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+  }
+
+  test("append registering between compact's snapshot and its flip: compact retries, nothing lost") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    var folds = 0
+    // the seam fires before COMPACT's commit: an append lands (write +
+    // register) after the compaction folded its snapshot — the flip
+    // must lose the CAS and re-fold over the grown batch set
+    IndexCatalog.beforeCommitHook = () => {
+      IndexCatalog.beforeCommitHook = () => ()
+      IndexCatalog.append(root)((gen, id) =>
+        InvertedIndex.append(b, gen, batch = Some(id)))
+    }
+    try {
+      IndexCatalog.compact(root) { (src, only, dst) =>
+        folds += 1
+        InvertedIndex.compactTo(spark, src, dst, only = Some(only))
+      }
+    } finally IndexCatalog.beforeCommitHook = () => ()
+    folds shouldBe 2 // first fold lost the race, refold carried the append
+    val head = IndexCatalog.current(root)
+    head.batches shouldBe empty // the re-fold absorbed the appended batch
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+  }
+
+  test("compact flipping between append's write and its commit: the append re-homes into the new generation") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    var appendWrites = Seq.empty[String]
+    IndexCatalog.beforeCommitHook = () => {
+      IndexCatalog.beforeCommitHook = () => ()
+      IndexCatalog.compact(root)((src, only, dst) =>
+        InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    }
+    try {
+      IndexCatalog.append(root) { (gen, id) =>
+        appendWrites = appendWrites :+ gen
+        InvertedIndex.append(b, gen, batch = Some(id))
+      }
+    } finally IndexCatalog.beforeCommitHook = () => ()
+    // physical write ran twice: once into the dead generation, once
+    // re-homed into the flipped one
+    appendWrites.length shouldBe 2
+    appendWrites.distinct.length shouldBe 2
+    val head = IndexCatalog.current(root)
+    head.generation shouldBe appendWrites.last
+    head.batches.length shouldBe 1
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+  }
+
+  test("unregistered in-flight batch files are never served and never folded") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    val s0 = IndexCatalog.current(root)
+    // a crashed append: files present in the generation dir, id never
+    // registered — the directory-listing read would serve it; the
+    // catalog read must not
+    InvertedIndex.append(b, s0.generation, batch = Some("orphan"))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(a, qs, k = 8).collect().toSeq
+    IndexCatalog.compact(root)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(a, qs, k = 8).collect().toSeq
+  }
+
+  test("vector side: catalog-served probe across append, orphan exclusion, and compact flip") {
+    val root = freshRoot()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 3)
+    def serveV(k: Int = 6) = {
+      val s = IndexCatalog.current(root)
+      VectorIndex.topK(spark, s.generation, queries, k, nprobe = 16,
+        only = Some(s.batches.toSet))
+    }
+    IndexCatalog.create(root)(gen => VectorIndex.write(a, gen, nlist = 16))
+    IndexCatalog.append(root)((gen, id) =>
+      VectorIndex.append(b, gen, batch = Some(id)))
+    val wantAll = operators.Similarity.bruteForceTopK(emb, queries, 6)
+      .collect().toSeq
+    serveV().collect().toSeq shouldBe wantAll
+    // orphan batch: present on disk, never registered → not served
+    val s1 = IndexCatalog.current(root)
+    VectorIndex.delete(queries.limit(0).select(col("vec_id")),
+      s1.generation, batch = Some("orphandel"))
+    VectorIndex.append(emb.filter(col("vec_id") < 0), s1.generation,
+      batch = Some("orphan"))
+    serveV().collect().toSeq shouldBe wantAll
+    IndexCatalog.compact(root)((src, only, dst) =>
+      VectorIndex.compactTo(spark, src, dst, only = Some(only)))
+    serveV().collect().toSeq shouldBe wantAll
+  }
+}

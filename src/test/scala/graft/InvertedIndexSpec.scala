@@ -188,6 +188,122 @@ class InvertedIndexSpec extends SparkSpec with Matchers {
         .as[(Long, Long)].collect().toSeq
   }
 
+  test("supersede + append = UPDATE: new text serves immediately, stats drift, compaction ≡ rebuild on the updated corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val root = freshRoot()
+    InvertedIndex.write(docs, root, buckets = 64, positions = true, ver = 1L)
+    val before = treeState(root)
+    // the update: %5==1 docs get ' dup dup' appended — supersede the
+    // old version, append the new text under ver=2
+    val updated = docs.filter(col("doc_id") % 5 === 1 && col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"), lit(" dup dup")).as("text"))
+    InvertedIndex.supersede(
+      updated.select(col("doc_id"), lit(2L).as("kill_below")), root)
+    InvertedIndex.append(updated, root, ver = 2L)
+    treeState(root) shouldBe before // updates never rewrite standing trees
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    // LIVE state: postings of the new text only (old versions dead),
+    // df/corpus stats drifted (old versions still counted) — exactly
+    // an index built on updated docs then rolled forward by the same
+    // churn (same posting set, same drifted stats by additivity)
+    val updatedCorpus = docs.withColumn("text",
+      when(col("doc_id") % 5 === 1 && col("text").isNotNull,
+        concat(col("text"), lit(" dup dup"))).otherwise(col("text")))
+    val twin = freshRoot()
+    InvertedIndex.write(updatedCorpus, twin, buckets = 64, ver = 2L)
+    // drift twin: same live postings, plus the superseded versions
+    // still feeding stats — replay the same lifecycle onto the twin?
+    // no: pin the DRIFT arithmetic directly instead. n_docs must
+    // count base + appended versions; live matches must never be an
+    // old version's.
+    import spark.implicits._
+    val nUpd = updated.count()
+    InvertedIndex.corpusStats(spark, root).select("n_docs").as[Long]
+      .head() shouldBe docs.count() + nUpd
+    // the live posting set for 'dup' = new-text tokenization: every
+    // updated doc matches (its new text carries 'dup'), and no doc
+    // surfaces twice (one live version per doc)
+    val dupDocs = InvertedIndex.bm25TopK(spark, root,
+        Seq((0L, Seq("dup"))), k = 10000)
+      .select("doc_id").as[Long].collect().toSeq
+    dupDocs.distinct.length shouldBe dupDocs.length
+    updated.select("doc_id").as[Long].collect()
+      .foreach(d => assert(dupDocs.contains(d)))
+    // compaction folds the superseded versions: the compacted index
+    // must be indistinguishable from one BUILT on the updated corpus
+    val cmp = freshRoot()
+    InvertedIndex.compactTo(spark, root, cmp)
+    InvertedIndex.corpusStats(spark, cmp).collect().toSeq shouldBe
+      InvertedIndex.corpusStats(spark, twin).collect().toSeq
+    InvertedIndex.termStats(spark, cmp).orderBy("term").collect().toSeq shouldBe
+      InvertedIndex.termStats(spark, twin).orderBy("term").collect().toSeq
+    InvertedIndex.bm25TopK(spark, cmp, qs, k = 20).collect().toSeq shouldBe
+      InvertedIndex.bm25TopK(spark, twin, qs, k = 20).collect().toSeq
+  }
+
+  test("applyChanges consumes a feed with genuine update ops; re-insert after delete stays alive") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = freshRoot()
+    InvertedIndex.write(docs, root, buckets = 64, ver = 1L)
+    import spark.implicits._
+    // hand-built feed: v2 updates %5==1 (text + ' dup dup'), v3
+    // deletes %10==4, v4 RE-INSERTS doc 4's original text
+    val upd = docs.filter(col("doc_id") % 5 === 1 && col("text").isNotNull)
+      .select(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" dup dup")).as("new_text"),
+        lit(2L).as("version"))
+    val del = docs.filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"), lit(3L).as("version"))
+    val reins = docs.filter(col("doc_id") === 4)
+      .select(col("doc_id"), lit("insert").as("op"),
+        col("text").as("new_text"), lit(4L).as("version"))
+    InvertedIndex.applyChanges(upd.unionByName(del).unionByName(reins), root)
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    val matches = InvertedIndex.bm25TopK(spark, root, qs, k = 10000)
+      .select("doc_id").as[Long].collect().toSet
+    // %10==4 docs are dead — EXCEPT doc 4, which was re-inserted at a
+    // higher version than its kill_below and must serve again
+    matches.filter(_ % 10 == 4).foreach(d => assert(d == 4L))
+    // compacted n_docs counts one live version per surviving doc:
+    // base live = |docs| − |upd ∪ del|, plus the un-deleted updated
+    // versions, plus the re-insert — algebra: |docs| − |del| + 1
+    val cmp = freshRoot()
+    InvertedIndex.compactTo(spark, root, cmp)
+    val nDel = docs.filter(col("doc_id") % 10 === 4).count()
+    InvertedIndex.corpusStats(spark, cmp).select("n_docs").as[Long]
+      .head() shouldBe docs.count() - nDel + 1L
+  }
+
+  test("blank-doc tombstone folds EXACTLY: compacted stats ≡ rebuild on live docs (doclens sidecar)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector stream hash", 18L),
+      (2L, null.asInstanceOf[String], 0L), // blank doc — no postings
+      (3L, "dup join dup", 12L),
+      (4L, "   ", 3L) // whitespace-only — tokenizes to nothing
+    ).toDF("doc_id", "text", "n_chars")
+    val root = freshRoot()
+    InvertedIndex.write(docs, root, buckets = 8)
+    // tombstone the two posting-less docs (the former contract edge)
+    InvertedIndex.delete(Seq(2L, 4L).toDF("doc_id"), root)
+    val cmp = freshRoot()
+    InvertedIndex.compactTo(spark, root, cmp)
+    val rebuilt = freshRoot()
+    InvertedIndex.write(docs.filter(col("doc_id").isin(1L, 3L)), rebuilt,
+      buckets = 8)
+    // n_docs/sum_dl recompute exactly — no avgdl/idf residue
+    InvertedIndex.corpusStats(spark, cmp).collect().toSeq shouldBe
+      InvertedIndex.corpusStats(spark, rebuilt).collect().toSeq
+    InvertedIndex.termStats(spark, cmp).orderBy("term").collect().toSeq shouldBe
+      InvertedIndex.termStats(spark, rebuilt).orderBy("term").collect().toSeq
+    val qs = Seq((0L, Seq("vector", "dup")))
+    InvertedIndex.bm25TopK(spark, cmp, qs, k = 5).collect().toSeq shouldBe
+      InvertedIndex.bm25TopK(spark, rebuilt, qs, k = 5).collect().toSeq
+  }
+
   test("crashed write leaves a retryable root; marker is written last") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = freshRoot()
