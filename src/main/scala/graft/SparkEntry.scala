@@ -4096,6 +4096,90 @@ object SparkEntry {
       Retrieval.hybridRrfIndexed(s, invIndexDir(s, d), vectorIndexDir(s, d),
         Tables.embeddings(s, d), HybridQueries, kLex = 20, kAnn = 20,
         k = 10, nprobe = 4)),
+    "cdc_search_index_updates" -> ((s, d) =>
+      // CDC with genuine UPDATE ops maintains the index (the
+      // reference-shaped case — the hourly sync upserts changed
+      // activities): an update supersedes the doc's old version and
+      // appends the new text under the new one; no rescan, and the
+      // refused-updates edge is gone. Live state: new text serves,
+      // superseded/deleted versions never match, df/corpus stats
+      // drift (old versions counted) — all spelled in the oracle.
+      tables.InvertedIndex.bm25TopK(s, s"${cdcUpdatesDir(s, d)}/index",
+        RetrievalQueries, k = 10)),
+    "cdc_search_index_upd_compacted" -> ((s, d) =>
+      // Compaction folds the superseded versions and tombstones: df
+      // and (n_docs, sum_dl) recompute EXACTLY over the live corpus
+      // (updated text included, blank docs handled by the doclens
+      // sidecar) — the oracle is plain BM25 over the final state.
+      tables.InvertedIndex.bm25TopK(s, cdcUpdatesCompactDir(s, d),
+        RetrievalQueries, k = 10)),
+    "bm25_catalog" -> ((s, d) => {
+      // Catalog-governed serving: resolve the committed head (one
+      // tiny JSON read) and query the generation restricted to
+      // REGISTERED batches — the OCC lifecycle (create → append →
+      // CAS-flip compact → append) must not move a score bit vs the
+      // plain full index.
+      val root = catalogRootDir(s, d)
+      val st = tables.IndexCatalog.current(root)
+      tables.InvertedIndex.bm25TopK(s, st.generation, RetrievalQueries,
+        k = 10, only = Some(st.batches.toSet))
+    }),
+    "ann_filtered" -> ((s, d) =>
+      // Faceted dense retrieval, filter-context semantics: only
+      // label-odd vectors may rank; surviving cosines bit-identical
+      // to unfiltered (nothing re-weighs). The facet evaluates on the
+      // cell rows themselves after partition pruning — the corpus is
+      // never joined. Full probe ⇒ exactly brute force over the
+      // filtered corpus (hash-checked).
+      tables.VectorIndex.topKFiltered(s, vectorIndexDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16, filter = col("label") % 2 === 1)),
+    "hybrid_rrf_filtered" -> ((s, d) =>
+      // Filtered HYBRID: both arms restrict to source ∈ src1-3 with
+      // filter-context semantics — the lexical arm prunes faceted
+      // posting rows (bm25TopKFiltered), the dense arm prunes faceted
+      // CELL rows of the persisted index (source carried at build).
+      // Full probe keeps the dense arm exact, so the fused ranks are
+      // hash-checked end to end; a "search within source=X" query no
+      // longer post-filters fused results (which starved k under
+      // selective facets).
+      Retrieval.hybridRrfFiltered(s, facetVectorIndexDir(s, d),
+        Tables.documents(s, d), Tables.embeddings(s, d), HybridQueries,
+        carry = Seq("source"),
+        lexFilter = col("source").isin("src1", "src2", "src3"),
+        denseFilter = col("source").isin("src1", "src2", "src3"),
+        kLex = 20, kAnn = 20, k = 10, nprobe = 16)),
+    "retrieval_eval_hybrid" -> ((s, d) => {
+      // nDCG@10 / MRR / recall@10 of the INDEX-SERVED hybrid run
+      // (full probe — the exact config) against the same derived
+      // qrels as retrieval_eval_bm25: retrieval quality of the fused
+      // ranking itself is hash-measured, not only overlap-pinned.
+      val docs = Tables.documents(s, d)
+      Retrieval.evalMetrics(
+        Retrieval.hybridRrfIndexed(s, invIndexDir(s, d),
+          vectorIndexDir(s, d), Tables.embeddings(s, d), HybridQueries,
+          kLex = 20, kAnn = 20, k = 10, nprobe = 16),
+        Retrieval.relevanceFromTerms(docs, HybridQueries), k = 10)
+    }),
+    "retrieval_snippets_bm25" -> ((s, d) =>
+      // Snippets for RANKED multi-term queries: each bm25 top-10 doc
+      // re-materializes the 7-token window holding the densest
+      // cluster of the query's term occurrences (max count, then
+      // earliest start — deterministic, spelled in the oracle).
+      // Occurrence discovery joins positional postings to the
+      // queries×k candidate set; only winners touch text, by id.
+      Retrieval.snippetsBm25(Tables.documents(s, d), RetrievalQueries,
+        k = 10, window = 7)),
+    "ann_index_recluster" -> ((s, d) =>
+      // Compaction with CENTROID REFRESH after a skewed lifecycle
+      // (build ≥50, append <50, tombstone %7==3): 2 exact Lloyd
+      // sweeps refit the live distribution and rebalance cells; full
+      // probe over the reclustered index must STILL equal brute force
+      // over the live corpus — recluster moves vectors between
+      // cells, never in or out.
+      tables.VectorIndex.topK(s, reclusterVectorIndexDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
     "hybrid_rrf_pruned_check" -> ((s, d) => {
       // Retrieval-quality pin for the pruned serving config (the
       // ann_pq_recall contract): per-query overlap of pruned top-10
@@ -4579,23 +4663,100 @@ object SparkEntry {
       tables.CowTable.delete(s, tableRoot,
         docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
         "doc_id")
-      // the indexer: one changefeed read since the indexed version,
-      // inserts → posting increment, deletes → tombstone set.
-      // UPDATE ops are refused LOUDLY: id-level tombstones cannot
-      // express re-indexing a changed doc (tombstoning the id would
-      // also kill its re-appended postings) — an updating feed needs
-      // versioned doc identities or the rebuild path, and silently
-      // dropping updates would serve stale rankings.
-      val feed = tables.CowTable.changesSince(s, tableRoot, "doc_id", 1)
-      require(feed.filter(col("op") === "update").isEmpty,
-        "cdc indexer consumes insert/delete feeds only (see comment)")
-      tables.InvertedIndex.append(
-        feed.filter(col("op") === "insert")
-          .select(col("doc_id"), col("new_text").as("text")), indexRoot)
-      tables.InvertedIndex.delete(
-        feed.filter(col("op") === "delete").select(col("doc_id")),
-        indexRoot)
+      // the indexer: one changefeed read since the indexed version —
+      // applyChanges handles ALL three op kinds under versioned doc
+      // identities (inserts/updates append under the feed version,
+      // updates/deletes supersede versions below it); this feed mixes
+      // inserts (v2) and deletes (v3)
+      tables.InvertedIndex.applyChanges(
+        tables.CowTable.changesSince(s, tableRoot, "doc_id", 1), indexRoot)
       indexRoot
+    })
+
+  /** CHANGEFEED WITH UPDATE OPS → SEARCH INDEX: the reference-shaped
+    * case (the hourly sync UPSERTS changed activities) — the CoW
+    * table evolves by v2 = merge(changed text for %5==1 base docs +
+    * insert the remaining corpus third), v3 = delete %10==4, and the
+    * index is maintained purely from the change feed: an update
+    * SUPERSEDES the doc's old version and appends its new text under
+    * the new one — no rescan, no refusal, churn-sized. Statistics
+    * drift (superseded versions keep counting) until compaction,
+    * exactly the tombstoned-live contract the oracle spells. */
+  private def cdcUpdatesDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcupd", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdu_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tableRoot = s"${dir.toString}/table"
+      val indexRoot = s"${dir.toString}/index"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        tableRoot, "doc_id", buckets = 8)
+      tables.InvertedIndex.write(
+        tables.CowTable.read(s, tableRoot, Some(1)), indexRoot, ver = 1L)
+      val upd = docs
+        .filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+          col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" dup dup")).as("text"))
+      tables.CowTable.merge(s, tableRoot,
+        upd.unionByName(docs.filter(col("doc_id") % 3 === 2)), "doc_id")
+      tables.CowTable.delete(s, tableRoot,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      tables.InvertedIndex.applyChanges(
+        tables.CowTable.changesSince(s, tableRoot, "doc_id", 1), indexRoot)
+      dir.toString
+    })
+
+  /** [[cdcUpdatesDir]]'s index compacted: superseded versions and
+    * tombstones folded, stats exact over the final live corpus
+    * (updated text included) — pinned by the doclens-exact oracle. */
+  private def cdcUpdatesCompactDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcupdcmp", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cduc_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.InvertedIndex.compactTo(s, s"${cdcUpdatesDir(s, d)}/index",
+        dir.toString)
+      dir.toString
+    })
+
+  /** Catalog-governed index lifecycle: create(⅓) → append(⅓) →
+    * compact (pointer CAS-flip) → append(⅓), every step committed
+    * through [[tables.IndexCatalog]] — serving resolves the head and
+    * reads the generation restricted to REGISTERED batches. */
+  private def catalogRootDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#catalog", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_idxcat_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val root = dir.toString
+      val docs = Tables.documents(s, d)
+      tables.IndexCatalog.create(root)(gen =>
+        tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 === 0),
+          gen, buckets = InvIndexBuckets))
+      tables.IndexCatalog.append(root)((gen, id) =>
+        tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 1),
+          gen, batch = Some(id)))
+      tables.IndexCatalog.compact(root)((src, only, dst) =>
+        tables.InvertedIndex.compactTo(s, src, dst, only = Some(only)))
+      tables.IndexCatalog.append(root)((gen, id) =>
+        tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
+          gen, batch = Some(id)))
+      root
     })
 
   /** The appended index with TOMBSTONE deletes (doc_id % 10 == 4) —
@@ -4657,6 +4818,53 @@ object SparkEntry {
         emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
         dir.toString)
       dir.toString
+    })
+
+  /** Facet-carrying IVF index: cells carry the documents table's
+    * `source` (build-time broadcast-ish join — offline cost), so a
+    * faceted probe prunes on its own scan. Per (process, sf dir). */
+  private def facetVectorIndexDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#facet", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_fct_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val faceted = Tables.embeddings(s, d).join(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      tables.VectorIndex.write(faceted, s"${dir.toString}/idx",
+        nlist = 16, carry = Seq("source"))
+      s"${dir.toString}/idx"
+    })
+
+  /** RECLUSTERED index: a skewed lifecycle (build on vec_id ≥ 50,
+    * append the rest, tombstone %7==3) compacted WITH a 2-sweep exact
+    * centroid refresh — full probe must still equal brute force over
+    * the live corpus (recluster moves vectors between cells, never in
+    * or out of the index). */
+  private def reclusterVectorIndexDir(s: SparkSession, d: String): String =
+    vindexCache.getOrElseUpdate(s"$d#recluster", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_rc_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val emb = Tables.embeddings(s, d)
+      val src = s"${dir.toString}/idx"
+      tables.VectorIndex.write(emb.filter(col("vec_id") >= 50), src,
+        nlist = 16)
+      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), src)
+      tables.VectorIndex.delete(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), src)
+      tables.VectorIndex.compactTo(s, src, s"${dir.toString}/re",
+        recluster = 2)
+      s"${dir.toString}/re"
     })
 
   /** [[vectorIndexAppendDir]] compacted into a fresh root. */
@@ -5731,16 +5939,102 @@ object SparkEntry {
               CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
        FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
 
-  /** nDCG/MRR/recall oracle over the bm25 run: the scored/agg CTEs are
-    * bm25Sql's verbatim; qrels derive from the distinct query terms;
-    * the log2 discount quantizes exactly as the Scala side
-    * (`round(1e12/(ln(r+1)/ln 2))` — ln over exact integer args). */
-  private def retrievalEvalSql(qs: Seq[(Long, Seq[String])], k: Int): String = {
-    val gainDisc = (rankCol: String) =>
-      s"""((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) *
-          CAST(round(1000000000000.0 /
-            (ln(CAST($rankCol AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)"""
-    s"""WITH $RetrievalPostingsCtes,
+  /** BM25 oracle for the CDC-WITH-UPDATES lifecycle: the corpus is a
+    * VERSIONED union — every base doc at ver 1, the updated docs'
+    * new text (' dup dup' appended to %5==1 non-null base docs) and
+    * the inserted corpus third at ver 2 — with a `live` flag
+    * encoding the kill rules (superseded old versions and %10==4
+    * deletes are dead). `exact = false` spells the drifted LIVE
+    * index: df and corpus stats count EVERY version, only scoring
+    * drops dead rows; `exact = true` spells the compacted state:
+    * everything recomputed over live versions only. */
+  private def cdcUpdatesBm25Sql(qs: Seq[(Long, Seq[String])], k: Int,
+                                exact: Boolean): String = {
+    val tWhere = if (exact) "AND live" else ""
+    val cWhere = if (exact) "WHERE live" else ""
+    val scoredWhere = if (exact) "TRUE" else "p.live"
+    s"""WITH vd AS (
+         SELECT doc_id, text,
+                (doc_id % 10 <> 4)
+                  AND NOT (doc_id % 5 = 1 AND text IS NOT NULL) AS live
+         FROM documents WHERE doc_id % 3 <> 2
+         UNION ALL
+         SELECT doc_id, text || ' dup dup' AS text,
+                (doc_id % 10 <> 4) AS live
+         FROM documents
+         WHERE doc_id % 3 <> 2 AND doc_id % 5 = 1 AND text IS NOT NULL
+         UNION ALL
+         SELECT doc_id, text, (doc_id % 10 <> 4) AS live
+         FROM documents WHERE doc_id % 3 = 2),
+       t AS (
+         SELECT doc_id, live,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM vd WHERE text IS NOT NULL $tWhere),
+       p0 AS (
+         SELECT doc_id, live, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, live, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3, 4),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM vd $cWhere),
+       q(query_id, term) AS (VALUES ${sqlTermValues(qs)}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c
+         WHERE ($scoredWhere)),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
+         FROM agg)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+              CAST(rn AS BIGINT) AS rank,
+              CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
+       FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Snippet oracle for ranked multi-term queries: the bm25 run (the
+    * same ranked CTE chain as bm25Sql) nominates the top-k docs, the
+    * densest `window`-token span of query-term occurrences wins (max
+    * count, earliest start — 1-based inclusive clamped slice). */
+  private def snippetsBm25Sql(qs: Seq[(Long, Seq[String])], k: Int,
+                              window: Int): String = {
+    val w1 = window - 1
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM documents),
        q(query_id, term) AS (VALUES ${sqlTermValues(qs)}),
        scored AS (
          SELECT q.query_id, p.doc_id,
@@ -5766,6 +6060,62 @@ object SparkEntry {
                   PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT)
                   AS rank
          FROM agg QUALIFY rank <= $k),
+       qd(query_id, term) AS (VALUES ${sqlTermValues(
+        qs.map { case (qid, ts) => (qid, ts.distinct) })}),
+       occ AS (
+         SELECT r.query_id, r.doc_id, CAST(u.i AS BIGINT) AS pos
+         FROM run r
+         JOIN t ON t.doc_id = r.doc_id
+         CROSS JOIN UNNEST(range(1, len(t.w) + 1)) AS u(i)
+         JOIN qd ON qd.query_id = r.query_id AND qd.term = t.w[u.i]),
+       dens AS (
+         SELECT a.query_id, a.doc_id, a.pos,
+                CAST(count(*) AS BIGINT) AS n_in_window
+         FROM occ a JOIN occ b
+           ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+          AND b.pos BETWEEN a.pos AND a.pos + $w1
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT * FROM dens
+         QUALIFY row_number() OVER (
+           PARTITION BY query_id, doc_id
+           ORDER BY n_in_window DESC, pos) = 1)
+       SELECT b.query_id, b.doc_id, r.rank,
+              CAST(b.pos AS BIGINT) AS win_start,
+              CAST(least(CAST(len(t.w) AS BIGINT), b.pos + $w1) AS BIGINT)
+                AS win_end,
+              b.n_in_window,
+              array_to_string(
+                t.w[b.pos:least(len(t.w), CAST(b.pos + $w1 AS INT))], ' ')
+                AS snippet
+       FROM best b
+       JOIN run r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+       JOIN t ON t.doc_id = b.doc_id
+       ORDER BY b.query_id, r.rank"""
+  }
+
+  /** nDCG/MRR/recall oracle over the bm25 run — the eval tail applied
+    * to bm25Sql's own ranked output. */
+  private def retrievalEvalSql(qs: Seq[(Long, Seq[String])], k: Int): String =
+    retrievalEvalOverSql(bm25Sql(qs, k), qs, k)
+
+  /** The evaluation TAIL over ANY ranked run (a subquery yielding
+    * query_id, doc_id, rank): qrels derive from the distinct query
+    * terms; the log2 discount quantizes exactly as the Scala side
+    * (`round(1e12/(ln(r+1)/ln 2))` — ln over exact integer args).
+    * Shared by the bm25 and the hybrid evaluation oracles. */
+  private def retrievalEvalOverSql(runSql: String,
+                                   qs: Seq[(Long, Seq[String])],
+                                   k: Int): String = {
+    val gainDisc = (rankCol: String) =>
+      s"""((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) *
+          CAST(round(1000000000000.0 /
+            (ln(CAST($rankCol AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)"""
+    s"""WITH $RetrievalPostingsCtes,
+       run AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                CAST(rank AS BIGINT) AS rank
+         FROM ($runSql) WHERE rank <= $k),
        qd(query_id, term) AS (VALUES ${sqlTermValues(
         qs.map { case (qid, ts) => (qid, ts.distinct) })}),
        qrels AS (
@@ -9240,6 +9590,13 @@ object SparkEntry {
     // drifting (IVF has no corpus stats): full probe over the
     // tombstoned index ≡ brute force over the live corpus, exactly
     "ann_index_deleted" -> indexBruteForceSql("vec_id % 7 <> 3"),
+    // filter-context on the dense arm: only facet-eligible vectors
+    // may rank, cosines unchanged — full probe ≡ filtered brute force
+    "ann_filtered" -> indexBruteForceSql("label % 2 = 1"),
+    // recluster moves vectors BETWEEN cells, never in or out: full
+    // probe over the refreshed centroids ≡ brute force over the live
+    // corpus (same oracle as the tombstoned lifecycle it compacted)
+    "ann_index_recluster" -> indexBruteForceSql("vec_id % 7 <> 3"),
     "ann_index_persisted" ->
       """WITH e AS (
            SELECT vec_id, label,
@@ -10772,6 +11129,31 @@ object SparkEntry {
                 CAST(snip_end AS BIGINT) AS snip_end,
                 array_to_string(w[snip_start:snip_end], ' ') AS snippet
          FROM s ORDER BY doc_id""",
+    // CDC with UPDATE ops, live: versioned-union corpus with drifted
+    // stats (every version counted) and only live versions scoring.
+    "cdc_search_index_updates" ->
+      cdcUpdatesBm25Sql(RetrievalQueries, 10, exact = false),
+    // ... and compacted: everything recomputed over live versions —
+    // the doclens-exact contract end to end.
+    "cdc_search_index_upd_compacted" ->
+      cdcUpdatesBm25Sql(RetrievalQueries, 10, exact = true),
+    // The OCC-catalog lifecycle is layout + bookkeeping only — the
+    // served ranking owes bm25_topk's oracle verbatim.
+    "bm25_catalog" -> bm25Sql(RetrievalQueries, 10),
+    // Filtered hybrid: both arms restricted to the facet with
+    // filter-context semantics (lex: scoring-only WHERE, stats
+    // corpus-wide; dense: corpus membership, queries unfiltered).
+    "hybrid_rrf_filtered" -> hybridRrfSql(
+      "p.doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src1', 'src2', 'src3'))",
+      "vec_id IN (SELECT doc_id FROM documents WHERE source IN ('src1', 'src2', 'src3'))"),
+    // Hybrid retrieval QUALITY: the eval tail over the exact hybrid
+    // run (full probe ⇒ the run oracle is the hybrid oracle itself).
+    "retrieval_eval_hybrid" ->
+      retrievalEvalOverSql(HybridRrfOracleSql, HybridQueries, 10),
+    // Ranked-query snippets: densest 7-token window of query-term
+    // occurrences per bm25 top-10 doc (max count, earliest start).
+    "retrieval_snippets_bm25" ->
+      snippetsBm25Sql(RetrievalQueries, 10, 7),
   )
 
   /** Brute-force cosine top-10 over the embeddings table (optionally
@@ -10802,7 +11184,15 @@ object SparkEntry {
          SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
          ORDER BY query_id, cosine DESC, vec_id"""
 
-  private lazy val HybridRrfOracleSql: String =
+  /** The hybrid-RRF oracle, optionally FILTERED on both arms
+    * (filter-context semantics): `lexScoredWhere` drops posting rows
+    * at scoring only (df/corpus stats corpus-wide — bm25SqlWhere's
+    * scoredWhere), `annWhere` restricts the dense CORPUS while query
+    * vectors keep coming from the unfiltered table (the engine's
+    * queries are callers' rows, not index rows). TRUE/TRUE is the
+    * exact unfiltered hybrid. */
+  private def hybridRrfSql(lexScoredWhere: String,
+                           annWhere: String): String =
       (s"""WITH $RetrievalPostingsCtes,
        q(query_id, term) AS (VALUES ${sqlTermValues(HybridQueries)}),
        scored AS (
@@ -10819,7 +11209,8 @@ object SparkEntry {
          JOIN q USING (term)
          JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
            USING (term)
-         CROSS JOIN c),
+         CROSS JOIN c
+         WHERE ($lexScoredWhere)),
        agg AS (
          SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
          FROM scored GROUP BY 1, 2),
@@ -10829,10 +11220,11 @@ object SparkEntry {
                   PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT)
                   AS lex_rank
          FROM agg QUALIFY lex_rank <= 20),
-       e AS (
+       eq AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          FROM embeddings),
-       qv AS (SELECT vec_id AS query_id, emb AS query_emb FROM e
+       e AS (SELECT vec_id, emb FROM eq WHERE ($annWhere)),
+       qv AS (SELECT vec_id AS query_id, emb AS query_emb FROM eq
               WHERE vec_id IN (0, 1, 2)),
        cos AS (
          SELECT qv.query_id, e.vec_id AS doc_id,
@@ -10858,4 +11250,6 @@ object SparkEntry {
          FROM fused QUALIFY rank <= 10)
        SELECT query_id, doc_id, lex_rank, ann_rank, rrf, rank
        FROM out ORDER BY query_id, rank""")
+
+  private lazy val HybridRrfOracleSql: String = hybridRrfSql("TRUE", "TRUE")
 }

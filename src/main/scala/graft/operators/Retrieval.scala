@@ -322,6 +322,90 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** Snippets for RANKED (multi-term BM25) queries — the serving
+    * consumer for non-phrase searches: each of a query's top-k docs
+    * re-materializes the `window`-token span holding the DENSEST
+    * cluster of that query's term occurrences. Deterministic rule,
+    * spelled for the oracle: candidate windows start at each query-
+    * term occurrence p and cover [p, p+window−1] in token space;
+    * density = occurrences of ANY query term inside; the winner is
+    * (max density, then earliest p); win_start/win_end are 1-based
+    * inclusive, clamped to the doc.
+    *
+    * 100 TB shape: occurrence discovery reads the query terms'
+    * positional-posting buckets RESTRICTED to the top-k candidate
+    * docs (queries×k join — candidates-at-a-time, like [[snippets]]);
+    * the density self-join is per-(query, doc) occurrence-bounded;
+    * only the k winners fetch text by id for the row-local slice.
+    */
+  def snippetsBm25(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                   k: Int = 10, window: Int = 7): DataFrame = {
+    val run = bm25TopK(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val q = queryRelation(docs, queries).distinct()
+    val occ = positionalPostingsStaged(docs)
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(run.select(col("query_id"), col("doc_id"))),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val dens = occ.as("a")
+      .join(occ.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") <= col("a.pos") + (window - 1))
+      .groupBy(col("a.query_id").as("query_id"),
+        col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+      .agg(count(lit(1)).as("n_in_window"))
+    val wPick = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_in_window").desc, col("pos"))
+    val winStart = (col("pos") + 1L).cast("long")
+    val winEnd = least(size(col("__toks")).cast("long"),
+      col("pos") + lit(window.toLong))
+    dens.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(run, Seq("query_id", "doc_id"))
+      .join(docs.select(col("doc_id"), tokens(col("text")).as("__toks")),
+        Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        winStart.as("win_start"), winEnd.as("win_end"),
+        col("n_in_window"),
+        array_join(slice(col("__toks"), winStart.cast("int"),
+          (winEnd - winStart + 1L).cast("int")), " ").as("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FILTERED hybrid search — filter-context semantics on BOTH arms:
+    * the lexical arm is [[bm25TopKFiltered]] (facets ride the posting
+    * rows; df/corpus stats stay corpus-wide), the dense arm is the
+    * persisted IVF index's faceted probe
+    * ([[graft.tables.VectorIndex.topKFiltered]] — facets ride the
+    * cell rows via the index's `carry`); surviving candidates keep
+    * their unfiltered scores bit-exactly on both sides, so only
+    * MEMBERSHIP changes, never weights — and the fusion is the plain
+    * [[rrfFuse]] over the two filtered rank lists. With full probe
+    * the dense arm is exactly brute force over the filtered corpus,
+    * which is what makes the row hash-checkable; production drops
+    * nprobe and the query cost is (query-term buckets) +
+    * (nprobe/nlist of cells), facet-pruned in-scan on both.
+    */
+  def hybridRrfFiltered(spark: org.apache.spark.sql.SparkSession,
+                        vecIndexDir: String, docs: DataFrame,
+                        emb: DataFrame, queries: Seq[(Long, Seq[String])],
+                        carry: Seq[String],
+                        lexFilter: org.apache.spark.sql.Column,
+                        denseFilter: org.apache.spark.sql.Column,
+                        kLex: Int = 20, kAnn: Int = 20, kRrf: Int = 60,
+                        k: Int = 10, nprobe: Int = 16): DataFrame = {
+    val qIds = queries.map(_._1)
+    rrfFuse(
+      bm25TopKFiltered(docs, queries, carry, lexFilter, kLex),
+      graft.tables.VectorIndex.topKFiltered(spark, vecIndexDir,
+        emb.filter(col("vec_id").isin(qIds: _*)), kAnn, nprobe,
+        denseFilter),
+      kRrf, k)
+  }
+
   /** Graded relevance judgments DERIVED from the corpus: rel(q, d) =
     * how many of q's distinct terms appear in d (1..n; docs matching
     * no term are absent — standard sparse qrels). Self-contained

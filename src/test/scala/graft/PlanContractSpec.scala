@@ -291,7 +291,11 @@ class PlanContractSpec extends SparkSpec {
         // trees; their plan contract is the dedicated corpus-scan test
         n == "hybrid_rrf_indexed" || n == "mmr_rerank_indexed" ||
         n == "hybrid_rrf_pruned" || n == "hybrid_rrf_pruned_check" ||
-        n == "retrieval_phrase_persisted" || n == "cdc_search_index" ||
+        n == "hybrid_rrf_filtered" || n == "retrieval_eval_hybrid" ||
+        n == "bm25_catalog" || n == "ann_filtered" ||
+        n == "ann_index_recluster" ||
+        n == "retrieval_phrase_persisted" ||
+        n.startsWith("cdc_search_index") ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")
@@ -357,7 +361,7 @@ class PlanContractSpec extends SparkSpec {
       // broadcast hash joins (hybrid composes bm25 + the brute-cosine
       // whitelisted query cross)
       "bm25_topk", "bm25_incremental", "bm25_filtered", "hybrid_rrf_topk",
-      "retrieval_eval_bm25",
+      "retrieval_eval_bm25", "retrieval_snippets_bm25",
       // MMR candidates come from the whitelisted brute-cosine query
       // cross; the greedy itself is candidate-bounded flatMapGroups
       "mmr_rerank")
