@@ -4113,6 +4113,15 @@ object SparkEntry {
       // sidecar) — the oracle is plain BM25 over the final state.
       tables.InvertedIndex.bm25TopK(s, cdcUpdatesCompactDir(s, d),
         RetrievalQueries, k = 10)),
+    "streaming_bm25_updates" -> ((s, d) =>
+      // The CDC-updates indexer fed by a REAL micro-batch stream:
+      // each feed batch applies inserts/updates/deletes under its own
+      // batch id (same-id redelivery rewrites its own roots), and the
+      // order-independent versioned-identity semantics land the
+      // batch-split feed on the identical final index — shares
+      // cdc_search_index_updates' oracle verbatim.
+      tables.InvertedIndex.bm25TopK(s, streamingCdcUpdatesDir(s, d),
+        RetrievalQueries, k = 10)),
     "bm25_catalog" -> ((s, d) => {
       // Catalog-governed serving: resolve the committed head (one
       // tiny JSON read) and query the generation restricted to
@@ -4124,6 +4133,17 @@ object SparkEntry {
       tables.InvertedIndex.bm25TopK(s, st.generation, RetrievalQueries,
         k = 10, only = Some(st.batches.toSet))
     }),
+    "ann_catalog" -> ((s, d) => {
+      // The dense twin of bm25_catalog: the catalog-governed OCC
+      // lifecycle over the vector index. Full probe of the served
+      // generation (registered batches only) ≡ brute force over the
+      // whole corpus — layout + bookkeeping must not move a cosine.
+      val root = annCatalogRootDir(s, d)
+      val st = tables.IndexCatalog.current(root)
+      tables.VectorIndex.topK(s, st.generation,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16, only = Some(st.batches.toSet))
+    }),
     "ann_filtered" -> ((s, d) =>
       // Faceted dense retrieval, filter-context semantics: only
       // label-odd vectors may rank; surviving cosines bit-identical
@@ -4134,6 +4154,43 @@ object SparkEntry {
       tables.VectorIndex.topKFiltered(s, vectorIndexDir(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
         nprobe = 16, filter = col("label") % 2 === 1)),
+    "ann_filtered_pruned" -> ((s, d) =>
+      // The faceted probe at the PRODUCTION config (nprobe=4 of 16):
+      // facet prunes in-cell after partition pruning — query cost is
+      // nprobe/nlist of the cells, facet-filtered in-scan. Approximate
+      // by design → rows-only; structure + score exactness pinned by
+      // ann_filtered_pruned_check.
+      tables.VectorIndex.topKFiltered(s, vectorIndexDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 4, filter = col("label") % 2 === 1)),
+    "ann_filtered_pruned_check" -> ((s, d) => {
+      // Structural pin for the pruned faceted probe (recall on
+      // isotropic-noise embeddings ≈ scanned fraction, so an overlap
+      // floor would pin noise — what must NEVER drift is structure):
+      // every returned row is facet-eligible, its cosine is bit-exact
+      // against a recompute from the raw corpus, and k is filled.
+      // n_returned is hash-matched; the booleans are total.
+      val emb = Tables.embeddings(s, d)
+      val pruned = tables.VectorIndex.topKFiltered(s,
+        vectorIndexDir(s, d), emb.filter(col("vec_id") < 5), 10,
+        nprobe = 4, filter = col("label") % 2 === 1)
+      val q = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qe"))
+      val c = emb.select(col("vec_id"), col("label").as("__cl"),
+        col("embedding").as("__ce"))
+      pruned.join(broadcast(q.filter(col("query_id") < 5)), Seq("query_id"))
+        .join(c, Seq("vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_returned"),
+          min((col("__cl") % 2 === 1).cast("int")).as("__elig"),
+          min((col("cosine") ===
+            operators.Similarity.cosine(
+              col("__qe"), col("__ce"))).cast("int")).as("__exact"))
+        .select(col("query_id"), col("n_returned"),
+          (col("__elig") === 1).as("all_eligible"),
+          (col("__exact") === 1).as("scores_exact"))
+        .orderBy(col("query_id"))
+    }),
     "hybrid_rrf_filtered" -> ((s, d) =>
       // Filtered HYBRID: both arms restrict to source ∈ src1-3 with
       // filter-context semantics — the lexical arm prunes faceted
@@ -4730,6 +4787,56 @@ object SparkEntry {
       dir.toString
     })
 
+  /** [[cdcUpdatesDir]]'s STREAMING twin: the SAME table evolution
+    * (v2 = update %5==1 text + insert the remaining third, v3 =
+    * delete %10==4), but the indexer consumes the change feed as a
+    * REAL micro-batch stream — each batch applies its churn via
+    * [[tables.InvertedIndex.applyChanges]] under its own batch id,
+    * and a same-id redelivery rewrites its own roots (exactly-once
+    * index state from at-least-once delivery). Versioned-identity
+    * semantics are order-independent by construction (appends union;
+    * kill rules compose by max), so the batch-split feed lands on the
+    * identical final index — the row shares
+    * cdc_search_index_updates' oracle verbatim. */
+  private def streamingCdcUpdatesDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcupdstr", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdus_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tableRoot = s"${dir.toString}/table"
+      val indexRoot = s"${dir.toString}/index"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        tableRoot, "doc_id", buckets = 8)
+      tables.InvertedIndex.write(
+        tables.CowTable.read(s, tableRoot, Some(1)), indexRoot, ver = 1L)
+      val upd = docs
+        .filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+          col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" dup dup")).as("text"))
+      tables.CowTable.merge(s, tableRoot,
+        upd.unionByName(docs.filter(col("doc_id") % 3 === 2)), "doc_id")
+      tables.CowTable.delete(s, tableRoot,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      graft.streaming.DocReplay.runWithBatchId(s,
+          tables.CowTable.changesSince(s, tableRoot, "doc_id", 1),
+          s"$d#cdcupdfeed") { (batch, batchId) =>
+        tables.InvertedIndex.applyChanges(batch, indexRoot,
+          batch = Some(batchId.toString))
+        // redelivery: same id rewrites its own roots — no-op on state
+        tables.InvertedIndex.applyChanges(batch, indexRoot,
+          batch = Some(batchId.toString))
+        batch.select(col("doc_id"))
+      }.count(): Unit
+      indexRoot
+    })
+
   /** Catalog-governed index lifecycle: create(⅓) → append(⅓) →
     * compact (pointer CAS-flip) → append(⅓), every step committed
     * through [[tables.IndexCatalog]] — serving resolves the head and
@@ -4756,6 +4863,41 @@ object SparkEntry {
       tables.IndexCatalog.append(root)((gen, id) =>
         tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
           gen, batch = Some(id)))
+      // GC-old: the superseded g1 dies; serving (the oracle row) must
+      // not move a bit — every retained version's generation is kept
+      tables.IndexCatalog.gc(root): Unit
+      root
+    })
+
+  /** [[catalogRootDir]]'s DENSE twin: the same catalog-governed OCC
+    * lifecycle (create ⅓ → append ⅓ → CAS-flip compact → append ⅓)
+    * over a [[tables.VectorIndex]] — [[tables.IndexCatalog]] is
+    * index-agnostic by construction, and the vector side needs the
+    * pointer discipline just as much (its compactTo/append race has
+    * the identical lost-update window). */
+  private def annCatalogRootDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#anncatalog", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vidxcat_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val root = dir.toString
+      val embs = Tables.embeddings(s, d)
+      tables.IndexCatalog.create(root)(gen =>
+        tables.VectorIndex.write(embs.filter(col("vec_id") % 3 === 0),
+          gen))
+      tables.IndexCatalog.append(root)((gen, id) =>
+        tables.VectorIndex.append(embs.filter(col("vec_id") % 3 === 1),
+          gen, batch = Some(id)))
+      tables.IndexCatalog.compact(root)((src, only, dst) =>
+        tables.VectorIndex.compactTo(s, src, dst, only = Some(only)))
+      tables.IndexCatalog.append(root)((gen, id) =>
+        tables.VectorIndex.append(embs.filter(col("vec_id") % 3 === 2),
+          gen, batch = Some(id)))
+      tables.IndexCatalog.gc(root): Unit
       root
     })
 
@@ -9593,6 +9735,13 @@ object SparkEntry {
     // filter-context on the dense arm: only facet-eligible vectors
     // may rank, cosines unchanged — full probe ≡ filtered brute force
     "ann_filtered" -> indexBruteForceSql("label % 2 = 1"),
+    // Pruned faceted probe: structure is total (facet honored, scores
+    // recompute bit-exactly, k filled); ranking itself is approximate
+    // by design and stays rows-only in ann_filtered_pruned.
+    "ann_filtered_pruned_check" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
+                true AS all_eligible, true AS scores_exact
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     // recluster moves vectors BETWEEN cells, never in or out: full
     // probe over the refreshed centroids ≡ brute force over the live
     // corpus (same oracle as the tombstoned lifecycle it compacted)
@@ -11137,9 +11286,16 @@ object SparkEntry {
     // the doclens-exact contract end to end.
     "cdc_search_index_upd_compacted" ->
       cdcUpdatesBm25Sql(RetrievalQueries, 10, exact = true),
+    // The streamed CDC-updates feed lands on the identical final
+    // index (order-independent versioned semantics) — same oracle.
+    "streaming_bm25_updates" ->
+      cdcUpdatesBm25Sql(RetrievalQueries, 10, exact = false),
     // The OCC-catalog lifecycle is layout + bookkeeping only — the
     // served ranking owes bm25_topk's oracle verbatim.
     "bm25_catalog" -> bm25Sql(RetrievalQueries, 10),
+    // ... and its dense twin: full probe of the catalog-served vector
+    // generation owes the plain brute-force oracle.
+    "ann_catalog" -> indexBruteForceSql("TRUE"),
     // Filtered hybrid: both arms restricted to the facet with
     // filter-context semantics (lex: scoring-only WHERE, stats
     // corpus-wide; dense: corpus membership, queries unfiltered).

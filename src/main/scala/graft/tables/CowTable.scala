@@ -242,7 +242,7 @@ object CowTable {
     * orphaned-but-harmless (vacuum removes them). On filesystems
     * without hard links, an exclusive create claims the version and
     * an atomic move then publishes the bytes. */
-  private def commit(root: String, m: Manifest): Unit = {
+  private[graft] def commit(root: String, m: Manifest): Unit = {
     val dir = Paths.get(manifestDir(root))
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp_v${m.version}_${System.nanoTime()}")
@@ -1082,11 +1082,18 @@ object CowTable {
     (JsonMethods.parse(body) \ "base_version").extract[Int]
   }
 
-  def listBranches(root: String): Seq[String] =
+  /** Every branch-shaped dir, INCLUDING dot-prefixed internal ones
+    * (a `.rebase_<name>` mid-swap temp has manifests of its own) —
+    * [[vacuum]]'s referenced set must span these too, or a vacuum
+    * racing a rebase could strand the half-swapped branch. */
+  private def allBranchDirs(root: String): Seq[String] =
     Option(new java.io.File(s"$root/_branches").listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(d => d.isDirectory && versions(d.getPath).nonEmpty)
       .map(_.getName).sorted
+
+  def listBranches(root: String): Seq[String] =
+    allBranchDirs(root).filterNot(_.startsWith("."))
 
   /** The entries with branch-local paths rewritten to their main-tree
     * locations — pure path arithmetic, no filesystem effects. Version
@@ -1133,6 +1140,47 @@ object CowTable {
     moveTree("bloom", entries.collect { case e if e.bloom != null => e.bloom })
   }
 
+  /** Complete a publish that crashed between its re-homed branch
+    * commit and the file moves: if the branch head is already fully
+    * main-pathed (the commit [[publishBranch]] makes BEFORE any move)
+    * but some version dirs still sit under the branch tree, finish
+    * the moves. Idempotent and cheap — a head with branch-local
+    * entries (no publish in flight) short-circuits, and
+    * [[moveRehomed]] skips dirs already at their target. Runs BEFORE
+    * the divergence check, so the crashed state is repaired even when
+    * main advanced in the meantime — the state in which both a
+    * publish re-run (throws diverged before moving) and a rebase
+    * (cannot read the broken head) would otherwise wedge forever. */
+  private def completeCrashedPublish(spark: SparkSession, root: String,
+                                     name: String): Unit = {
+    val br = branchRoot(root, name)
+    val head = readManifest(spark, br, currentVersion(br))
+    if (rehomedEntries(head.entries, br, root) == head.entries)
+      moveRehomed(head.entries, br, root)
+  }
+
+  /** Complete a rebase that crashed mid-swap: a `.rebase_<name>` dir
+    * carrying the ready marker is a COMPLETE rebased branch whose
+    * old→new swap never finished — drop whatever remains of the old
+    * branch and move it into place. Without the marker the temp is a
+    * partial build and the old branch is authoritative — sweep it. */
+  private def completeCrashedRebase(root: String, name: String): Unit = {
+    val br = branchRoot(root, name)
+    val tmp = branchRoot(root, s".rebase_$name")
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    if (Files.exists(Paths.get(s"$tmp/$RebaseReadyMarker"))) {
+      if (Files.exists(Paths.get(br))) rm(new java.io.File(br))
+      Files.move(Paths.get(tmp), Paths.get(br)): Unit
+    } else if (Files.exists(Paths.get(tmp))) {
+      rm(new java.io.File(tmp))
+    }
+    Files.deleteIfExists(Paths.get(s"$br/$RebaseReadyMarker")): Unit
+  }
+
+  private val RebaseReadyMarker = "_rebase_ready.json"
+
   /** Fast-forward main to the branch head (the "publish" of WAP).
     *
     * Contract: main's head must still be the branch's base snapshot —
@@ -1153,10 +1201,17 @@ object CowTable {
     * crash mid-publish is recovered by RE-RUNNING publish (already-
     * moved dirs are skipped, the re-homed commit is idempotent), and
     * until the moves finish the branch stays fully readable at its
-    * pre-publish version. Returns the new main version. */
+    * pre-publish version. Recovery runs BEFORE the divergence check
+    * ([[completeCrashedPublish]]) — so even when main advanced while
+    * the publish lay crashed, the re-run repairs the branch (then
+    * throws diverged, and [[rebaseBranch]] can proceed) instead of
+    * wedging on a head that references unmoved paths. Returns the new
+    * main version. */
   def publishBranch(spark: SparkSession, root: String,
                     name: String): Int = {
     val br = branchRoot(root, name)
+    completeCrashedRebase(root, name)
+    completeCrashedPublish(spark, root, name)
     val base = branchBaseVersion(root, name)
     val cur = currentVersion(root)
     if (cur != base)
@@ -1186,38 +1241,88 @@ object CowTable {
     * main's head as one merge (upserts) + one delete. Overlapping
     * keys resolve branch-wins — standard rebase semantics; main
     * commits on keys the branch never touched are preserved because
-    * the new fork starts from main's head. The delta parquet-stages
-    * under the branch tree before the old branch drops (its files are
-    * the delta's backing store), and the staging dir has no manifest,
-    * so [[listBranches]]/[[vacuum]] never see it as a branch. Returns
-    * the new base version. */
+    * the new fork starts from main's head.
+    *
+    * Crash safety — the rebased branch builds COMPLETELY under the
+    * hidden temp name `.rebase_<name>` (delta staged, main's head
+    * forked, delta replayed) while the old branch still exists, then
+    * a ready marker lands and the old→new swap runs (drop old, one
+    * atomic dir rename). A crash before the marker leaves the old
+    * branch authoritative (the temp sweeps on the next attempt); a
+    * crash after it is finished by [[completeCrashedRebase]], which
+    * every publish/rebase entry point runs first — no state loses the
+    * branch. The temp has manifests of its own, so vacuum's
+    * referenced set spans it (via allBranchDirs) while
+    * [[listBranches]] hides it. Returns the new base version. */
   def rebaseBranch(spark: SparkSession, root: String, name: String,
                    keyCol: String): Int = {
+    completeCrashedRebase(root, name)
+    completeCrashedPublish(spark, root, name)
     val br = branchRoot(root, name)
     val head = currentVersion(br)
     val newBase = currentVersion(root)
     val m = readManifest(spark, br, head)
     val dataCols = m.schema.fieldNames.filter(_ != keyCol).toSeq
     val (feed, _, _) = changefeed(spark, br, keyCol, 1, head)
-    val tmp = s"$root/_branches/.rebase_$name"
+    val tmpName = s".rebase_$name"
+    val tmp = branchRoot(root, tmpName)
+    // stage the churn-sized delta once (changefeed is lazy and reads
+    // the full branch history; merge/delete below each act on it)
+    feed.filter(col("op") =!= "delete")
+      .select(col(keyCol) +: dataCols.map(c => col(s"new_$c").as(c)): _*)
+      .write.parquet(s"$tmp/.delta/upserts")
+    feed.filter(col("op") === "delete").select(col(keyCol))
+      .write.parquet(s"$tmp/.delta/deletes")
+    // build the rebased branch at the temp name while the old branch
+    // still exists: fork main's head, replay the delta
+    Files.write(branchMetaPath(root, tmpName),
+      s"""{"name": ${jstr(name)}, "base_version": $newBase}"""
+        .getBytes("UTF-8")): Unit
+    commit(tmp, readManifest(spark, root, newBase)
+      .copy(version = 1, parent = 0))
+    val ups = spark.read.parquet(s"$tmp/.delta/upserts")
+    if (!ups.isEmpty) merge(spark, tmp, ups, keyCol): Unit
+    val dels = spark.read.parquet(s"$tmp/.delta/deletes")
+    if (!dels.isEmpty) delete(spark, tmp, dels, keyCol): Unit
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
     }
-    rm(new java.io.File(tmp))
-    feed.filter(col("op") =!= "delete")
-      .select(col(keyCol) +: dataCols.map(c => col(s"new_$c").as(c)): _*)
-      .write.parquet(s"$tmp/upserts")
-    feed.filter(col("op") === "delete").select(col(keyCol))
-      .write.parquet(s"$tmp/deletes")
-    dropBranch(root, name)
-    createBranch(spark, root, name, Some(newBase))
-    val ups = spark.read.parquet(s"$tmp/upserts")
-    if (!ups.isEmpty) merge(spark, br, ups, keyCol): Unit
-    val dels = spark.read.parquet(s"$tmp/deletes")
-    if (!dels.isEmpty) delete(spark, br, dels, keyCol): Unit
-    rm(new java.io.File(tmp))
+    rm(new java.io.File(s"$tmp/.delta"))
+    // re-home every temp manifest onto the branch's FINAL path before
+    // the marker: the swap below is one directory rename, so data
+    // dirs travel with it — entry paths must point at where they land
+    // (a manifest still referencing the temp would break on the move)
+    versions(tmp).foreach { v =>
+      val mv = readManifest(spark, tmp, v)
+      def rh(p: String): String =
+        if (p == null) null
+        else if (p.startsWith(s"$tmp/")) s"$br/${p.stripPrefix(s"$tmp/")}"
+        else p
+      val patched = mv.copy(entries = mv.entries.map(e =>
+        e.copy(path = rh(e.path), dv = rh(e.dv), bloom = rh(e.bloom))))
+      val target = Paths.get(manifestPath(tmp, v))
+      val scratch = Paths.get(s"${manifestPath(tmp, v)}.rehome")
+      Files.write(scratch, manifestJson(patched).getBytes("UTF-8"))
+      Files.move(scratch, target,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    // marker LAST: from here the temp is the branch's next state and
+    // any crash in the swap below is completed, not rolled back
+    Files.write(Paths.get(s"$tmp/$RebaseReadyMarker"),
+      s"""{"branch": ${jstr(name)}}""".getBytes("UTF-8")): Unit
+    rebaseSwapHook()
+    // inline rm, NOT dropBranch — dropBranch also sweeps the temp
+    // (abandoning a branch abandons its in-flight rebase), which here
+    // would delete the tree we are about to move into place
+    rm(new java.io.File(br))
+    Files.move(Paths.get(tmp), Paths.get(br)): Unit
+    Files.deleteIfExists(Paths.get(s"$br/$RebaseReadyMarker")): Unit
     newBase
   }
+
+  /** Test seam: runs after the rebase ready marker lands, before the
+    * old→new branch swap — lets a spec crash a rebase mid-swap. */
+  private[graft] var rebaseSwapHook: () => Unit = () => ()
 
   /** Publish with rebase-retry under OCC: fast-forward if main never
     * moved; otherwise rebase onto the new head and try again — the
@@ -1283,13 +1388,18 @@ object CowTable {
   }
 
   /** Delete the branch: its manifests and every still-branch-local
-    * file. Published data was re-homed under main and is unaffected;
-    * unpublished work dies here by design (the "abandon" arm of WAP). */
+    * file — including any in-flight `.rebase_<name>` temp (abandoning
+    * the branch abandons its rebase; a stale ready-marked temp left
+    * behind would otherwise overwrite a future branch of the same
+    * name via [[completeCrashedRebase]]). Published data was re-homed
+    * under main and is unaffected; unpublished work dies here by
+    * design (the "abandon" arm of WAP). */
   def dropBranch(root: String, name: String): Unit = {
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
     }
     rm(new java.io.File(branchRoot(root, name)))
+    rm(new java.io.File(branchRoot(root, s".rebase_$name")))
   }
 
   /** Vacuum: drop manifests older than the last `retainVersions`
@@ -1316,7 +1426,7 @@ object CowTable {
           m.entries.collect { case e if e.bloom != null => e.bloom }
       }.toSet
     val referenced = referencedBy(root, keepFrom) ++
-      listBranches(root).flatMap(b =>
+      allBranchDirs(root).flatMap(b =>
         referencedBy(branchRoot(root, b), 1)) ++
       // live shallow clones keep their referenced source files too
       listClones(root).flatMap(c => referencedBy(c, 1))

@@ -63,10 +63,16 @@ object IndexCatalog {
 
   /** The head state — one directory listing + one tiny JSON read. */
   def current(root: String): State = {
-    val vs = Option(new java.io.File(catDir(root)).listFiles()).toSeq
-      .flatten.flatMap(f => versionOf(f.getName))
+    val vs = committedVersions(root)
     require(vs.nonEmpty, s"no index catalog at $root")
-    val v = vs.max
+    stateAt(root, vs.max)
+  }
+
+  private def committedVersions(root: String): Seq[Int] =
+    Option(new java.io.File(catDir(root)).listFiles()).toSeq
+      .flatten.flatMap(f => versionOf(f.getName)).sorted
+
+  private def stateAt(root: String, v: Int): State = {
     val body = new String(
       Files.readAllBytes(Paths.get(s"${catDir(root)}/v$v.json")), "UTF-8")
     val gen = """"generation"\s*:\s*"([^"]*)"""".r
@@ -165,5 +171,40 @@ object IndexCatalog {
       catch { case _: ConcurrentCatalogCommit => s = current(root) }
     }
     sys.error("unreachable")
+  }
+
+  /** GC — the third step of write-new / flip / GC-old: delete every
+    * generation dir no retained catalog version references (dead
+    * generations a compact superseded, and losing-OCC orphan builds),
+    * plus catalog versions older than the newest `retainVersions`
+    * states. Same stance as [[CowTable.vacuum]] on in-flight writers:
+    * a compaction building its destination concurrently with gc can
+    * lose its (uncommitted) dir and will simply re-run its fold —
+    * nothing COMMITTED is ever touched, because every retained
+    * version's generation is kept. Generation dirs are recognized by
+    * the `g<version>[_<uniq>]` names [[create]]/[[compact]] mint —
+    * sibling trees (the `_catalog` dir, foreign files) are never
+    * candidates. Returns (generationsDeleted, versionsDeleted). */
+  def gc(root: String, retainVersions: Int = 1): (Int, Int) = {
+    val vs = committedVersions(root)
+    require(vs.nonEmpty, s"no index catalog at $root")
+    val keepFrom = math.max(vs.min, vs.max - retainVersions + 1)
+    val keptGens = vs.filter(_ >= keepFrom)
+      .map(v => stateAt(root, v).generation).toSet
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    var gens = 0
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        f.getName.matches("g\\d+(_[0-9a-f]+)?") &&
+        !keptGens.contains(s"$root/${f.getName}"))
+      .foreach { f => rm(f); gens += 1 }
+    var dropped = 0
+    vs.filter(_ < keepFrom).foreach { v =>
+      if (Files.deleteIfExists(Paths.get(s"${catDir(root)}/v$v.json")))
+        dropped += 1
+    }
+    (gens, dropped)
   }
 }

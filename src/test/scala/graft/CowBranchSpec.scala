@@ -271,4 +271,108 @@ class CowBranchSpec extends SparkSpec {
     assert(CowTable.read(spark, root).as[(Long, Long)].collect().toMap
       .apply(7L) === 700L)
   }
+
+  test("publish crashed between the re-homed commit and the moves recovers — even after main diverges") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L)).toDF("doc_id", "v"), "doc_id")
+    // crash emulation: the publish committed the RE-HOMED head but
+    // died before moving a single dir — replicate its first half
+    val head = CowTable.readManifest(spark, br, CowTable.currentVersion(br))
+    def patch(p: String): String =
+      if (p == null) null
+      else if (p.startsWith(s"$br/")) s"$root/${p.stripPrefix(s"$br/")}"
+      else p
+    val rehomed = head.entries.map(e =>
+      e.copy(path = patch(e.path), dv = patch(e.dv),
+        bloom = patch(e.bloom)))
+    assert(rehomed !== head.entries)
+    CowTable.commit(br, head.copy(version = head.version + 1,
+      parent = head.version, entries = rehomed))
+    // ...and main advances past the fork point while it lay crashed
+    CowTable.merge(spark, root,
+      Seq((40L, 444L)).toDF("doc_id", "v"), "doc_id")
+    // the branch head references main paths whose dirs never moved;
+    // the publish re-run repairs that state FIRST, then (correctly)
+    // refuses the fast-forward
+    intercept[CowTable.BranchDivergedException] {
+      CowTable.publishBranch(spark, root, "exp")
+    }
+    // repaired: the branch reads again, and rebase → publish completes
+    val rows = CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+    assert(rows(10L) === 999L && rows(200L) === 1L)
+    CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    val v = CowTable.publishBranch(spark, root, "exp")
+    assert(v === CowTable.currentVersion(root))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main(200L) === 1L && main(40L) === 444L)
+    assert(main.size === 101)
+  }
+
+  test("rebase crashed mid-swap loses nothing: the next publish completes the swap") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L), (200L, 1L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.delete(spark, br, Seq(20L).toDF("doc_id"), "doc_id")
+    CowTable.merge(spark, root,
+      Seq((40L, 444L)).toDF("doc_id", "v"), "doc_id")
+    // crash right after the ready marker, before the old→new swap
+    CowTable.rebaseSwapHook = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    } finally CowTable.rebaseSwapHook = () => ()
+    // the complete rebased branch awaits its swap under the hidden
+    // temp; the old branch is intact and the temp never lists
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/_branches/.rebase_exp/_rebase_ready.json")))
+    assert(CowTable.listBranches(root) === Seq("exp"))
+    // publish recovers: completes the swap, then fast-forwards (the
+    // rebased branch forked from main's CURRENT head — no divergence)
+    val v = CowTable.publishBranch(spark, root, "exp")
+    assert(v === CowTable.currentVersion(root))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main(200L) === 1L && main(40L) === 444L)
+    assert(!main.contains(20L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/_branches/.rebase_exp")))
+  }
+
+  test("rebase crashed before completion leaves the old branch authoritative; the re-run sweeps and succeeds") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.merge(spark, root,
+      Seq((40L, 444L)).toDF("doc_id", "v"), "doc_id")
+    // crash the temp build: the first commit inside the rebase (the
+    // delta replay onto the fork) throws once — no marker lands
+    var armed = true
+    CowTable.beforeCommitHook = () =>
+      if (armed) { armed = false; throw new RuntimeException("boom") }
+    try intercept[RuntimeException] {
+      CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    } finally CowTable.beforeCommitHook = () => ()
+    // no marker ⇒ the old branch is authoritative and still reads
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/_branches/.rebase_exp/_rebase_ready.json")))
+    assert(CowTable.read(spark, br).as[(Long, Long)].collect()
+      .toMap.apply(10L) === 999L)
+    // the re-run sweeps the partial temp and lands normally
+    assert(CowTable.rebaseBranch(spark, root, "exp", "doc_id") ===
+      CowTable.currentVersion(root))
+    val v = CowTable.publishBranch(spark, root, "exp")
+    assert(v === CowTable.currentVersion(root))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main(40L) === 444L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/_branches/.rebase_exp")))
+  }
 }

@@ -155,4 +155,43 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
       VectorIndex.compactTo(spark, src, dst, only = Some(only)))
     serveV().collect().toSeq shouldBe wantAll
   }
+
+  test("gc: dead generations and losing-OCC orphans die; retained serving unmoved") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.append(b, gen, batch = Some(id)))
+    val flipped = IndexCatalog.compact(root)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.append(c, gen, batch = Some(id)))
+    // a losing compact's orphaned build sits next to the live one
+    val orphan = s"$root/g4_deadbeef"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$orphan/postings"))
+    val before = serve(root).collect().toSeq
+    val (gens, dropped) = IndexCatalog.gc(root)
+    gens shouldBe 2 // superseded g1 + the orphan build
+    dropped shouldBe 3 // v1..v3 beyond retainVersions=1
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/g1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(flipped.generation)))
+    serve(root).collect().toSeq shouldBe before
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+    // retention > 1 keeps the older state's generation readable
+    val root2 = freshRoot()
+    IndexCatalog.create(root2)(gen => InvertedIndex.write(a, gen))
+    IndexCatalog.compact(root2)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    val (g2, d2) = IndexCatalog.gc(root2, retainVersions = 2)
+    (g2, d2) shouldBe ((0, 0))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root2/g1")))
+  }
 }
