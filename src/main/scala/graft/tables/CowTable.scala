@@ -1064,6 +1064,11 @@ object CowTable {
   def createBranch(spark: SparkSession, root: String, name: String,
                    fromVersion: Option[Int] = None): Int = {
     require(name.nonEmpty && !name.contains("/"), s"bad branch name: $name")
+    // a ready-marked .rebase_<name> temp is the branch's completed
+    // next state whose swap crashed — finish it FIRST, so create
+    // fails with "already exists" instead of minting a new branch a
+    // later recovery would silently clobber
+    completeCrashedRebase(root, name)
     val base = fromVersion.getOrElse(currentVersion(root))
     val m = readManifest(spark, root, base)
     val br = branchRoot(root, name)

@@ -86,7 +86,12 @@ object IndexCatalog {
   }
 
   /** Commit `state` as version `state.version` — link(2) atomic; the
-    * loser of a race gets [[ConcurrentCatalogCommit]]. */
+    * loser of a race gets [[ConcurrentCatalogCommit]]. The
+    * no-hard-link fallback (exclusive create claims, move publishes)
+    * shares [[CowTable.commit]]'s documented limitation: a crash
+    * between claim and publish leaves a zero-byte claimed version
+    * that must be removed by hand — on link-capable filesystems
+    * (the deployment assumption) the window does not exist. */
   private def commit(root: String, state: State): Unit = {
     val dir = Paths.get(catDir(root))
     Files.createDirectories(dir)
@@ -112,9 +117,18 @@ object IndexCatalog {
 
   /** Create the catalog: `build` writes generation 1 into its dir,
     * then v1 commits the pointer. The index exists only once the
-    * catalog says so. */
+    * catalog says so — which makes create CRASH-RETRYABLE: a g1 left
+    * by a create that died before its v1 commit is uncommitted debris
+    * (no catalog references it), so the re-run sweeps it and rebuilds
+    * rather than wedging on the index's own already-exists marker. */
   def create(root: String)(build: String => Unit): State = {
+    require(committedVersions(root).isEmpty,
+      s"index catalog at $root already exists")
     val gen = s"$root/g1"
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(gen))
     build(gen)
     val s = State(1, gen, Seq.empty)
     beforeCommitHook()
@@ -177,18 +191,39 @@ object IndexCatalog {
     * generation dir no retained catalog version references (dead
     * generations a compact superseded, and losing-OCC orphan builds),
     * plus catalog versions older than the newest `retainVersions`
-    * states. Same stance as [[CowTable.vacuum]] on in-flight writers:
-    * a compaction building its destination concurrently with gc can
-    * lose its (uncommitted) dir and will simply re-run its fold —
-    * nothing COMMITTED is ever touched, because every retained
-    * version's generation is kept. Generation dirs are recognized by
-    * the `g<version>[_<uniq>]` names [[create]]/[[compact]] mint —
-    * sibling trees (the `_catalog` dir, foreign files) are never
-    * candidates. Returns (generationsDeleted, versionsDeleted). */
+    * states.
+    *
+    * gc is a first-class OCC PARTICIPANT: before deleting anything it
+    * CAS-commits a head-copying barrier version. Any compaction that
+    * snapshotted the pre-gc head loses its own CAS, re-reads, and
+    * re-folds into a fresh destination — so gc sweeping that
+    * compaction's in-flight (uncommitted, unreferenced) build dir can
+    * never become a committed pointer at a gutted directory. If gc's
+    * own barrier loses (an append/compact committed first), gc
+    * re-reads and retries — deletions happen only AFTER the barrier
+    * wins, against the referenced set that includes it. Generation
+    * dirs are recognized by the `g<version>[_<uniq>]` names
+    * [[create]]/[[compact]] mint — sibling trees (the `_catalog`
+    * dir, foreign files) are never candidates. Returns
+    * (generationsDeleted, versionsDeleted). */
   def gc(root: String, retainVersions: Int = 1): (Int, Int) = {
+    // claim the barrier version first
+    var head = current(root)
+    var barrier = State(head.version + 1, head.generation, head.batches)
+    while ({
+      beforeCommitHook()
+      try { commit(root, barrier); false }
+      catch {
+        case _: ConcurrentCatalogCommit =>
+          head = current(root)
+          barrier = State(head.version + 1, head.generation, head.batches)
+          true
+      }
+    }) ()
     val vs = committedVersions(root)
-    require(vs.nonEmpty, s"no index catalog at $root")
-    val keepFrom = math.max(vs.min, vs.max - retainVersions + 1)
+    // retention counts PRE-barrier states (the barrier duplicates the
+    // head, it is not a state the user made)
+    val keepFrom = math.max(vs.min, (barrier.version - 1) - retainVersions + 1)
     val keptGens = vs.filter(_ >= keepFrom)
       .map(v => stateAt(root, v).generation).toSet
     def rm(p: java.io.File): Unit = {

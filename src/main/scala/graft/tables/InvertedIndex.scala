@@ -169,17 +169,25 @@ object InvertedIndex {
     val nb = bucketCount(root)
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    postingsV(fresh)
-      .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
-      .write.mode("overwrite").partitionBy("__tb")
-      .parquet(s"$root/postings_batch_$id")
+    // a batch whose docs ALL tokenize to nothing (e.g. a CDC batch of
+    // text-clearing updates) has doclens rows but zero postings — a
+    // zero-row PARTITIONED parquet tree carries no schema and can
+    // never be re-read, so the postings/positions trees are skipped
+    // entirely (readers and compactTo list batch roots per prefix;
+    // an absent root simply contributes nothing)
+    val p = postingsV(fresh)
+    val hasPostings = !p.isEmpty
+    if (hasPostings)
+      p.withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$root/postings_batch_$id")
     termStatsV(fresh).write.mode("overwrite")
       .parquet(s"$root/termstats_batch_$id")
     Retrieval.corpusStatsStaged(fresh.drop("ver")).write.mode("overwrite")
       .parquet(s"$root/corpus_batch_$id")
     docLensV(fresh).write.mode("overwrite")
       .parquet(s"$root/doclens_batch_$id")
-    if (hasPositions(root))
+    if (hasPositions(root) && hasPostings)
       positionsV(fresh)
         .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
         .write.mode("overwrite").partitionBy("__tb")
@@ -243,16 +251,31 @@ object InvertedIndex {
     * below it. Two churn-sized writes total, whatever the feed mixes;
     * the table is never rescanned. At-least-once safe under a batch
     * id (both increments rewrite their own roots on redelivery).
-    */
+    *
+    * Feed CONTRACT (what [[CowTable.changesSince]] guarantees):
+    * `insert` means a NEW doc identity — an insert does not supersede,
+    * so a feed that emits insert for an already-indexed doc_id leaves
+    * TWO live versions whose term frequencies would co-score. A
+    * source that upserts must emit those rows as `update` (which
+    * supersedes below its version) — exactly the shape the CoW
+    * changefeed derives.
+    *
+    * The feed is often a LAZY changefeed (a per-version manifest-diff
+    * recomputed per action); it is consumed by several writes here,
+    * so it stages through one churn-sized cache instead of re-running
+    * the diff per consumer. */
   def applyChanges(feed: DataFrame, root: String,
                    batch: Option[String] = None): Unit = {
-    val ups = feed.filter(col("op") =!= "delete")
-      .select(col("doc_id"), col("new_text").as("text"),
-        col("version").cast("long").as("ver"))
-    val downs = feed.filter(col("op") =!= "insert")
-      .select(col("doc_id"), col("version").cast("long").as("kill_below"))
-    if (!ups.isEmpty) appendVersioned(ups, root, batch.map(b => s"${b}u"))
-    if (!downs.isEmpty) supersede(downs, root, batch.map(b => s"${b}d"))
+    val staged = feed.persist()
+    try {
+      val ups = staged.filter(col("op") =!= "delete")
+        .select(col("doc_id"), col("new_text").as("text"),
+          col("version").cast("long").as("ver"))
+      val downs = staged.filter(col("op") =!= "insert")
+        .select(col("doc_id"), col("version").cast("long").as("kill_below"))
+      if (!ups.isEmpty) appendVersioned(ups, root, batch.map(b => s"${b}u"))
+      if (!downs.isEmpty) supersede(downs, root, batch.map(b => s"${b}d"))
+    } finally staged.unpersist(): Unit
   }
 
   /** The unified kill rule: one (doc_id, kill_below) row per
@@ -312,9 +335,17 @@ object InvertedIndex {
                          only: Option[Set[String]] = None): Seq[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
-      .filter(f => only.forall(ids =>
-        ids.contains(f.getName.substring(
-          f.getName.indexOf("_batch_") + "_batch_".length))))
+      .filter(f => only.forall { ids =>
+        val suffix = f.getName.substring(
+          f.getName.indexOf("_batch_") + "_batch_".length)
+        // a registered id X admits X itself (plain append/delete) AND
+        // Xu/Xd — the two roots [[applyChanges]] derives from one
+        // batch id, so a catalog-governed CDC apply registers ONE id
+        // and both its physical increments serve and fold with it
+        ids.contains(suffix) ||
+          ((suffix.endsWith("u") || suffix.endsWith("d")) &&
+            ids.contains(suffix.dropRight(1)))
+      })
       .map(_.getAbsolutePath).sorted
 
   /** Driver-side md5 bucket of a term — bit-identical to

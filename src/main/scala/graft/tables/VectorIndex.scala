@@ -165,9 +165,10 @@ object VectorIndex {
     * corpus. */
   def topKFiltered(spark: SparkSession, dir: String, queries: DataFrame,
                    k: Int, nprobe: Int,
-                   filter: org.apache.spark.sql.Column): DataFrame = {
+                   filter: org.apache.spark.sql.Column,
+                   only: Option[Set[String]] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    Similarity.ivfProbe(centroids, cells(spark, dir).filter(filter),
+    Similarity.ivfProbe(centroids, cells(spark, dir, only).filter(filter),
       queries, k, nprobe)
   }
 

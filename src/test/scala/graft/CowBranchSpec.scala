@@ -343,6 +343,36 @@ class CowBranchSpec extends SparkSpec {
       s"$root/_branches/.rebase_exp")))
   }
 
+  test("createBranch after a crashed swap completes the recovery and refuses, never minting a clobberable branch") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.merge(spark, root,
+      Seq((40L, 444L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.rebaseSwapHook = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    } finally CowTable.rebaseSwapHook = () => ()
+    // ... and the crash really happened one step later: the old
+    // branch dir is already gone, the ready-marked temp awaits
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    rm(new java.io.File(br))
+    // createBranch must FIRST finish the swap, then refuse — a fresh
+    // branch minted here would be silently clobbered by the next
+    // entry point's recovery
+    val e = intercept[IllegalArgumentException] {
+      CowTable.createBranch(spark, root, "exp")
+    }
+    assert(e.getMessage.contains("already exists"))
+    val rows = CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+    assert(rows(10L) === 999L && rows(40L) === 444L)
+  }
+
   test("rebase crashed before completion leaves the old branch authoritative; the re-run sweeps and succeeds") {
     val root = freshRoot()
     CowTable.create(base, root, "doc_id", buckets = 4)

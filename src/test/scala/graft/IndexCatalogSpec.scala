@@ -156,6 +156,90 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
     serveV().collect().toSeq shouldBe wantAll
   }
 
+  test("gc racing a compaction: the barrier version forces a refold; serving never points at a gutted dir") {
+    val root = freshRoot()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.append(b, gen, batch = Some(id)))
+    val headBefore = IndexCatalog.current(root).version
+    // gc fires between the compact's fold and its CAS commit — the
+    // exact window in which gc deletes the compact's (uncommitted,
+    // unreferenced) destination; the barrier version makes the
+    // compact LOSE its commit and refold instead of publishing a
+    // pointer at the gutted dir
+    var armed = true
+    IndexCatalog.beforeCommitHook = () =>
+      if (armed) { armed = false; IndexCatalog.gc(root): Unit }
+    try IndexCatalog.compact(root)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    finally IndexCatalog.beforeCommitHook = () => ()
+    val s = IndexCatalog.current(root)
+    s.version shouldBe headBefore + 2 // gc's barrier + the refold
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s.generation)))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+  }
+
+  test("create is crash-retryable: an uncommitted g1 from a dead create sweeps and rebuilds") {
+    val root = freshRoot()
+    // simulate the crash: the build completed (index marker present)
+    // but the v1 catalog commit never happened
+    InvertedIndex.write(docs.filter(col("doc_id") % 2 === 0), s"$root/g1")
+    intercept[IllegalArgumentException] { IndexCatalog.current(root) }
+    val s = IndexCatalog.create(root)(gen => InvertedIndex.write(docs, gen))
+    s.version shouldBe 1
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+    // a catalog that EXISTS refuses a second create
+    intercept[IllegalArgumentException] {
+      IndexCatalog.create(root)(_ => ())
+    }
+  }
+
+  test("catalog-governed CDC apply: ONE registered id serves and folds both of applyChanges' increments") {
+    val root = freshRoot()
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 =!= 2)
+    IndexCatalog.create(root)(gen =>
+      InvertedIndex.write(base, gen, ver = 1L))
+    val ins = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), lit("insert").as("op"),
+        col("text").as("new_text"), lit(2L).as("version"))
+    val upd = docs
+      .filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+        col("text").isNotNull)
+      .select(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" dup dup")).as("new_text"),
+        lit(2L).as("version"))
+    val del = docs.filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"), lit(3L).as("version"))
+    IndexCatalog.append(root)((gen, id) =>
+      InvertedIndex.applyChanges(ins.unionByName(upd).unionByName(del),
+        gen, batch = Some(id)))
+    // the registered id admits BOTH derived roots (<id>u / <id>d):
+    // inserts/updates serve, deletes filter — under only=registered
+    val m = serve(root, k = 10000).select("doc_id").as[Long]
+      .collect().toSet
+    assert(m.forall(_ % 10 != 4))
+    assert(m.exists(_ % 3 == 2)) // an unregistered u-root would drop these
+    // ... and compaction with only=registered folds both increments:
+    // compacted serving ≡ a rebuild over the final corpus, bit-exact
+    IndexCatalog.compact(root)((src, only, dst) =>
+      InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
+    val finalCorpus = docs
+      .withColumn("text",
+        when(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+          col("text").isNotNull,
+          concat(col("text"), lit(" dup dup"))).otherwise(col("text")))
+      .filter(col("doc_id") % 10 =!= 4)
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(finalCorpus, qs, k = 8).collect().toSeq
+  }
+
   test("gc: dead generations and losing-OCC orphans die; retained serving unmoved") {
     val root = freshRoot()
     val a = docs.filter(col("doc_id") % 3 === 0)

@@ -304,6 +304,43 @@ class InvertedIndexSpec extends SparkSpec with Matchers {
       InvertedIndex.bm25TopK(spark, rebuilt, qs, k = 5).collect().toSeq
   }
 
+  test("a text-clearing update batch (zero postings) indexes cleanly; compaction still folds") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = freshRoot()
+    InvertedIndex.write(docs, root, buckets = 64, positions = true,
+      ver = 1L)
+    // a CDC batch of updates that CLEAR text: doclens rows exist
+    // (dl=0) but the batch produces ZERO postings — a zero-row
+    // partitioned parquet tree would be unreadable, so no
+    // postings/positions roots may be written at all
+    val clear = docs.filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id"), lit("update").as("op"),
+        lit(null).cast("string").as("new_text"), lit(2L).as("version"))
+    InvertedIndex.applyChanges(clear, root)
+    assert(!new java.io.File(root).listFiles().exists(f =>
+      f.getName.startsWith("postings_batch_") ||
+        f.getName.startsWith("positions_batch_")))
+    // cleared docs never match again
+    val qs = Seq((0L, Seq("vector", "stream")), (1L, Seq("dup", "join")))
+    val m = InvertedIndex.bm25TopK(spark, root, qs, k = 10000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.forall(_ % 7 != 2))
+    // compaction folds without error, and ≡ a rebuild on the cleared
+    // corpus (cleared docs stay live at dl=0 in the stats)
+    val cmp = freshRoot()
+    InvertedIndex.compactTo(spark, root, cmp)
+    val rebuilt = freshRoot()
+    InvertedIndex.write(docs.withColumn("text",
+        when(col("doc_id") % 7 === 2, lit(null).cast("string"))
+          .otherwise(col("text"))), rebuilt, buckets = 64)
+    InvertedIndex.corpusStats(spark, cmp).collect().toSeq shouldBe
+      InvertedIndex.corpusStats(spark, rebuilt).collect().toSeq
+    InvertedIndex.bm25TopK(spark, cmp, qs, k = 10).collect().toSeq shouldBe
+      InvertedIndex.bm25TopK(spark, rebuilt, qs, k = 10).collect().toSeq
+  }
+
   test("crashed write leaves a retryable root; marker is written last") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val root = freshRoot()
