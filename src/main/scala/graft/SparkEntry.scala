@@ -4113,6 +4113,23 @@ object SparkEntry {
       // sidecar) — the oracle is plain BM25 over the final state.
       tables.InvertedIndex.bm25TopK(s, cdcUpdatesCompactDir(s, d),
         RetrievalQueries, k = 10)),
+    "cdc_vector_index_updates" -> ((s, d) =>
+      // CDC with UPDATE ops maintains the VECTOR index (the dense
+      // twin of cdc_search_index_updates): a re-embedded vector's old
+      // version is superseded and the new one appended, inserts
+      // append, deletes supersede all — no rescan, churn-sized. IVF
+      // carries no corpus statistics, so full probe over the
+      // maintained index ≡ brute force over the live table EXACTLY
+      // (no drift clause in the oracle).
+      tables.VectorIndex.topK(s, s"${cdcVectorUpdatesDir(s, d)}/index",
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
+    "cdc_vector_index_upd_compacted" -> ((s, d) =>
+      // ... and compacted: versioned kills fold into one generation;
+      // the probe must not move a cosine.
+      tables.VectorIndex.topK(s, cdcVectorUpdatesCompactDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
     "streaming_bm25_updates" -> ((s, d) =>
       // The CDC-updates indexer fed by a REAL micro-batch stream:
       // each feed batch applies inserts/updates/deletes under its own
@@ -4835,6 +4852,65 @@ object SparkEntry {
         batch.select(col("doc_id"))
       }.count(): Unit
       indexRoot
+    })
+
+  /** CDC WITH UPDATE OPS → VECTOR INDEX: the dense twin of
+    * [[cdcUpdatesDir]] — a CoW embedding table evolves (v2 =
+    * RE-EMBED %5==1 of the base corpus (reversed vectors — norm
+    * preserved, direction new) + insert the remaining third, v3 =
+    * delete %10==4) and the persisted IVF index is maintained purely
+    * from the change feed: updates supersede the old version and
+    * append the new vector, inserts append, deletes supersede
+    * everything. IVF carries no corpus statistics, so unlike the
+    * lexical twin there is NO drift — full probe over the maintained
+    * index ≡ brute force over the live table, exactly. */
+  private def cdcVectorUpdatesDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcvec", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cdu_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      val embs = Tables.embeddings(s, d)
+      val tableRoot = s"${dir.toString}/table"
+      val indexRoot = s"${dir.toString}/index"
+      tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
+        tableRoot, "vec_id", buckets = 8)
+      tables.VectorIndex.write(
+        tables.CowTable.read(s, tableRoot, Some(1)), indexRoot, ver = 1L)
+      val upd = embs
+        .filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          col("label"))
+      tables.CowTable.merge(s, tableRoot,
+        upd.unionByName(embs.filter(col("vec_id") % 3 === 2),
+          allowMissingColumns = false), "vec_id")
+      tables.CowTable.delete(s, tableRoot,
+        embs.filter(col("vec_id") % 10 === 4).select(col("vec_id")),
+        "vec_id")
+      tables.VectorIndex.applyChanges(
+        tables.CowTable.changesSince(s, tableRoot, "vec_id", 1),
+        indexRoot)
+      dir.toString
+    })
+
+  /** [[cdcVectorUpdatesDir]]'s index compacted: superseded versions
+    * and tombstones fold into one generation — probe unchanged. */
+  private def cdcVectorUpdatesCompactDir(s: SparkSession,
+                                         d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcveccmp", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cduc_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+      tables.VectorIndex.compactTo(s,
+        s"${cdcVectorUpdatesDir(s, d)}/index", dir.toString)
+      dir.toString
     })
 
   /** Catalog-governed index lifecycle: create(⅓) → append(⅓) →
@@ -11290,6 +11366,11 @@ object SparkEntry {
     // index (order-independent versioned semantics) — same oracle.
     "streaming_bm25_updates" ->
       cdcUpdatesBm25Sql(RetrievalQueries, 10, exact = false),
+    // CDC updates on the VECTOR index: brute force over the live
+    // table (updated vectors reversed, deletes gone) — IVF has no
+    // stats, so live and compacted share one exact oracle.
+    "cdc_vector_index_updates" -> cdcVectorBruteSql,
+    "cdc_vector_index_upd_compacted" -> cdcVectorBruteSql,
     // The OCC-catalog lifecycle is layout + bookkeeping only — the
     // served ranking owes bm25_topk's oracle verbatim.
     "bm25_catalog" -> bm25Sql(RetrievalQueries, 10),
@@ -11326,6 +11407,32 @@ object SparkEntry {
            SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE ($corpusWhere)),
+         q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_emb
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.emb, q.query_emb) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored)
+         SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id"""
+
+  /** Brute-force top-10 over [[cdcVectorUpdatesDir]]'s FINAL live
+    * corpus: base+inserted minus deletes, with %5==1 base vectors
+    * re-embedded (reversed). Queries stay the RAW table's vectors —
+    * the engine's query side is callers' rows, not index rows. */
+  private def cdcVectorBruteSql: String =
+    s"""WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(
+                    CASE WHEN vec_id % 3 <> 2 AND vec_id % 5 = 1
+                         THEN list_reverse(embedding) ELSE embedding END,
+                    x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id % 10 <> 4),
          q AS (SELECT vec_id AS query_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_emb
                FROM embeddings WHERE vec_id < 5),

@@ -68,6 +68,16 @@ object IndexCatalog {
     stateAt(root, vs.max)
   }
 
+  /** TIME TRAVEL: the state as of catalog version `v` — readable as
+    * long as [[gc]]'s `retainVersions` kept it (the generation dirs
+    * retained states reference are never swept). Mirrors
+    * [[CowTable.readManifest]]'s versioned read at index granularity. */
+  def at(root: String, v: Int): State = {
+    require(committedVersions(root).contains(v),
+      s"no committed catalog version $v at $root")
+    stateAt(root, v)
+  }
+
   private def committedVersions(root: String): Seq[Int] =
     Option(new java.io.File(catDir(root)).listFiles()).toSeq
       .flatten.flatMap(f => versionOf(f.getName)).sorted

@@ -30,13 +30,18 @@ import graft.operators.Similarity
 object VectorIndex {
 
   def write(corpus: DataFrame, dir: String, nlist: Int = 16,
-            refine: Int = 0, carry: Seq[String] = Nil): Unit = {
+            refine: Int = 0, carry: Seq[String] = Nil,
+            ver: Long = 0L): Unit = {
     val centroids = Similarity.ivfCentroids(corpus, nlist, refine)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // facet columns named in `carry` ride the cell rows (the
     // postingsStagedWith discipline), so a filtered probe prunes on
-    // its own scan — see [[topKFiltered]]
-    Similarity.ivfAssignWith(corpus, centroids, carry)
+    // its own scan — see [[topKFiltered]]; `ver` stamps each row's
+    // doc version for the versioned-identity kill rules
+    // ([[supersede]]/[[applyChanges]] — a re-embedded vector appends
+    // under a HIGHER version than the one it supersedes)
+    Similarity.ivfAssignWith(corpus.withColumn("ver", lit(ver)),
+        centroids, carry :+ "ver")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/cells")
   }
@@ -60,10 +65,22 @@ object VectorIndex {
     * sink), rows append into the base cells root directly.
     */
   def append(fresh: DataFrame, dir: String,
-             batch: Option[String] = None): Unit = {
+             batch: Option[String] = None, ver: Long = 0L): Unit =
+    appendVersioned(fresh.withColumn("ver", lit(ver)), dir, batch)
+
+  /** [[append]] for a batch whose rows carry their OWN `ver` column —
+    * the change-feed shape ([[applyChanges]]): one batch can hold
+    * several table versions' worth of churn, and a re-embedded vector
+    * appends under a higher version than the one a matching
+    * [[supersede]] kills. Extra columns beyond (vec_id, label,
+    * embedding) — facets and `ver` — ride the cell rows. */
+  def appendVersioned(fresh: DataFrame, dir: String,
+                      batch: Option[String] = None): Unit = {
     val spark = fresh.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned = Similarity.ivfAssign(fresh, centroids)
+    val carry = fresh.columns.toSeq
+      .filterNot(Set("vec_id", "label", "embedding"))
+    val assigned = Similarity.ivfAssignWith(fresh, centroids, carry)
     batch match {
       case Some(b) =>
         assigned.write.mode("overwrite").partitionBy("centroid_id")
@@ -100,6 +117,58 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$dir/deletes_batch_$id")
   }
 
+  /** SUPERSEDE: kill every version of each vec_id BELOW its
+    * `kill_below` — the versioned half of an UPDATE (the re-embedded
+    * vector appends at `kill_below` via [[appendVersioned]], the old
+    * version dies here; an id-level [[delete]] would kill the
+    * re-append too). O(|ids|) like delete; same at-least-once batch
+    * discipline. Mirrors [[InvertedIndex.supersede]]. */
+  def supersede(vecVers: DataFrame, dir: String,
+                batch: Option[String] = None): Unit = {
+    require(Files.exists(Paths.get(s"$dir/centroids")),
+      s"no vector index at $dir")
+    val id = batch.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    vecVers.select(col("vec_id"), col("kill_below").cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("kill_below")).as("kill_below"))
+      .write.mode("overwrite").parquet(s"$dir/supersedes_batch_$id")
+  }
+
+  /** Consume a CoW change feed over an embedding table
+    * ([[CowTable.changesSince]] shape: op ∈ insert/update/delete,
+    * vec_id, new_<col>s, version) — CDC maintains the VECTOR index
+    * exactly as [[InvertedIndex.applyChanges]] maintains the lexical
+    * one: inserts/updates assign + append their vectors under the
+    * feed version, updates/deletes supersede every version below it.
+    * Unlike the lexical side there is nothing to drift — IVF carries
+    * no corpus statistics — so full-probe retrieval over the
+    * maintained index is EXACT against the live table. Feed contract
+    * as on the lexical side: `insert` means a NEW vec identity.
+    * Float path only: a compressed (PQ) index re-encodes via a
+    * catalog-governed rebuild — its residual codes carry no version
+    * column to filter on. */
+  def applyChanges(feed: DataFrame, dir: String,
+                   batch: Option[String] = None): Unit = {
+    require(!Files.exists(Paths.get(s"$dir/codes")),
+      "versioned CDC updates are float-path only — rebuild/retrain " +
+        "the compressed index via the catalog's compact instead")
+    val staged = feed.persist()
+    try {
+      val dataCols = staged.columns.filter(_.startsWith("new_")).toSeq
+      val ups = staged.filter(col("op") =!= "delete")
+        .select(col("vec_id") +:
+          col("version").cast("long").as("ver") +:
+          dataCols.map(c => col(c).as(c.stripPrefix("new_"))): _*)
+      val downs = staged.filter(col("op") =!= "insert")
+        .select(col("vec_id"),
+          col("version").cast("long").as("kill_below"))
+      if (!ups.isEmpty)
+        appendVersioned(ups, dir, batch.map(b => s"${b}u"))
+      if (!downs.isEmpty) supersede(downs, dir, batch.map(b => s"${b}d"))
+    } finally staged.unpersist(): Unit
+  }
+
   /** Batch roots for `prefix`, sorted; with `only` set (the
     * [[IndexCatalog]] serving path) unregistered batch ids are
     * excluded — an in-flight or crashed-before-commit append is never
@@ -108,9 +177,16 @@ object VectorIndex {
                          only: Option[Set[String]] = None): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"${prefix}_batch_"))
-      .filter(f => only.forall(ids =>
-        ids.contains(f.getName.substring(
-          f.getName.indexOf("_batch_") + "_batch_".length))))
+      .filter(f => only.forall { ids =>
+        val suffix = f.getName.substring(
+          f.getName.indexOf("_batch_") + "_batch_".length)
+        // a registered id X admits X itself AND the Xu/Xd roots
+        // [[applyChanges]] derives from one batch id —
+        // InvertedIndex.batchRoots' rule
+        ids.contains(suffix) ||
+          ((suffix.endsWith("u") || suffix.endsWith("d")) &&
+            ids.contains(suffix.dropRight(1)))
+      })
       .map(_.getAbsolutePath).sorted
 
   /** The union of all tombstone sets, distinct; None when the index
@@ -124,12 +200,44 @@ object VectorIndex {
           .distinct())
     }
 
+  /** The unified kill rule — [[InvertedIndex]]'s discipline at vector
+    * granularity: id-level [[delete]]s kill every version
+    * (kill_below = Long.MaxValue), [[supersede]]s kill the versions
+    * below theirs, overlaps compose by max; None when the index has
+    * never seen a tombstone (untouched plans unchanged). */
+  private def killRules(spark: SparkSession, dir: String,
+                        only: Option[Set[String]] = None)
+      : Option[DataFrame] = {
+    val dels = batchRoots(dir, "deletes", only).map(p =>
+      spark.read.parquet(p)
+        .select(col("vec_id"), lit(Long.MaxValue).as("kill_below")))
+    val sups = batchRoots(dir, "supersedes", only)
+      .map(spark.read.parquet(_))
+    (dels ++ sups) match {
+      case Seq() => None
+      case parts =>
+        Some(parts.reduce(_.unionByName(_))
+          .groupBy(col("vec_id"))
+          .agg(max(col("kill_below")).as("kill_below")))
+    }
+  }
+
   private def filterDeleted(spark: SparkSession, dir: String,
                             rows: DataFrame,
                             only: Option[Set[String]] = None): DataFrame =
-    deletedVecs(spark, dir, only) match {
+    killRules(spark, dir, only) match {
       case None => rows
-      case Some(dd) => rows.join(broadcast(dd), Seq("vec_id"), "left_anti")
+      case Some(kr) =>
+        // PQ code rows carry no ver column (the compressed path never
+        // sees supersedes — applyChanges guards); treat them as ver 0
+        // so an id-level delete (MaxValue) still kills them
+        val hasVer = rows.columns.contains("ver")
+        val r = if (hasVer) rows else rows.withColumn("ver", lit(0L))
+        val f = r.join(broadcast(kr), Seq("vec_id"), "left")
+          .filter(col("kill_below").isNull ||
+            col("ver") >= col("kill_below"))
+          .drop("kill_below")
+        if (hasVer) f else f.drop("ver")
     }
 
   /** All cell roots of the index: the base build plus every per-batch

@@ -277,5 +277,11 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
     (g2, d2) shouldBe ((0, 0))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root2/g1")))
+    // time travel: the retained v1 state still serves its snapshot
+    val s1 = IndexCatalog.at(root2, 1)
+    InvertedIndex.bm25TopK(spark, s1.generation, qs, 8,
+        only = Some(s1.batches.toSet)).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(a, qs, k = 8).collect().toSeq
+    intercept[IllegalArgumentException] { IndexCatalog.at(root2, 99) }
   }
 }

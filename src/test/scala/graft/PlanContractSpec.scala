@@ -298,6 +298,7 @@ class PlanContractSpec extends SparkSpec {
         n == "ann_index_recluster" ||
         n == "retrieval_phrase_persisted" ||
         n.startsWith("cdc_search_index") ||
+        n.startsWith("cdc_vector_index") ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")

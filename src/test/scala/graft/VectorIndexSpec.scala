@@ -110,6 +110,72 @@ class VectorIndexSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("versioned updates: supersede + append re-embeds a vector; full probe ≡ brute force on the updated corpus; compaction folds") {
+    val dir = freshDir()
+    VectorIndex.write(emb, dir, nlist = 16, ver = 1L)
+    // UPDATE %5==1: old version superseded, new (reversed) vector
+    // appended at the new version — an id-level delete would kill the
+    // re-append too, which is exactly what versions exist to avoid
+    val updated = emb.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        col("label"))
+    VectorIndex.supersede(updated.select(col("vec_id"),
+      lit(2L).as("kill_below")), dir)
+    VectorIndex.append(updated, dir, ver = 2L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val finalCorpus = emb.withColumn("embedding",
+      when(col("vec_id") % 5 === 1, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val want = Similarity.bruteForceTopK(finalCorpus, queries, 8)
+      .collect().toSeq
+    VectorIndex.topK(spark, dir, queries, 8, nprobe = 16)
+      .collect().toSeq shouldBe want
+    // compaction folds the versioned kills; probe unmoved, and the
+    // compacted root carries no tombstone/supersede sets
+    val cmp = s"${freshDir()}_cmp"
+    VectorIndex.compactTo(spark, dir, cmp)
+    VectorIndex.topK(spark, cmp, queries, 8, nprobe = 16)
+      .collect().toSeq shouldBe want
+    assert(!new java.io.File(cmp).listFiles().exists(f =>
+      f.getName.contains("_batch_")))
+  }
+
+  test("applyChanges consumes an embedding change feed: updates re-embed, inserts append, deletes kill; exact vs brute force") {
+    val dir = freshDir()
+    val base = emb.filter(col("vec_id") % 3 =!= 2)
+    VectorIndex.write(base, dir, nlist = 16, ver = 1L)
+    // hand-built feed (CowTable.changesSince shape): v2 re-embeds
+    // %5==1 of base + inserts the remaining third, v3 deletes %10==4
+    val upd = base.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id"), lit("update").as("op"),
+        reverse(col("embedding")).as("new_embedding"),
+        col("label").as("new_label"), lit(2L).as("version"))
+    val ins = emb.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"), lit("insert").as("op"),
+        col("embedding").as("new_embedding"),
+        col("label").as("new_label"), lit(2L).as("version"))
+    val del = emb.filter(col("vec_id") % 10 === 4)
+      .select(col("vec_id"), lit("delete").as("op"),
+        lit(null).cast("array<float>").as("new_embedding"),
+        lit(null).cast("int").as("new_label"), lit(3L).as("version"))
+    VectorIndex.applyChanges(upd.unionByName(ins).unionByName(del), dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val finalCorpus = emb
+      .withColumn("embedding",
+        when(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      .filter(col("vec_id") % 10 =!= 4)
+    VectorIndex.topK(spark, dir, queries, 8, nprobe = 16)
+      .collect().toSeq shouldBe
+      Similarity.bruteForceTopK(finalCorpus, queries, 8).collect().toSeq
+    // a compressed index refuses versioned CDC (codes carry no ver)
+    val pqDir = s"${freshDir()}_pq"
+    VectorIndex.writePq(emb, pqDir, nlist = 16)
+    intercept[IllegalArgumentException] {
+      VectorIndex.applyChanges(upd, pqDir)
+    }
+  }
+
   test("delete requires an existing index — a mistyped dir fails loudly") {
     intercept[IllegalArgumentException] {
       VectorIndex.delete(Seq(1L).toDF("vec_id"), "/tmp/graft_no_such_index")
