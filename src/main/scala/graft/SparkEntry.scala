@@ -4130,6 +4130,15 @@ object SparkEntry {
       tables.VectorIndex.topK(s, cdcVectorUpdatesCompactDir(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
         nprobe = 16)),
+    "streaming_ann_updates" -> ((s, d) =>
+      // The vector-CDC indexer fed by a REAL micro-batch stream with
+      // same-id redelivery — completes the {lexical, vector} ×
+      // {batch, streaming} update-maintenance matrix; shares the
+      // exact brute-force oracle (order-independent semantics land
+      // the split feed on the identical index).
+      tables.VectorIndex.topK(s, streamingCdcVectorDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
+        nprobe = 16)),
     "streaming_bm25_updates" -> ((s, d) =>
       // The CDC-updates indexer fed by a REAL micro-batch stream:
       // each feed batch applies inserts/updates/deletes under its own
@@ -4324,28 +4333,22 @@ object SparkEntry {
   private val cowCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def cowTableDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_cow_")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
-      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
+      tables.CowTable.create(base, dir, "doc_id", buckets = 8)
       val updates = base.filter(col("doc_id") < 50)
         .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"),
           col("source"))
         .unionByName(base.filter(col("doc_id") < 20)
           .select((col("doc_id") + 25000000L).as("doc_id"), col("n_chars"),
             col("source")))
-      tables.CowTable.merge(s, dir.toString, updates, "doc_id")
-      tables.CowTable.delete(s, dir.toString,
+      tables.CowTable.merge(s, dir, updates, "doc_id")
+      tables.CowTable.delete(s, dir,
         base.filter(col("doc_id") >= 50 && col("doc_id") < 60)
           .select(col("doc_id")), "doc_id")
-      tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
-      dir.toString
+      tables.CowTable.compact(s, dir, "doc_id", 1L << 20)
+      dir
     })
 
   /** Once-per-(process, sf dir) write-audit-publish lifecycle over a
@@ -4360,14 +4363,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
   private def cowWapState(s: SparkSession, d: String): (String, Long, Long) =
     cowWapCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cowwap_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      val root = dir.toString
+      val dir = scratchDir("graft_cowwap_")
+      val root = dir
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
       tables.CowTable.create(base, root, "doc_id", buckets = 8)
@@ -4406,19 +4403,13 @@ object SparkEntry {
     */
   private def cowCloneDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#clone", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_clone_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      tables.CowTable.cloneAt(s, cowTableDir(s, d), dir.toString, Some(2))
+      val dir = scratchDir("graft_cow_clone_")
+      tables.CowTable.cloneAt(s, cowTableDir(s, d), dir, Some(2))
       val upd = Tables.documents(s, d).filter(col("doc_id") < 10)
         .select(col("doc_id"), (col("n_chars") + 9000L).as("n_chars"),
           col("source"))
-      tables.CowTable.merge(s, dir.toString, upd, "doc_id")
-      dir.toString
+      tables.CowTable.merge(s, dir, upd, "doc_id")
+      dir
     })
 
   /** Once-per-(process, sf dir) STRING-keyed copy-on-write lifecycle:
@@ -4431,20 +4422,14 @@ object SparkEntry {
     * pins v3's widened, NULL-filled state. */
   private def cowStrDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#str", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_str2_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_cow_str2_")
       val docs = Tables.documents(s, d)
       val key = concat(col("source"), lit("#"),
         lpad(col("doc_id").cast("string"), 12, "0"))
       val base = docs.select(key.as("k"), col("n_chars"), col("source"))
       // bloomKeys: per-bucket key Bloom sidecars — the point-lookup
       // prune hash-bucketed string tables need (cow_point_lookup_str)
-      tables.CowTable.create(base, dir.toString, "k", buckets = 8,
+      tables.CowTable.create(base, dir, "k", buckets = 8,
         bloomKeys = true)
       val updates = docs.filter(col("doc_id") < 50)
         .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
@@ -4452,12 +4437,12 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 20)
           .select(concat(lit("zzz#"), col("doc_id").cast("string")).as("k"),
             col("n_chars"), col("source")))
-      tables.CowTable.merge(s, dir.toString, updates, "k")
+      tables.CowTable.merge(s, dir, updates, "k")
       val evo = docs.filter(col("doc_id") < 30)
         .select(key.as("k"), (col("n_chars") + 1000L).as("n_chars"),
           col("source"), col("lang"))
-      tables.CowTable.merge(s, dir.toString, evo, "k")
-      dir.toString
+      tables.CowTable.merge(s, dir, evo, "k")
+      dir
     })
 
   /** Once-per-(process, sf dir) MERGE-ON-READ lifecycle
@@ -4474,28 +4459,22 @@ object SparkEntry {
     * dvRows accounting, sidecar vacuum). */
   private def cowMorDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#mor", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_mor_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_cow_mor_")
       val docs = Tables.documents(s, d)
       val base = docs.select(col("doc_id"), col("n_chars"), col("source"))
-      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
-      tables.CowTable.deleteMor(s, dir.toString,
+      tables.CowTable.create(base, dir, "doc_id", buckets = 8)
+      tables.CowTable.deleteMor(s, dir,
         docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
           .select(col("doc_id")), "doc_id")
-      tables.CowTable.deleteMor(s, dir.toString,
+      tables.CowTable.deleteMor(s, dir,
         docs.filter(col("doc_id") >= 55 && col("doc_id") < 65)
           .select(col("doc_id")), "doc_id")
-      tables.CowTable.merge(s, dir.toString,
+      tables.CowTable.merge(s, dir,
         docs.filter(col("doc_id") >= 58 && col("doc_id") < 70)
           .select(col("doc_id"), (col("n_chars") + 2000L).as("n_chars"),
             col("source")), "doc_id")
-      tables.CowTable.compact(s, dir.toString, "doc_id", 1L << 20)
-      dir.toString
+      tables.CowTable.compact(s, dir, "doc_id", 1L << 20)
+      dir
     })
 
   /** Once-per-(process, sf dir) Z-ORDER lifecycle: create a table
@@ -4508,21 +4487,15 @@ object SparkEntry {
     * provably cannot — CowTableSpec measures both layouts). */
   private def cowZDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#z", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_z_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_cow_z_")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), ((col("doc_id") * 37L) % 100L).as("v"),
           col("n_chars"))
-      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8,
+      tables.CowTable.create(base, dir, "doc_id", buckets = 8,
         statsCols = Seq("v"))
-      tables.CowTable.compactZOrder(s, dir.toString, Seq("v", "doc_id"),
+      tables.CowTable.compactZOrder(s, dir, Seq("v", "doc_id"),
         targetBuckets = 16)
-      dir.toString
+      dir
     })
 
   /** Corpus-sized CoW tables for the MERGE-cost scale rows
@@ -4535,18 +4508,12 @@ object SparkEntry {
   private def cowBenchDir(s: SparkSession, d: String,
                           flavor: String): String =
     cowCache.getOrElseUpdate(s"$d#bench_$flavor", {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_cowb_${flavor}_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir(s"graft_cowb_${flavor}_")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
       val buckets = math.max(8L, (base.count() + 2499L) / 2500L).toInt
-      tables.CowTable.create(base, dir.toString, "doc_id", buckets = buckets)
-      dir.toString
+      tables.CowTable.create(base, dir, "doc_id", buckets = buckets)
+      dir
     })
 
   /** Streaming CDC → table-format ingestion (the lakehouse analog of
@@ -4560,16 +4527,10 @@ object SparkEntry {
     * half re-scale has no odd ids) as a carried-only commit. */
   private def streamingCowDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#stream", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_str_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_cow_str_")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
-      tables.CowTable.create(base, dir.toString, "doc_id", buckets = 8)
+      tables.CowTable.create(base, dir, "doc_id", buckets = 8)
       graft.streaming.DocReplay.runWithBatchId(s, base, s"$d#cowmerge") {
         (batch, batchId) =>
           val changed = batch.filter(col("doc_id") % 7 === 3)
@@ -4584,18 +4545,18 @@ object SparkEntry {
           // duplicate version — replayed immediately below as a
           // same-id second merge that must leave currentVersion alone
           val (m, rewritten, carried) = tables.CowTable.merge(
-            s, dir.toString, upd, "doc_id", txn = Some(("cowmerge", batchId)))
-          val vAfter = tables.CowTable.currentVersion(dir.toString)
+            s, dir, upd, "doc_id", txn = Some(("cowmerge", batchId)))
+          val vAfter = tables.CowTable.currentVersion(dir)
           val (mr, _, _) = tables.CowTable.merge(
-            s, dir.toString, upd, "doc_id", txn = Some(("cowmerge", batchId)))
+            s, dir, upd, "doc_id", txn = Some(("cowmerge", batchId)))
           require(mr.version == m.version &&
-            tables.CowTable.currentVersion(dir.toString) == vAfter,
+            tables.CowTable.currentVersion(dir) == vAfter,
             s"redelivered batch $batchId must not commit a new version")
           import s.implicits._
           Seq((m.version.toLong, rewritten.toLong, carried.toLong))
             .toDF("version", "n_rewritten", "n_carried")
       }.count(): Unit // drain the replay sink; reads go through the manifest
-      dir.toString
+      dir
     })
   /** Once-per-(process, sf dir) STREAMING write-audit-publish: the
     * ingest stream merges its micro-batches into a BRANCH (exactly-
@@ -4608,14 +4569,8 @@ object SparkEntry {
     */
   private def streamingWapDir(s: SparkSession, d: String): String =
     cowCache.getOrElseUpdate(s"$d#wapstream", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cow_wapstr_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      val root = dir.toString
+      val dir = scratchDir("graft_cow_wapstr_")
+      val root = dir
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("source"))
       tables.CowTable.create(base, root, "doc_id", buckets = 8)
@@ -4651,20 +4606,27 @@ object SparkEntry {
     })
 
   /** Once-per-(process, sf dir) persisted inverted index. */
+  /** Temp dir with a recursive-delete shutdown hook — the shared
+    * scaffold of every per-(process, sf dir) staged artifact below. */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   private val invIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def invIndexDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      tables.InvertedIndex.write(Tables.documents(s, d), dir.toString,
+      val dir = scratchDir("graft_invidx_")
+      tables.InvertedIndex.write(Tables.documents(s, d), dir,
         buckets = InvIndexBuckets, positions = true)
-      dir.toString
+      dir
     })
 
   /** Persisted inverted index built on ⅔ of the corpus then rolled
@@ -4673,37 +4635,25 @@ object SparkEntry {
     * bm25_indexed_append queries. */
   private def invIndexAppendDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#append", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_app_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_app_")
       val docs = Tables.documents(s, d)
       tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
-        dir.toString)
+        dir)
       tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** The appended index compacted into a fresh root — batch increments
     * folded into one generation, source untouched. */
   private def invIndexCompactDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#compact", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cmp_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_cmp_")
       // compactTo refuses a marker-bearing target; the temp dir is
       // fresh, so only the createTempDirectory dir itself pre-exists
       tables.InvertedIndex.compactTo(s, invIndexAppendDir(s, d),
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** CHANGEFEED → SEARCH INDEX: a CoW documents table evolves
@@ -4718,16 +4668,10 @@ object SparkEntry {
     * spells. */
   private def cdcIndexDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdc", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdc_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_cdc_")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val tableRoot = s"${dir.toString}/table"
-      val indexRoot = s"${dir.toString}/index"
+      val tableRoot = s"${dir}/table"
+      val indexRoot = s"${dir}/index"
       tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
         tableRoot, "doc_id", buckets = 8)
       tables.InvertedIndex.write(
@@ -4758,16 +4702,10 @@ object SparkEntry {
     * exactly the tombstoned-live contract the oracle spells. */
   private def cdcUpdatesDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdcupd", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdu_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_cdu_")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val tableRoot = s"${dir.toString}/table"
-      val indexRoot = s"${dir.toString}/index"
+      val tableRoot = s"${dir}/table"
+      val indexRoot = s"${dir}/index"
       tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
         tableRoot, "doc_id", buckets = 8)
       tables.InvertedIndex.write(
@@ -4784,7 +4722,7 @@ object SparkEntry {
         "doc_id")
       tables.InvertedIndex.applyChanges(
         tables.CowTable.changesSince(s, tableRoot, "doc_id", 1), indexRoot)
-      dir.toString
+      dir
     })
 
   /** [[cdcUpdatesDir]]'s index compacted: superseded versions and
@@ -4792,16 +4730,10 @@ object SparkEntry {
     * (updated text included) — pinned by the doclens-exact oracle. */
   private def cdcUpdatesCompactDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdcupdcmp", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cduc_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_cduc_")
       tables.InvertedIndex.compactTo(s, s"${cdcUpdatesDir(s, d)}/index",
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** [[cdcUpdatesDir]]'s STREAMING twin: the SAME table evolution
@@ -4817,16 +4749,10 @@ object SparkEntry {
     * cdc_search_index_updates' oracle verbatim. */
   private def streamingCdcUpdatesDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdcupdstr", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_cdus_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_cdus_")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val tableRoot = s"${dir.toString}/table"
-      val indexRoot = s"${dir.toString}/index"
+      val tableRoot = s"${dir}/table"
+      val indexRoot = s"${dir}/index"
       tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
         tableRoot, "doc_id", buckets = 8)
       tables.InvertedIndex.write(
@@ -4866,16 +4792,10 @@ object SparkEntry {
     * index ≡ brute force over the live table, exactly. */
   private def cdcVectorUpdatesDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdcvec", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cdu_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_cdu_")
       val embs = Tables.embeddings(s, d)
-      val tableRoot = s"${dir.toString}/table"
-      val indexRoot = s"${dir.toString}/index"
+      val tableRoot = s"${dir}/table"
+      val indexRoot = s"${dir}/index"
       tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
         tableRoot, "vec_id", buckets = 8)
       tables.VectorIndex.write(
@@ -4893,7 +4813,48 @@ object SparkEntry {
       tables.VectorIndex.applyChanges(
         tables.CowTable.changesSince(s, tableRoot, "vec_id", 1),
         indexRoot)
-      dir.toString
+      dir
+    })
+
+  /** [[cdcVectorUpdatesDir]]'s STREAMING twin — the dense analog of
+    * [[streamingCdcUpdatesDir]]: the same table evolution, but the
+    * indexer consumes the change feed as REAL micro-batches, each
+    * applying its churn via [[tables.VectorIndex.applyChanges]] under
+    * its own batch id with a same-id redelivery (exactly-once index
+    * state from at-least-once delivery). Versioned-identity semantics
+    * are order-independent, so the batch-split feed lands on the
+    * identical final index — shares cdc_vector_index_updates'
+    * exact brute-force oracle. */
+  private def streamingCdcVectorDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#cdcvecstr", {
+      val dir = scratchDir("graft_vindex_cdus_")
+      val embs = Tables.embeddings(s, d)
+      val tableRoot = s"${dir}/table"
+      val indexRoot = s"${dir}/index"
+      tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
+        tableRoot, "vec_id", buckets = 8)
+      tables.VectorIndex.write(
+        tables.CowTable.read(s, tableRoot, Some(1)), indexRoot, ver = 1L)
+      val upd = embs
+        .filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          col("label"))
+      tables.CowTable.merge(s, tableRoot,
+        upd.unionByName(embs.filter(col("vec_id") % 3 === 2)), "vec_id")
+      tables.CowTable.delete(s, tableRoot,
+        embs.filter(col("vec_id") % 10 === 4).select(col("vec_id")),
+        "vec_id")
+      graft.streaming.DocReplay.runWithBatchId(s,
+          tables.CowTable.changesSince(s, tableRoot, "vec_id", 1),
+          s"$d#cdcvecfeed", idCol = "vec_id") { (batch, batchId) =>
+        tables.VectorIndex.applyChanges(batch, indexRoot,
+          batch = Some(batchId.toString))
+        // redelivery: same id rewrites its own roots — no-op on state
+        tables.VectorIndex.applyChanges(batch, indexRoot,
+          batch = Some(batchId.toString))
+        batch.select(col("vec_id"))
+      }.count(): Unit
+      indexRoot
     })
 
   /** [[cdcVectorUpdatesDir]]'s index compacted: superseded versions
@@ -4901,16 +4862,10 @@ object SparkEntry {
   private def cdcVectorUpdatesCompactDir(s: SparkSession,
                                          d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#cdcveccmp", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cduc_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_cduc_")
       tables.VectorIndex.compactTo(s,
-        s"${cdcVectorUpdatesDir(s, d)}/index", dir.toString)
-      dir.toString
+        s"${cdcVectorUpdatesDir(s, d)}/index", dir)
+      dir
     })
 
   /** Catalog-governed index lifecycle: create(⅓) → append(⅓) →
@@ -4919,14 +4874,8 @@ object SparkEntry {
     * reads the generation restricted to REGISTERED batches. */
   private def catalogRootDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#catalog", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_idxcat_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      val root = dir.toString
+      val dir = scratchDir("graft_idxcat_")
+      val root = dir
       val docs = Tables.documents(s, d)
       tables.IndexCatalog.create(root)(gen =>
         tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 === 0),
@@ -4953,14 +4902,8 @@ object SparkEntry {
     * the identical lost-update window). */
   private def annCatalogRootDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#anncatalog", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vidxcat_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      val root = dir.toString
+      val dir = scratchDir("graft_vidxcat_")
+      val root = dir
       val embs = Tables.embeddings(s, d)
       tables.IndexCatalog.create(root)(gen =>
         tables.VectorIndex.write(embs.filter(col("vec_id") % 3 === 0),
@@ -4982,38 +4925,26 @@ object SparkEntry {
     * drift until compaction. Per (process, sf dir). */
   private def invIndexDeleteDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#del", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_del_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_del_")
       val docs = Tables.documents(s, d)
       tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
-        dir.toString)
+        dir)
       tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 2),
-        dir.toString)
+        dir)
       tables.InvertedIndex.delete(
         docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** [[invIndexDeleteDir]] compacted: tombstones folded, stats exact
     * over the live corpus. */
   private def invIndexDeleteCompactDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#delcmp", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_dc_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_dc_")
       tables.InvertedIndex.compactTo(s, invIndexDeleteDir(s, d),
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** The appended float index with TOMBSTONE deletes (vec_id%7==3) —
@@ -5021,21 +4952,15 @@ object SparkEntry {
     * state. */
   private def vectorIndexDeleteDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#del", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_del_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_del_")
       val emb = Tables.embeddings(s, d)
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
-        dir.toString, nlist = 16)
-      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir.toString)
+        dir, nlist = 16)
+      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir)
       tables.VectorIndex.delete(
         emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
-        dir.toString)
-      dir.toString
+        dir)
+      dir
     })
 
   /** Facet-carrying IVF index: cells carry the documents table's
@@ -5043,20 +4968,14 @@ object SparkEntry {
     * faceted probe prunes on its own scan. Per (process, sf dir). */
   private def facetVectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#facet", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_fct_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_fct_")
       val faceted = Tables.embeddings(s, d).join(
         Tables.documents(s, d)
           .select(col("doc_id").as("vec_id"), col("source")),
         Seq("vec_id"))
-      tables.VectorIndex.write(faceted, s"${dir.toString}/idx",
+      tables.VectorIndex.write(faceted, s"${dir}/idx",
         nlist = 16, carry = Seq("source"))
-      s"${dir.toString}/idx"
+      s"${dir}/idx"
     })
 
   /** RECLUSTERED index: a skewed lifecycle (build on vec_id ≥ 50,
@@ -5066,38 +4985,26 @@ object SparkEntry {
     * or out of the index). */
   private def reclusterVectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#recluster", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_rc_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_rc_")
       val emb = Tables.embeddings(s, d)
-      val src = s"${dir.toString}/idx"
+      val src = s"${dir}/idx"
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50), src,
         nlist = 16)
       tables.VectorIndex.append(emb.filter(col("vec_id") < 50), src)
       tables.VectorIndex.delete(
         emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), src)
-      tables.VectorIndex.compactTo(s, src, s"${dir.toString}/re",
+      tables.VectorIndex.compactTo(s, src, s"${dir}/re",
         recluster = 2)
-      s"${dir.toString}/re"
+      s"${dir}/re"
     })
 
   /** [[vectorIndexAppendDir]] compacted into a fresh root. */
   private def vectorIndexCompactDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#compact", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_cmp_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_cmp_")
       tables.VectorIndex.compactTo(s, vectorIndexAppendDir(s, d),
-        s"${dir.toString}/idx")
-      s"${dir.toString}/idx"
+        s"${dir}/idx")
+      s"${dir}/idx"
     })
 
   /** [[invIndexAppendDir]]'s STREAMING twin: the fresh third arrives
@@ -5109,27 +5016,21 @@ object SparkEntry {
     * double-counting. */
   private def streamingInvIndexDir(s: SparkSession, d: String): String =
     invIndexCache.getOrElseUpdate(s"$d#stream", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_invidx_str_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_invidx_str_")
       val docs = Tables.documents(s, d)
       tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 =!= 2),
-        dir.toString)
+        dir)
       graft.streaming.DocReplay.runWithBatchId(s,
           docs.filter(col("doc_id") % 3 === 2), s"$d#invfresh") {
         (batch, batchId) =>
-          tables.InvertedIndex.append(batch, dir.toString,
+          tables.InvertedIndex.append(batch, dir,
             batch = Some(batchId.toString))
           // redelivery: same id rewrites its own roots — no-op on state
-          tables.InvertedIndex.append(batch, dir.toString,
+          tables.InvertedIndex.append(batch, dir,
             batch = Some(batchId.toString))
           batch.select(col("doc_id"))
       }.count(): Unit
-      dir.toString
+      dir
     })
 
   private val lmModelCache =
@@ -5137,15 +5038,9 @@ object SparkEntry {
 
   private def lmModelDir(s: SparkSession, d: String): String =
     lmModelCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lmmodel_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      tables.LmModel.write(Tables.documents(s, d), dir.toString)
-      dir.toString
+      val dir = scratchDir("graft_lmmodel_")
+      tables.LmModel.write(Tables.documents(s, d), dir)
+      dir
     })
 
   /** DSIR importance weights of `documents` against its en-subset
@@ -5185,15 +5080,9 @@ object SparkEntry {
     */
   private def bpeModelDir(s: SparkSession, d: String): String =
     lmModelCache.getOrElseUpdate(s"$d#bpe", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bpemodel_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      tables.BpeModel.write(Tables.documents(s, d), dir.toString, BpeNumMerges)
-      dir.toString
+      val dir = scratchDir("graft_bpemodel_")
+      tables.BpeModel.write(Tables.documents(s, d), dir, BpeNumMerges)
+      dir
     })
 
   /** Persisted trigram-model dir per (process, dataset) — the
@@ -5201,16 +5090,10 @@ object SparkEntry {
     */
   private def lmTrigramModelDir(s: SparkSession, d: String): String =
     lmModelCache.getOrElseUpdate(s"$d#tri", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lmtri_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_lmtri_")
       tables.LmModel.writeTrigram(
-        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir.toString)
-      dir.toString
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir)
+      dir
     })
 
   /** Staged per-language LM doc scores per (session, dataset). */
@@ -5219,15 +5102,9 @@ object SparkEntry {
 
   private def vectorIndexDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
-      tables.VectorIndex.write(Tables.embeddings(s, d), dir.toString, nlist = 16)
-      dir.toString
+      val dir = scratchDir("graft_vindex_")
+      tables.VectorIndex.write(Tables.embeddings(s, d), dir, nlist = 16)
+      dir
     })
 
   /** [[vectorIndexAppendDir]]'s STREAMING twin: the fresh batch
@@ -5238,26 +5115,20 @@ object SparkEntry {
     */
   private def streamingIndexAppendDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#streamappend", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_str_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_str_")
       val emb = Tables.embeddings(s, d)
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
-        dir.toString, nlist = 16)
+        dir, nlist = 16)
       // batchId-keyed append roots make an at-least-once redelivery
       // overwrite its own prior attempt instead of duplicating rows
       graft.streaming.DocReplay.runWithBatchId(s,
           emb.filter(col("vec_id") < 50),
           s"$d#idxfresh", idCol = "vec_id") { (batch, batchId) =>
-        tables.VectorIndex.append(batch, dir.toString,
+        tables.VectorIndex.append(batch, dir,
           batch = Some(batchId.toString))
         batch.select(col("vec_id"))
       }
-      dir.toString
+      dir
     })
 
   /** Index built on the standing corpus (vec_id >= 50) then APPENDED
@@ -5266,18 +5137,12 @@ object SparkEntry {
     */
   private def vectorIndexAppendDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#append", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_app_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_app_")
       val emb = Tables.embeddings(s, d)
       tables.VectorIndex.write(emb.filter(col("vec_id") >= 50),
-        dir.toString, nlist = 16)
-      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir.toString)
-      dir.toString
+        dir, nlist = 16)
+      tables.VectorIndex.append(emb.filter(col("vec_id") < 50), dir)
+      dir
     })
 
   /** Persisted COMPRESSED (IVF-PQ) index with an appended batch:
@@ -5288,18 +5153,12 @@ object SparkEntry {
     */
   private def pqIndexAppendDir(s: SparkSession, d: String): String =
     vindexCache.getOrElseUpdate(s"$d#pqappend", {
-      val dir = java.nio.file.Files.createTempDirectory("graft_vindex_pq_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      val dir = scratchDir("graft_vindex_pq_")
       val emb = Tables.embeddings(s, d)
       tables.VectorIndex.writePq(emb.filter(col("vec_id") >= 50),
-        dir.toString, nlist = 16, m = 16, ksub = 64)
-      tables.VectorIndex.appendPq(emb.filter(col("vec_id") < 50), dir.toString)
-      dir.toString
+        dir, nlist = 16, m = 16, ksub = 64)
+      tables.VectorIndex.appendPq(emb.filter(col("vec_id") < 50), dir)
+      dir
     })
 
   /** Encoded media over the first 100 docs plus byte-identical copies
@@ -11371,6 +11230,7 @@ object SparkEntry {
     // stats, so live and compacted share one exact oracle.
     "cdc_vector_index_updates" -> cdcVectorBruteSql,
     "cdc_vector_index_upd_compacted" -> cdcVectorBruteSql,
+    "streaming_ann_updates" -> cdcVectorBruteSql,
     // The OCC-catalog lifecycle is layout + bookkeeping only — the
     // served ranking owes bm25_topk's oracle verbatim.
     "bm25_catalog" -> bm25Sql(RetrievalQueries, 10),

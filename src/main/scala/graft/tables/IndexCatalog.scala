@@ -43,9 +43,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object IndexCatalog {
 
   /** One committed catalog state: the serving generation dir and the
-    * batch ids committed into it. */
+    * batch ids committed into it. `barrier` marks a [[gc]]-minted
+    * head copy — not a state the user made, so retention counting
+    * skips it. */
   final case class State(version: Int, generation: String,
-                         batches: Seq[String])
+                         batches: Seq[String], barrier: Boolean = false)
 
   final class ConcurrentCatalogCommit(val version: Int)
     extends RuntimeException(s"catalog version $version already committed")
@@ -92,7 +94,8 @@ object IndexCatalog {
       .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-    State(v, gen, batches)
+    val barrier = """"barrier"\s*:\s*true""".r.findFirstIn(body).isDefined
+    State(v, gen, batches, barrier)
   }
 
   /** Commit `state` as version `state.version` — link(2) atomic; the
@@ -106,7 +109,8 @@ object IndexCatalog {
     val dir = Paths.get(catDir(root))
     Files.createDirectories(dir)
     val body = s"""{"generation": "${state.generation}", "batches": [${
-      state.batches.map(b => s""""$b"""").mkString(", ")}]}"""
+      state.batches.map(b => s""""$b"""").mkString(", ")}]${
+      if (state.barrier) """, "barrier": true""" else ""}}"""
     val tmp = dir.resolve(s".tmp_v${state.version}_${System.nanoTime()}")
     Files.write(tmp, body.getBytes("UTF-8"))
     val target = dir.resolve(s"v${state.version}.json")
@@ -126,19 +130,18 @@ object IndexCatalog {
   }
 
   /** Create the catalog: `build` writes generation 1 into its dir,
-    * then v1 commits the pointer. The index exists only once the
-    * catalog says so — which makes create CRASH-RETRYABLE: a g1 left
-    * by a create that died before its v1 commit is uncommitted debris
-    * (no catalog references it), so the re-run sweeps it and rebuilds
-    * rather than wedging on the index's own already-exists marker. */
+    * then v1 commits the pointer. The generation dir carries a uniq
+    * suffix, so concurrent or retried creates NEVER collide on disk:
+    * the v1 CAS picks exactly one winner, the loser fails loudly with
+    * [[ConcurrentCatalogCommit]] and its build is an orphan a later
+    * [[gc]] collects — no sweep that could gut a committed winner's
+    * dir, and a create that crashed before its commit simply re-runs
+    * into a fresh dir (crash-retryable by construction). */
   def create(root: String)(build: String => Unit): State = {
     require(committedVersions(root).isEmpty,
       s"index catalog at $root already exists")
-    val gen = s"$root/g1"
-    def rm(p: java.io.File): Unit = {
-      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-    }
-    rm(new java.io.File(gen))
+    val gen = s"$root/g1_${
+      java.util.UUID.randomUUID().toString.take(8)}"
     build(gen)
     val s = State(1, gen, Seq.empty)
     beforeCommitHook()
@@ -217,33 +220,49 @@ object IndexCatalog {
     * dir, foreign files) are never candidates. Returns
     * (generationsDeleted, versionsDeleted). */
   def gc(root: String, retainVersions: Int = 1): (Int, Int) = {
-    // claim the barrier version first
+    // Claim the BARRIER: a head-copying commit that every concurrent
+    // writer whose snapshot predates it must lose to. A head that
+    // already IS a barrier (a previous gc with no writes since) is
+    // reused — stacking a fresh barrier per gc would let repeated gcs
+    // silently consume the retention budget.
     var head = current(root)
-    var barrier = State(head.version + 1, head.generation, head.batches)
-    while ({
+    while (!head.barrier) {
+      val cand = State(head.version + 1, head.generation, head.batches,
+        barrier = true)
       beforeCommitHook()
-      try { commit(root, barrier); false }
-      catch {
-        case _: ConcurrentCatalogCommit =>
-          head = current(root)
-          barrier = State(head.version + 1, head.generation, head.batches)
-          true
-      }
-    }) ()
+      try { commit(root, cand); head = cand }
+      catch { case _: ConcurrentCatalogCommit => head = current(root) }
+    }
+    val barrierV = head.version
     val vs = committedVersions(root)
-    // retention counts PRE-barrier states (the barrier duplicates the
-    // head, it is not a state the user made)
-    val keepFrom = math.max(vs.min, (barrier.version - 1) - retainVersions + 1)
+    // retention counts USER states only (barriers are gc
+    // bookkeeping): keep the newest `retainVersions` non-barrier
+    // states and everything at or after the oldest kept — interleaved
+    // barriers ride along, so repeated gcs never erode history
+    val userVs = vs.filter(v => !stateAt(root, v).barrier)
+    val keepFrom = userVs.takeRight(retainVersions).headOption
+      .getOrElse(vs.min)
     val keptGens = vs.filter(_ >= keepFrom)
-      .map(v => stateAt(root, v).generation).toSet
+      .map(v => stateAt(root, v).generation).toSet + head.generation
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
     }
+    // Sweep ONLY dirs whose TARGET version (the leading number in the
+    // g<V>[_uniq] name) is at or below the barrier: such a build's
+    // writer either committed (kept above) or must lose its CAS to a
+    // version ≤ barrierV that already exists — provably dead. A dir
+    // targeting V > barrierV may be a compaction that snapshotted the
+    // barrier itself and can still WIN v(V) — in-flight, never
+    // touched (if it crashed instead, a later gc whose barrier passed
+    // V collects it). This closes the post-barrier TOCTOU window:
+    // nothing gc deletes can ever become a committed pointer.
     var gens = 0
     Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        f.getName.matches("g\\d+(_[0-9a-f]+)?") &&
-        !keptGens.contains(s"$root/${f.getName}"))
+      .filter { f =>
+        f.isDirectory && f.getName.matches("g\\d+(_[0-9a-f]+)?") &&
+          f.getName.drop(1).takeWhile(_.isDigit).toInt <= barrierV &&
+          !keptGens.contains(s"$root/${f.getName}")
+      }
       .foreach { f => rm(f); gens += 1 }
     var dropped = 0
     vs.filter(_ < keepFrom).foreach { v =>

@@ -169,29 +169,38 @@ object InvertedIndex {
     val nb = bucketCount(root)
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    // a batch whose docs ALL tokenize to nothing (e.g. a CDC batch of
-    // text-clearing updates) has doclens rows but zero postings — a
-    // zero-row PARTITIONED parquet tree carries no schema and can
-    // never be re-read, so the postings/positions trees are skipped
-    // entirely (readers and compactTo list batch roots per prefix;
-    // an absent root simply contributes nothing)
-    val p = postingsV(fresh)
-    val hasPostings = !p.isEmpty
-    if (hasPostings)
-      p.withColumn("__tb", Sampling.hashBucket(col("term"), nb))
-        .write.mode("overwrite").partitionBy("__tb")
-        .parquet(s"$root/postings_batch_$id")
-    termStatsV(fresh).write.mode("overwrite")
-      .parquet(s"$root/termstats_batch_$id")
-    Retrieval.corpusStatsStaged(fresh.drop("ver")).write.mode("overwrite")
-      .parquet(s"$root/corpus_batch_$id")
-    docLensV(fresh).write.mode("overwrite")
-      .parquet(s"$root/doclens_batch_$id")
-    if (hasPositions(root) && hasPostings)
-      positionsV(fresh)
-        .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
-        .write.mode("overwrite").partitionBy("__tb")
-        .parquet(s"$root/positions_batch_$id")
+    // the batch feeds 4-5 derivations (postings probe+write, stats,
+    // doclens, positions), each of which would re-tokenize from
+    // scratch — stage it once; churn-sized by contract
+    val f = fresh.persist()
+    try {
+      // a batch whose docs ALL tokenize to nothing (e.g. a CDC batch
+      // of text-clearing updates) has doclens rows but zero postings
+      // — a zero-row PARTITIONED parquet tree carries no schema and
+      // can never be re-read, so the postings/positions trees are
+      // skipped entirely (readers and compactTo list batch roots per
+      // prefix; an absent root simply contributes nothing)
+      val p = postingsV(f).persist()
+      try {
+        val hasPostings = !p.isEmpty
+        if (hasPostings)
+          p.withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+            .write.mode("overwrite").partitionBy("__tb")
+            .parquet(s"$root/postings_batch_$id")
+        p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite")
+          .parquet(s"$root/termstats_batch_$id")
+        Retrieval.corpusStatsStaged(f.drop("ver")).write.mode("overwrite")
+          .parquet(s"$root/corpus_batch_$id")
+        docLensV(f).write.mode("overwrite")
+          .parquet(s"$root/doclens_batch_$id")
+        if (hasPositions(root) && hasPostings)
+          positionsV(f)
+            .withColumn("__tb", Sampling.hashBucket(col("term"), nb))
+            .write.mode("overwrite").partitionBy("__tb")
+            .parquet(s"$root/positions_batch_$id")
+      } finally p.unpersist(): Unit
+    } finally f.unpersist(): Unit
   }
 
   /** TOMBSTONE-delete documents from the index — the Lucene-shaped

@@ -127,6 +127,13 @@ object VectorIndex {
                 batch: Option[String] = None): Unit = {
     require(Files.exists(Paths.get(s"$dir/centroids")),
       s"no vector index at $dir")
+    // a compressed index's code rows carry no version to compare
+    // against kill_below (they read as ver 0, so a supersede would
+    // erase the vector from PQ retrieval entirely, including its
+    // re-encoded update) — same float-path-only rule as applyChanges
+    require(!Files.exists(Paths.get(s"$dir/codes")),
+      "supersede is float-path only — rebuild/retrain the compressed " +
+        "index via the catalog's compact instead")
     val id = batch.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
     vecVers.select(col("vec_id"), col("kill_below").cast("long"))
@@ -188,17 +195,6 @@ object VectorIndex {
             ids.contains(suffix.dropRight(1)))
       })
       .map(_.getAbsolutePath).sorted
-
-  /** The union of all tombstone sets, distinct; None when the index
-    * has never seen a delete (un-deleted plans unchanged). */
-  def deletedVecs(spark: SparkSession, dir: String,
-                  only: Option[Set[String]] = None): Option[DataFrame] =
-    batchRoots(dir, "deletes", only) match {
-      case Seq() => None
-      case roots =>
-        Some(roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-          .distinct())
-    }
 
   /** The unified kill rule — [[InvertedIndex]]'s discipline at vector
     * granularity: id-level [[delete]]s kill every version

@@ -183,10 +183,11 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
       operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
   }
 
-  test("create is crash-retryable: an uncommitted g1 from a dead create sweeps and rebuilds") {
+  test("create is crash-retryable: a dead create's orphan build never conflicts and gc collects it") {
     val root = freshRoot()
-    // simulate the crash: the build completed (index marker present)
-    // but the v1 catalog commit never happened
+    // simulate the crash: a previous create finished its build (index
+    // marker present) but died before the v1 catalog commit — its dir
+    // is an orphan the retry must neither trip over nor touch
     InvertedIndex.write(docs.filter(col("doc_id") % 2 === 0), s"$root/g1")
     intercept[IllegalArgumentException] { IndexCatalog.current(root) }
     val s = IndexCatalog.create(root)(gen => InvertedIndex.write(docs, gen))
@@ -197,6 +198,13 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
     intercept[IllegalArgumentException] {
       IndexCatalog.create(root)(_ => ())
     }
+    // the orphan (target version 1 ≤ the barrier) dies at the next gc
+    val (gens, _) = IndexCatalog.gc(root)
+    gens shouldBe 1
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/g1")))
+    serve(root).collect().toSeq shouldBe
+      operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
   }
 
   test("catalog-governed CDC apply: ONE registered id serves and folds both of applyChanges' increments") {
@@ -245,7 +253,7 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
     val a = docs.filter(col("doc_id") % 3 === 0)
     val b = docs.filter(col("doc_id") % 3 === 1)
     val c = docs.filter(col("doc_id") % 3 === 2)
-    IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
+    val s0 = IndexCatalog.create(root)(gen => InvertedIndex.write(a, gen))
     IndexCatalog.append(root)((gen, id) =>
       InvertedIndex.append(b, gen, batch = Some(id)))
     val flipped = IndexCatalog.compact(root)((src, only, dst) =>
@@ -253,30 +261,39 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
     IndexCatalog.append(root)((gen, id) =>
       InvertedIndex.append(c, gen, batch = Some(id)))
     // a losing compact's orphaned build sits next to the live one
+    // (its target version 4 is at/below the gc barrier ⇒ collectable)
     val orphan = s"$root/g4_deadbeef"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$orphan/postings"))
     val before = serve(root).collect().toSeq
     val (gens, dropped) = IndexCatalog.gc(root)
-    gens shouldBe 2 // superseded g1 + the orphan build
+    gens shouldBe 2 // superseded create generation + the orphan build
     dropped shouldBe 3 // v1..v3 beyond retainVersions=1
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/g1")))
+      java.nio.file.Paths.get(s0.generation)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(flipped.generation)))
     serve(root).collect().toSeq shouldBe before
     serve(root).collect().toSeq shouldBe
       operators.Retrieval.bm25TopK(docs, qs, k = 8).collect().toSeq
+    // REPEATED gc must not erode retention: the head is already a
+    // barrier, so a second run reuses it and deletes nothing more
+    IndexCatalog.gc(root) shouldBe ((0, 0))
+    serve(root).collect().toSeq shouldBe before
     // retention > 1 keeps the older state's generation readable
     val root2 = freshRoot()
-    IndexCatalog.create(root2)(gen => InvertedIndex.write(a, gen))
+    val r2s0 = IndexCatalog.create(root2)(gen =>
+      InvertedIndex.write(a, gen))
     IndexCatalog.compact(root2)((src, only, dst) =>
       InvertedIndex.compactTo(spark, src, dst, only = Some(only)))
     val (g2, d2) = IndexCatalog.gc(root2, retainVersions = 2)
     (g2, d2) shouldBe ((0, 0))
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root2/g1")))
+      java.nio.file.Paths.get(r2s0.generation)))
+    // ... and repeated gcs STILL keep both user states (the barrier
+    // does not count against retainVersions)
+    IndexCatalog.gc(root2, retainVersions = 2) shouldBe ((0, 0))
     // time travel: the retained v1 state still serves its snapshot
     val s1 = IndexCatalog.at(root2, 1)
     InvertedIndex.bm25TopK(spark, s1.generation, qs, 8,
