@@ -1168,7 +1168,25 @@ object CowTable {
     * carrying the ready marker is a COMPLETE rebased branch whose
     * old→new swap never finished — drop whatever remains of the old
     * branch and move it into place. Without the marker the temp is a
-    * partial build and the old branch is authoritative — sweep it. */
+    * partial build and the old branch is authoritative — sweep it,
+    * UNLESS the temp is younger than [[rebaseTempFreshnessMs]]: a
+    * young marker-less temp may be a LIVE rebase in another process
+    * mid-build, and sweeping it would destroy the in-flight work
+    * (the concurrent-entry-point race) — fail loudly instead.
+    *
+    * The swap itself is CLAIMED by atomically renaming the ready
+    * marker ([[claimRebaseSwap]]) before any destructive step, so a
+    * recovery racing the rebase's own swap (or a second recovery) can
+    * never interleave rm(branch)/move(temp) with it — exactly one
+    * claimant performs the swap; the loser observes the claim and
+    * either waits ([[rebaseBranch]]) or leaves it alone (here, when
+    * the claim is fresh) / re-claims and completes it (when the
+    * claimant itself crashed: claim older than the freshness bound).
+    *
+    * CONTRACT: branch-mutating ops (rebase/publish/drop and branch
+    * writes) are single-writer PER BRANCH; these guards exist to turn
+    * violations and crash overlaps into detectable errors or safe
+    * completions rather than silent branch loss. */
   private def completeCrashedRebase(root: String, name: String): Unit = {
     val br = branchRoot(root, name)
     val tmp = branchRoot(root, s".rebase_$name")
@@ -1176,15 +1194,92 @@ object CowTable {
       Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
     }
     if (Files.exists(Paths.get(s"$tmp/$RebaseReadyMarker"))) {
-      if (Files.exists(Paths.get(br))) rm(new java.io.File(br))
-      Files.move(Paths.get(tmp), Paths.get(br)): Unit
+      // complete a crashed ready rebase — but only as the CLAIMANT;
+      // losing the claim means another actor is completing it now
+      if (claimRebaseSwap(tmp)) performRebaseSwap(root, name)
     } else if (Files.exists(Paths.get(tmp))) {
-      rm(new java.io.File(tmp))
+      rebaseClaims(tmp) match {
+        case claims if claims.nonEmpty =>
+          // a swap was claimed: fresh claim = live claimant mid-swap
+          // (leave it alone); stale claim = the claimant crashed
+          // between claim and swap — re-claim (atomic rename, one
+          // winner) and finish the swap it started
+          if (newestMtime(tmp) < System.currentTimeMillis() -
+              rebaseTempFreshnessMs &&
+              claimRebaseClaim(tmp, claims.max)) {
+            performRebaseSwap(root, name)
+          }
+        case _ if newestMtime(tmp) >=
+            System.currentTimeMillis() - rebaseTempFreshnessMs =>
+          throw new IllegalStateException(
+            s"rebase of branch $name in flight or freshly crashed " +
+              s"(temp $tmp younger than ${rebaseTempFreshnessMs}ms); " +
+              "retry after the bound, or dropBranch to abandon it")
+        case _ => rm(new java.io.File(tmp))
+      }
     }
     Files.deleteIfExists(Paths.get(s"$br/$RebaseReadyMarker")): Unit
+    rebaseClaims(br).foreach(c =>
+      Files.deleteIfExists(Paths.get(s"$br/$c")): Unit)
   }
 
   private val RebaseReadyMarker = "_rebase_ready.json"
+  private val RebaseClaimPrefix = "_rebase_claim_"
+
+  /** Marker-less temp sweep freshness bound: a `.rebase_<name>` temp
+    * whose newest file is younger than this may be a LIVE build —
+    * recovery refuses to sweep it. Settable seam for crash tests. */
+  private[graft] var rebaseTempFreshnessMs: Long = 10 * 60 * 1000L
+
+  private def rebaseClaims(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(RebaseClaimPrefix)).sorted
+
+  private def newestMtime(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles).toSeq.flatten.map(walk)).max
+    val f = new java.io.File(dir)
+    if (f.exists()) walk(f) else 0L
+  }
+
+  /** Atomically CLAIM the old→new swap by renaming the ready marker
+    * to a uniquely-named claim file — rename is atomic, so exactly
+    * one of {the rebase's own swap, a concurrent recovery} wins; the
+    * loser sees NoSuchFile and backs off. */
+  private def claimRebaseSwap(tmp: String): Boolean =
+    try {
+      Files.move(Paths.get(s"$tmp/$RebaseReadyMarker"),
+        Paths.get(s"$tmp/$RebaseClaimPrefix${
+          java.util.UUID.randomUUID().toString.take(8)}"),
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.NoSuchFileException => false }
+
+  /** Re-claim a STALE claim (its holder crashed between claim and
+    * swap): rename claim→fresh-claim, atomic, one winner. */
+  private def claimRebaseClaim(tmp: String, claim: String): Boolean =
+    try {
+      Files.move(Paths.get(s"$tmp/$claim"),
+        Paths.get(s"$tmp/$RebaseClaimPrefix${
+          java.util.UUID.randomUUID().toString.take(8)}"),
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.NoSuchFileException => false }
+
+  /** The guarded swap body — runs ONLY under a won claim: drop the
+    * old branch tree, rename the temp into place, clear claim files
+    * (they rode the rename into the branch). */
+  private def performRebaseSwap(root: String, name: String): Unit = {
+    val br = branchRoot(root, name)
+    val tmp = branchRoot(root, s".rebase_$name")
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+    }
+    if (Files.exists(Paths.get(br))) rm(new java.io.File(br))
+    Files.move(Paths.get(tmp), Paths.get(br)): Unit
+    rebaseClaims(br).foreach(c =>
+      Files.deleteIfExists(Paths.get(s"$br/$c")): Unit)
+  }
 
   /** Fast-forward main to the branch head (the "publish" of WAP).
     *
@@ -1316,12 +1411,27 @@ object CowTable {
     Files.write(Paths.get(s"$tmp/$RebaseReadyMarker"),
       s"""{"branch": ${jstr(name)}}""".getBytes("UTF-8")): Unit
     rebaseSwapHook()
-    // inline rm, NOT dropBranch — dropBranch also sweeps the temp
-    // (abandoning a branch abandons its in-flight rebase), which here
-    // would delete the tree we are about to move into place
-    rm(new java.io.File(br))
-    Files.move(Paths.get(tmp), Paths.get(br)): Unit
-    Files.deleteIfExists(Paths.get(s"$br/$RebaseReadyMarker")): Unit
+    // swap ONLY under a won claim (atomic marker rename) — a
+    // concurrent recovery that saw the marker may be swapping right
+    // now; without the claim this rm/move pair could interleave with
+    // its rm/move and destroy the just-swapped-in branch (the
+    // recovery swaps, our rm deletes the new branch, our move fails
+    // with the temp gone). NOT dropBranch either — dropBranch also
+    // sweeps the temp (abandoning a branch abandons its rebase),
+    // which here would delete the tree we are about to move.
+    if (claimRebaseSwap(tmp)) {
+      performRebaseSwap(root, name)
+    } else {
+      // a recovery claimed the swap between marker and here: it is
+      // performing the IDENTICAL swap — wait it out, then verify
+      val deadline = System.currentTimeMillis() + 30000L
+      while (Files.exists(Paths.get(tmp)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      if (Files.exists(Paths.get(tmp)) || !Files.exists(Paths.get(br)))
+        throw new IllegalStateException(
+          s"rebase swap of $name claimed by another actor but not " +
+            "completed within 30s")
+    }
     newBase
   }
 

@@ -80,9 +80,26 @@ object IndexCatalog {
     stateAt(root, v)
   }
 
+  /** Committed = non-empty: a zero-byte `v<N>.json` is the CLAIM of
+    * the no-hard-link commit fallback whose writer crashed between
+    * claim and publish — not a state. Readers skip it (so the head
+    * stays servable past the documented window) and [[gc]] deletes it
+    * once stale; only [[commit]]'s claim/replace logic ever treats
+    * the file as meaningful. */
   private def committedVersions(root: String): Seq[Int] =
     Option(new java.io.File(catDir(root)).listFiles()).toSeq
-      .flatten.flatMap(f => versionOf(f.getName)).sorted
+      .flatten.filter(_.length() > 0)
+      .flatMap(f => versionOf(f.getName)).sorted
+
+  /** Crashed-claim TTL: a zero-byte version file older than this is a
+    * dead claim — [[commit]] reclaims it, [[gc]] deletes it. A
+    * younger one may be a LIVE fallback commit mid-publish and is
+    * left alone. Settable seam for crash tests. */
+  private[graft] var staleClaimTtlMs: Long = 60 * 1000L
+
+  private def isStaleClaim(f: java.io.File): Boolean =
+    f.exists() && f.length() == 0 &&
+      f.lastModified() < System.currentTimeMillis() - staleClaimTtlMs
 
   private def stateAt(root: String, v: Int): State = {
     val body = new String(
@@ -114,16 +131,29 @@ object IndexCatalog {
     val tmp = dir.resolve(s".tmp_v${state.version}_${System.nanoTime()}")
     Files.write(tmp, body.getBytes("UTF-8"))
     val target = dir.resolve(s"v${state.version}.json")
+    var reclaimed = false
     try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException =>
-          Files.createFile(target) // atomic claim; throws if committed
-          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+      while (true) {
+        try {
+          try Files.createLink(target, tmp)
+          catch {
+            case _: UnsupportedOperationException =>
+              Files.createFile(target) // atomic claim; throws if committed
+              Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+          }
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // a zero-byte target past the claim TTL is a dead claim
+            // (fallback writer crashed between claim and publish) —
+            // reclaim it ONCE so the version line is not wedged;
+            // anything else is a genuine concurrent commit
+            if (!reclaimed && isStaleClaim(target.toFile)) {
+              Files.deleteIfExists(target): Unit
+              reclaimed = true
+            } else throw new ConcurrentCatalogCommit(state.version)
+        }
       }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new ConcurrentCatalogCommit(state.version)
     } finally {
       Files.deleteIfExists(tmp): Unit
     }
@@ -219,19 +249,35 @@ object IndexCatalog {
     * [[create]]/[[compact]] mint — sibling trees (the `_catalog`
     * dir, foreign files) are never candidates. Returns
     * (generationsDeleted, versionsDeleted). */
-  def gc(root: String, retainVersions: Int = 1): (Int, Int) = {
+  def gc(root: String, retainVersions: Int = 1,
+         advanceBarrier: Boolean = false): (Int, Int) = {
     // Claim the BARRIER: a head-copying commit that every concurrent
     // writer whose snapshot predates it must lose to. A head that
     // already IS a barrier (a previous gc with no writes since) is
-    // reused — stacking a fresh barrier per gc would let repeated gcs
-    // silently consume the retention budget.
+    // reused — stacking a fresh barrier per gc would pile bookkeeping
+    // versions onto an idle catalog — UNLESS `advanceBarrier`: a
+    // reused barrier never advances barrierV, so an orphaned
+    // generation targeting a version past it (a compact that
+    // snapshotted the barrier then crashed) leaks forever on an idle
+    // catalog. Minting one fresh barrier pushes barrierV past the
+    // crashed build's target — the build's writer now provably cannot
+    // win its CAS, so the orphan becomes collectable THIS gc.
     var head = current(root)
-    while (!head.barrier) {
+    var needFresh = advanceBarrier
+    while (!head.barrier || needFresh) {
       val cand = State(head.version + 1, head.generation, head.batches,
         barrier = true)
       beforeCommitHook()
-      try { commit(root, cand); head = cand }
-      catch { case _: ConcurrentCatalogCommit => head = current(root) }
+      try { commit(root, cand); head = cand; needFresh = false }
+      catch {
+        case _: ConcurrentCatalogCommit =>
+          val h = current(root)
+          // a version that landed since we read `head` postdates this
+          // gc call — if it is itself a barrier it is as fresh as the
+          // one we lost minting
+          if (h.barrier && h.version > head.version) needFresh = false
+          head = h
+      }
     }
     val barrierV = head.version
     val vs = committedVersions(root)
@@ -269,6 +315,15 @@ object IndexCatalog {
       if (Files.deleteIfExists(Paths.get(s"${catDir(root)}/v$v.json")))
         dropped += 1
     }
+    // sweep DEAD CLAIMS: zero-byte v<N>.json past the TTL (fallback
+    // commits that crashed between claim and publish). Readers
+    // already skip them; removing them un-wedges the version line for
+    // future writers of that number.
+    Option(new java.io.File(catDir(root)).listFiles()).toSeq.flatten
+      .filter(f => versionOf(f.getName).isDefined && isStaleClaim(f))
+      .foreach { f =>
+        if (f.delete()) dropped += 1
+      }
     (gens, dropped)
   }
 }

@@ -395,14 +395,92 @@ class CowBranchSpec extends SparkSpec {
       s"$root/_branches/.rebase_exp/_rebase_ready.json")))
     assert(CowTable.read(spark, br).as[(Long, Long)].collect()
       .toMap.apply(10L) === 999L)
-    // the re-run sweeps the partial temp and lands normally
-    assert(CowTable.rebaseBranch(spark, root, "exp", "doc_id") ===
+    // a YOUNG marker-less temp might be a live rebase in another
+    // process — recovery refuses to sweep it (descriptive error)...
+    val e = intercept[IllegalStateException] {
+      CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    }
+    assert(e.getMessage.contains("in flight or freshly crashed"))
+    // ...but past the freshness bound the re-run sweeps and lands
+    CowTable.rebaseTempFreshnessMs = -1L
+    try assert(CowTable.rebaseBranch(spark, root, "exp", "doc_id") ===
       CowTable.currentVersion(root))
+    finally CowTable.rebaseTempFreshnessMs = 10 * 60 * 1000L
     val v = CowTable.publishBranch(spark, root, "exp")
     assert(v === CowTable.currentVersion(root))
     val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
     assert(main(10L) === 999L && main(40L) === 444L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$root/_branches/.rebase_exp")))
+  }
+
+  test("recovery racing the rebase's own swap cannot lose the branch: the swap is claimed") {
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    // the r15 race: ANOTHER entry point runs recovery between the
+    // ready marker and the rebase's own rm/move. createBranch sees
+    // the marker, CLAIMS the swap, completes it, then refuses the
+    // duplicate name. Unclaimed, the resuming rebase would rm() the
+    // just-swapped-in branch and lose the whole tree; claimed, it
+    // observes the lost claim, waits the other actor out, verifies.
+    CowTable.rebaseSwapHook = () => {
+      val e = intercept[IllegalArgumentException] {
+        CowTable.createBranch(spark, root, "exp")
+      }
+      assert(e.getMessage.contains("already exists"))
+    }
+    try CowTable.rebaseBranch(spark, root, "exp", "doc_id"): Unit
+    finally CowTable.rebaseSwapHook = () => ()
+    // the branch survived, rebased content intact, temp gone
+    val rows = CowTable.read(spark, br).as[(Long, Long)].collect().toMap
+    assert(rows(10L) === 999L && rows.size === 100)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/_branches/.rebase_exp")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(br)))
+    // and the branch still publishes
+    CowTable.publishBranch(spark, root, "exp"): Unit
+    assert(CowTable.read(spark, root).as[(Long, Long)].collect()
+      .toMap.apply(10L) === 999L)
+  }
+
+  test("a claimant that crashed between claim and swap: fresh claim is left alone, stale claim is re-claimed and completed") {
+    import java.nio.file.{Files => F, Paths => P}
+    val root = freshRoot()
+    CowTable.create(base, root, "doc_id", buckets = 4)
+    CowTable.createBranch(spark, root, "exp")
+    val br = CowTable.branchRoot(root, "exp")
+    CowTable.merge(spark, br,
+      Seq((10L, 999L)).toDF("doc_id", "v"), "doc_id")
+    CowTable.rebaseSwapHook = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      CowTable.rebaseBranch(spark, root, "exp", "doc_id")
+    } finally CowTable.rebaseSwapHook = () => ()
+    val tmp = s"$root/_branches/.rebase_exp"
+    // simulate the claimant crashing AFTER its atomic claim: the
+    // marker is renamed to a claim file, no swap happened
+    F.move(P.get(s"$tmp/_rebase_ready.json"),
+      P.get(s"$tmp/_rebase_claim_dead0001")): Unit
+    // FRESH claim (within the freshness bound): recovery must leave
+    // the temp alone — the claimant may be mid-swap right now
+    val e = intercept[IllegalArgumentException] {
+      CowTable.createBranch(spark, root, "exp")
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(F.exists(P.get(s"$tmp/_rebase_claim_dead0001")))
+    // STALE claim (past the bound): the next entry point re-claims
+    // (atomic rename, one winner) and finishes the crashed swap
+    CowTable.rebaseTempFreshnessMs = -1L
+    try CowTable.publishBranch(spark, root, "exp"): Unit
+    finally CowTable.rebaseTempFreshnessMs = 10 * 60 * 1000L
+    assert(!F.exists(P.get(tmp)))
+    val main = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(main(10L) === 999L && main.size === 100)
+    // no claim or marker debris rode the swap into the branch
+    assert(Option(new java.io.File(br).listFiles()).toSeq.flatten
+      .forall(f => !f.getName.startsWith("_rebase_")))
   }
 }

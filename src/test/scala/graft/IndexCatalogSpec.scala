@@ -301,4 +301,65 @@ class IndexCatalogSpec extends SparkSpec with Matchers {
       operators.Retrieval.bm25TopK(a, qs, k = 8).collect().toSeq
     intercept[IllegalArgumentException] { IndexCatalog.at(root2, 99) }
   }
+
+  test("zero-byte version claim: readers skip it, a stale claim is reclaimed, gc sweeps strays") {
+    import java.nio.file.{Files => F, Paths => P}
+    val root = freshRoot()
+    IndexCatalog.create(root) { gen =>
+      F.createDirectories(P.get(gen)): Unit
+    }
+    IndexCatalog.append(root) { (gen, id) =>
+      F.write(P.get(s"$gen/b_$id.txt"), "x".getBytes("UTF-8")): Unit
+    }
+    // a fallback commit crashed between claim and publish: zero-byte
+    // v3.json. Readers must keep serving v2, and time travel to the
+    // claim must refuse (it is not a committed state).
+    F.createFile(P.get(s"$root/_catalog/v3.json")): Unit
+    IndexCatalog.current(root).version shouldBe 2
+    intercept[IllegalArgumentException] { IndexCatalog.at(root, 3) }
+    // past the claim TTL the next commit RECLAIMS the wedged version
+    // number instead of spinning on ConcurrentCatalogCommit forever
+    IndexCatalog.staleClaimTtlMs = -1L
+    try {
+      val s = IndexCatalog.append(root) { (gen, id) =>
+        F.write(P.get(s"$gen/b_$id.txt"), "y".getBytes("UTF-8")): Unit
+      }
+      s.version shouldBe 3
+      s.batches should have size 2
+      IndexCatalog.current(root).version shouldBe 3
+      // a stray dead claim beyond the head: gc sweeps it
+      F.createFile(P.get(s"$root/_catalog/v9.json")): Unit
+      IndexCatalog.gc(root): Unit
+      assert(!F.exists(P.get(s"$root/_catalog/v9.json")))
+      IndexCatalog.current(root).version shouldBe 4 // the gc barrier
+      IndexCatalog.current(root).batches should have size 2
+    } finally IndexCatalog.staleClaimTtlMs = 60 * 1000L
+  }
+
+  test("advanceBarrier: a crashed compact's post-barrier orphan becomes collectable") {
+    import java.nio.file.{Files => F, Paths => P}
+    val root = freshRoot()
+    val created = IndexCatalog.create(root) { gen =>
+      F.createDirectories(P.get(gen))
+      F.write(P.get(s"$gen/base.txt"), "x".getBytes("UTF-8")): Unit
+    }
+    IndexCatalog.gc(root): Unit // barrier v2
+    // a compact snapshotted the barrier head (targets v3) then
+    // crashed: its build dir is an orphan ABOVE the barrier
+    val orphan = s"$root/g3_deadbeef"
+    F.createDirectories(P.get(orphan)): Unit
+    // plain gc reuses the v2 barrier — the orphan may still be a LIVE
+    // compaction that could win v3, so it must survive
+    IndexCatalog.gc(root)._1 shouldBe 0
+    assert(F.exists(P.get(orphan)))
+    // advanceBarrier mints a fresh barrier (v3): the crashed build's
+    // writer now provably cannot win its CAS — the orphan is dead and
+    // this same gc collects it; serving never moves
+    val (gens, _) = IndexCatalog.gc(root, advanceBarrier = true)
+    gens shouldBe 1
+    assert(!F.exists(P.get(orphan)))
+    val head = IndexCatalog.current(root)
+    head.generation shouldBe created.generation
+    assert(F.exists(P.get(s"${head.generation}/base.txt")))
+  }
 }
