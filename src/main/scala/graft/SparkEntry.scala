@@ -3931,6 +3931,27 @@ object SparkEntry {
       // Posting-intersection AND search: group-count == n_terms over
       // the term-pruned postings. Never scans the corpus text.
       Retrieval.booleanAnd(Tables.documents(s, d), BooleanQueries)),
+    "retrieval_boolean_or" -> ((s, d) =>
+      // Posting-UNION OR search: distinct (query, doc) membership
+      // over the same term-pruned postings — a doc matching several
+      // terms appears once. Never scans the corpus text.
+      Retrieval.booleanOr(Tables.documents(s, d), BooleanQueries)),
+    "retrieval_boolean_not" -> ((s, d) =>
+      // AND-NOT: intersect the include terms, then a candidates-sized
+      // LEFT ANTI join against the EXCLUDE terms' postings — the
+      // complement of an exclude term is never materialized (the only
+      // NOT shape that survives 100 TB). Query 2 pins the
+      // empty-exclude fallback to plain AND.
+      Retrieval.booleanNot(Tables.documents(s, d), BooleanNotQueries)),
+    "retrieval_boolean_not_indexed" -> ((s, d) =>
+      // The SAME algebra over the PERSISTED index maintained by CDC
+      // (inserts appended, %10==4 deleted): tombstoned doc versions
+      // drop BEFORE the set algebra on BOTH arms — a deleted doc can
+      // neither match nor have its ghost postings veto a live
+      // candidate. Only the mentioned terms' buckets open; the
+      // oracle replays the algebra over the LIVE corpus state.
+      tables.InvertedIndex.booleanQuery(s, cdcIndexDir(s, d),
+        BooleanNotQueries)),
     "streaming_wap_publish" -> ((s, d) =>
       // Main head after the streaming WAP flow ([[streamingWapDir]]):
       // micro-batch merges landed on a branch (exactly-once txns,
@@ -4170,6 +4191,41 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10,
         nprobe = 16, only = Some(st.batches.toSet))
     }),
+    "serving_e2e" -> ((s, d) => {
+      // THE SERVING CAPSTONE — the full production loop in one plan:
+      // CoW tables evolved (insert+update+delete), ONE changefeed per
+      // table maintained BOTH catalog-managed indexes (registered
+      // batches, versioned identities), and the query stage resolves
+      // the catalog heads to serve a FILTERED hybrid: lexical arm =
+      // term-bucket-pruned postings of the maintained index (facet on
+      // the posting rows, stats drifted per the tombstoned-live
+      // contract), dense arm = faceted cells of the maintained IVF
+      // (full probe ⇒ exactly brute force over the live filtered
+      // corpus). Neither arm scans a table. The oracle replays every
+      // stage's spelled semantics end to end.
+      val dir = servingE2eDir(s, d)
+      Retrieval.hybridRrfCatalog(s, s"$dir/invcat", s"$dir/veccat",
+        Tables.embeddings(s, d), HybridQueries,
+        lexFilter = Some(col("doc_id") % 4 < 2),
+        denseFilter = Some(col("vec_id") % 4 < 2),
+        kLex = 20, kAnn = 20, k = 10, nprobe = 16)
+    }),
+    "serving_e2e_eval" -> ((s, d) => {
+      // ... and the grade: nDCG@10 / MRR / recall@10 of the capstone
+      // run against qrels derived from the LIVE final corpus (the
+      // evolved table's own state — updated text counted, deletes
+      // gone). Rank-bounded arithmetic; the fused serving quality is
+      // hash-measured, not only structure-pinned.
+      val dir = servingE2eDir(s, d)
+      val run = Retrieval.hybridRrfCatalog(s, s"$dir/invcat",
+        s"$dir/veccat", Tables.embeddings(s, d), HybridQueries,
+        lexFilter = Some(col("doc_id") % 4 < 2),
+        denseFilter = Some(col("vec_id") % 4 < 2),
+        kLex = 20, kAnn = 20, k = 10, nprobe = 16)
+      Retrieval.evalMetrics(run,
+        Retrieval.relevanceFromTerms(
+          tables.CowTable.read(s, s"$dir/docs"), HybridQueries), k = 10)
+    }),
     "ann_filtered" -> ((s, d) =>
       // Faceted dense retrieval, filter-context semantics: only
       // label-odd vectors may rank; surviving cosines bit-identical
@@ -4304,6 +4360,14 @@ object SparkEntry {
     0L -> Seq("dup", "join"),
     1L -> Seq("vector", "stream", "hash"),
     2L -> Seq("dup", "key", "scan"))
+
+  /** (query, include terms, exclude terms) for the AND-NOT rows;
+    * query 2 has no excludes — it pins the plain-AND fallback. */
+  private val BooleanNotQueries: Seq[(Long, Seq[String], Seq[String])] =
+    Seq(
+      (0L, Seq("join"), Seq("dup")),
+      (1L, Seq("vector", "stream"), Seq("hash")),
+      (2L, Seq("customer", "order"), Seq.empty))
 
   private val HybridQueries: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("vector", "stream"),
@@ -4918,6 +4982,77 @@ object SparkEntry {
           gen, batch = Some(id)))
       tables.IndexCatalog.gc(root): Unit
       root
+    })
+
+  /** SERVING E2E CAPSTONE fixture — the full production loop in one
+    * lineage, composing ONLY individually-verified kernels across
+    * their last untested seam: two CoW tables (documents +
+    * embeddings) evolve through insert/update/delete batches; ONE
+    * changefeed read per table maintains BOTH catalog-managed indexes
+    * (each churn-sized applyChanges registered through
+    * [[tables.IndexCatalog.append]] as a committed batch — the
+    * crash/concurrency-safe pointer discipline); serving then
+    * resolves the catalog heads. Table evolution mirrors
+    * [[cdcUpdatesDir]]/[[cdcVectorUpdatesDir]] exactly (v2 = update
+    * %5==1 of the base — text + ' dup dup', vector reversed — plus
+    * insert the remaining corpus third; v3 = delete %10==4), so the
+    * drift oracle is the proven tombstoned-live contract. Layout:
+    * docs/ embs/ (CoW tables), invcat/ veccat/ (catalogs). */
+  private def servingE2eDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#servinge2e", {
+      val dir = scratchDir("graft_serve_e2e_")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val embs = Tables.embeddings(s, d)
+      val docTable = s"$dir/docs"
+      val embTable = s"$dir/embs"
+      val invCat = s"$dir/invcat"
+      val vecCat = s"$dir/veccat"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        docTable, "doc_id", buckets = 8)
+      tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
+        embTable, "vec_id", buckets = 8)
+      // index generation 1 = the v1 snapshots, committed through the
+      // catalogs (ver = 1: the snapshot's rows carry table version 1)
+      tables.IndexCatalog.create(invCat)(gen =>
+        tables.InvertedIndex.write(
+          tables.CowTable.read(s, docTable, Some(1)), gen,
+          buckets = InvIndexBuckets, ver = 1L))
+      tables.IndexCatalog.create(vecCat)(gen =>
+        tables.VectorIndex.write(
+          tables.CowTable.read(s, embTable, Some(1)), gen, ver = 1L))
+      // v2: UPDATE %5==1 of the base (text += ' dup dup'; vector
+      // reversed — norm kept, direction new) + INSERT the last third
+      tables.CowTable.merge(s, docTable,
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+            col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" dup dup")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)), "doc_id")
+      tables.CowTable.merge(s, embTable,
+        embs.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            col("label"))
+          .unionByName(embs.filter(col("vec_id") % 3 === 2)), "vec_id")
+      // v3: DELETE %10==4
+      tables.CowTable.delete(s, docTable,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      tables.CowTable.delete(s, embTable,
+        embs.filter(col("vec_id") % 10 === 4).select(col("vec_id")),
+        "vec_id")
+      // the maintainers: one churn-sized changefeed each, applied as
+      // a single catalog-registered batch — the indexes never rescan
+      // their tables, and an unregistered (crashed) apply would never
+      // serve
+      tables.IndexCatalog.append(invCat)((gen, id) =>
+        tables.InvertedIndex.applyChanges(
+          tables.CowTable.changesSince(s, docTable, "doc_id", 1), gen,
+          batch = Some(id)))
+      tables.IndexCatalog.append(vecCat)((gen, id) =>
+        tables.VectorIndex.applyChanges(
+          tables.CowTable.changesSince(s, embTable, "vec_id", 1), gen,
+          batch = Some(id)))
+      dir
     })
 
   /** The appended index with TOMBSTONE deletes (doc_id % 10 == 4) —
@@ -5951,6 +6086,43 @@ object SparkEntry {
   private def sqlTermValues(qs: Seq[(Long, Seq[String])]): String =
     qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
 
+  /** AND-NOT oracle: intersect the include terms, exclude docs
+    * holding ANY exclude term — over the corpus restricted by
+    * `docsWhere` (TRUE for the scan row; the live predicate for the
+    * CDC-maintained index row, whose tombstones kill both arms). */
+  private def booleanNotSql(qs: Seq[(Long, Seq[String], Seq[String])],
+                            docsWhere: String): String = {
+    val qi = sqlTermValues(qs.map { case (q, inc, _) => (q, inc.distinct) })
+    val qe = sqlTermValues(qs.map { case (q, _, ex) => (q, ex.distinct) }
+      .filter(_._2.nonEmpty))
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL AND ($docsWhere)),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (SELECT term, doc_id, dl FROM p0 GROUP BY 1, 2, 3),
+       qi(query_id, term) AS (VALUES $qi),
+       qe(query_id, term) AS (VALUES $qe),
+       sizes AS (
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         FROM qi GROUP BY 1),
+       hit AS (
+         SELECT qi.query_id, p.doc_id, p.dl, CAST(count(*) AS BIGINT) AS n_hit
+         FROM p JOIN qi USING (term) GROUP BY 1, 2, 3),
+       cand AS (
+         SELECT query_id, doc_id, dl FROM hit JOIN sizes USING (query_id)
+         WHERE n_hit = n_terms),
+       ex AS (SELECT DISTINCT qe.query_id, p.doc_id FROM p JOIN qe USING (term))
+       SELECT CAST(c.query_id AS BIGINT) AS query_id, c.doc_id, c.dl
+       FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM ex
+                         WHERE ex.query_id = c.query_id
+                           AND ex.doc_id = c.doc_id)
+       ORDER BY query_id, doc_id"""
+  }
+
   /** BM25 scoring SQL mirroring Retrieval.bm25TopK operation-for-
     * operation: quantized-ln idf over exact args, the same IEEE
     * multiply/divide tree for the tf norm (1.2 + 1.0 and 1.0 - 0.75
@@ -6183,12 +6355,21 @@ object SparkEntry {
     * Shared by the bm25 and the hybrid evaluation oracles. */
   private def retrievalEvalOverSql(runSql: String,
                                    qs: Seq[(Long, Seq[String])],
-                                   k: Int): String = {
+                                   k: Int): String =
+    retrievalEvalOverSqlWith(runSql, qs, k, RetrievalPostingsCtes)
+
+  /** [[retrievalEvalOverSql]] with the qrels-source postings CTE
+    * chain as a parameter — the serving capstone grades against the
+    * LIVE evolved corpus, not the raw documents table. */
+  private def retrievalEvalOverSqlWith(runSql: String,
+                                       qs: Seq[(Long, Seq[String])],
+                                       k: Int,
+                                       postingsCtes: String): String = {
     val gainDisc = (rankCol: String) =>
       s"""((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1) *
           CAST(round(1000000000000.0 /
             (ln(CAST($rankCol AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)"""
-    s"""WITH $RetrievalPostingsCtes,
+    s"""WITH $postingsCtes,
        run AS (
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                 CAST(rank AS BIGINT) AS rank
@@ -11081,6 +11262,18 @@ object SparkEntry {
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
        FROM hit JOIN sizes USING (query_id)
        WHERE n_hit = n_terms ORDER BY query_id, doc_id"""),
+    "retrieval_boolean_or" ->
+      (s"""WITH $RetrievalPostingsCtes,
+       q(query_id, term) AS (VALUES ${sqlTermValues(
+        BooleanQueries.map { case (qid, ts) => (qid, ts.distinct) })})
+       SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
+       FROM p JOIN q USING (term) ORDER BY query_id, doc_id"""),
+    "retrieval_boolean_not" -> booleanNotSql(BooleanNotQueries, "TRUE"),
+    // the CDC-maintained index's live corpus: full documents (base ⅔
+    // + inserted ⅓) minus the %10==4 deletes — tombstones must kill
+    // both the include and the exclude arm
+    "retrieval_boolean_not_indexed" ->
+      booleanNotSql(BooleanNotQueries, "doc_id % 10 <> 4"),
     "streaming_wap_publish" ->
       """WITH upd AS (
            SELECT doc_id, n_chars + 7000 AS n_chars, source
@@ -11247,6 +11440,13 @@ object SparkEntry {
     // run (full probe ⇒ the run oracle is the hybrid oracle itself).
     "retrieval_eval_hybrid" ->
       retrievalEvalOverSql(HybridRrfOracleSql, HybridQueries, 10),
+    // THE SERVING CAPSTONE: drift-stat lexical arm + exact dense arm,
+    // both facet-filtered, fused — every stage's semantics spelled.
+    "serving_e2e" -> ServingE2eRunSql,
+    // ... graded against qrels from the LIVE evolved corpus.
+    "serving_e2e_eval" ->
+      retrievalEvalOverSqlWith(ServingE2eRunSql, HybridQueries, 10,
+        ServingLivePostingsCtes),
     // Ranked-query snippets: densest 7-token window of query-term
     // occurrences per bm25 top-10 doc (max count, earliest start).
     "retrieval_snippets_bm25" ->
@@ -11375,4 +11575,124 @@ object SparkEntry {
        FROM out ORDER BY query_id, rank""")
 
   private lazy val HybridRrfOracleSql: String = hybridRrfSql("TRUE", "TRUE")
+
+  /** The serving capstone's VERSIONED corpus — every doc version the
+    * maintained index holds, with a live flag encoding the kill
+    * rules (shared shape with [[cdcUpdatesBm25Sql]]): base docs at
+    * v1 (dead once updated or deleted), the %5==1 updates' new text
+    * at v2, the inserted corpus third at v2. */
+  private val ServingVdCte: String =
+    """vd AS (
+         SELECT doc_id, text,
+                (doc_id % 10 <> 4)
+                  AND NOT (doc_id % 5 = 1 AND text IS NOT NULL) AS live
+         FROM documents WHERE doc_id % 3 <> 2
+         UNION ALL
+         SELECT doc_id, text || ' dup dup' AS text,
+                (doc_id % 10 <> 4) AS live
+         FROM documents
+         WHERE doc_id % 3 <> 2 AND doc_id % 5 = 1 AND text IS NOT NULL
+         UNION ALL
+         SELECT doc_id, text, (doc_id % 10 <> 4) AS live
+         FROM documents WHERE doc_id % 3 = 2)"""
+
+  /** The serving capstone run oracle: drifted-stats BM25 over the
+    * CDC-maintained index's live postings with the doc_id-parity
+    * facet at scoring (filter-context: stats count EVERY version),
+    * fused with exact brute-force cosine over the live vector state
+    * (updated vectors reversed, deletes gone, vec_id-parity facet on
+    * the corpus, queries from the RAW table). */
+  private lazy val ServingE2eRunSql: String =
+    s"""WITH $ServingVdCte,
+       t AS (
+         SELECT doc_id, live,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM vd WHERE text IS NOT NULL),
+       p0 AS (
+         SELECT doc_id, live, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, live, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3, 4),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM vd),
+       q(query_id, term) AS (VALUES ${sqlTermValues(HybridQueries)}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c
+         WHERE p.live AND p.doc_id % 4 < 2),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       lex AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS BIGINT)
+                  AS lex_rank
+         FROM agg QUALIFY lex_rank <= 20),
+       e AS (
+         SELECT vec_id,
+                list_transform(
+                  CASE WHEN vec_id % 3 <> 2 AND vec_id % 5 = 1
+                       THEN list_reverse(embedding) ELSE embedding END,
+                  x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings WHERE vec_id % 10 <> 4 AND vec_id % 4 < 2),
+       qv AS (SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_emb
+              FROM embeddings WHERE vec_id IN (${HybridQueries.map(_._1).mkString(", ")})),
+       cos AS (
+         SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(e.emb, qv.query_emb) AS cosine
+         FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       ann AS (
+         SELECT query_id, doc_id,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT)
+                  AS ann_rank
+         FROM cos QUALIFY ann_rank <= 20),
+       fused AS (
+         SELECT COALESCE(lex.query_id, ann.query_id) AS query_id,
+                COALESCE(lex.doc_id, ann.doc_id) AS doc_id,
+                lex.lex_rank, ann.ann_rank,
+                COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(lex.lex_rank AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(ann.ann_rank AS DOUBLE)), 0.0) AS rrf
+         FROM lex FULL OUTER JOIN ann
+           ON lex.query_id = ann.query_id AND lex.doc_id = ann.doc_id),
+       out AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         FROM fused QUALIFY rank <= 10)
+       SELECT query_id, doc_id, lex_rank, ann_rank, rrf, rank
+       FROM out ORDER BY query_id, rank"""
+
+  /** Live-corpus postings CTE chain for the capstone's qrels: the
+    * evolved table's FINAL state (updated text, deletes gone). */
+  private lazy val ServingLivePostingsCtes: String =
+    s"""$ServingVdCte,
+       t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM vd WHERE text IS NOT NULL AND live),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3)"""
 }

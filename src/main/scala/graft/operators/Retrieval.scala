@@ -194,21 +194,87 @@ object Retrieval {
     * the intersection test). Returns (query_id, doc_id, dl).
     */
   def booleanAnd(docs: DataFrame,
-                 queries: Seq[(Long, Seq[String])]): DataFrame = {
-    val spark = docs.sparkSession
+                 queries: Seq[(Long, Seq[String])]): DataFrame =
+    booleanAndFrom(postingsStaged(docs), queries)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  /** Boolean-OR search: documents containing ANY query term — posting
+    * UNION with distinct membership (group count ≥ 1 over the pruned
+    * postings). Same 100 TB shape as AND: only the query terms'
+    * posting buckets are read, never the corpus. */
+  def booleanOr(docs: DataFrame,
+                queries: Seq[(Long, Seq[String])]): DataFrame =
+    booleanOrFrom(postingsStaged(docs), queries)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  /** Boolean AND-NOT search: documents containing EVERY include term
+    * and NONE of the exclude terms. The exclusion is a
+    * candidates-sized LEFT ANTI join of the AND-intersection against
+    * the EXCLUDED terms' postings — the complement of an exclude term
+    * is never materialized (the only NOT shape that survives 100 TB:
+    * the anti-join's build side is the exclude terms' posting
+    * buckets, its probe side the already-intersected candidates). */
+  def booleanNot(docs: DataFrame,
+                 queries: Seq[(Long, Seq[String], Seq[String])]): DataFrame =
+    booleanNotFrom(postingsStaged(docs), queries)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  /** The AND core over ANY (term, doc_id, dl) posting relation —
+    * shared by the scan-staged path and the persisted index
+    * ([[graft.tables.InvertedIndex.booleanQuery]], where the relation
+    * arrives term-bucket-pruned and tombstone-filtered). */
+  private[graft] def booleanAndFrom(p: DataFrame,
+                                    queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = p.sparkSession
     import spark.implicits._
     val sizes = queries.map { case (qid, ts) => (qid, ts.distinct.length.toLong) }
       .toDF("query_id", "n_terms")
-    val q = queryRelation(docs, queries)
-      .distinct()
-    postingsStaged(docs)
-      .join(broadcast(q), Seq("term"))
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    p.join(broadcast(q), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_hit"))
       .join(broadcast(sizes), Seq("query_id"))
       .filter(col("n_hit") === col("n_terms"))
       .select(col("query_id"), col("doc_id"), col("dl"))
-      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** The OR core: distinct (query, doc) membership over the pruned
+    * postings — a doc matching several of the query's terms (or one
+    * term several times) appears once. */
+  private[graft] def booleanOrFrom(p: DataFrame,
+                                   queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    p.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("dl"))
+      .distinct()
+  }
+
+  /** The AND-NOT core: intersect the includes, anti-join the
+    * excludes. A query with NO include terms is refused rather than
+    * silently complemented — `NOT x` alone would require enumerating
+    * every document NOT containing x, the one posting shape with no
+    * sub-corpus plan. */
+  private[graft] def booleanNotFrom(p: DataFrame,
+                                    queries: Seq[(Long, Seq[String], Seq[String])]): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    require(queries.forall(_._2.nonEmpty),
+      "boolean NOT needs at least one include term per query " +
+        "(a bare NOT materializes the corpus complement)")
+    val candidates =
+      booleanAndFrom(p, queries.map { case (qid, inc, _) => (qid, inc) })
+    val exq = queries
+      .flatMap { case (qid, _, ex) => ex.distinct.map(t => (qid, t)) }
+    if (exq.isEmpty) return candidates
+    val excluded = p
+      .join(broadcast(exq.toDF("query_id", "term")), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+    candidates.join(excluded, Seq("query_id", "doc_id"), "left_anti")
   }
 
   /** Exact phrase filter: documents whose text contains the words of
@@ -404,6 +470,42 @@ object Retrieval {
         emb.filter(col("vec_id").isin(qIds: _*)), kAnn, nprobe,
         denseFilter),
       kRrf, k)
+  }
+
+  /** CATALOG-SERVED filtered hybrid — the full production serving
+    * loop's query stage: BOTH arms resolve their committed
+    * [[graft.tables.IndexCatalog]] head (one tiny JSON read each) and
+    * query the served generation restricted to REGISTERED batches, so
+    * a CDC-maintained index (appends registered through the catalog)
+    * serves exactly its committed state. The facet filters are
+    * filter-context (membership only): the lexical filter evaluates
+    * on the posting rows of the pruned term buckets, the dense filter
+    * on the cell rows of the probed partitions — neither arm ever
+    * joins or scans the corpus. Query vectors come from `emb`
+    * (callers' rows, not index rows).
+    */
+  def hybridRrfCatalog(spark: org.apache.spark.sql.SparkSession,
+                       invCatalogRoot: String, vecCatalogRoot: String,
+                       emb: DataFrame, queries: Seq[(Long, Seq[String])],
+                       lexFilter: Option[org.apache.spark.sql.Column] = None,
+                       denseFilter: Option[org.apache.spark.sql.Column] = None,
+                       kLex: Int = 20, kAnn: Int = 20, kRrf: Int = 60,
+                       k: Int = 10, nprobe: Int = 16): DataFrame = {
+    val inv = graft.tables.IndexCatalog.current(invCatalogRoot)
+    val vec = graft.tables.IndexCatalog.current(vecCatalogRoot)
+    val qIds = queries.map(_._1)
+    val qVecs = emb.filter(col("vec_id").isin(qIds: _*))
+    val lexArm = graft.tables.InvertedIndex.bm25TopK(spark,
+      inv.generation, queries, kLex, only = Some(inv.batches.toSet),
+      filter = lexFilter)
+    val annArm = denseFilter match {
+      case Some(f) => graft.tables.VectorIndex.topKFiltered(spark,
+        vec.generation, qVecs, kAnn, nprobe, f,
+        only = Some(vec.batches.toSet))
+      case None => graft.tables.VectorIndex.topK(spark, vec.generation,
+        qVecs, kAnn, nprobe, only = Some(vec.batches.toSet))
+    }
+    rrfFuse(lexArm, annArm, kRrf, k)
   }
 
   /** Graded relevance judgments DERIVED from the corpus: rel(q, d) =

@@ -452,13 +452,42 @@ object InvertedIndex {
   def bm25TopK(spark: SparkSession, root: String,
                queries: Seq[(Long, Seq[String])], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
-               only: Option[Set[String]] = None): DataFrame = {
-    val (p, _, _) = postingsFor(spark, root, queries.flatMap(_._2), only)
+               only: Option[Set[String]] = None,
+               filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val (p0, _, _) = postingsFor(spark, root, queries.flatMap(_._2), only)
     // tombstoned/superseded versions drop BEFORE scoring (they must
-    // not absorb ranks); stats keep counting them until compaction
-    Retrieval.scoreBm25(filterDeleted(spark, root, p, only),
+    // not absorb ranks); stats keep counting them until compaction.
+    // `filter` is filter-context (membership only — df/corpus stats
+    // stay index-wide, surviving scores bit-identical to unfiltered)
+    // and must be expressible on the posting row itself (term,
+    // doc_id, dl, ver) — the only faceted shape the persisted index
+    // serves without a corpus join.
+    val p = filter.foldLeft(filterDeleted(spark, root, p0, only))(_.filter(_))
+    Retrieval.scoreBm25(p,
       termStats(spark, root, only), corpusStats(spark, root, only),
       queries, k, k1, b)
+  }
+
+  /** Boolean posting algebra over the persisted index — per query,
+    * documents containing EVERY include term and NONE of the exclude
+    * terms (empty excludes = plain AND). Only the mentioned terms'
+    * posting buckets open, tombstoned/superseded doc versions drop
+    * BEFORE the set algebra on BOTH arms — a deleted doc can neither
+    * match nor have its ghost postings veto a live candidate — and
+    * the exclusion is a candidates-sized anti-join against the
+    * exclude terms' postings (the complement is never materialized,
+    * the only NOT shape that survives 100 TB). Returns
+    * (query_id, doc_id, dl). */
+  def booleanQuery(spark: SparkSession, root: String,
+                   queries: Seq[(Long, Seq[String], Seq[String])],
+                   only: Option[Set[String]] = None): DataFrame = {
+    val terms = queries.flatMap(q => q._2 ++ q._3).distinct
+    val (p0, _, _) = postingsFor(spark, root, terms, only)
+    val p = filterDeleted(spark, root, p0, only)
+      .select(col("term"), col("doc_id"), col("dl"))
+    Retrieval.booleanNotFrom(p, queries)
+      .orderBy(col("query_id"), col("doc_id"))
   }
 
   /** COMPACT the index: fold every batch-append increment AND every

@@ -299,6 +299,13 @@ class PlanContractSpec extends SparkSpec {
         n == "retrieval_phrase_persisted" ||
         n.startsWith("cdc_search_index") ||
         n.startsWith("cdc_vector_index") ||
+        // persisted-index boolean algebra: first touch builds the
+        // CDC-maintained index tree
+        n == "retrieval_boolean_not_indexed" ||
+        // the serving capstone: first touch builds two CoW tables,
+        // two catalogs and both maintained indexes; its serve-stage
+        // plan is pinned by the dedicated capstone contract below
+        n.startsWith("serving_e2e") ||
         // COW-table snapshot reads: first touch builds the table
         // (create/merge/delete lifecycle) in a temp tree
         n.startsWith("cow_")
@@ -430,6 +437,65 @@ class PlanContractSpec extends SparkSpec {
       assert(corpusNestedLoops("mmr_rerank").nonEmpty &&
         corpusNestedLoops("hybrid_rrf_topk").nonEmpty,
         "detector no longer recognizes the brute-force corpus cross")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("serving capstone: the serve stage reads ONLY the catalog generations — no document scan, query-sized embedding probe") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // first touch builds the lineage (CoW tables, catalogs, both
+      // maintained indexes) — memoized per process
+      SparkEntry.queries("serving_e2e")(spark, sf)
+      val exec = SparkEntry.queries("serving_e2e")(spark, sf)
+        .queryExecution.executedPlan
+      val scans = exec.collect { case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","),
+          f.metadata.getOrElse("PushedFilters", ""))
+      }
+      // both arms read the catalog-served generations of the capstone
+      // fixture tree (inverted-index buckets; IVF cells)
+      assert(scans.exists(_._1.contains("/invcat/")),
+        "lexical arm must read the catalog-served inverted index")
+      assert(scans.exists(_._1.contains("/veccat/")),
+        "dense arm must read the catalog-served vector index")
+      // the CORPUS never scans at query time: no documents table (raw
+      // or CoW) anywhere in the serve plan ...
+      assert(!scans.exists(s => s._1.contains("documents.parquet") ||
+          s._1.contains("/docs/")),
+        s"serve stage scans the document corpus: $scans")
+      // ... and the only embeddings read is the QUERY side, pushed to
+      // a vec_id IN (...) point lookup
+      val emb = scans.filter(_._1.contains("embeddings"))
+      assert(emb.nonEmpty && emb.forall(s =>
+          s._2.contains("In(vec_id") || s._2.contains("EqualTo(vec_id")),
+        s"embeddings scan without a query-sized pushed key: $emb")
+      // the lexical postings scans are BUCKET-PRUNED: only the query
+      // terms' __tb= dirs open, never the whole posting tree (the
+      // BNLJ crosses in the scoring plan ride tiny sides — 1-row
+      // corpus stats, vocabulary termstats, these pruned buckets —
+      // by construction)
+      val postingScans = scans.filter(s =>
+        s._1.contains("/postings") && !s._1.contains("supersedes"))
+      assert(postingScans.nonEmpty && postingScans.forall(
+          _._1.split(",").forall(_.contains("__tb="))),
+        s"posting scan not bucket-pruned: $postingScans")
+      // no nested loop against an unfiltered RAW-embeddings side (a
+      // corpus-sized cross is exactly the brute-force shape the
+      // catalog-served dense arm exists to avoid)
+      val badBnlj = exec.collect {
+        case b: BroadcastNestedLoopJoinExec => b.collectLeaves().collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths
+                 .exists(_.toString.contains("embeddings")) &&
+               !Seq("In(vec_id", "EqualTo(vec_id").exists(
+                 f.metadata.getOrElse("PushedFilters", "").contains) =>
+            f.relation.location.rootPaths.mkString(",")
+        }
+      }.flatten
+      assert(badBnlj.isEmpty,
+        s"serving capstone nested-loops a corpus-sized side: $badBnlj")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -76,6 +76,66 @@ class RetrievalSpec extends SparkSpec with Matchers {
     hits shouldBe Set(0L, 1L, 3L)
   }
 
+  test("booleanOr unions postings with distinct membership") {
+    val hits = Retrieval.booleanOr(corpus,
+      Seq((0L, Seq("cat", "dog")), (1L, Seq("bird"))))
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // doc 0/1 match both of query 0's terms — they appear ONCE
+    hits shouldBe Set((0L, 0L), (0L, 1L), (0L, 3L), (0L, 4L), (1L, 4L))
+  }
+
+  test("boolean edge cases: absent term, all-docs term") {
+    // AND with an absent term is empty; OR with one still unions the rest
+    Retrieval.booleanAnd(corpus, Seq((0L, Seq("cat", "zzz"))))
+      .count() shouldBe 0
+    Retrieval.booleanOr(corpus, Seq((0L, Seq("cat", "zzz"))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 1L, 4L)
+    // a term in EVERY doc: AND with it ≡ the other term's postings;
+    // NOT of it excludes everything
+    val all = corpus.withColumn("text", concat(col("text"), lit(" xx")))
+    Retrieval.booleanAnd(all, Seq((0L, Seq("cat", "xx"))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 1L, 4L)
+    Retrieval.booleanNot(all, Seq((0L, Seq("cat"), Seq("xx"))))
+      .count() shouldBe 0
+    // excluding an ABSENT term excludes nothing
+    Retrieval.booleanNot(corpus, Seq((0L, Seq("cat"), Seq("zzz"))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 1L, 4L)
+  }
+
+  test("booleanNot = NOT of AND: candidates minus any-exclude-term docs") {
+    val hits = Retrieval.booleanNot(corpus, Seq(
+      (0L, Seq("cat", "dog"), Seq("fish")), // doc 1 has fish → out
+      (1L, Seq("dog"), Seq("cat", "fish")), // only doc 3 is pure dog
+      (2L, Seq("bird"), Seq.empty))) // empty excludes = plain AND
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    hits shouldBe Set((0L, 0L), (1L, 3L), (2L, 4L))
+    // a bare NOT (no includes) is refused, never complemented
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.booleanNot(corpus, Seq((0L, Seq.empty, Seq("cat"))))
+    }
+    e.getMessage should include("include term")
+  }
+
+  test("persisted booleanQuery drops tombstoned versions on BOTH arms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boolidx_")
+    dir.toFile.deleteOnExit()
+    tables.InvertedIndex.write(corpus, dir.toString, ver = 1L)
+    // doc 2 (the only all-fish doc) is deleted: it must stop matching
+    // (include arm) — and doc 1's ghost must still veto nothing extra
+    tables.InvertedIndex.delete(Seq(2L).toDF("doc_id"), dir.toString)
+    tables.InvertedIndex.booleanQuery(spark, dir.toString,
+      Seq((0L, Seq("fish"), Seq.empty)))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    // exclude arm: deleting doc 1 (cat+dog+fish) means its postings
+    // must not veto — but it is also no longer a candidate; doc 0
+    // (cat dog, no fish) survives the exclusion either way, and the
+    // DELETED doc's fish posting must not exclude doc 0 from a
+    // hypothetical revival — pin the live algebra directly
+    tables.InvertedIndex.booleanQuery(spark, dir.toString,
+      Seq((0L, Seq("cat"), Seq("fish"))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 4L)
+  }
+
   test("phraseSearch requires adjacency in order") {
     val df = Seq(
       (0L, "hash join wins", 14L),
