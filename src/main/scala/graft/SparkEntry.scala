@@ -9202,14 +9202,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'avi' AS format, 'mjpeg' AS codec,
                 CAST((3 + doc_id % 4) * 40 AS BIGINT) AS duration_ms,
                 CAST(3 + doc_id % 4 AS BIGINT) AS n_samples,
-                CAST(3 + doc_id % 4 AS BIGINT) AS n_keyframes
+                CAST(3 + doc_id % 4 AS BIGINT) AS n_keyframes,
+                CAST(4 + doc_id % 8 AS BIGINT) AS width,
+                CAST(4 + doc_id % 6 AS BIGINT) AS height
          FROM documents WHERE doc_id % 3 = 2
          UNION ALL
          SELECT doc_id + 1000000 AS media_id, 'mp4' AS format,
                 'avc1' AS codec,
                 CAST((20 + doc_id % 10) * 40 AS BIGINT) AS duration_ms,
                 CAST(20 + doc_id % 10 AS BIGINT) AS n_samples,
-                CAST((20 + doc_id % 10 - 1) // (2 + doc_id % 3) + 1 AS BIGINT) AS n_keyframes
+                CAST((20 + doc_id % 10 - 1) // (2 + doc_id % 3) + 1 AS BIGINT) AS n_keyframes,
+                CAST(320 + 16 * (doc_id % 8) AS BIGINT) AS width,
+                CAST(240 + 16 * (doc_id % 5) AS BIGINT) AS height
          FROM documents
          ORDER BY media_id""",
     // Byte-level bigram-profile scoring mirrored at char level: the

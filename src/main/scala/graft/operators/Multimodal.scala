@@ -377,7 +377,135 @@ object Multimodal {
     * count from `stts`, keyframe count from `stss` (absent table =
     * every sample is sync, per ISO 14496-12 §8.6.2). */
   private[graft] case class Mp4Meta(
-      codec: String, durationMs: Long, nSamples: Long, nKeyframes: Long)
+      codec: String, durationMs: Long, nSamples: Long, nKeyframes: Long,
+      width: Int = 0, height: Int = 0)
+
+  /** Exp-Golomb bit reader over an RBSP (emulation-prevention bytes
+    * already stripped) — the minimal H.264 syntax reader the SPS
+    * parse needs. Throws past-the-end; callers wrap in try. */
+  private final class RbspReader(bytes: Array[Byte]) {
+    private var bit = 0
+    def u1(): Int = {
+      val b = (bytes(bit >> 3) >> (7 - (bit & 7))) & 1
+      bit += 1
+      b
+    }
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) {
+        zeros += 1
+        require(zeros < 32, "ue overflow")
+      }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Parse coded WIDTH×HEIGHT from an H.264 sequence parameter set
+    * NAL (ITU-T H.264 §7.3.2.1.1) — profile branch, POC branch, and
+    * frame cropping handled; scaling matrices (never emitted by the
+    * encoders this engine meets) bail to None rather than misparse.
+    * Input is the raw SPS NAL including its header byte. */
+  private[graft] def parseSpsDims(nal: Array[Byte]): Option[(Int, Int)] =
+    try {
+      // strip emulation prevention: 00 00 03 xx → 00 00 xx
+      val rbsp = {
+        val out = new java.io.ByteArrayOutputStream(nal.length)
+        var i = 1 // skip the NAL header byte
+        while (i < nal.length) {
+          if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+              nal(i + 2) == 3) {
+            out.write(0); out.write(0); i += 3
+          } else { out.write(nal(i)); i += 1 }
+        }
+        out.toByteArray
+      }
+      val r = new RbspReader(rbsp)
+      val profile = r.u(8)
+      r.u(16): Unit // constraint flags + level_idc
+      r.ue(): Unit // seq_parameter_set_id
+      val highProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+        138, 139, 134, 135)
+      var chroma = 1
+      if (highProfiles(profile)) {
+        chroma = r.ue()
+        if (chroma == 3) r.u1(): Unit // separate_colour_plane_flag
+        r.ue(): Unit // bit_depth_luma_minus8
+        r.ue(): Unit // bit_depth_chroma_minus8
+        r.u1(): Unit // qpprime_y_zero_transform_bypass_flag
+        if (r.u1() == 1) return None // seq_scaling_matrix_present
+      }
+      r.ue(): Unit // log2_max_frame_num_minus4
+      r.ue() match {
+        case 0 => r.ue(): Unit // log2_max_pic_order_cnt_lsb_minus4
+        case 1 =>
+          r.u1(): Unit; r.se(): Unit; r.se(): Unit
+          val n = r.ue()
+          (0 until n).foreach(_ => r.se(): Unit)
+        case _ => ()
+      }
+      r.ue(): Unit // max_num_ref_frames
+      r.u1(): Unit // gaps_in_frame_num_value_allowed_flag
+      val wMbs = r.ue() + 1
+      val hMap = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1(): Unit // mb_adaptive_frame_field
+      r.u1(): Unit // direct_8x8_inference_flag
+      var w = wMbs * 16
+      var h = (2 - frameMbsOnly) * hMap * 16
+      if (r.u1() == 1) { // frame_cropping_flag
+        val (l, rr, t, b) = (r.ue(), r.ue(), r.ue(), r.ue())
+        val subW = if (chroma == 3) 1 else 2
+        val subH = if (chroma == 1) 2 else 1
+        val cropX = if (chroma == 0) 1 else subW
+        val cropY = (if (chroma == 0) 1 else subH) * (2 - frameMbsOnly)
+        w -= (l + rr) * cropX
+        h -= (t + b) * cropY
+      }
+      Some((w, h))
+    } catch { case _: Exception => None }
+
+  /** WIDTH×HEIGHT from the avih header of an AVI payload — the
+    * container half of the dimension story ([[parseSpsDims]] is the
+    * bitstream half); metadata only, no frame decode. */
+  private[graft] def parseAviDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (sniff(payload) != "avi" || payload.length < 12) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // RIFF('AVI ') → LIST('hdrl') → 'avih' (dwWidth/dwHeight at
+      // byte offsets 32/36 of the avih body)
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val size = bb.getInt(off + 4)
+        if (cc(off) == "LIST" && off + 12 <= payload.length &&
+            cc(off + 8) == "hdrl") {
+          var in = off + 12
+          val end = off + 8 + size
+          while (in + 8 <= end) {
+            val s2 = bb.getInt(in + 4)
+            if (cc(in) == "avih" && in + 8 + 40 <= payload.length)
+              return Some((bb.getInt(in + 8 + 32), bb.getInt(in + 8 + 36)))
+            in += 8 + s2 + (s2 & 1)
+          }
+          return None
+        }
+        off += 8 + size + (size & 1)
+      }
+      None
+    } catch { case _: Exception => None }
+  }
 
   /** Pure-JVM ISO-BMFF (MP4) metadata walk: big-endian size+fourcc
     * boxes, `moov → trak → mdia → (mdhd | hdlr | minf → stbl)`; reads
@@ -449,12 +577,33 @@ object Multimodal {
               case Some((stssS, _)) => bb.getInt(stssS + 4).toLong
               case None => nSamples // no stss ⇒ every sample is sync
             }
-            val codec = child(stblS, stblE, "stsd")
+            val stsd = child(stblS, stblE, "stsd")
               .filter { case (s, en) => en - s >= 16 }
-              .map { case (s, _) => fourcc(s + 12) }
+            val codec = stsd.map { case (s, _) => fourcc(s + 12) }
               .getOrElse("????")
+            // avcC inside the first sample entry (8-byte box header +
+            // 78 bytes of visual-sample-entry fields, then child
+            // boxes): first SPS NAL → coded width/height, the
+            // dimension signal perceptual grouping blocks on without
+            // any frame decode
+            val dims = stsd.flatMap { case (s, en) =>
+              val entryEnd = math.min(s + 8 + bb.getInt(s + 8), en)
+              child(s + 8 + 8 + 78, entryEnd, "avcC")
+            }.flatMap { case (a, aEnd) =>
+              if (a + 8 > aEnd || (payload(a) & 0xff) != 1) None
+              else {
+                val nSps = payload(a + 5) & 0x1f
+                val spsLen = ((payload(a + 6) & 0xff) << 8) |
+                  (payload(a + 7) & 0xff)
+                if (nSps < 1 || a + 8 + spsLen > aEnd) None
+                else parseSpsDims(
+                  java.util.Arrays.copyOfRange(payload, a + 8,
+                    a + 8 + spsLen))
+              }
+            }
             return Some(Mp4Meta(codec, durTicks * 1000L / timescale,
-              nSamples, nKf))
+              nSamples, nKf, dims.map(_._1).getOrElse(0),
+              dims.map(_._2).getOrElse(0)))
           }
         }
       }
@@ -499,7 +648,23 @@ object Multimodal {
     val mdat = box("mdat", sampleBytes)
     val mdatDataOff = ftyp.length + 8
     val keyframes = (1 to nSamples by kfStep).toArray
-    val avc1 = box("avc1", new Array[Byte](78)) // min sample entry; fourcc is what the walk reads
+    // coded dimensions ride a GENUINE H.264 SPS inside avcC (the
+    // only sample bytes this stub cannot fake are the frames; the
+    // parameter sets are spec-conformant and id-derived)
+    val vidW = 320 + 16 * (id % 8).toInt
+    val vidH = 240 + 16 * (id % 5).toInt
+    val sps = encodeSps(vidW, vidH)
+    val avcC = box("avcC", Array[Byte](1, 66, 0, 30, // ver, profile, compat, level
+      (0xfc | 3).toByte, (0xe0 | 1).toByte) ++ // 4-byte NALU lengths; 1 SPS
+      Array[Byte]((sps.length >> 8).toByte, sps.length.toByte) ++ sps ++
+      Array[Byte](0)) // 0 PPS
+    val entryFields = {
+      val bb = java.nio.ByteBuffer.allocate(78)
+      bb.putShort(24, vidW.toShort) // sample-entry width/height too
+      bb.putShort(26, vidH.toShort)
+      bb.array()
+    }
+    val avc1 = box("avc1", entryFields ++ avcC)
     val stsd = full("stsd", be(1) ++ avc1)
     val stts = full("stts", be(1, nSamples, 40))
     val stss = full("stss", be(keyframes.length +: keyframes: _*))
@@ -522,6 +687,49 @@ object Multimodal {
       new Array[Byte](76))
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Minimal spec-conformant H.264 SPS NAL (baseline profile 66, no
+    * cropping, frame_mbs_only) coding `w`×`h` — both multiples of 16
+    * by construction here. Emulation-prevention bytes inserted per
+    * §7.4.1.1 (the writer twin of [[parseSpsDims]]'s stripper). */
+  private[graft] def encodeSps(w: Int, h: Int): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "stub SPS codes uncropped MBs")
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    u(66, 8); u(0, 8); u(30, 8) // profile_idc, constraints, level_idc
+    ue(0) // seq_parameter_set_id
+    ue(0) // log2_max_frame_num_minus4
+    ue(0) // pic_order_cnt_type
+    ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    ue(1) // max_num_ref_frames
+    u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    ue(w / 16 - 1) // pic_width_in_mbs_minus1
+    ue(h / 16 - 1) // pic_height_in_map_units_minus1
+    u(1, 1) // frame_mbs_only_flag
+    u(0, 1) // direct_8x8_inference_flag
+    u(0, 1) // frame_cropping_flag
+    u(0, 1) // vui_parameters_present_flag
+    u(1, 1) // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val raw = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    // NAL header + emulation prevention: 00 00 {00,01,02,03} → 00 00 03 xx
+    val out = new java.io.ByteArrayOutputStream(raw.length + 4)
+    out.write(0x67) // nal_ref_idc 3, nal_unit_type 7 (SPS)
+    var zeros = 0
+    raw.foreach { b =>
+      if (zeros == 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
   }
 
   /** MP4 half of the encoded-media fixture: one `avc1` MP4 per doc,
@@ -561,16 +769,19 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, payload) =>
         sniff(payload) match {
           case "avi" => demuxAvi(payload).map { case (usPerFrame, frames) =>
+            val (w, h) = parseAviDims(payload).getOrElse((0, 0))
             (id, "avi", "mjpeg", frames.length.toLong * usPerFrame / 1000L,
-              frames.length.toLong, frames.length.toLong)
+              frames.length.toLong, frames.length.toLong,
+              w.toLong, h.toLong)
           }
           case "mp4" => parseMp4Meta(payload).map(m =>
-            (id, "mp4", m.codec, m.durationMs, m.nSamples, m.nKeyframes))
+            (id, "mp4", m.codec, m.durationMs, m.nSamples, m.nKeyframes,
+              m.width.toLong, m.height.toLong))
           case _ => None
         }
       })
       .toDF("media_id", "format", "codec", "duration_ms", "n_samples",
-        "n_keyframes")
+        "n_keyframes", "width", "height")
   }
 
   /** Real video decode: demux the AVI, run every frame through the

@@ -343,10 +343,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniff(p7) === "mp4")
     assert(Multimodal.sniffFormat(p7) === "mp4")
     val m7 = Multimodal.parseMp4Meta(p7)
-    assert(m7 === Some(Multimodal.Mp4Meta("avc1", 27 * 40L, 27L, 9L)))
-    // id 0 → 20 samples, step 2 → 10 keyframes
+    // id 7 dims: 320+16*7=432, 240+16*2=272 (avcC SPS parse)
+    assert(m7 === Some(Multimodal.Mp4Meta("avc1", 27 * 40L, 27L, 9L,
+      432, 272)))
+    // id 0 → 20 samples, step 2 → 10 keyframes; 320×240
     assert(Multimodal.parseMp4Meta(Multimodal.encodeMp4AvcStub(0L)) ===
-      Some(Multimodal.Mp4Meta("avc1", 800L, 20L, 10L)))
+      Some(Multimodal.Mp4Meta("avc1", 800L, 20L, 10L, 320, 240)))
     // malformed payloads → None, never a throw
     assert(Multimodal.parseMp4Meta(Array[Byte]()) === None)
     assert(Multimodal.parseMp4Meta("junk that is not a box".getBytes) === None)
@@ -358,22 +360,58 @@ class MultimodalSpec extends SparkSpec {
     val stats = Multimodal.videoKeyframeStats(
       Multimodal.syntheticMediaEncoded(docs)
         .unionByName(Multimodal.syntheticMp4Media(docs)))
-      .as[(Long, String, String, Long, Long, Long)].collect()
+      .as[(Long, String, String, Long, Long, Long, Long, Long)].collect()
       .sortBy(_._1)
     val (avi, mp4) = stats.partition(_._2 == "avi")
     assert(mp4.length === 30 && avi.nonEmpty)
-    avi.foreach { case (id, _, codec, dur, ns, nk) =>
+    avi.foreach { case (id, _, codec, dur, ns, nk, w, h) =>
       val nFrames = 3 + id % 4
       assert(codec === "mjpeg" && ns === nFrames && nk === nFrames &&
         dur === nFrames * 40)
+      // container dims from the avih header walk
+      assert(w === 4 + id % 8 && h === 4 + id % 6)
     }
-    mp4.foreach { case (mid, _, codec, dur, ns, nk) =>
+    mp4.foreach { case (mid, _, codec, dur, ns, nk, w, h) =>
       val id = mid - 1000000L
       val n = 20 + id % 10
       val step = 2 + id % 3
       assert(codec === "avc1" && ns === n && dur === n * 40 &&
         nk === (n - 1) / step + 1)
+      // bitstream dims from the avcC SPS parse
+      assert(w === 320 + 16 * (id % 8) && h === 240 + 16 * (id % 5))
     }
+  }
+
+  test("SPS parse: roundtrip over all stub dims, cropping arithmetic, emulation prevention, totality") {
+    // every (w, h) the stub emits roundtrips through the real encoder
+    for (w <- Seq(320, 336, 432, 1920); h <- Seq(240, 256, 304, 1088))
+      assert(Multimodal.parseSpsDims(Multimodal.encodeSps(w, h)) ===
+        Some((w, h)))
+    // frame cropping: hand-code 1920×1080 = 120×68 MBs cropped 8
+    // bottom lines (crop_bottom = 4 chroma units at 4:2:0) — the
+    // standard HD shape every real encoder emits
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    u(66, 8); u(0, 8); u(40, 8)
+    ue(0); ue(0); ue(0); ue(0); ue(1); u(0, 1)
+    ue(119); ue(67) // 120×68 MBs
+    u(1, 1); u(0, 1) // frame_mbs_only, direct_8x8
+    u(1, 1); ue(0); ue(0); ue(0); ue(4) // crop: bottom 4 units × 2
+    u(0, 1); u(1, 1) // no vui; stop bit
+    while (bits.length % 8 != 0) bits += 0
+    val raw = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    assert(Multimodal.parseSpsDims(0x67.toByte +: raw) ===
+      Some((1920, 1080)))
+    // totality: junk and truncation → None, never a throw
+    assert(Multimodal.parseSpsDims(Array[Byte](0x67)) === None)
+    assert(Multimodal.parseSpsDims(Array[Byte](0x67, 66, 0, 30)) === None)
   }
 
   test("multi-format fixture: all four JDK image codecs sniff + decode real") {
