@@ -4309,6 +4309,16 @@ object SparkEntry {
       // queries×k candidate set; only winners touch text, by id.
       Retrieval.snippetsBm25(Tables.documents(s, d), RetrievalQueries,
         k = 10, window = 7)),
+    "snippets_catalog" -> ((s, d) =>
+      // The SAME snippet consumer served off the catalog: candidates
+      // from the catalog-resolved index head (registered batches
+      // only, through the create→append→compact→append lifecycle),
+      // occurrences from the index's live positional postings — text
+      // fetched by id for the k winners only. The catalog lifecycle
+      // must not move a token: pins the serving consumer end-to-end
+      // against the scan path's oracle verbatim.
+      Retrieval.snippetsBm25Catalog(s, catalogRootDir(s, d),
+        Tables.documents(s, d), RetrievalQueries, k = 10, window = 7)),
     "ann_index_recluster" -> ((s, d) =>
       // Compaction with CENTROID REFRESH after a skewed lifecycle
       // (build ≥50, append <50, tombstone %7==3): 2 exact Lloyd
@@ -4943,7 +4953,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       tables.IndexCatalog.create(root)(gen =>
         tables.InvertedIndex.write(docs.filter(col("doc_id") % 3 === 0),
-          gen, buckets = InvIndexBuckets))
+          gen, buckets = InvIndexBuckets, positions = true))
       tables.IndexCatalog.append(root)((gen, id) =>
         tables.InvertedIndex.append(docs.filter(col("doc_id") % 3 === 1),
           gen, batch = Some(id)))
@@ -11455,6 +11465,9 @@ object SparkEntry {
     // occurrences per bm25 top-10 doc (max count, earliest start).
     "retrieval_snippets_bm25" ->
       snippetsBm25Sql(RetrievalQueries, 10, 7),
+    // the catalog-served snippet path must not move a token vs the
+    // scan path (full corpus through the lifecycle, no deletes)
+    "snippets_catalog" -> snippetsBm25Sql(RetrievalQueries, 10, 7),
   )
 
   /** Brute-force cosine top-10 over the embeddings table (optionally

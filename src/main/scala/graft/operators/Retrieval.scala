@@ -405,11 +405,43 @@ object Retrieval {
     * only the k winners fetch text by id for the row-local slice.
     */
   def snippetsBm25(docs: DataFrame, queries: Seq[(Long, Seq[String])],
-                   k: Int = 10, window: Int = 7): DataFrame = {
-    val run = bm25TopK(docs, queries, k)
-      .select(col("query_id"), col("doc_id"), col("rank"))
+                   k: Int = 10, window: Int = 7): DataFrame =
+    snippetsFromRun(
+      bm25TopK(docs, queries, k)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      positionalPostingsStaged(docs), docs, queries, window)
+
+  /** [[snippetsBm25]] SERVED OFF THE CATALOG — the highlight stage of
+    * the production loop: candidates come from the catalog-resolved
+    * persisted index (registered batches only), occurrences from the
+    * SAME index's live positional postings (term-bucket-pruned,
+    * tombstone-filtered), and only the k winners fetch text by id.
+    * No stage scans the corpus; the snippet consumer is pinned
+    * end-to-end against the scan path's oracle. */
+  def snippetsBm25Catalog(spark: org.apache.spark.sql.SparkSession,
+                          catalogRoot: String, docs: DataFrame,
+                          queries: Seq[(Long, Seq[String])],
+                          k: Int = 10, window: Int = 7): DataFrame = {
+    val st = graft.tables.IndexCatalog.current(catalogRoot)
+    val only = Some(st.batches.toSet)
+    snippetsFromRun(
+      graft.tables.InvertedIndex.bm25TopK(spark, st.generation, queries,
+          k, only = only)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      graft.tables.InvertedIndex.livePositionsFor(spark, st.generation,
+        queries.flatMap(_._2).distinct, only),
+      docs, queries, window)
+  }
+
+  /** The densest-window selection + slice shared by the scan-staged
+    * and catalog-served snippet paths: `occAll` is ANY positional
+    * relation (term, doc_id, pos). */
+  private def snippetsFromRun(run: DataFrame, occAll: DataFrame,
+                              docs: DataFrame,
+                              queries: Seq[(Long, Seq[String])],
+                              window: Int): DataFrame = {
     val q = queryRelation(docs, queries).distinct()
-    val occ = positionalPostingsStaged(docs)
+    val occ = occAll
       .join(broadcast(q), Seq("term"))
       .join(broadcast(run.select(col("query_id"), col("doc_id"))),
         Seq("query_id", "doc_id"))

@@ -583,6 +583,18 @@ object InvertedIndex {
     * Tombstoned/superseded versions filter BEFORE the anchor fold, so
     * only the live version's positions participate (two versions of
     * one doc must never cross-match). */
+  /** LIVE positional postings for `terms` — term-bucket-pruned and
+    * tombstone-filtered (superseded/deleted versions never emit an
+    * occurrence): the relation the snippet/highlight consumers read
+    * off the persisted index. (term, doc_id, pos). */
+  def livePositionsFor(spark: SparkSession, root: String,
+                       terms: Seq[String],
+                       only: Option[Set[String]] = None): DataFrame = {
+    val (p, _, _) = positionsFor(spark, root, terms, only)
+    filterDeleted(spark, root, p, only)
+      .select(col("term"), col("doc_id"), col("pos"))
+  }
+
   def phraseSearch(spark: SparkSession, root: String, docs: DataFrame,
                    phrase: String,
                    only: Option[Set[String]] = None): DataFrame = {

@@ -293,6 +293,7 @@ class PlanContractSpec extends SparkSpec {
         n == "hybrid_rrf_pruned" || n == "hybrid_rrf_pruned_check" ||
         n == "hybrid_rrf_filtered" || n == "retrieval_eval_hybrid" ||
         n == "bm25_catalog" || n == "ann_catalog" ||
+        n == "snippets_catalog" ||
         n == "ann_filtered" || n == "ann_filtered_pruned" ||
         n == "ann_filtered_pruned_check" ||
         n == "ann_index_recluster" ||
