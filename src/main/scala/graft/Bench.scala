@@ -121,8 +121,52 @@ object Bench {
       Thread.sleep(settleMs)
       settleWall += (System.nanoTime() - t0) / 1e9
     }
+    // SCHEDULING (r16): the eight streaming replays run FIRST (their
+    // staged replay is already warmed above; r15 burned three
+    // adjudication passes on 2-5x late-run inflation of exactly these
+    // rows), the ~20 once-per-JVM lifecycle/index builders run LAST so
+    // their build pressure lands after every ordinary row, everything
+    // else alphabetical in between.
+    val lifecycleRow = (n: String) =>
+      n.startsWith("bm25_indexed") || n.startsWith("bm25_catalog") ||
+        n.startsWith("cdc_") || n.startsWith("cow_") ||
+        n.startsWith("ann_index") || n.startsWith("ann_catalog") ||
+        n.startsWith("serving_e2e") || n.startsWith("ann_filtered") ||
+        n.startsWith("hybrid_rrf_indexed") ||
+        n.startsWith("hybrid_rrf_filtered") ||
+        n.startsWith("hybrid_rrf_pruned") ||
+        n == "snippets_catalog" || n == "mmr_rerank_indexed" ||
+        n == "retrieval_eval_hybrid" || n == "retrieval_phrase_persisted" ||
+        n == "retrieval_boolean_not_indexed" || n == "lm_model_persisted" ||
+        n == "bpe_model_persisted" || n == "streaming_wap_publish" ||
+        n == "streaming_wap_history"
+    val group = (n: String) =>
+      if (lifecycleRow(n)) 2
+      else if (n.startsWith("streaming_")) 0
+      else 1
+    // Trailing-round medians (the committed BENCHOUT.json, or
+    // SPARK_GRAFT_BASELINE): any row landing >2x its prior median gets
+    // an IN-RUN recheck — settle, two fresh reps — so the artifact
+    // carries its own adjudication instead of needing a post-hoc
+    // isolated rerun (what ate three rounds of r13-r15 analysis).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCHOUT.json")
+    val baseline: Map[String, Double] =
+      try {
+        val body = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8")
+        // a baseline from a DIFFERENT scale factor would flag noise
+        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(body)
+          .forall(_.group(1) == sfDir)
+        if (!sameSf) Map.empty[String, Double]
+        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(body)
+          .map(_.group(1)).map { qs =>
+            """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qs)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val flagged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Option[Double])]
     val startOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy { case (n, _) => (group(n), n) }.map { case (name, fn) =>
       settle()
       startOffsets(name) = (System.nanoTime() - wallStart) / 1e9
       var ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).toVector
@@ -140,8 +184,19 @@ object Bench {
       val s = ok.sorted
       if (s.isEmpty) (name, None, None, None)
       else {
+        val med = s(s.length / 2)
+        // in-run adjudication: >2x the trailing round's median → one
+        // settle + two fresh reps, recorded alongside (the recheck
+        // median is the number an isolated rerun would have produced;
+        // the row's reported median stays the honest full set)
+        baseline.get(name).filter(b => med > 2 * b).foreach { b =>
+          settle()
+          val re = (1 to 2).flatMap(_ => timeOnce(name, fn)).sorted
+          flagged(name) = (med, b,
+            if (re.isEmpty) None else Some(re(re.length / 2)))
+        }
         val trimmed = if (s.length >= 5) s.slice(1, s.length - 1) else s
-        (name, Some(s(s.length / 2)), Some(trimmed.head), Some(trimmed.last))
+        (name, Some(med), Some(trimmed.head), Some(trimmed.last))
       }
     }
     def f(d: Double): String = "%.4f".format(d)
@@ -163,8 +218,12 @@ object Bench {
     val wall = (System.nanoTime() - wallStart) / 1e9
     val startedJson = startOffsets
       .map { case (k, t) => "\"" + k + "\":" + f(t) }.mkString("{", ",", "}")
+    val flaggedJson = flagged
+      .map { case (k, (m, b, re)) =>
+        "\"" + k + "\":[" + f(m) + "," + f(b) + "," + fOpt(re) + "]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","ok":$ok,"value":${f(total)},"unit":"sec","reps":$reps,"wall":${f(wall)},"settle_wall":${f(settleWall)},"settle_ms":$settleMs,"load_before":$loadBefore,"load_after":${loadAvg()},"queries":$qs,"spread":$spread,"started":$startedJson,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","ok":$ok,"value":${f(total)},"unit":"sec","reps":$reps,"wall":${f(wall)},"settle_wall":${f(settleWall)},"settle_ms":$settleMs,"load_before":$loadBefore,"load_after":${loadAvg()},"queries":$qs,"spread":$spread,"started":$startedJson,"flagged":$flaggedJson,"failed":$failedJson,"failures":$failuresJson,"sf":"$sfDir"}"""
     println(line)
     // An isolated SPARK_GRAFT_ONLY run must not clobber the committed
     // full-bench artifact.
