@@ -1527,12 +1527,30 @@ object CowTable {
     * (a branch carries pointers into main's data tree; a published
     * branch's re-homed files live there too), so vacuuming main never
     * strands a branch that is still within its own retention.
+    *
+    * IN-FLIGHT-WRITER SAFE (r16, the [[graft.tables.IndexCatalog.gc]]
+    * barrier discipline transplanted): version dirs are named
+    * `v<N>-<uniq>` for the TARGET version their writer will commit,
+    * and the sweep only considers dirs with N ≤ the head version —
+    * such a dir is either referenced (kept) or its writer provably
+    * lost the v<N> CAS (v<N> is already committed) and the dir is a
+    * dead orphan. A dir targeting N > head may be a LIVE writer
+    * between its data write and its commit; sweeping it would let
+    * that writer commit pointers at deleted dirs (the gc TOCTOU).
+    * Such an orphan from a CRASHED writer is collected by any later
+    * vacuum once the head passes N.
     * Returns (bucketDirsDeleted, manifestsDeleted). */
   def vacuum(spark: SparkSession, root: String,
              retainVersions: Int): (Int, Int) = {
     val vs = versions(root)
     val cur = vs.lastOption.getOrElse(0)
     val keepFrom = math.max(1, cur - retainVersions + 1)
+    // the sweepable frontier: unparseable names stay (conservative)
+    def targetOf(name: String): Int =
+      if (name.startsWith("v"))
+        name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
+      else Int.MaxValue
     def referencedBy(r: String, from: Int): Set[String] =
       versions(r).filter(_ >= from).flatMap { v =>
         val m = readManifest(spark, r, v)
@@ -1554,7 +1572,8 @@ object CowTable {
     // manifest references goes — including losing-OCC-attempt orphans
     Seq(s"$root/data", s"$root/dv").foreach { treeRoot =>
       val versionDirs = Option(new java.io.File(treeRoot).listFiles())
-        .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(d => d.isDirectory && targetOf(d.getName) <= cur)
       versionDirs.foreach { vd =>
         Option(vd.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
           .filter(d => d.isDirectory &&
@@ -1566,9 +1585,11 @@ object CowTable {
         if (Option(vd.listFiles()).forall(_.isEmpty)) rmTree(vd)
       }
     }
-    // bloom sidecars are FILES under bloom/v*-*/: same referenced-set rule
+    // bloom sidecars are FILES under bloom/v*-*/: same referenced-set
+    // rule, same in-flight frontier
     Option(new java.io.File(s"$root/bloom").listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(d => d.isDirectory && targetOf(d.getName) <= cur)
       .foreach { vd =>
         Option(vd.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
           .filter(f => f.isFile && f.getName.endsWith(".bloom"))
