@@ -3943,6 +3943,12 @@ object SparkEntry {
       // NOT shape that survives 100 TB). Query 2 pins the
       // empty-exclude fallback to plain AND.
       Retrieval.booleanNot(Tables.documents(s, d), BooleanNotQueries)),
+    "retrieval_boolean_or_indexed" -> ((s, d) =>
+      // Posting-UNION OR over the PERSISTED CDC-maintained index:
+      // tombstoned doc versions never contribute membership; only the
+      // query terms' buckets open. Oracle: OR over the live corpus.
+      tables.InvertedIndex.booleanOr(s, cdcIndexDir(s, d),
+        BooleanQueries)),
     "retrieval_boolean_not_indexed" -> ((s, d) =>
       // The SAME algebra over the PERSISTED index maintained by CDC
       // (inserts appended, %10==4 deleted): tombstoned doc versions
@@ -4225,6 +4231,20 @@ object SparkEntry {
       Retrieval.evalMetrics(run,
         Retrieval.relevanceFromTerms(
           tables.CowTable.read(s, s"$dir/docs"), HybridQueries), k = 10)
+    }),
+    "streaming_serving_e2e" -> ((s, d) => {
+      // serving_e2e's STREAMING twin: both catalog-managed indexes
+      // maintained by real micro-batch streams (appendAs registering
+      // each batch under its stream batchId; same-id redeliveries
+      // no-op), then the identical catalog-head filtered hybrid
+      // serve. Order-independent versioned identities ⇒ shares
+      // serving_e2e's oracle VERBATIM.
+      val dir = streamingServingE2eDir(s, d)
+      Retrieval.hybridRrfCatalog(s, s"$dir/invcat", s"$dir/veccat",
+        Tables.embeddings(s, d), HybridQueries,
+        lexFilter = Some(col("doc_id") % 4 < 2),
+        denseFilter = Some(col("vec_id") % 4 < 2),
+        kLex = 20, kAnn = 20, k = 10, nprobe = 16)
     }),
     "ann_filtered" -> ((s, d) =>
       // Faceted dense retrieval, filter-context semantics: only
@@ -5062,6 +5082,82 @@ object SparkEntry {
         tables.VectorIndex.applyChanges(
           tables.CowTable.changesSince(s, embTable, "vec_id", 1), gen,
           batch = Some(id)))
+      dir
+    })
+
+  /** [[servingE2eDir]]'s STREAMING twin — the update-maintenance
+    * matrix's last cell: the SAME two-table evolution, but both
+    * catalog-managed indexes are maintained by REAL micro-batch
+    * streams over the changefeeds, each batch registered through
+    * [[tables.IndexCatalog.appendAs]] under an id DERIVED from the
+    * stream's batchId — a same-id redelivery finds the id committed
+    * and no-ops (exactly-once catalog state from at-least-once
+    * delivery). Versioned-identity order-independence lands the
+    * batch-split feeds on the identical serving state, so the row
+    * shares serving_e2e's oracle verbatim. */
+  private def streamingServingE2eDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#servinge2estr", {
+      val dir = scratchDir("graft_serve_e2es_")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val embs = Tables.embeddings(s, d)
+      val docTable = s"$dir/docs"
+      val embTable = s"$dir/embs"
+      val invCat = s"$dir/invcat"
+      val vecCat = s"$dir/veccat"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        docTable, "doc_id", buckets = 8)
+      tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
+        embTable, "vec_id", buckets = 8)
+      tables.IndexCatalog.create(invCat)(gen =>
+        tables.InvertedIndex.write(
+          tables.CowTable.read(s, docTable, Some(1)), gen,
+          buckets = InvIndexBuckets, ver = 1L))
+      tables.IndexCatalog.create(vecCat)(gen =>
+        tables.VectorIndex.write(
+          tables.CowTable.read(s, embTable, Some(1)), gen, ver = 1L))
+      tables.CowTable.merge(s, docTable,
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+            col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" dup dup")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)), "doc_id")
+      tables.CowTable.merge(s, embTable,
+        embs.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            col("label"))
+          .unionByName(embs.filter(col("vec_id") % 3 === 2)), "vec_id")
+      tables.CowTable.delete(s, docTable,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      tables.CowTable.delete(s, embTable,
+        embs.filter(col("vec_id") % 10 === 4).select(col("vec_id")),
+        "vec_id")
+      // the STREAMING maintainers: one foreachBatch loop per table,
+      // each micro-batch committed as catalog batch b<batchId> with a
+      // same-id redelivery that must leave the state untouched
+      graft.streaming.DocReplay.runWithBatchId(s,
+          tables.CowTable.changesSince(s, docTable, "doc_id", 1),
+          s"$d#se2edocfeed") { (batch, batchId) =>
+        tables.IndexCatalog.appendAs(invCat, s"b$batchId")((gen, id) =>
+          tables.InvertedIndex.applyChanges(batch, gen,
+            batch = Some(id))): Unit
+        // redelivery: id already committed → no-op on catalog state
+        tables.IndexCatalog.appendAs(invCat, s"b$batchId")((gen, id) =>
+          tables.InvertedIndex.applyChanges(batch, gen,
+            batch = Some(id))): Unit
+        batch.select(col("doc_id"))
+      }.count(): Unit
+      graft.streaming.DocReplay.runWithBatchId(s,
+          tables.CowTable.changesSince(s, embTable, "vec_id", 1),
+          s"$d#se2evecfeed", idCol = "vec_id") { (batch, batchId) =>
+        tables.IndexCatalog.appendAs(vecCat, s"b$batchId")((gen, id) =>
+          tables.VectorIndex.applyChanges(batch, gen,
+            batch = Some(id))): Unit
+        tables.IndexCatalog.appendAs(vecCat, s"b$batchId")((gen, id) =>
+          tables.VectorIndex.applyChanges(batch, gen,
+            batch = Some(id))): Unit
+        batch.select(col("vec_id"))
+      }.count(): Unit
       dir
     })
 
@@ -6095,6 +6191,24 @@ object SparkEntry {
 
   private def sqlTermValues(qs: Seq[(Long, Seq[String])]): String =
     qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+
+  /** Boolean-OR oracle: distinct (query, doc) membership over the
+    * query terms' postings, corpus restricted by `docsWhere` (TRUE
+    * for the scan row; the live predicate for the CDC index row). */
+  private def booleanOrSql(qs: Seq[(Long, Seq[String])],
+                           docsWhere: String): String =
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL AND ($docsWhere)),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (SELECT term, doc_id, dl FROM p0 GROUP BY 1, 2, 3),
+       q(query_id, term) AS (VALUES ${sqlTermValues(
+        qs.map { case (qid, ts) => (qid, ts.distinct) })})
+       SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
+       FROM p JOIN q USING (term) ORDER BY query_id, doc_id"""
 
   /** AND-NOT oracle: intersect the include terms, exclude docs
     * holding ANY exclude term — over the corpus restricted by
@@ -11276,12 +11390,10 @@ object SparkEntry {
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
        FROM hit JOIN sizes USING (query_id)
        WHERE n_hit = n_terms ORDER BY query_id, doc_id"""),
-    "retrieval_boolean_or" ->
-      (s"""WITH $RetrievalPostingsCtes,
-       q(query_id, term) AS (VALUES ${sqlTermValues(
-        BooleanQueries.map { case (qid, ts) => (qid, ts.distinct) })})
-       SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, doc_id, dl
-       FROM p JOIN q USING (term) ORDER BY query_id, doc_id"""),
+    "retrieval_boolean_or" -> booleanOrSql(BooleanQueries, "TRUE"),
+    // OR over the CDC-maintained index: live corpus only
+    "retrieval_boolean_or_indexed" ->
+      booleanOrSql(BooleanQueries, "doc_id % 10 <> 4"),
     "retrieval_boolean_not" -> booleanNotSql(BooleanNotQueries, "TRUE"),
     // the CDC-maintained index's live corpus: full documents (base ⅔
     // + inserted ⅓) minus the %10==4 deletes — tombstones must kill
@@ -11457,6 +11569,8 @@ object SparkEntry {
     // THE SERVING CAPSTONE: drift-stat lexical arm + exact dense arm,
     // both facet-filtered, fused — every stage's semantics spelled.
     "serving_e2e" -> ServingE2eRunSql,
+    // micro-batching + redeliveries must not move a fused rank
+    "streaming_serving_e2e" -> ServingE2eRunSql,
     // ... graded against qrels from the LIVE evolved corpus.
     "serving_e2e_eval" ->
       retrievalEvalOverSqlWith(ServingE2eRunSql, HybridQueries, 10,

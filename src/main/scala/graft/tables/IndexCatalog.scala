@@ -204,6 +204,39 @@ object IndexCatalog {
     sys.error("unreachable")
   }
 
+  /** [[append]] with a CALLER-SUPPLIED batch id — the exactly-once
+    * shape for STREAM-driven maintenance: the indexer derives the id
+    * from the micro-batch's batchId, so an at-least-once redelivery
+    * finds its id already registered and no-ops entirely (no physical
+    * rewrite, no second registration — state unchanged). A crash
+    * between the physical write and the CAS re-runs both on
+    * redelivery (the write is an idempotent same-id overwrite).
+    * CONTRACT: the redelivery window must close before a compaction
+    * folds the id (Structured Streaming redeliveries are immediate
+    * same-batch retries, never arbitrarily late) — a fold clears the
+    * id from the registered set, so a post-fold redelivery would
+    * re-append rows the new generation already contains. */
+  def appendAs(root: String, id: String)
+              (write: (String, String) => Unit): State = {
+    var s = current(root)
+    if (s.batches.contains(id)) return s
+    write(s.generation, id)
+    while (true) {
+      if (s.batches.contains(id)) return s
+      val cand = State(s.version + 1, s.generation, s.batches :+ id)
+      beforeCommitHook()
+      try { commit(root, cand); return cand }
+      catch {
+        case _: ConcurrentCatalogCommit =>
+          val head = current(root)
+          if (head.generation != s.generation &&
+              !head.batches.contains(id)) write(head.generation, id)
+          s = head
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Fold the head's registered batches into a fresh generation and
     * CAS-flip the pointer: `fold(srcGen, registeredBatchIds, dstGen)`
     * builds the new generation (e.g. [[InvertedIndex.compactTo]] with

@@ -490,6 +490,19 @@ object InvertedIndex {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** Boolean-OR over the persisted index — posting union with
+    * distinct membership, tombstone-aware like [[booleanQuery]];
+    * only the query terms' buckets open. */
+  def booleanOr(spark: SparkSession, root: String,
+                queries: Seq[(Long, Seq[String])],
+                only: Option[Set[String]] = None): DataFrame = {
+    val (p0, _, _) = postingsFor(spark, root, queries.flatMap(_._2), only)
+    val p = filterDeleted(spark, root, p0, only)
+      .select(col("term"), col("doc_id"), col("dl"))
+    Retrieval.booleanOrFrom(p, queries)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** COMPACT the index: fold every batch-append increment AND every
     * tombstone into a fresh single-generation index at `dstRoot` —
     * live postings re-bucketed union (same bucket count and md5 rule,

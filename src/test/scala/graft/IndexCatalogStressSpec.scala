@@ -151,6 +151,35 @@ class IndexCatalogStressSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("appendAs: caller-supplied ids are exactly-once — redelivery no-ops, crashed write re-runs") {
+    val root = freshRoot()
+    IndexCatalog.create(root)(gen => writeBase(gen, Set("base")))
+    var writes = 0
+    def w(gen: String, id: String): Unit = {
+      writes += 1; writeBatch(gen, id, s"tok_$id")
+    }
+    val s1 = IndexCatalog.appendAs(root, "b0")(w)
+    s1.batches shouldBe Seq("b0")
+    writes shouldBe 1
+    // at-least-once redelivery: id committed → NO write, NO version
+    IndexCatalog.appendAs(root, "b0")(w) shouldBe s1
+    writes shouldBe 1
+    IndexCatalog.current(root).version shouldBe s1.version
+    // crash between the physical write and the CAS: the redelivery
+    // re-runs the (idempotent) write and completes the registration
+    IndexCatalog.beforeCommitHook = () => {
+      IndexCatalog.beforeCommitHook = () => ()
+      throw new RuntimeException("boom")
+    }
+    intercept[RuntimeException] { IndexCatalog.appendAs(root, "b1")(w) }
+    writes shouldBe 2
+    IndexCatalog.current(root).batches shouldBe Seq("b0")
+    val s3 = IndexCatalog.appendAs(root, "b1")(w)
+    writes shouldBe 3
+    s3.batches shouldBe Seq("b0", "b1")
+    content(s3) shouldBe Set("base", "tok_b0", "tok_b1")
+  }
+
   // ----- sequential gc/retention property (ScalaCheck, ≥500 seqs) -----
 
   /** Op alphabet for the generated sequential histories. */

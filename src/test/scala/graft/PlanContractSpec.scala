@@ -302,7 +302,7 @@ class PlanContractSpec extends SparkSpec {
         n.startsWith("cdc_vector_index") ||
         // persisted-index boolean algebra: first touch builds the
         // CDC-maintained index tree
-        n == "retrieval_boolean_not_indexed" ||
+        (n.startsWith("retrieval_boolean_") && n.endsWith("_indexed")) ||
         // the serving capstone: first touch builds two CoW tables,
         // two catalogs and both maintained indexes; its serve-stage
         // plan is pinned by the dedicated capstone contract below
