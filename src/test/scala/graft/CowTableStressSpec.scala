@@ -48,6 +48,53 @@ class CowTableStressSpec extends SparkSpec {
     assert(rows(1L) === 999L && rows(100L) === 5L && rows.size === 41)
   }
 
+  test("concurrent publishBranchRebasing from 3 branches: rebase-retry lands every branch's edits, none lost") {
+    val root = freshRoot()
+    val nBranches = 3
+    val keysPer = 20
+    CowTable.create(
+      (0L until (nBranches * keysPer).toLong).map(i => (i, -1L))
+        .toDF("doc_id", "v"),
+      root, "doc_id", buckets = 4)
+    // branch w edits its own disjoint key range: merge all to 1000+w,
+    // delete its first key — expected main state is deterministic
+    (0 until nBranches).foreach { w =>
+      CowTable.createBranch(spark, root, s"exp$w")
+      val br = CowTable.branchRoot(root, s"exp$w")
+      CowTable.merge(spark, br,
+        (w * keysPer until (w + 1) * keysPer)
+          .map(k => (k.toLong, 1000L + w)).toDF("doc_id", "v"),
+        "doc_id")
+      CowTable.delete(spark, br,
+        Seq((w * keysPer).toLong).toDF("doc_id"), "doc_id")
+    }
+    // all three publish CONCURRENTLY: at most one fast-forwards, the
+    // others take BranchDivergedException → rebaseBranch (the r16
+    // claimed-swap path) → retry, under real thread contention
+    val errors = new ConcurrentLinkedQueue[String]
+    val threads = (0 until nBranches).map { w =>
+      new Thread(() => {
+        try CowTable.publishBranchRebasing(spark, root, s"exp$w",
+          "doc_id"): Unit
+        catch { case e: Throwable => errors.add(s"exp$w: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(errors.isEmpty, errors.asScala.mkString("; "))
+    val expected = (0 until nBranches).flatMap { w =>
+      (w * keysPer + 1 until (w + 1) * keysPer)
+        .map(k => k.toLong -> (1000L + w))
+    }.toMap
+    val got = CowTable.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(got === expected, "a concurrent publish lost a branch's edits")
+    // no rebase debris: every temp gone, branches still listable
+    (0 until nBranches).foreach { w =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$root/_branches/.rebase_exp$w")))
+    }
+  }
+
   test("seeded concurrent merge/delete/compact/vacuum schedules: OCC serializes, nothing lost, head always readable") {
     for (seed <- 0 until 4) {
       val root = freshRoot()
