@@ -500,6 +500,28 @@ class PlanContractSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("catalog snippets: occurrences read bucket-pruned positional postings of the catalog generation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries("snippets_catalog")(spark, sf) // build (memoized)
+      val scans = SparkEntry.queries("snippets_catalog")(spark, sf)
+        .queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",") }
+      val positional = scans.filter(_.contains("/positions"))
+      assert(positional.nonEmpty,
+        "snippet occurrences must come from the persisted positions tree")
+      // every positional read opens ONLY query-term __tb= buckets, in
+      // the catalog fixture's generation dir
+      assert(positional.forall(p =>
+          p.split(",").forall(_.contains("__tb="))),
+        s"positional scan not bucket-pruned: $positional")
+      assert(positional.forall(_.contains("graft_idxcat_")),
+        s"positional scan outside the catalog generation: $positional")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("span dedup: no shuffle carries span text — hashes only") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
