@@ -4232,6 +4232,19 @@ object SparkEntry {
         Retrieval.relevanceFromTerms(
           tables.CowTable.read(s, s"$dir/docs"), HybridQueries), k = 10)
     }),
+    "serving_e2e_compacted" -> ((s, d) => {
+      // The capstone lineage through catalog-governed COMPACTION of
+      // both indexes (+gc of dead generations): the lexical drift
+      // ENDS — stats recompute exactly over the live corpus — and the
+      // dense fold must not move a cosine. The serve plan is
+      // unchanged; only the resolved generation differs.
+      val dir = servingE2eCompactedDir(s, d)
+      Retrieval.hybridRrfCatalog(s, s"$dir/invcat", s"$dir/veccat",
+        Tables.embeddings(s, d), HybridQueries,
+        lexFilter = Some(col("doc_id") % 4 < 2),
+        denseFilter = Some(col("vec_id") % 4 < 2),
+        kLex = 20, kAnn = 20, k = 10, nprobe = 16)
+    }),
     "streaming_serving_e2e" -> ((s, d) => {
       // serving_e2e's STREAMING twin: both catalog-managed indexes
       // maintained by real micro-batch streams (appendAs registering
@@ -5082,6 +5095,69 @@ object SparkEntry {
         tables.VectorIndex.applyChanges(
           tables.CowTable.changesSince(s, embTable, "vec_id", 1), gen,
           batch = Some(id)))
+      dir
+    })
+
+  /** [[servingE2eDir]]'s lineage continued through CATALOG-GOVERNED
+    * COMPACTION of both maintained indexes: superseded versions and
+    * tombstones fold, lexical stats recompute EXACTLY over the live
+    * corpus (the drift ends), the vector cells fold without moving a
+    * cosine — and the pointer CAS-flip means serving switches
+    * atomically. Own lineage (the shared fixture must keep serving
+    * the UNcompacted drift state for serving_e2e's oracle). */
+  private def servingE2eCompactedDir(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(s"$d#servinge2ecmp", {
+      val dir = scratchDir("graft_serve_e2ec_")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val embs = Tables.embeddings(s, d)
+      val docTable = s"$dir/docs"
+      val embTable = s"$dir/embs"
+      val invCat = s"$dir/invcat"
+      val vecCat = s"$dir/veccat"
+      tables.CowTable.create(docs.filter(col("doc_id") % 3 =!= 2),
+        docTable, "doc_id", buckets = 8)
+      tables.CowTable.create(embs.filter(col("vec_id") % 3 =!= 2),
+        embTable, "vec_id", buckets = 8)
+      tables.IndexCatalog.create(invCat)(gen =>
+        tables.InvertedIndex.write(
+          tables.CowTable.read(s, docTable, Some(1)), gen,
+          buckets = InvIndexBuckets, ver = 1L))
+      tables.IndexCatalog.create(vecCat)(gen =>
+        tables.VectorIndex.write(
+          tables.CowTable.read(s, embTable, Some(1)), gen, ver = 1L))
+      tables.CowTable.merge(s, docTable,
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 1 &&
+            col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" dup dup")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)), "doc_id")
+      tables.CowTable.merge(s, embTable,
+        embs.filter(col("vec_id") % 3 =!= 2 && col("vec_id") % 5 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            col("label"))
+          .unionByName(embs.filter(col("vec_id") % 3 === 2)), "vec_id")
+      tables.CowTable.delete(s, docTable,
+        docs.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id")
+      tables.CowTable.delete(s, embTable,
+        embs.filter(col("vec_id") % 10 === 4).select(col("vec_id")),
+        "vec_id")
+      tables.IndexCatalog.append(invCat)((gen, id) =>
+        tables.InvertedIndex.applyChanges(
+          tables.CowTable.changesSince(s, docTable, "doc_id", 1), gen,
+          batch = Some(id)))
+      tables.IndexCatalog.append(vecCat)((gen, id) =>
+        tables.VectorIndex.applyChanges(
+          tables.CowTable.changesSince(s, embTable, "vec_id", 1), gen,
+          batch = Some(id)))
+      // the maintenance tail: CAS-flip compactions + gc of the dead
+      // generations — serving must switch to the folded state exactly
+      tables.IndexCatalog.compact(invCat)((src, only, dst) =>
+        tables.InvertedIndex.compactTo(s, src, dst, only = Some(only)))
+      tables.IndexCatalog.compact(vecCat)((src, only, dst) =>
+        tables.VectorIndex.compactTo(s, src, dst, only = Some(only)))
+      tables.IndexCatalog.gc(invCat): Unit
+      tables.IndexCatalog.gc(vecCat): Unit
       dir
     })
 
@@ -11571,6 +11647,9 @@ object SparkEntry {
     "serving_e2e" -> ServingE2eRunSql,
     // micro-batching + redeliveries must not move a fused rank
     "streaming_serving_e2e" -> ServingE2eRunSql,
+    // compaction ends the lexical drift: exact live stats, dense
+    // arm unchanged
+    "serving_e2e_compacted" -> servingRunSql(exact = true),
     // ... graded against qrels from the LIVE evolved corpus.
     "serving_e2e_eval" ->
       retrievalEvalOverSqlWith(ServingE2eRunSql, HybridQueries, 10,
@@ -11727,18 +11806,25 @@ object SparkEntry {
          SELECT doc_id, text, (doc_id % 10 <> 4) AS live
          FROM documents WHERE doc_id % 3 = 2)"""
 
-  /** The serving capstone run oracle: drifted-stats BM25 over the
-    * CDC-maintained index's live postings with the doc_id-parity
-    * facet at scoring (filter-context: stats count EVERY version),
-    * fused with exact brute-force cosine over the live vector state
-    * (updated vectors reversed, deletes gone, vec_id-parity facet on
-    * the corpus, queries from the RAW table). */
-  private lazy val ServingE2eRunSql: String =
+  /** The serving capstone run oracle: BM25 over the CDC-maintained
+    * index's live postings with the doc_id facet at scoring
+    * (filter-context), fused with exact brute-force cosine over the
+    * live vector state (updated vectors reversed, deletes gone,
+    * vec_id facet on the corpus, queries from the RAW table).
+    * `exact = false` spells the LIVE (uncompacted) index's drifted
+    * df/corpus stats (every version counts); `exact = true` spells
+    * the catalog-COMPACTED state (stats recomputed over live only) —
+    * the dense arm is identical in both (IVF carries no stats). */
+  private def servingRunSql(exact: Boolean): String = {
+    val tWhere = if (exact) "AND live" else ""
+    val cWhere = if (exact) "WHERE live" else ""
+    val scoredWhere =
+      if (exact) "p.doc_id % 4 < 2" else "p.live AND p.doc_id % 4 < 2"
     s"""WITH $ServingVdCte,
        t AS (
          SELECT doc_id, live,
                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
-         FROM vd WHERE text IS NOT NULL),
+         FROM vd WHERE text IS NOT NULL $tWhere),
        p0 AS (
          SELECT doc_id, live, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
          FROM t WHERE len(w) > 0),
@@ -11750,7 +11836,7 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text IS NULL THEN 0
                          ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
                                               x -> x <> '')) END) AS BIGINT) AS sum_dl
-         FROM vd),
+         FROM vd $cWhere),
        q(query_id, term) AS (VALUES ${sqlTermValues(HybridQueries)}),
        scored AS (
          SELECT q.query_id, p.doc_id,
@@ -11767,7 +11853,7 @@ object SparkEntry {
          JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
            USING (term)
          CROSS JOIN c
-         WHERE p.live AND p.doc_id % 4 < 2),
+         WHERE ($scoredWhere)),
        agg AS (
          SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
          FROM scored GROUP BY 1, 2),
@@ -11811,6 +11897,9 @@ object SparkEntry {
          FROM fused QUALIFY rank <= 10)
        SELECT query_id, doc_id, lex_rank, ann_rank, rrf, rank
        FROM out ORDER BY query_id, rank"""
+  }
+
+  private lazy val ServingE2eRunSql: String = servingRunSql(exact = false)
 
   /** Live-corpus postings CTE chain for the capstone's qrels: the
     * evolved table's FINAL state (updated text, deletes gone). */
