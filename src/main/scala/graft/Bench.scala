@@ -139,7 +139,7 @@ object Bench {
         n == "retrieval_eval_hybrid" || n == "retrieval_phrase_persisted" ||
         n == "retrieval_boolean_not_indexed" || n == "lm_model_persisted" ||
         n == "bpe_model_persisted" || n == "streaming_wap_publish" ||
-        n == "streaming_wap_history"
+        n == "streaming_wap_history" || n == "streaming_serving_e2e"
     val group = (n: String) =>
       if (lifecycleRow(n)) 2
       else if (n.startsWith("streaming_")) 0
