@@ -3949,6 +3949,18 @@ object SparkEntry {
       // query terms' buckets open. Oracle: OR over the live corpus.
       tables.InvertedIndex.booleanOr(s, cdcIndexDir(s, d),
         BooleanQueries)),
+    "retrieval_boolean_tree" -> ((s, d) =>
+      // NESTED boolean trees (Lucene BooleanQuery nesting): mixed
+      // And/Or/Diff at depth >= 2, compiled to set algebra over the
+      // term-pruned postings — NOT exists only as bounded difference,
+      // so no depth ever materializes a complement.
+      Retrieval.booleanTree(Tables.documents(s, d), BooleanTreeQueries)),
+    "retrieval_boolean_tree_indexed" -> ((s, d) =>
+      // ... over the PERSISTED CDC-maintained index: every leaf is
+      // tombstone-filtered (a killed version neither matches nor
+      // vetoes at any depth); only mentioned terms' buckets open.
+      tables.InvertedIndex.booleanTree(s, cdcIndexDir(s, d),
+        BooleanTreeQueries)),
     "retrieval_boolean_not_indexed" -> ((s, d) =>
       // The SAME algebra over the PERSISTED index maintained by CDC
       // (inserts appended, %10==4 deleted): tombstoned doc versions
@@ -4403,6 +4415,21 @@ object SparkEntry {
     0L -> Seq("dup", "join"),
     1L -> Seq("vector", "stream", "hash"),
     2L -> Seq("dup", "key", "scan"))
+
+  /** Nested boolean trees: mixed And/Or/Diff at depth ≥2 each —
+    * q0 = (dup ∧ join) ∨ (vector ∧ stream), q1 = (customer ∧
+    * (order ∨ key)) ∖ scan, q2 = (dup ∨ merge) ∖ (hash ∧ scan). */
+  private val BooleanTreeQueries: Seq[(Long, Retrieval.BoolExpr)] = {
+    import Retrieval.BoolExpr._
+    Seq(
+      0L -> Or(Seq(And(Seq(Term("dup"), Term("join"))),
+        And(Seq(Term("vector"), Term("stream"))))),
+      1L -> Diff(
+        And(Seq(Term("customer"), Or(Seq(Term("order"), Term("key"))))),
+        Term("scan")),
+      2L -> Diff(Or(Seq(Term("dup"), Term("merge"))),
+        And(Seq(Term("hash"), Term("scan")))))
+  }
 
   /** (query, include terms, exclude terms) for the AND-NOT rows;
     * query 2 has no excludes — it pins the plain-AND fallback. */
@@ -6267,6 +6294,42 @@ object SparkEntry {
 
   private def sqlTermValues(qs: Seq[(Long, Seq[String])]): String =
     qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+
+  /** One boolean tree node → DuckDB set algebra (INTERSECT/UNION/
+    * EXCEPT are distinct-set ops, exactly the Spark side's distinct
+    * joins/unions/anti-joins). */
+  private def boolExprSql(e: Retrieval.BoolExpr): String = {
+    import Retrieval.BoolExpr._
+    e match {
+      case Term(t) => s"SELECT doc_id FROM p WHERE term = '$t'"
+      case And(es) =>
+        es.map(x => s"(${boolExprSql(x)})").mkString(" INTERSECT ")
+      case Or(es) =>
+        es.map(x => s"(${boolExprSql(x)})").mkString(" UNION ")
+      case Diff(a, b) =>
+        s"(${boolExprSql(a)}) EXCEPT (${boolExprSql(b)})"
+    }
+  }
+
+  /** Nested-boolean-tree oracle over the corpus restricted by
+    * `docsWhere` (the CDC index row's live predicate). */
+  private def booleanTreeSql(qs: Seq[(Long, Retrieval.BoolExpr)],
+                             docsWhere: String): String =
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL AND ($docsWhere)),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (SELECT term, doc_id, dl FROM p0 GROUP BY 1, 2, 3),
+       dls AS (SELECT DISTINCT doc_id, dl FROM p),
+       m AS (${qs.map { case (qid, e) =>
+          s"SELECT $qid AS query_id, doc_id FROM (${boolExprSql(e)})"
+        }.mkString(" UNION ALL ")})
+       SELECT CAST(m.query_id AS BIGINT) AS query_id, m.doc_id, dls.dl
+       FROM m JOIN dls ON dls.doc_id = m.doc_id
+       ORDER BY 1, 2"""
 
   /** Boolean-OR oracle: distinct (query, doc) membership over the
     * query terms' postings, corpus restricted by `docsWhere` (TRUE
@@ -11471,6 +11534,9 @@ object SparkEntry {
     "retrieval_boolean_or_indexed" ->
       booleanOrSql(BooleanQueries, "doc_id % 10 <> 4"),
     "retrieval_boolean_not" -> booleanNotSql(BooleanNotQueries, "TRUE"),
+    "retrieval_boolean_tree" -> booleanTreeSql(BooleanTreeQueries, "TRUE"),
+    "retrieval_boolean_tree_indexed" ->
+      booleanTreeSql(BooleanTreeQueries, "doc_id % 10 <> 4"),
     // the CDC-maintained index's live corpus: full documents (base ⅔
     // + inserted ⅓) minus the %10==4 deletes — tombstones must kill
     // both the include and the exclude arm

@@ -219,6 +219,72 @@ object Retrieval {
     booleanNotFrom(postingsStaged(docs), queries)
       .orderBy(col("query_id"), col("doc_id"))
 
+  /** Nested boolean query AST — Lucene's BooleanQuery shape: leaves
+    * are terms, AND/OR nest arbitrarily, and NOT exists ONLY as the
+    * binary difference `Diff(pos, neg)` (docs of `pos` minus docs of
+    * `neg`) — a complement node is unrepresentable by construction,
+    * so every evaluation stays bounded by the mentioned terms'
+    * postings at any nesting depth. */
+  sealed trait BoolExpr
+  object BoolExpr {
+    final case class Term(t: String) extends BoolExpr
+    final case class And(es: Seq[BoolExpr]) extends BoolExpr {
+      require(es.nonEmpty, "empty AND")
+    }
+    final case class Or(es: Seq[BoolExpr]) extends BoolExpr {
+      require(es.nonEmpty, "empty OR")
+    }
+    final case class Diff(pos: BoolExpr, neg: BoolExpr) extends BoolExpr
+
+    /** Every term the tree mentions — what the persisted path prunes
+      * its bucket reads to. */
+    def termsOf(e: BoolExpr): Seq[String] = e match {
+      case Term(t) => Seq(t)
+      case And(es) => es.flatMap(termsOf)
+      case Or(es) => es.flatMap(termsOf)
+      case Diff(a, b) => termsOf(a) ++ termsOf(b)
+    }
+  }
+
+  /** Evaluate nested boolean queries over the corpus: each query's
+    * tree compiles to set algebra over the pruned posting relation —
+    * Term = that term's doc set, And = equi-join intersection, Or =
+    * distinct union, Diff = LEFT ANTI difference. Returns
+    * (query_id, doc_id, dl). 100 TB shape: every LEAF reads only its
+    * term's posting bucket; And/Diff joins are bounded by their
+    * smaller side's postings; nothing ever touches the corpus or a
+    * complement. */
+  def booleanTree(docs: DataFrame,
+                  queries: Seq[(Long, BoolExpr)]): DataFrame =
+    booleanTreeFrom(postingsStaged(docs), queries)
+      .orderBy(col("query_id"), col("doc_id"))
+
+  /** The tree evaluator over ANY (term, doc_id, dl) posting relation
+    * — shared by the scan-staged path and the persisted index
+    * ([[graft.tables.InvertedIndex.booleanTree]], where the relation
+    * arrives bucket-pruned and tombstone-filtered). */
+  private[graft] def booleanTreeFrom(p: DataFrame,
+                                     queries: Seq[(Long, BoolExpr)]): DataFrame = {
+    import BoolExpr._
+    val pd = p.select(col("term"), col("doc_id"), col("dl"))
+    def eval(e: BoolExpr): DataFrame = e match {
+      case Term(t) =>
+        pd.filter(col("term") === t).select(col("doc_id")).distinct()
+      case And(es) =>
+        es.map(eval).reduce((a, b) => a.join(b, Seq("doc_id")))
+      case Or(es) =>
+        es.map(eval).reduce(_.unionByName(_)).distinct()
+      case Diff(pos, neg) =>
+        eval(pos).join(eval(neg), Seq("doc_id"), "left_anti")
+    }
+    val dls = pd.select(col("doc_id"), col("dl")).distinct()
+    queries.map { case (qid, e) =>
+      eval(e).select(lit(qid).as("query_id"), col("doc_id"))
+    }.reduce(_.unionByName(_))
+      .join(dls, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("dl"))
+  }
+
   /** The AND core over ANY (term, doc_id, dl) posting relation —
     * shared by the scan-staged path and the persisted index
     * ([[graft.tables.InvertedIndex.booleanQuery]], where the relation

@@ -490,6 +490,23 @@ object InvertedIndex {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** NESTED boolean trees over the persisted index — arbitrary
+    * And/Or/Diff composition ([[Retrieval.BoolExpr]]), tombstone-
+    * aware on every leaf (a killed doc version neither matches nor
+    * vetoes at any depth); only the trees' mentioned terms' buckets
+    * open. */
+  def booleanTree(spark: SparkSession, root: String,
+                  queries: Seq[(Long, Retrieval.BoolExpr)],
+                  only: Option[Set[String]] = None): DataFrame = {
+    val terms = queries.flatMap(q => Retrieval.BoolExpr.termsOf(q._2))
+      .distinct
+    val (p0, _, _) = postingsFor(spark, root, terms, only)
+    val p = filterDeleted(spark, root, p0, only)
+      .select(col("term"), col("doc_id"), col("dl"))
+    Retrieval.booleanTreeFrom(p, queries)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Boolean-OR over the persisted index — posting union with
     * distinct membership, tombstone-aware like [[booleanQuery]];
     * only the query terms' buckets open. */

@@ -116,6 +116,54 @@ class RetrievalSpec extends SparkSpec with Matchers {
     e.getMessage should include("include term")
   }
 
+  test("booleanTree: nested And/Or/Diff set algebra, distinct membership, bounded Diff") {
+    import Retrieval.BoolExpr._
+    // corpus: 0=cat dog cat, 1=cat dog dog dog fish, 2=fish x6,
+    // 3=dog, 4=bird bird bird cat
+    val qs = Seq(
+      // (cat ∧ dog) ∨ (fish) — doc 1 matches BOTH branches: once
+      0L -> Or(Seq(And(Seq(Term("cat"), Term("dog"))), Term("fish"))),
+      // (cat ∨ bird) ∖ (dog ∧ fish) — doc 1 vetoed by the nested AND
+      1L -> Diff(Or(Seq(Term("cat"), Term("bird"))),
+        And(Seq(Term("dog"), Term("fish")))),
+      // Diff nested INSIDE an And: dog-docs that are (cat-docs minus
+      // fish-docs) — 0 and 3?  3 has no cat → just 0
+      2L -> And(Seq(Term("dog"), Diff(Term("cat"), Term("fish")))),
+      // absent term at depth: Or falls back to the live branch
+      3L -> Or(Seq(Term("zzz"), Term("bird"))))
+    val hits = Retrieval.booleanTree(corpus, qs)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    hits shouldBe Set(
+      (0L, 0L), (0L, 1L), (0L, 2L),
+      (1L, 0L), (1L, 4L),
+      (2L, 0L),
+      (3L, 4L))
+    // dl rides the result rows
+    Retrieval.booleanTree(corpus, Seq(0L -> Term("fish")))
+      .select("doc_id", "dl").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 5L), (2L, 6L))
+  }
+
+  test("persisted booleanTree: tombstones kill leaves at any depth") {
+    import Retrieval.BoolExpr._
+    val dir = java.nio.file.Files.createTempDirectory("graft_treeidx_")
+    dir.toFile.deleteOnExit()
+    tables.InvertedIndex.write(corpus, dir.toString, ver = 1L)
+    // delete doc 1 (cat+dog+fish): it must stop matching any branch
+    // AND stop vetoing — (cat ∖ fish) regains nothing it vetoed (doc
+    // 0 never had fish), but (bird ∨ fish) loses it as a match
+    tables.InvertedIndex.delete(Seq(1L).toDF("doc_id"), dir.toString)
+    tables.InvertedIndex.booleanTree(spark, dir.toString,
+      Seq(0L -> Or(Seq(Term("bird"), Term("fish")))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+    // and as a veto: (cat ∖ dog) — with doc 1 dead, its dog posting
+    // must not veto... doc 1 is dead anyway; doc 0 has dog live → out;
+    // doc 4 (bird bird bird cat, no dog) stays
+    tables.InvertedIndex.booleanTree(spark, dir.toString,
+      Seq(0L -> Diff(Term("cat"), Term("dog"))))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(4L)
+  }
+
   test("persisted booleanQuery drops tombstoned versions on BOTH arms") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boolidx_")
     dir.toFile.deleteOnExit()
