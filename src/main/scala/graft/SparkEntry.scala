@@ -3949,6 +3949,20 @@ object SparkEntry {
       // query terms' buckets open. Oracle: OR over the live corpus.
       tables.InvertedIndex.booleanOr(s, cdcIndexDir(s, d),
         BooleanQueries)),
+    "bm25_boolean_filtered" -> ((s, d) =>
+      // Lucene's MUST + FILTER composition: BM25 ranks the query
+      // terms (stats corpus-wide — filter-context), a boolean tree
+      // gates membership BEFORE ranking; both sides are posting-
+      // bucket-bounded, the corpus never scans.
+      Retrieval.bm25TopKBooleanFiltered(Tables.documents(s, d),
+        Bm25FilteredTreeQueries, k = 10)),
+    "bm25_boolean_filtered_indexed" -> ((s, d) =>
+      // ... served off the persisted index: one bucket-pruned,
+      // tombstone-filtered posting read feeds BOTH the scorer and the
+      // filter tree. Full corpus, no deletes ⇒ shares the scan row's
+      // oracle verbatim.
+      tables.InvertedIndex.bm25TopKBooleanFiltered(s, invIndexDir(s, d),
+        Bm25FilteredTreeQueries, k = 10)),
     "retrieval_boolean_tree" -> ((s, d) =>
       // NESTED boolean trees (Lucene BooleanQuery nesting): mixed
       // And/Or/Diff at depth >= 2, compiled to set algebra over the
@@ -4415,6 +4429,17 @@ object SparkEntry {
     0L -> Seq("dup", "join"),
     1L -> Seq("vector", "stream", "hash"),
     2L -> Seq("dup", "key", "scan"))
+
+  /** Ranked-query + filter-clause compositions (Lucene must/filter):
+    * the RetrievalQueries term sets, each under a different boolean
+    * filter tree. */
+  private val Bm25FilteredTreeQueries: Seq[(Long, Seq[String], Retrieval.BoolExpr)] = {
+    import Retrieval.BoolExpr._
+    Seq(
+      (0L, Seq("vector", "stream", "hash"), Diff(Term("join"), Term("dup"))),
+      (1L, Seq("customer", "order"), Or(Seq(Term("key"), Term("scan")))),
+      (2L, Seq("dup", "join"), And(Seq(Term("merge"), Term("stream")))))
+  }
 
   /** Nested boolean trees: mixed And/Or/Diff at depth ≥2 each —
     * q0 = (dup ∧ join) ∨ (vector ∧ stream), q1 = (customer ∧
@@ -6310,6 +6335,62 @@ object SparkEntry {
         s"(${boolExprSql(a)}) EXCEPT (${boolExprSql(b)})"
     }
   }
+
+  /** must/filter oracle: the bm25 scoring chain with a per-query
+    * eligibility semi-join (the filter trees compiled to set algebra)
+    * BEFORE the rank window. */
+  private def bm25BooleanFilteredSql(
+      qs: Seq[(Long, Seq[String], Retrieval.BoolExpr)], k: Int): String =
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         FROM documents WHERE text IS NOT NULL),
+       p0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+         FROM t WHERE len(w) > 0),
+       p AS (
+         SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+         FROM p0 GROUP BY 1, 2, 3),
+       c AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT) AS sum_dl
+         FROM documents),
+       q(query_id, term) AS (VALUES ${sqlTermValues(
+          qs.map { case (qid, ts, _) => (qid, ts) })}),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+                CAST(round(
+                  CAST(CAST(round(ln(CAST(c.n_docs AS DOUBLE) + 1.0) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(df.df AS DOUBLE) + 0.5) * 1000000000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                       (CAST(p.dl AS DOUBLE) /
+                        (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+                ) AS BIGINT) AS contrib_q
+         FROM p
+         JOIN q USING (term)
+         JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1) df
+           USING (term)
+         CROSS JOIN c),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(contrib_q) AS BIGINT) AS score_q
+         FROM scored GROUP BY 1, 2),
+       elig AS (${qs.map { case (qid, _, f) =>
+          s"SELECT $qid AS query_id, doc_id FROM (${boolExprSql(f)})"
+        }.mkString(" UNION ALL ")}),
+       ranked AS (
+         SELECT a.query_id, a.doc_id, a.score_q,
+                row_number() OVER (
+                  PARTITION BY a.query_id
+                  ORDER BY a.score_q DESC, a.doc_id) AS rn
+         FROM agg a
+         JOIN elig e ON e.query_id = a.query_id AND e.doc_id = a.doc_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+              CAST(rn AS BIGINT) AS rank,
+              CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
+       FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
 
   /** Nested-boolean-tree oracle over the corpus restricted by
     * `docsWhere` (the CDC index row's live predicate). */
@@ -11535,6 +11616,12 @@ object SparkEntry {
       booleanOrSql(BooleanQueries, "doc_id % 10 <> 4"),
     "retrieval_boolean_not" -> booleanNotSql(BooleanNotQueries, "TRUE"),
     "retrieval_boolean_tree" -> booleanTreeSql(BooleanTreeQueries, "TRUE"),
+    "bm25_boolean_filtered" ->
+      bm25BooleanFilteredSql(Bm25FilteredTreeQueries, 10),
+    // the persisted twin serves the identical ranking (full corpus,
+    // no deletes)
+    "bm25_boolean_filtered_indexed" ->
+      bm25BooleanFilteredSql(Bm25FilteredTreeQueries, 10),
     "retrieval_boolean_tree_indexed" ->
       booleanTreeSql(BooleanTreeQueries, "doc_id % 10 <> 4"),
     // the CDC-maintained index's live corpus: full documents (base ⅔

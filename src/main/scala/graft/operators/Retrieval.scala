@@ -135,7 +135,17 @@ object Retrieval {
   private[graft] def scoreBm25(p: DataFrame, termStats: DataFrame,
                         corpusStats: DataFrame,
                         queries: Seq[(Long, Seq[String])],
-                        k: Int, k1: Double, b: Double): DataFrame = {
+                        k: Int, k1: Double, b: Double): DataFrame =
+    rankTopK(scoreBm25Unranked(p, termStats, corpusStats, queries,
+      k1, b), k)
+
+  /** The per-(query, doc) exact-long BM25 sums WITHOUT the rank
+    * window — the hook the filter-clause composition restricts before
+    * ranking (ranks must be assigned within the eligible set). */
+  private[graft] def scoreBm25Unranked(p: DataFrame, termStats: DataFrame,
+                                       corpusStats: DataFrame,
+                                       queries: Seq[(Long, Seq[String])],
+                                       k1: Double, b: Double): DataFrame = {
     val q = queryRelation(p, queries)
     val idfQ =
       (round(log(col("n_docs").cast("double") + 1.0d) * 1e12d) -
@@ -145,14 +155,17 @@ object Retrieval {
     val tfNorm = (tfD * (k1 + 1.0d)) /
       (tfD + lit(k1) * (lit(1.0d - b) + lit(b) *
         (col("dl").cast("double") / avgdl)))
-    val scored = p
-      .join(broadcast(q), Seq("term"))
+    p.join(broadcast(q), Seq("term"))
       .join(broadcast(termStats), Seq("term"))
       .crossJoin(broadcast(corpusStats))
       .select(col("query_id"), col("doc_id"),
         round(idfQ.cast("double") * tfNorm).cast("long").as("contrib_q"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib_q")).as("score_q"))
+  }
+
+  /** The per-query top-k window over (query_id, doc_id, score_q). */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -283,6 +296,30 @@ object Retrieval {
     }.reduce(_.unionByName(_))
       .join(dls, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"), col("dl"))
+  }
+
+  /** RANKED query with a BOOLEAN FILTER clause — Lucene's
+    * must/filter composition: BM25 scores the query terms exactly as
+    * [[bm25TopK]] (df/corpus stats corpus-wide — filter-context
+    * semantics, a filter narrows membership, never re-weighs), but
+    * only documents satisfying the filter TREE may rank. The filter
+    * set evaluates by posting set algebra ([[booleanTree]]'s
+    * evaluator — bounded by ITS terms' buckets), and the restriction
+    * is a semi-join of the scoring rows against it: query cost is
+    * (query-term buckets) + (filter-term buckets), corpus untouched.
+    */
+  def bm25TopKBooleanFiltered(docs: DataFrame,
+                              queries: Seq[(Long, Seq[String], BoolExpr)],
+                              k: Int = 10, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    val p = postingsStaged(docs)
+    val eligible = booleanTreeFrom(p,
+      queries.map { case (qid, _, f) => (qid, f) })
+      .select(col("query_id"), col("doc_id"))
+    val scored = scoreBm25Unranked(p, termStatsStaged(docs),
+      corpusStatsStaged(docs),
+      queries.map { case (qid, ts, _) => (qid, ts) }, k1, b)
+    rankTopK(scored.join(eligible, Seq("query_id", "doc_id")), k)
   }
 
   /** The AND core over ANY (term, doc_id, dl) posting relation —

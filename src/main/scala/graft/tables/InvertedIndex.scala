@@ -490,6 +490,31 @@ object InvertedIndex {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** RANKED query + BOOLEAN FILTER clause over the persisted index
+    * (Lucene's must/filter): BM25 scores the query terms with
+    * index-wide stats, the filter tree evaluates by posting set
+    * algebra, and the semi-join restricts membership BEFORE ranking.
+    * One bucket-pruned, tombstone-filtered posting read serves both
+    * sides; the corpus is never touched. */
+  def bm25TopKBooleanFiltered(spark: SparkSession, root: String,
+                              queries: Seq[(Long, Seq[String], Retrieval.BoolExpr)],
+                              k: Int = 10, k1: Double = 1.2,
+                              b: Double = 0.75,
+                              only: Option[Set[String]] = None): DataFrame = {
+    val terms = (queries.flatMap(_._2) ++
+      queries.flatMap(q => Retrieval.BoolExpr.termsOf(q._3))).distinct
+    val (p0, _, _) = postingsFor(spark, root, terms, only)
+    val p = filterDeleted(spark, root, p0, only)
+    val eligible = Retrieval.booleanTreeFrom(
+      p.select(col("term"), col("doc_id"), col("dl")),
+      queries.map { case (qid, _, f) => (qid, f) })
+      .select(col("query_id"), col("doc_id"))
+    val scored = Retrieval.scoreBm25Unranked(p,
+      termStats(spark, root, only), corpusStats(spark, root, only),
+      queries.map { case (qid, ts, _) => (qid, ts) }, k1, b)
+    Retrieval.rankTopK(scored.join(eligible, Seq("query_id", "doc_id")), k)
+  }
+
   /** NESTED boolean trees over the persisted index — arbitrary
     * And/Or/Diff composition ([[Retrieval.BoolExpr]]), tombstone-
     * aware on every leaf (a killed doc version neither matches nor

@@ -303,6 +303,7 @@ class PlanContractSpec extends SparkSpec {
         // persisted-index boolean algebra: first touch builds the
         // CDC-maintained index tree
         (n.startsWith("retrieval_boolean_") && n.endsWith("_indexed")) ||
+        n == "bm25_boolean_filtered_indexed" ||
         // the serving capstone: first touch builds two CoW tables,
         // two catalogs and both maintained indexes; its serve-stage
         // plan is pinned by the dedicated capstone contract below

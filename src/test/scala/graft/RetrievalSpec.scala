@@ -144,6 +144,32 @@ class RetrievalSpec extends SparkSpec with Matchers {
       Set((1L, 5L), (2L, 6L))
   }
 
+  test("bm25TopKBooleanFiltered: filter gates membership, never re-weighs; ranks within eligible set") {
+    import Retrieval.BoolExpr._
+    // query "dog" filtered to (cat ∖ fish): docs 0,1,4 have cat; 1
+    // has fish → eligible {0, 4}; of those only 0 has dog
+    val res = Retrieval.bm25TopKBooleanFiltered(corpus,
+      Seq((0L, Seq("dog"), Diff(Term("cat"), Term("fish")))), k = 5)
+      .select("doc_id", "rank", "score_q").as[(Long, Long, Long)]
+      .collect()
+    res.map(_._1).toSet shouldBe Set(0L)
+    res.head._2 shouldBe 1L // ranks assigned WITHIN the eligible set
+    // filter-context: the surviving score is bit-identical to the
+    // unfiltered run's score for the same doc
+    val unfiltered = Retrieval.bm25TopK(corpus, Seq((0L, Seq("dog"))),
+      k = 5).select("doc_id", "score_q").as[(Long, Long)]
+      .collect().toMap
+    res.head._3 shouldBe unfiltered(0L)
+    // persisted twin serves the identical ranking
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmbf_")
+    dir.toFile.deleteOnExit()
+    tables.InvertedIndex.write(corpus, dir.toString)
+    tables.InvertedIndex.bm25TopKBooleanFiltered(spark, dir.toString,
+      Seq((0L, Seq("dog"), Diff(Term("cat"), Term("fish")))), k = 5)
+      .select("doc_id", "rank", "score_q").as[(Long, Long, Long)]
+      .collect().toSeq shouldBe res.toSeq
+  }
+
   test("persisted booleanTree: tombstones kill leaves at any depth") {
     import Retrieval.BoolExpr._
     val dir = java.nio.file.Files.createTempDirectory("graft_treeidx_")
