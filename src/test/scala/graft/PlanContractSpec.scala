@@ -330,6 +330,9 @@ class PlanContractSpec extends SparkSpec {
       // single-row broadcast crosses: packed centroid/codebook rows,
       // 1-row aggregates (corpus count, sketch pair, serial base)
       "ann_ivf_topk", "ann_ivf_refined", "ann_pq_topk",
+      // the must/filter row's one BNLJ is the 1-row (n_docs, sum_dl)
+      // corpus-stats broadcast cross (verified by build-side schema)
+      "bm25_boolean_filtered",
       // IVF-PQ composes both parents' broadcast crosses (packed
       // centroid row, codebook, per-query probe/LUT relations) — every
       // cross side is nlist-, Q·nprobe- or Q·nprobe·m·ksub-sized
