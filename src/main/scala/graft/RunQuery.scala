@@ -15,6 +15,7 @@ object RunQuery {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
         val rows = df.collect()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[runquery] $name: ${rows.length} rows in $sec%.2f s")

@@ -1632,6 +1632,17 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .orderBy(col("doc_id_a"), col("doc_id_b"))),
+    "jaccard_prefix_pairs" -> ((s, d) =>
+      // Lossless AllPairs/PPJoin prefix-filtered exact join — NO
+      // blocking caps; the oracle is the true all-pairs answer.
+      Dedup.jaccardPrefixPairs(Tables.documents(s, d))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))),
+    "line_dedup" -> ((s, d) =>
+      // C4/RefinedWeb corpus-frequency line removal. The synthetic
+      // corpus is single-line, so here it degenerates to exact-text
+      // boilerplate (twins lose their only line); the multi-line
+      // semantics are pinned by DedupSpec's planted fixture.
+      Dedup.removeBoilerplateLines(Tables.documents(s, d))),
 
     // ---- training-data extensions: text analysis -------------------
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -1794,6 +1805,10 @@ object SparkEntry {
           Tables.documents(s, d), lmScores(s, d), 3.40)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "lm_ppl_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail terciles over the staged LM scores —
+      // the bucketed-corpus layout a curriculum mixture consumes.
+      TextAnalysis.pplBuckets(lmScores(s, d))),
     "lm_trigram_scores" -> ((s, d) =>
       // Trigram stupid-backoff scores (the CCNet/KenLM filter shape):
       // model trained on the even-doc_id slice, scored over ALL docs,
@@ -2194,6 +2209,32 @@ object SparkEntry {
       operators.Classifier.nbScore(docs, model, labeled, buckets = 512,
         bigrams = true)
     }),
+    "nb_auc" -> ((s, d) => {
+      // Threshold-free eval of the quality model: exact tie-corrected
+      // Mann-Whitney AUC of the NB scores against the provenance
+      // labels — the number a production gate ships (or doesn't) on.
+      val docs = Tables.documents(s, d)
+      val labeled = docs
+        .withColumn("label", col("source").isin(NbCuratedSources: _*))
+      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
+        operators.Classifier.nbTrain(labeled, buckets = 512))
+      val scored = operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      operators.Classifier.rocAuc(scored)
+    }),
+    "nb_calibration" -> ((s, d) => {
+      // Reliability table companion to nb_auc: per unit score bin,
+      // observed positive rate — what a thresholded gate assumes the
+      // score values mean.
+      val docs = Tables.documents(s, d)
+      val labeled = docs
+        .withColumn("label", col("source").isin(NbCuratedSources: _*))
+      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
+        operators.Classifier.nbTrain(labeled, buckets = 512))
+      val scored = operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      operators.Classifier.calibrationBins(scored)
+    }),
     "quantile_check" -> ((s, d) => {
       // Tolerance pin for the quantile sketch (approx_percentile —
       // Greenwald-Khanna, the one-pass bounded-state path a 100 TB
@@ -2432,6 +2473,20 @@ object SparkEntry {
       val rows = Bpe.trainedMergeRows(Tables.documents(s, d), d, BpeNumMerges)
       s.createDataFrame(new java.util.ArrayList(rows.asJava), Bpe.MergeSchema)
         .orderBy(col("merge_rank"))
+    }),
+    "wordpiece_vocab" -> ((s, d) =>
+      // SentencePiece SEED vocabulary (freq·len-scored substrings +
+      // force-included chars) — the one-pass tokenizer inventory.
+      // Budget 12 so the encode row exercises all three greedy
+      // regimes on the tiny-vocab corpus (production: 10k+).
+      operators.Wordpiece.seedVocab(Tables.documents(s, d), numPieces = 12)),
+    "wordpiece_encode" -> ((s, d) => {
+      // Greedy longest-match (WordPiece/MaxMatch) encode stats under
+      // the seed vocab: per-doc piece counts, fertility, and the
+      // position-weighted md5 signature pinning every segmentation.
+      val docs = Tables.documents(s, d)
+      val pieces = operators.Wordpiece.vocabPieces(docs, s"wp|$d", numPieces = 12)
+      operators.Wordpiece.encodeStats(docs, pieces)
     }),
     "bpe_encode" -> ((s, d) => {
       // Corpus → subword token-id sequences under the trained merges:
@@ -6057,6 +6112,96 @@ object SparkEntry {
     * pair gen + star contraction) and dedup_clusters_incremental
     * (label-edge contraction + incremental pair gen + star), both of
     * which must reproduce the from-scratch components exactly. */
+  /** The NB train+score replay reduced to (doc_id, score, y) — the
+    * shared front half of `nb_auc` and `nb_calibration`, mirroring
+    * `nb_quality_scores`' quantized-ln BIGINT discipline verbatim.
+    */
+  private val NbScoredCte: String =
+    """WITH lab AS (
+         SELECT doc_id, text, source IN ('src0','src1','src2','src3') AS y
+         FROM documents),
+       tok AS (
+         SELECT doc_id, y, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+         FROM lab),
+       tb AS (
+         SELECT doc_id, y, CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                                 for x in [substr(md5(w), i, 1) for i in range(1, 9)]],
+                               (a, b) -> a * 16 + b) % 512 AS BIGINT) AS b
+         FROM tok),
+       model AS (
+         SELECT b,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+         FROM tb GROUP BY b),
+       tot AS (
+         SELECT CAST(sum(c_pos) AS BIGINT) AS tp,
+                CAST(sum(c_neg) AS BIGINT) AS tn
+         FROM model),
+       pri AS (
+         SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         FROM lab),
+       terms AS (
+         SELECT t.doc_id,
+                CAST(round(ln(CAST(COALESCE(m.c_pos, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+              - CAST(round(ln(CAST(COALESCE(m.c_neg, 0) + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS wq
+         FROM tb t LEFT JOIN model m ON t.b = m.b),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                CAST(sum(wq) AS BIGINT) AS sw
+         FROM terms GROUP BY doc_id),
+       scored AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(a.sw, 0)
+                     - COALESCE(a.n_toks, 0)
+                       * (CAST(round(ln(CAST(t.tp + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                        - CAST(round(ln(CAST(t.tn + 512 AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+                     + CAST(round(ln(CAST(p.np AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     - CAST(round(ln(CAST(p.nn AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                     AS DOUBLE) / 1000000000000.0 AS score,
+                d.source IN ('src0','src1','src2','src3') AS y
+         FROM documents d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id
+         CROSS JOIN tot t CROSS JOIN pri p)"""
+
+  /** WordPiece seed-vocab CTE chain (word freqs → positional
+    * substring candidates → freq·len scores → chars + top-`WpPieces`
+    * multi-char pieces) — shared by `wordpiece_vocab` and the greedy
+    * encode replay. `WpPieces` = 12 on the synthetic corpus: a budget
+    * small enough that the three greedy regimes all occur (whole-word
+    * pieces, multi-piece splits, single-char fallback); production
+    * budgets are 10k+, same plan shape.
+    */
+  private val WpPieces = 12
+  private val WordpieceVocabCtes: String =
+    s"""wf AS (
+         SELECT w AS word, CAST(count(*) AS BIGINT) AS c_w FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+           FROM documents)
+         GROUP BY w),
+       subs AS (
+         SELECT c_w, unnest(flatten(list_transform(range(1, length(word) + 1),
+                  p -> list_transform(range(1, least(8, length(word) - p + 1) + 1),
+                         l -> substr(word, p, l))))) AS piece
+         FROM wf),
+       pf AS (
+         SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+                CAST(sum(c_w) AS BIGINT) AS freq,
+                CAST(sum(c_w) * length(piece) AS BIGINT) AS score
+         FROM subs GROUP BY piece),
+       wp_chars AS (
+         SELECT 'char' AS kind,
+                CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS rnk,
+                piece, piece_len, freq, score
+         FROM pf WHERE piece_len = 1),
+       wp_multi AS (
+         SELECT 'piece' AS kind,
+                CAST(row_number() OVER (ORDER BY score DESC, piece) AS BIGINT) AS rnk,
+                piece, piece_len, freq, score
+         FROM pf WHERE piece_len >= 2 AND freq >= 2
+         QUALIFY rnk <= $WpPieces),
+       wp_vocab AS (SELECT piece FROM wp_chars UNION ALL SELECT piece FROM wp_multi)"""
+
   /** The bigram-LM training + scoring replay — shared by
     * `lm_doc_scores` (in-flight) and `lm_model_persisted` (reloaded
     * model), which must agree bit-for-bit.
@@ -7862,6 +8007,46 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // The prefix-filtered join is LOSSLESS, so its oracle is the
+    // unblocked truth: every pair, exact Jaccard, no caps. (The
+    // length-ratio prune is implied by J >= t, so the oracle omits it.)
+    "jaccard_prefix_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t WHERE len(w) > 0)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+         ORDER BY doc_id_a, doc_id_b""",
+    "line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         l AS (
+           SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, ls FROM t),
+         l2 AS (SELECT doc_id, i, ls[i] AS line FROM l),
+         d AS (
+           SELECT line FROM l2 WHERE trim(line) <> ''
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         k AS (SELECT l2.doc_id, l2.i, l2.line FROM l2 ANTI JOIN d USING (line)),
+         r AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, len(t.ls) AS n_lines,
+                COALESCE(r.n_kept, 0) AS n_kept,
+                COALESCE(r.text_clean, '') AS text_clean
+         FROM t LEFT JOIN r USING (doc_id)
+         ORDER BY doc_id""",
     // Exact distincts hash-match; the sketch tolerance is a literal
     // (empty strata impossible: every event row carries a user_id).
     "approx_distinct_check" ->
@@ -9623,6 +9808,22 @@ object SparkEntry {
     // the double log_ppl bit-reproducible across engines (see
     // TextAnalysis.lmDocScores).
     "lm_doc_scores" -> LmDocScoresSql,
+    // CCNet terciles: quantile_disc ≡ Spark percentile_disc (both
+    // pick the smallest value with cume_dist ≥ p — no interpolation,
+    // so the threshold doubles are corpus VALUES, bit-exact).
+    "lm_ppl_buckets" -> (s"""WITH base AS ($LmDocScoresSql),
+         th AS (
+           SELECT quantile_disc(log_ppl, 0.3333333333333333) AS head_max,
+                  quantile_disc(log_ppl, 0.6666666666666666) AS middle_max
+           FROM base WHERE n_bigrams > 0)
+         SELECT b.doc_id, b.n_bigrams, b.log_ppl,
+                CASE WHEN b.log_ppl IS NULL THEN 'unscored'
+                     WHEN b.log_ppl <= t.head_max THEN 'head'
+                     WHEN b.log_ppl <= t.middle_max THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                t.head_max, t.middle_max
+         FROM base b CROSS JOIN th t
+         ORDER BY b.doc_id"""),
     "lm_trigram_scores" -> LmTrigramScoresSql,
     "lm_trigram_filter" -> LmTrigramFilterSql,
     "lm_trigram_model_persisted" -> LmTrigramScoresSql,
@@ -10548,6 +10749,38 @@ object SparkEntry {
          LEFT JOIN agg a ON d.doc_id = a.doc_id
          CROSS JOIN tot t CROSS JOIN pri p
          ORDER BY d.doc_id""",
+    // Tie-corrected Mann-Whitney over per-distinct-score groups; the
+    // numerator (2·correct + ties) stays integer until ONE double
+    // division (HUGEINT sum never escapes — only the DOUBLE ratio and
+    // BIGINT class counts are emitted).
+    "nb_auc" -> (NbScoredCte +
+      """,
+         g AS (
+           SELECT score AS s,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM scored GROUP BY score),
+         c AS (
+           SELECT p, n,
+                  CAST(COALESCE(sum(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+           FROM g)
+         SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(n) AS BIGINT) AS n_neg,
+                CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+                  CAST(sum(p * nb * 2 + p * n) AS DOUBLE) /
+                    (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                ELSE NULL END AS auc
+         FROM c"""),
+    "nb_calibration" -> (NbScoredCte +
+      """
+         SELECT CAST(GREATEST(-16, LEAST(16, CAST(floor(score) AS BIGINT))) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS pos_rate,
+                min(score) AS min_score, max(score) AS max_score
+         FROM scored GROUP BY 1 ORDER BY bin"""),
     // The bigram-feature replay: unigram buckets at [0,512), word
     // bigrams (array_to_string(w[i:i+1],' ') ≡ word_ngrams(text,2))
     // at [512,1024), smoothing denominator 1024 — same quantized-ln
@@ -11002,6 +11235,50 @@ object SparkEntry {
     // oracle re-derives the same merge chain from scratch
     "bpe_model_persisted" -> bpeEncodeSql(BpeNumMerges),
     "bpe_fertility_by_lang" -> bpeFertilitySql(BpeNumMerges),
+    "wordpiece_vocab" -> (s"""WITH $WordpieceVocabCtes
+         SELECT kind, rnk, piece, piece_len, freq, score
+         FROM (SELECT * FROM wp_chars UNION ALL SELECT * FROM wp_multi)
+         ORDER BY kind, rnk"""),
+    // Greedy longest-match replay: each DISTINCT word walks the
+    // recursive CTE (one row per word per step — depth = word length);
+    // the CASE probes lengths 8..2 against the vocab, ELSE single
+    // char, exactly the expression's loop. Signature arithmetic is
+    // the md5-bucket idiom in position-weighted integer space.
+    "wordpiece_encode" -> (s"""WITH RECURSIVE $WordpieceVocabCtes,
+         w0 AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+           FROM documents),
+         dw AS (SELECT DISTINCT word FROM w0),
+         seg AS (
+           SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sig FROM dw
+           UNION ALL
+           SELECT word, pos + l, np + 1,
+                  sig + (np + 1) * CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                           for x in [substr(md5(substr(word, pos, l)), i, 1) for i in range(1, 9)]],
+                         (a, b) -> a * 16 + b) % 8192 AS BIGINT)
+           FROM (
+             SELECT word, pos, np, sig,
+                    CASE
+                      WHEN pos + 7 <= length(word) AND substr(word, pos, 8) IN (SELECT piece FROM wp_vocab) THEN 8
+                      WHEN pos + 6 <= length(word) AND substr(word, pos, 7) IN (SELECT piece FROM wp_vocab) THEN 7
+                      WHEN pos + 5 <= length(word) AND substr(word, pos, 6) IN (SELECT piece FROM wp_vocab) THEN 6
+                      WHEN pos + 4 <= length(word) AND substr(word, pos, 5) IN (SELECT piece FROM wp_vocab) THEN 5
+                      WHEN pos + 3 <= length(word) AND substr(word, pos, 4) IN (SELECT piece FROM wp_vocab) THEN 4
+                      WHEN pos + 2 <= length(word) AND substr(word, pos, 3) IN (SELECT piece FROM wp_vocab) THEN 3
+                      WHEN pos + 1 <= length(word) AND substr(word, pos, 2) IN (SELECT piece FROM wp_vocab) THEN 2
+                      ELSE 1 END AS l
+             FROM seg WHERE pos <= length(word))),
+         enc AS (SELECT word, np, sig FROM seg WHERE pos = length(word) + 1),
+         pd AS (
+           SELECT w0.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(e.np) AS BIGINT) AS n_pieces, CAST(sum(e.sig) AS BIGINT) AS sig
+           FROM w0 JOIN enc e USING (word) GROUP BY w0.doc_id)
+         SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+                COALESCE(p.n_pieces, 0) AS n_pieces,
+                CASE WHEN p.n_words > 0
+                     THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
+                COALESCE(p.sig, 0) AS sig
+         FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id"""),
     "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
     "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),
     "bpe_vocab_by_lang" -> bpeGroupedVocabSql(BpeGroupedMerges),

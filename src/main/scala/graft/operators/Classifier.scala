@@ -132,4 +132,81 @@ object Classifier {
         (col("__sq") > 0L).as("pred_hq"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact tie-corrected ROC-AUC of a scored+labeled relation — the
+    * Mann-Whitney U statistic, the threshold-free answer to "is the
+    * cheap quality model actually ranking curated above crawled?".
+    * A classifier gate ships behind this number; accuracy at one
+    * threshold hides a miscalibrated ranker.
+    *
+    * Exactness: AUC = (2·Σ_g p_g·negBelow_g + Σ_g p_g·n_g) / (2·P·N)
+    * over per-DISTINCT-SCORE groups g — the numerator counts
+    * (pos, neg) pairs ranked correctly twice plus ties once, all in
+    * integer space (DECIMAL(38,0) accumulation so 2·P·N past 2^63
+    * can't wrap), with ONE double division at the end. No sampling,
+    * no trapezoid approximation.
+    *
+    * Scale shape: the corpus reduces to one row per DISTINCT score
+    * before any ordering; the strictly-below negative count uses the
+    * same two-level prefix sum as [[Packing.packBinsCounted]] (range
+    * repartition → local cumsum + partition offsets), so no global
+    * single-partition window ever sees a data-sized relation.
+    */
+  def rocAuc(scored: DataFrame, labelCol: String = "label",
+             scoreCol: String = "score", partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("n"))
+    val parts = g.repartitionByRange(partitions, col("s"))
+      .sortWithinPartitions(col("s"))
+      .withColumn("__pid", spark_partition_id())
+    // Level 1: one row per partition — the only global window input.
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(col("n")).as("__pt"))
+      .withColumn("__off",
+        coalesce(sum(col("__pt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pt")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offsets), "__pid")
+      .select(col("p"), col("n"),
+        (col("__off") + coalesce(sum(col("n")).over(wLocal), lit(0L))).as("nb"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum((col("p") * col("nb") * 2L + col("p") * col("n"))
+          .cast("decimal(38,0)")).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("__u2").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  /** Reliability table over unit-width score bins (clamped to
+    * [−16, 16] so pathological outliers can't mint unbounded group
+    * keys): per bin, doc count, positive count, the observed positive
+    * rate, and the bin's actual score extremes. The calibration
+    * companion to [[rocAuc]] — AUC says the RANKING works; this says
+    * whether the SCORE VALUES mean anything (a monotone pos_rate
+    * column is what a thresholded production gate assumes).
+    *
+    * Scale shape: one groupBy on a clamped integer key — ≤ 33 groups
+    * regardless of corpus size; min/max are order-independent so the
+    * doubles are deterministic (no float SUM ever crosses a shuffle).
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String = "label",
+                      scoreCol: String = "score"): DataFrame =
+    scored.groupBy(
+        greatest(lit(-16L), least(lit(16L),
+          floor(col(scoreCol)).cast("long"))).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double")).as("pos_rate"),
+        col("min_score"), col("max_score"))
+      .orderBy(col("bin"))
 }

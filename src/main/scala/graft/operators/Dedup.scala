@@ -344,6 +344,82 @@ object Dedup {
     * Jaccard, and a fresh doc drops when a lower-id partner confirms.
     * O(corpus) scan + O(candidates) verify, never corpus × corpus.
     */
+  /** EXACT all-pairs Jaccard ≥ `threshold` via prefix filtering — the
+    * AllPairs/PPJoin candidate scheme (Bayardo et al. 2007 "Scaling Up
+    * All Pairs Similarity Search"; Xiao et al. 2008 "Efficient
+    * Similarity Joins for Near Duplicate Detection"). Unlike
+    * [[ngramJaccardPairs]] (length-bucket blocking + per-bucket doc
+    * cap — a bounded-cost VALIDATOR), this is the lossless production
+    * join: every qualifying pair in the corpus is emitted, with
+    * candidate volume controlled by information, not caps.
+    *
+    * Candidate scheme: order each doc's shingle hashes by ascending
+    * corpus document frequency (rarest first; ties by hash). A pair
+    * with J ≥ t must share ≥ ⌈t·n⌉ tokens with EACH side of size n,
+    * so the first n − ⌈t·n⌉ + 1 tokens of both sides (same global
+    * order) must intersect — only those prefix tokens post into the
+    * candidate index. Frequent tokens (boilerplate shingles shared by
+    * everything) sort to the SUFFIX and never generate candidates;
+    * the quadratic-bucket problem the capped validator clamps by
+    * fiat disappears by construction. The length filter
+    * (t·|B| ≤ |A| ≤ |B|/t, also implied by J ≥ t) prunes inside the
+    * posting join before the pair materializes.
+    *
+    * Scale shape: shuffles carry (8-byte hash, doc_id, n) postings for
+    * PREFIX tokens only (≈ (1−t)·tokens per doc), the df relation is
+    * vocabulary-sized and joined on the hash, and the verify pass is
+    * one native sorted-merge intersect per surviving candidate. The
+    * rarest-first order is computed per-doc with `array_sort` over
+    * (df, hash) structs — no global rank window, no driver action.
+    *
+    * Float hygiene: the prefix length uses ⌈t·n − 1e-9⌉ so an inexact
+    * binary t (0.7·10 = 7.000000000000001) can only LENGTHEN the
+    * prefix (harmless), never shorten it (would lose pairs).
+    */
+  def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .filter(col("n") > 0)
+    val occ = toks.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Rarest-first per-doc key order WITHOUT a global rank window:
+    // (df, hash) pairs sort identically to a materialized global rank
+    // because the pair IS the sort key the rank would be minted from.
+    val prefLen = (col("n").cast("double") * lit(threshold) - lit(1e-9))
+    val pref = occ.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ks"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ks"), lit(1),
+          (col("n") - ceil(prefLen).cast("long") + 1).cast("int"))).as("k"))
+      .select(col("doc_id"), col("n"), col("k.h").as("h"))
+    val ratio = lit(1.0 / threshold)
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= ratio * col("b.n") && col("b.n") <= ratio * col("a.n"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    cand
+      .join(toks.select(col("doc_id").as("doc_id_a"), col("sh").as("sha"),
+        col("n").as("na")), "doc_id_a")
+      .join(toks.select(col("doc_id").as("doc_id_b"), col("sh").as("shb"),
+        col("n").as("nb")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), inter.as("i"),
+        (col("na") + col("nb")).cast("double").as("t"))
+      // union = na + nb − i ≥ max(na, nb) ≥ 1 (blank docs filtered),
+      // so the division never hits 0/0.
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("i") / (col("t") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact substring-duplication signal at k-token span granularity
     * (the distributed approximation of suffix-array substring dedup,
     * Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -428,6 +504,56 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .withColumn("gc", count(lit(1)).over(Window.partitionBy(col("h"))))
     exciseSpans(docs, marked.filter(col("gc") >= 2 && col("rn") > 1), k)
+  }
+
+  /** Corpus-frequency LINE removal — the C4/RefinedWeb boilerplate
+    * pass (Raffel et al. 2020 §2.2 dedup at span level; Penedo et al.
+    * 2023 RefinedWeb line-wise filtering): a line whose exact text
+    * appears in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (cookie banners, nav menus, "subscribe" calls) and is excised
+    * from every document; each doc re-materializes from its surviving
+    * lines in original order, newline-joined. Whitespace-only lines
+    * never count as boilerplate (they'd be trivially universal) and
+    * pass through untouched. Conservative drop-ALL-occurrences
+    * variant, matching [[removeDuplicateSpans]]' documented policy.
+    *
+    * Scale shape: line text never crosses an exchange. Occurrences
+    * leave their row as (doc_id, pos, 8-byte xxhash64); the distinct-
+    * doc count keys on the hash; removed POSITIONS come back as a
+    * skinny (doc_id, sorted array<int>) relation joined on doc_id;
+    * the rebuild is one row-local filter over the doc's own split
+    * array. Same discipline as [[removeDuplicateSpans]].
+    *
+    * Output: (doc_id, n_lines, n_kept, text_clean) — the kept-line
+    * count and fraction are the MassiveText-style duplicate-line
+    * gate signals, recoverable from the first two columns.
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+    val dupH = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val removed = occ.join(dupH, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rm"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("rm"))).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              transform(col("ls"), (l, i) => struct(l.as("line"), i.as("idx"))),
+              x => not(array_contains(col("rm"), x.getField("idx")))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+      .orderBy(col("doc_id"))
   }
 
   /** (doc_id, pos, h): every k-token span occurrence as its 0-based

@@ -982,6 +982,35 @@ object TextAnalysis {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** CCNet-style head/middle/tail perplexity terciles (Wenzek et al.
+    * 2020 §4.3: bucket the corpus by LM perplexity thirds; train on
+    * "head", mix in "middle", drop or down-weight "tail"). Thresholds
+    * are DISCRETE percentiles of the scored docs' log-perplexities
+    * (percentile_disc ≡ DuckDB quantile_disc, the verify-skill rule —
+    * continuous interpolation drifts in the last ulp); unscored docs
+    * (no bigrams) get their own bucket rather than polluting a
+    * tercile.
+    *
+    * Scale shape: one aggregate over the SKINNY staged score relation
+    * (never the corpus text) produces a 1-row threshold relation that
+    * rides in as a broadcast cross — the audited 1-row BNLJ shape;
+    * bucketing is then row-local.
+    */
+  def pplBuckets(scores: DataFrame): DataFrame = {
+    val th = scores.filter(col("n_bigrams") > 0)
+      .agg(
+        expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY log_ppl)").as("head_max"),
+        expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY log_ppl)").as("middle_max"))
+    scores.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("log_ppl"),
+        when(col("log_ppl").isNull, lit("unscored"))
+          .when(col("log_ppl") <= col("head_max"), lit("head"))
+          .when(col("log_ppl") <= col("middle_max"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("head_max"), col("middle_max"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- trigram LM with stupid backoff (CCNet/KenLM shape) ------------
 
   /** −ln(0.4) · 1e12, rounded — the stupid-backoff penalty as a

@@ -100,6 +100,49 @@ class ClassifierSpec extends SparkSpec {
       "bigrams must derive from the same token boundaries as unigrams")
   }
 
+  test("rocAuc: hand-computed tie-corrected Mann-Whitney, exact") {
+    // pos scores {0.9, 0.5, 0.5}, neg {0.5, 0.2, 0.1}:
+    // U = 3 (0.9 beats all) + 2×(2 + ½ tie) = 8 → AUC = 8/9
+    val scored = Seq(
+      (true, 0.9), (true, 0.5), (true, 0.5),
+      (false, 0.5), (false, 0.2), (false, 0.1)
+    ).toDF("label", "score")
+    val Array(r) = Classifier.rocAuc(scored).collect()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 16.0 / 18.0) // exact division, no tolerance
+    // perfect ranking → 1.0; inverted → 0.0; one-class → null
+    def auc(rows: Seq[(Boolean, Double)]): java.lang.Double = {
+      val Array(x) = Classifier.rocAuc(rows.toDF("label", "score")).collect()
+      if (x.isNullAt(2)) null else x.getDouble(2)
+    }
+    assert(auc(Seq((true, 2.0), (true, 1.5), (false, 1.0), (false, 0.0))) === 1.0)
+    assert(auc(Seq((false, 2.0), (false, 1.5), (true, 1.0), (true, 0.0))) === 0.0)
+    assert(auc(Seq((true, 1.0), (true, 0.5))) === null)
+    // the prefix sum is two-level: more rows than partitions still exact
+    val many = (1 to 200).map(i => (i % 3 == 0, (i % 7).toDouble / 7.0))
+    val Array(m) = Classifier.rocAuc(many.toDF("label", "score")).collect()
+    val pos = many.filter(_._1).map(_._2); val neg = many.filterNot(_._1).map(_._2)
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(m.getDouble(2) === u2.toDouble / (2.0 * pos.size * neg.size))
+  }
+
+  test("calibrationBins: unit bins, clamped tails, exact rates") {
+    val scored = Seq(
+      (true, -0.5), (false, -0.3),          // bin -1: rate 0.5
+      (true, 0.5), (true, 0.9), (false, 0.1), // bin 0: rate 2/3
+      (false, 17.9),                        // clamps to 16
+      (true, -20.0)                         // clamps to -16
+    ).toDF("label", "score")
+    val rows = Classifier.calibrationBins(scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set(-16L, -1L, 0L, 16L))
+    assert(rows(-1L) === ((2L, 1L, 0.5)))
+    assert(rows(0L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(rows(16L) === ((1L, 0L, 0.0)))
+    assert(rows(-16L) === ((1L, 1L, 1.0)))
+  }
+
   test("scoring plan: model broadcasts, doc sum partially aggregates") {
     val model = Classifier.nbTrain(labeled, buckets = 64)
     val plan = Classifier.nbScore(corpus, model, labeled, buckets = 64)

@@ -173,6 +173,66 @@ class DedupSpec extends SparkSpec {
       s"sketch vs uncapped-exact symdiff must be empty, got: $symdiff")
   }
 
+  test("prefix-filtered jaccard join is LOSSLESS vs all-pairs truth") {
+    // The AllPairs/PPJoin claim is exactness without blocking caps:
+    // verify against a locally computed full O(n²) truth over the
+    // same shingle-hash sets, at the default threshold AND at an
+    // inexact-binary one (0.7 exercises the ceil-epsilon guard on
+    // the prefix length).
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = real.select($"doc_id",
+        graft.functions.WordShingleHashes.word_shingle_hashes($"text", 3).as("sh"))
+      .as[(Long, Array[Long])].collect()
+      .filter(_._2.nonEmpty)
+    for (t <- Seq(0.5, 0.7)) {
+      val got = Dedup.jaccardPrefixPairs(real, threshold = t)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val truth = (for {
+        i <- sets.indices.iterator
+        j <- (i + 1 until sets.length).iterator
+        (da, sa) = sets(i)
+        (db, sb) = sets(j)
+        inter = sa.toSet.intersect(sb.toSet).size.toDouble
+        jac = inter / (sa.length + sb.length - inter)
+        if jac >= t
+      } yield (math.min(da, db), math.max(da, db), jac)).toSet
+      assert(got === truth, s"threshold $t: prefix join != all-pairs truth")
+      assert(truth.nonEmpty, s"threshold $t: fixture lost its planted pairs")
+    }
+    // planted fixture pairs behave like the blocked validator's
+    val pairs = Dedup.jaccardPrefixPairs(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("removeBoilerplateLines excises corpus-frequent lines, keeps order and blanks") {
+    val d = Seq(
+      (0L, "unique alpha\nSUBSCRIBE NOW\nunique beta"),
+      (1L, "other text\nSUBSCRIBE NOW\nmore here\n\nfinal line"),
+      (2L, "SUBSCRIBE NOW"),
+      (3L, "totally unrelated\n   \nwith blank kept")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the planted boilerplate line vanishes from every doc, in order
+    assert(out(0L) === ((3L, 2L, "unique alpha\nunique beta")))
+    // blank lines pass through (never counted, never removed)
+    assert(out(1L) === ((5L, 4L, "other text\nmore here\n\nfinal line")))
+    // a doc that IS the boilerplate empties out
+    assert(out(2L) === ((1L, 0L, "")))
+    // whitespace-only lines are kept and not treated as boilerplate
+    assert(out(3L) === ((3L, 3L, "totally unrelated\n   \nwith blank kept")))
+    // idempotence: a second pass over the cleaned corpus is a no-op
+    val clean = Dedup.removeBoilerplateLines(d)
+      .select($"doc_id", $"text_clean".as("text"))
+    val twice = Dedup.removeBoilerplateLines(clean)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(twice(0L) === out(0L)._3 && twice(1L) === out(1L)._3)
+  }
+
   test("keepBestPerCluster: max score wins, ties break to the lowest id") {
     import org.apache.spark.sql.functions.col
     val labeled = Seq(

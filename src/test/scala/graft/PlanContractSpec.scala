@@ -368,6 +368,10 @@ class PlanContractSpec extends SparkSpec {
       // r9: 1-row bloom filter / NB totals+priors broadcast crosses
       // (r11: the bigram-feature variant composes the same crosses)
       "bloom_decontaminate", "nb_quality_scores", "nb_quality_scores_bigram",
+      // r16: AUC/calibration consume nbScore (same 1-row totals+priors
+      // crosses); the tercile row's cross is the 1-row
+      // (head_max, middle_max) discrete-percentile aggregate
+      "nb_auc", "nb_calibration", "lm_ppl_buckets",
       // DSIR: the (t_total, s_total) 1-row aggregate rides in as a
       // broadcast cross — the models themselves are broadcast hash.
       "dsir_weights", "dsir_select", "dsir_resample",

@@ -395,4 +395,19 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "", 0L, 0L),
       (6L, "num 1234567890123456 here", 0L, 1L)))
   }
+
+  test("pplBuckets: discrete terciles, unscored isolated, thresholds are corpus values") {
+    val scores = (1 to 9).map(i => (i.toLong, 5L, Some(i.toDouble))) :+
+      (10L, 0L, Option.empty[Double])
+    val df = scores.toDF("doc_id", "n_bigrams", "log_ppl")
+    val out = graft.operators.TextAnalysis.pplBuckets(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), r.getDouble(4), r.getDouble(5))).toMap
+    // quantile_disc over {1..9}: p=1/3 -> 3.0 (cume 3/9), p=2/3 -> 6.0
+    (1L to 3L).foreach(i => assert(out(i)._1 === "head", s"doc $i"))
+    (4L to 6L).foreach(i => assert(out(i)._1 === "middle", s"doc $i"))
+    (7L to 9L).foreach(i => assert(out(i)._1 === "tail", s"doc $i"))
+    assert(out(10L)._1 === "unscored")
+    assert(out(1L)._2 === 3.0 && out(1L)._3 === 6.0)
+  }
 }
