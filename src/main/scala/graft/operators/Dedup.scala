@@ -394,16 +394,35 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ks"),
         count(lit(1)).as("n"))
       .select(col("doc_id"), col("n"),
-        explode(slice(col("ks"), lit(1),
-          (col("n") - ceil(prefLen).cast("long") + 1).cast("int"))).as("k"))
-      .select(col("doc_id"), col("n"), col("k.h").as("h"))
+        posexplode(slice(col("ks"), lit(1),
+          (col("n") - ceil(prefLen).cast("long") + 1).cast("int")))
+          .as(Seq("i", "k")))
+      .select(col("doc_id"), col("n"), col("i"), col("k.h").as("h"))
     val ratio = lit(1.0 / threshold)
+    // Positional filter (PPJoin §3.2, sound at the SMALLEST shared
+    // prefix token): prefixes are ORDER-prefixes, so any shared token
+    // below the smallest shared one would itself be a smaller shared
+    // prefix token — contradiction. Hence at that token (positions
+    // i, j in the rarest-first lists) overlap ≤ 1 + min(nA−i−1,
+    // nB−j−1), and J ≥ t needs overlap ≥ t/(1+t)·(nA+nB). The min
+    // over struct(i, j) picks exactly that token; the epsilon keeps
+    // the required-overlap ceil from rounding UP past an exact value
+    // (weaker prune = still lossless).
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") <= ratio * col("b.n") && col("b.n") <= ratio * col("a.n"))
-      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        col("a.n").as("na0"), col("b.n").as("nb0"),
+        struct(col("a.i").as("i"), col("b.i").as("j")).as("ij"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(min(col("ij")).as("ij"), first(col("na0")).as("na0"),
+        first(col("nb0")).as("nb0"))
+      .filter(lit(1L) +
+        least(col("na0") - col("ij.i") - 1L, col("nb0") - col("ij.j") - 1L) >=
+        ceil((col("na0") + col("nb0")).cast("double") *
+          lit(threshold / (1.0 + threshold)) - lit(1e-9)).cast("long"))
+      .select(col("doc_id_a"), col("doc_id_b"))
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("sha"), col("shb")).cast("double")
     cand
