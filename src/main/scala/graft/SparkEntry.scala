@@ -1643,6 +1643,16 @@ object SparkEntry {
       // boilerplate (twins lose their only line); the multi-line
       // semantics are pinned by DedupSpec's planted fixture.
       Dedup.removeBoilerplateLines(Tables.documents(s, d))),
+    "dedup_incremental_exact" -> ((s, d) => {
+      // The lossless prefix join at the continuous-ingest operating
+      // shape: fresh batch vs standing corpus, no blocking caps —
+      // the oracle is TRUE exact incremental dedup over the union.
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncrementalExact(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- training-data extensions: text analysis -------------------
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -8007,6 +8017,29 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // TRUE exact incremental dedup: a fresh doc (id >= 250) survives
+    // iff NO lower-id partner in the union has J >= 0.5 — unblocked,
+    // uncapped. (The 2x length prune is implied by J >= 0.5.)
+    "dedup_incremental_exact" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t WHERE len(w) > 0),
+         v AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id >= 250
+             AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM v)
+         ORDER BY doc_id""",
     // The prefix-filtered join is LOSSLESS, so its oracle is the
     // unblocked truth: every pair, exact Jaccard, no caps. (The
     // length-ratio prune is implied by J >= t, so the oracle omits it.)

@@ -376,20 +376,31 @@ object Dedup {
     * binary t (0.7·10 = 7.000000000000001) can only LENGTHEN the
     * prefix (harmless), never shorten it (would lose pairs).
     */
-  def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  /** (doc_id, sh sorted-distinct, n) shingle-hash sets, blank docs
+    * dropped — the shared front of the prefix-join family.
+    */
+  private def shingleSets(docs: DataFrame, shingleK: Int): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
-    val occ = toks.select(col("doc_id"), explode(col("sh")).as("h"))
-    val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // Rarest-first per-doc key order WITHOUT a global rank window:
-    // (df, hash) pairs sort identically to a materialized global rank
-    // because the pair IS the sort key the rank would be minted from.
+
+  /** Rarest-first ORDER-PREFIX postings of `toks` under the `dfreq`
+    * document-frequency relation: (doc_id, n, i, h) for the first
+    * n − ⌈t·n⌉ + 1 tokens of each doc in (df asc, hash asc) order —
+    * WITHOUT a global rank window ((df, hash) pairs sort identically
+    * to a materialized rank because the pair IS the key the rank
+    * would be minted from). Tokens absent from `dfreq` order as
+    * df = 0 — rarest — so a standing corpus's df relation induces a
+    * consistent total order over fresh batches too.
+    */
+  private def prefixPostings(toks: DataFrame, dfreq: DataFrame,
+                             threshold: Double): DataFrame = {
     val prefLen = (col("n").cast("double") * lit(threshold) - lit(1e-9))
-    val pref = occ.join(dfreq, "h")
+    toks.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(dfreq, Seq("h"), "left")
+      .select(col("doc_id"), col("h"), coalesce(col("df"), lit(0L)).as("df"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ks"),
         count(lit(1)).as("n"))
@@ -398,6 +409,14 @@ object Dedup {
           (col("n") - ceil(prefLen).cast("long") + 1).cast("int")))
           .as(Seq("i", "k")))
       .select(col("doc_id"), col("n"), col("i"), col("k.h").as("h"))
+  }
+
+  def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val toks = shingleSets(docs, shingleK)
+    val occ = toks.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pref = prefixPostings(toks, dfreq, threshold)
     val ratio = lit(1.0 / threshold)
     // Positional filter (PPJoin §3.2, sound at the SMALLEST shared
     // prefix token): prefixes are ORDER-prefixes, so any shared token
@@ -437,6 +456,64 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"),
         (col("i") / (col("t") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT incremental near-dedup — [[jaccardPrefixPairs]]' lossless
+    * candidate scheme at [[dedupIncremental]]'s operating shape: a
+    * fresh batch dedups against a STANDING corpus (plus its own
+    * lower-id members) with no blocking caps. Drop rule mirrors the
+    * blocked sibling: a fresh doc drops iff ANY lower-doc_id partner
+    * (corpus or fresh) confirms J ≥ `threshold`.
+    *
+    * Scale shape — what a continuous 100 TB ingest stores: the
+    * corpus's df relation and prefix postings are batch-independent
+    * artifacts (df ORDERS tokens, nothing more — fresh-only tokens
+    * order as df = 0, still ONE consistent total order, see
+    * [[prefixPostings]]), so a batch pays one fresh-side posting
+    * build plus a candidates join whose build side never re-derives.
+    * Pairs cross only where a prefix token is shared; the positional
+    * and length filters prune before any set intersection; the verify
+    * pass touches candidate pairs only — never corpus × corpus, never
+    * corpus × fresh in full.
+    */
+  def dedupIncrementalExact(corpus: DataFrame, fresh: DataFrame,
+                            shingleK: Int = 3,
+                            threshold: Double = 0.5): DataFrame = {
+    val ctoks = shingleSets(corpus, shingleK)
+    val ftoks = shingleSets(fresh, shingleK)
+    val dfreq = ctoks.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefC = prefixPostings(ctoks, dfreq, threshold)
+    val prefF = prefixPostings(ftoks, dfreq, threshold)
+    val ratio = lit(1.0 / threshold)
+    val cand = prefC.unionByName(prefF).as("a")
+      .join(prefF.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= ratio * col("b.n") && col("b.n") <= ratio * col("a.n"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        col("a.n").as("na0"), col("b.n").as("nb0"),
+        struct(col("a.i").as("i"), col("b.i").as("j")).as("ij"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(min(col("ij")).as("ij"), first(col("na0")).as("na0"),
+        first(col("nb0")).as("nb0"))
+      .filter(lit(1L) +
+        least(col("na0") - col("ij.i") - 1L, col("nb0") - col("ij.j") - 1L) >=
+        ceil((col("na0") + col("nb0")).cast("double") *
+          lit(threshold / (1.0 + threshold)) - lit(1e-9)).cast("long"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    val victims = cand
+      .join(ctoks.unionByName(ftoks)
+        .select(col("doc_id").as("doc_id_a"), col("sh").as("sha"),
+          col("n").as("na")), "doc_id_a")
+      .join(ftoks.select(col("doc_id").as("doc_id_b"), col("sh").as("shb"),
+        col("n").as("nb")), "doc_id_b")
+      .select(col("doc_id_b").as("doc_id"), inter.as("i"),
+        (col("na") + col("nb")).cast("double").as("t"))
+      .filter(col("i") / (col("t") - col("i")) >= threshold)
+      .select(col("doc_id")).distinct()
+    fresh.join(victims, Seq("doc_id"), "left_anti")
   }
 
   /** Exact substring-duplication signal at k-token span granularity

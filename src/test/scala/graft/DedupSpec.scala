@@ -207,6 +207,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dedupIncrementalExact ≡ lower-id-partner rule over the unblocked pair truth") {
+    val docs = tables.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val inc = Dedup.dedupIncrementalExact(corpus, fresh)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth from the verified lossless all-pairs join: fresh
+    // doc survives iff no lower-id partner at J >= 0.5
+    val allPairs = Dedup.jaccardPrefixPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    val victims = allPairs.collect { case (a, b) if b >= 250 => b }.toSet
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    assert(inc === (freshIds diff victims))
+    // corpus docs are never dropped or emitted
+    assert(inc.forall(_ >= 250))
+    // fresh-only tokens (df = 0 path): a fresh twin pair with words
+    // the corpus never saw must still collapse to the lower id
+    import spark.implicits._
+    val novel = "zq xv qj wk pn bm rv tz ld gh " * 4
+    val f2 = Seq((1000L, novel, 60L), (1001L, novel, 60L))
+      .toDF("doc_id", "text", "n_chars")
+    val out2 = Dedup.dedupIncrementalExact(corpus, f2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 === Set(1000L))
+  }
+
   test("removeBoilerplateLines excises corpus-frequent lines, keeps order and blanks") {
     val d = Seq(
       (0L, "unique alpha\nSUBSCRIBE NOW\nunique beta"),
