@@ -2498,6 +2498,20 @@ object SparkEntry {
       val pieces = operators.Wordpiece.vocabPieces(docs, s"wp|$d", numPieces = 12)
       operators.Wordpiece.encodeStats(docs, pieces)
     }),
+    "wordpiece_model_persisted" -> ((s, d) =>
+      // Train-once / encode-many: stats under the RELOADED vocab must
+      // reproduce in-flight wordpiece_encode bit-for-bit (shared
+      // oracle replay) — a vocab corrupted by the round trip would
+      // move the segmentation signature.
+      tables.WordpieceModel.encodeStats(s, wordpieceModelDir(s, d),
+        Tables.documents(s, d))),
+    "wordpiece_fertility_by_lang" -> ((s, d) => {
+      // Tokenizer QA per language: fertility and compression under
+      // the seed vocab — the bpe_fertility_by_lang twin.
+      val docs = Tables.documents(s, d)
+      val pieces = operators.Wordpiece.vocabPieces(docs, s"wp|$d", numPieces = 12)
+      operators.Wordpiece.fertilityByLang(docs, pieces)
+    }),
     "bpe_encode" -> ((s, d) => {
       // Corpus → subword token-id sequences under the trained merges:
       // the merge chain runs once per DISTINCT word, docs reassemble
@@ -5519,6 +5533,17 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted WordPiece-vocab dir per (process, dataset) — the
+    * [[bpeModelDir]] pattern; numPieces matches the in-flight rows so
+    * the persisted twin shares their oracle.
+    */
+  private def wordpieceModelDir(s: SparkSession, d: String): String =
+    lmModelCache.getOrElseUpdate(s"$d#wp", {
+      val dir = scratchDir("graft_wpmodel_")
+      tables.WordpieceModel.write(Tables.documents(s, d), dir, numPieces = 12)
+      dir
+    })
+
   /** Persisted trigram-model dir per (process, dataset) — the
     * [[lmModelDir]] pattern for the stupid-backoff model.
     */
@@ -6211,6 +6236,51 @@ object SparkEntry {
          FROM pf WHERE piece_len >= 2 AND freq >= 2
          QUALIFY rnk <= $WpPieces),
        wp_vocab AS (SELECT piece FROM wp_chars UNION ALL SELECT piece FROM wp_multi)"""
+
+  /** Vocab + the greedy segmentation walk (recursive CTE over each
+    * distinct word: length-8→2 probes, single-char fallback, the
+    * position-weighted md5 signature) — shared by `wordpiece_encode`,
+    * `wordpiece_model_persisted`, and `wordpiece_fertility_by_lang`.
+    */
+  private val WordpieceSegCtes: String =
+    s"""$WordpieceVocabCtes,
+       w0 AS (
+         SELECT doc_id, lang, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         FROM documents),
+       dw AS (SELECT DISTINCT word FROM w0),
+       seg AS (
+         SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sig FROM dw
+         UNION ALL
+         SELECT word, pos + l, np + 1,
+                sig + (np + 1) * CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                         for x in [substr(md5(substr(word, pos, l)), i, 1) for i in range(1, 9)]],
+                       (a, b) -> a * 16 + b) % 8192 AS BIGINT)
+         FROM (
+           SELECT word, pos, np, sig,
+                  CASE
+                    WHEN pos + 7 <= length(word) AND substr(word, pos, 8) IN (SELECT piece FROM wp_vocab) THEN 8
+                    WHEN pos + 6 <= length(word) AND substr(word, pos, 7) IN (SELECT piece FROM wp_vocab) THEN 7
+                    WHEN pos + 5 <= length(word) AND substr(word, pos, 6) IN (SELECT piece FROM wp_vocab) THEN 6
+                    WHEN pos + 4 <= length(word) AND substr(word, pos, 5) IN (SELECT piece FROM wp_vocab) THEN 5
+                    WHEN pos + 3 <= length(word) AND substr(word, pos, 4) IN (SELECT piece FROM wp_vocab) THEN 4
+                    WHEN pos + 2 <= length(word) AND substr(word, pos, 3) IN (SELECT piece FROM wp_vocab) THEN 3
+                    WHEN pos + 1 <= length(word) AND substr(word, pos, 2) IN (SELECT piece FROM wp_vocab) THEN 2
+                    ELSE 1 END AS l
+           FROM seg WHERE pos <= length(word))),
+       enc AS (SELECT word, np, sig FROM seg WHERE pos = length(word) + 1)"""
+
+  private val WordpieceEncodeSql: String =
+    s"""WITH RECURSIVE $WordpieceSegCtes,
+       pd AS (
+         SELECT w0.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(e.np) AS BIGINT) AS n_pieces, CAST(sum(e.sig) AS BIGINT) AS sig
+         FROM w0 JOIN enc e USING (word) GROUP BY w0.doc_id)
+       SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+              COALESCE(p.n_pieces, 0) AS n_pieces,
+              CASE WHEN p.n_words > 0
+                   THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
+              COALESCE(p.sig, 0) AS sig
+       FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id"""
 
   /** The bigram-LM training + scoring replay — shared by
     * `lm_doc_scores` (in-flight) and `lm_model_persisted` (reloaded
@@ -11277,41 +11347,18 @@ object SparkEntry {
     // the CASE probes lengths 8..2 against the vocab, ELSE single
     // char, exactly the expression's loop. Signature arithmetic is
     // the md5-bucket idiom in position-weighted integer space.
-    "wordpiece_encode" -> (s"""WITH RECURSIVE $WordpieceVocabCtes,
-         w0 AS (
-           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-           FROM documents),
-         dw AS (SELECT DISTINCT word FROM w0),
-         seg AS (
-           SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sig FROM dw
-           UNION ALL
-           SELECT word, pos + l, np + 1,
-                  sig + (np + 1) * CAST(list_reduce([strpos('0123456789abcdef', x) - 1
-                           for x in [substr(md5(substr(word, pos, l)), i, 1) for i in range(1, 9)]],
-                         (a, b) -> a * 16 + b) % 8192 AS BIGINT)
-           FROM (
-             SELECT word, pos, np, sig,
-                    CASE
-                      WHEN pos + 7 <= length(word) AND substr(word, pos, 8) IN (SELECT piece FROM wp_vocab) THEN 8
-                      WHEN pos + 6 <= length(word) AND substr(word, pos, 7) IN (SELECT piece FROM wp_vocab) THEN 7
-                      WHEN pos + 5 <= length(word) AND substr(word, pos, 6) IN (SELECT piece FROM wp_vocab) THEN 6
-                      WHEN pos + 4 <= length(word) AND substr(word, pos, 5) IN (SELECT piece FROM wp_vocab) THEN 5
-                      WHEN pos + 3 <= length(word) AND substr(word, pos, 4) IN (SELECT piece FROM wp_vocab) THEN 4
-                      WHEN pos + 2 <= length(word) AND substr(word, pos, 3) IN (SELECT piece FROM wp_vocab) THEN 3
-                      WHEN pos + 1 <= length(word) AND substr(word, pos, 2) IN (SELECT piece FROM wp_vocab) THEN 2
-                      ELSE 1 END AS l
-             FROM seg WHERE pos <= length(word))),
-         enc AS (SELECT word, np, sig FROM seg WHERE pos = length(word) + 1),
-         pd AS (
-           SELECT w0.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                  CAST(sum(e.np) AS BIGINT) AS n_pieces, CAST(sum(e.sig) AS BIGINT) AS sig
-           FROM w0 JOIN enc e USING (word) GROUP BY w0.doc_id)
-         SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
-                COALESCE(p.n_pieces, 0) AS n_pieces,
-                CASE WHEN p.n_words > 0
-                     THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
-                COALESCE(p.sig, 0) AS sig
-         FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id"""),
+    "wordpiece_encode" -> WordpieceEncodeSql,
+    // The reloaded-vocab twin must reproduce the in-flight encode
+    // bit-for-bit — shares its replay verbatim.
+    "wordpiece_model_persisted" -> WordpieceEncodeSql,
+    "wordpiece_fertility_by_lang" -> (s"""WITH RECURSIVE $WordpieceSegCtes
+         SELECT w0.lang, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(e.np) AS BIGINT) AS n_pieces,
+                CAST(sum(length(w0.word)) AS BIGINT) AS n_chars,
+                CAST(sum(e.np) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+                CAST(sum(length(w0.word)) AS DOUBLE) / CAST(sum(e.np) AS DOUBLE) AS chars_per_piece
+         FROM w0 JOIN enc e USING (word)
+         GROUP BY w0.lang ORDER BY w0.lang"""),
     "bpe_pack_pipeline" -> bpePackSql(BpeNumMerges),
     "bpe_roundtrip" -> bpeRoundtripSql(BpeNumMerges),
     "bpe_vocab_by_lang" -> bpeGroupedVocabSql(BpeGroupedMerges),

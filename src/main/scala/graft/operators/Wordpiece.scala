@@ -124,4 +124,29 @@ object Wordpiece {
         coalesce(col("sig"), lit(0L)).as("sig"))
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer QA per language: fertility (pieces/word) and
+    * compression (chars/piece) under `pieces` — the two numbers a
+    * tokenizer review reads first (the [[Bpe.fertilityByLang]] twin).
+    * Groups derive from the words relation, so a language appears iff
+    * it has at least one token — divisions are safe by construction.
+    */
+  def fertilityByLang(docs: DataFrame, pieces: Seq[String],
+                      maxPieceLen: Int = 8): DataFrame = {
+    val words = docs.select(col("lang"), explode(tokens(col("text"))).as("word"))
+    val enc = words.select(col("word")).distinct()
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(wordpiece_pieces(col("word"), pieces, maxPieceLen))
+          .cast("long").as("n_pieces"))
+    words.join(enc, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+  }
 }
