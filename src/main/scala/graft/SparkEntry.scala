@@ -965,6 +965,20 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "streaming_dedup_exact" -> ((s, d) => {
+      // The continuous-ingest dedup loop run for real: fresh docs
+      // arrive in two micro-batches and dedup EXACTLY (lossless
+      // prefix join, arrival-order veto) against a standing set that
+      // accretes every processed doc. The oracle encodes arrival
+      // order in SQL — corpus vetoes all, batch 0 vetoes batch 1,
+      // same-batch lower id vetoes.
+      val docs = Tables.documents(s, d)
+      graft.streaming.DedupStream.run(s,
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), key = d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "streaming_ingest" -> ((s, d) => {
       // The reference's ENTIRE sync loop, executed for real: staged
       // JSON → bounded micro-batches → parse/quarantine → LWW merge →
@@ -8087,6 +8101,33 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(a.sh, c.sh))) >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+    // Streaming twin: arrival-order veto rule — corpus (id < 250)
+    // vetoes every fresh doc; batch 0 (even fresh ids) vetoes batch 1
+    // (odd); within a batch, lower id vetoes. Unblocked exact J.
+    "streaming_dedup_exact" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t WHERE len(w) > 0),
+         v AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON b.doc_id >= 250
+             AND (a.doc_id < 250
+                  OR (a.doc_id >= 250 AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+                  OR (a.doc_id >= 250 AND a.doc_id % 2 = b.doc_id % 2
+                      AND a.doc_id < b.doc_id))
+             AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM v)
+         ORDER BY doc_id""",
     // TRUE exact incremental dedup: a fresh doc (id >= 250) survives
     // iff NO lower-id partner in the union has J >= 0.5 — unblocked,
     // uncapped. (The 2x length prune is implied by J >= 0.5.)

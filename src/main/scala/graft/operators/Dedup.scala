@@ -477,8 +477,8 @@ object Dedup {
     * corpus × fresh in full.
     */
   def dedupIncrementalExact(corpus: DataFrame, fresh: DataFrame,
-                            shingleK: Int = 3,
-                            threshold: Double = 0.5): DataFrame = {
+                            shingleK: Int = 3, threshold: Double = 0.5,
+                            standingVetoes: Boolean = false): DataFrame = {
     val ctoks = shingleSets(corpus, shingleK)
     val ftoks = shingleSets(fresh, shingleK)
     val dfreq = ctoks.select(explode(col("sh")).as("h"))
@@ -486,9 +486,18 @@ object Dedup {
     val prefC = prefixPostings(ctoks, dfreq, threshold)
     val prefF = prefixPostings(ftoks, dfreq, threshold)
     val ratio = lit(1.0 / threshold)
-    val cand = prefC.unionByName(prefF).as("a")
+    // Partner eligibility: lower doc_id (the batch family rule) — or,
+    // with `standingVetoes`, ANY standing doc regardless of id (the
+    // ARRIVAL-ORDER rule a streaming ingest needs: everything already
+    // seen vetoes a newcomer; ids order only WITHIN a batch).
+    val aVetoes =
+      if (standingVetoes)
+        col("a.standing") || col("a.doc_id") < col("b.doc_id")
+      else col("a.doc_id") < col("b.doc_id")
+    val cand = prefC.withColumn("standing", lit(true))
+      .unionByName(prefF.withColumn("standing", lit(false))).as("a")
       .join(prefF.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && aVetoes &&
           col("a.n") <= ratio * col("b.n") && col("b.n") <= ratio * col("a.n"))
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
         col("a.n").as("na0"), col("b.n").as("nb0"),

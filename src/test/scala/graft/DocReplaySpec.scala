@@ -39,4 +39,28 @@ class DocReplaySpec extends SparkSpec {
     assert(rows.forall(_._2 === 1L))
     assert(rows.map(_._1).sum === docs.count())
   }
+
+  test("streaming exact dedup: arrival order vetoes, not id order") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((0L, "totally unique corpus words here nothing shared", "en", 47L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // 251 (odd -> batch 1) and 252 (even -> batch 0) are twins: the
+    // id rule would keep 251; ARRIVAL order keeps 252 (batch 0 seen
+    // first). 254 duplicates the corpus and must drop in batch 0.
+    val twin = "the same exact duplicated sentence repeated for the test " * 3
+    val fresh = Seq(
+      (251L, twin, "en", twin.length.toLong),
+      (252L, twin, "en", twin.length.toLong),
+      (254L, "totally unique corpus words here nothing shared", "en", 47L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.streaming.DedupStream
+      .run(spark, corpus, fresh, key = s"dedupstream-test-${System.nanoTime}")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(252L))
+    // the batch (id-rule) sibling keeps 251 instead — the two rules
+    // genuinely differ and each matches its own oracle
+    val batch = graft.operators.Dedup.dedupIncrementalExact(corpus, fresh)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(251L))
+  }
 }

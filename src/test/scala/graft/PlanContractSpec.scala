@@ -284,6 +284,8 @@ class PlanContractSpec extends SparkSpec {
         n == "ann_index_append" || n == "ann_index_compacted" ||
         n == "ann_index_deleted" ||
         n == "lm_model_persisted" ||
+        // persisted-vocab twin: first touch writes the vocab artifact
+        n == "wordpiece_model_persisted" ||
         n == "csv_roundtrip" || n == "orc_roundtrip" ||
         // persisted-inverted-index reads: first touch writes the index
         n.startsWith("bm25_indexed") ||
