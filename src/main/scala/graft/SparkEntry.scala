@@ -2526,6 +2526,13 @@ object SparkEntry {
       val pieces = operators.Wordpiece.vocabPieces(docs, s"wp|$d", numPieces = 12)
       operators.Wordpiece.fertilityByLang(docs, pieces)
     }),
+    "wordpiece_usage" -> ((s, d) => {
+      // Vocab-budget QA: per-piece greedy-walk usage (freq-weighted)
+      // and distinct-word reach — dead pieces surface here.
+      val docs = Tables.documents(s, d)
+      val pieces = operators.Wordpiece.vocabPieces(docs, s"wp|$d", numPieces = 12)
+      operators.Wordpiece.pieceUsage(docs, pieces)
+    }),
     "bpe_encode" -> ((s, d) => {
       // Corpus → subword token-id sequences under the trained merges:
       // the merge chain runs once per DISTINCT word, docs reassemble
@@ -2879,6 +2886,14 @@ object SparkEntry {
       // projected/original squared-L2 ratios — EXACT counts and
       // extremes (identical arithmetic both engines), not a floor.
       Similarity.jlDistortion(Tables.embeddings(s, d), 5)),
+    "ann_matryoshka_rerank" -> ((s, d) => {
+      // Prefix-dims-then-search: coarse top-100 by 16-dim head cosine
+      // (the Matryoshka cheap tier — a 4x compute/IO cut with no
+      // stored transform), exact 64-dim cosine re-rank to top-10.
+      // Both tiers bit-exact ⇒ candidates included in the oracle.
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaTopKReranked(emb, emb.filter(col("vec_id") < 5), 10, 100)
+    }),
     "ann_jl_rerank" -> ((s, d) => {
       // Project-then-search: coarse top-100 in JL space, exact cosine
       // re-rank to top-10. Bit-exact projection ⇒ the full pipeline
@@ -6263,12 +6278,15 @@ object SparkEntry {
          FROM documents),
        dw AS (SELECT DISTINCT word FROM w0),
        seg AS (
-         SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sig FROM dw
+         SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sig,
+                CAST(NULL AS VARCHAR) AS piece
+         FROM dw
          UNION ALL
          SELECT word, pos + l, np + 1,
                 sig + (np + 1) * CAST(list_reduce([strpos('0123456789abcdef', x) - 1
                          for x in [substr(md5(substr(word, pos, l)), i, 1) for i in range(1, 9)]],
-                       (a, b) -> a * 16 + b) % 8192 AS BIGINT)
+                       (a, b) -> a * 16 + b) % 8192 AS BIGINT),
+                substr(word, pos, l) AS piece
          FROM (
            SELECT word, pos, np, sig,
                   CASE
@@ -10151,6 +10169,33 @@ object SparkEntry {
          FROM r""",
     // JL replay + coarse top-100 by (jl_d2, vec_id) + exact cosine
     // top-10 — the whole two-tier pipeline reproduced.
+    // Prefix-slice coarse tier: double-cast-then-slice ≡ the engine's
+    // slice-then-cosine (same clamped kernel over the same 16 values).
+    "ann_matryoshka_rerank" ->
+      """WITH p AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+         coarse AS (
+           SELECT q.vec_id AS query_id, q.emb AS q_emb, a.vec_id, a.label,
+                  a.emb,
+                  list_cosine_similarity(a.emb[1:16], q.emb[1:16]) AS pre_cos
+           FROM p a JOIN p q ON q.vec_id < 5 AND a.vec_id <> q.vec_id),
+         cand AS (
+           SELECT query_id, q_emb, vec_id, label, emb, row_number() OVER (
+             PARTITION BY query_id ORDER BY pre_cos DESC, vec_id) AS rc
+           FROM coarse),
+         fine AS (
+           SELECT query_id, vec_id, label,
+                  list_cosine_similarity(emb, q_emb) AS cosine
+           FROM cand WHERE rc <= 100),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM fine)
+         SELECT query_id, vec_id, label, cosine FROM ranked
+         WHERE rn <= 10
+         ORDER BY query_id, cosine DESC, vec_id""",
     "ann_jl_rerank" ->
       """WITH sg AS (
            SELECT x,
@@ -11392,6 +11437,15 @@ object SparkEntry {
     // The reloaded-vocab twin must reproduce the in-flight encode
     // bit-for-bit — shares its replay verbatim.
     "wordpiece_model_persisted" -> WordpieceEncodeSql,
+    // Which pieces earn their slot: usage counts under the greedy
+    // walk, weighted by word frequency — the vocab-budget QA signal.
+    "wordpiece_usage" -> (s"""WITH RECURSIVE $WordpieceSegCtes,
+         u AS (SELECT word, piece FROM seg WHERE piece IS NOT NULL)
+         SELECT u.piece, CAST(length(u.piece) AS BIGINT) AS piece_len,
+                CAST(sum(wf.c_w) AS BIGINT) AS n_uses,
+                CAST(count(DISTINCT u.word) AS BIGINT) AS n_words
+         FROM u JOIN wf ON u.word = wf.word
+         GROUP BY u.piece ORDER BY u.piece"""),
     "wordpiece_fertility_by_lang" -> (s"""WITH RECURSIVE $WordpieceSegCtes
          SELECT w0.lang, CAST(count(*) AS BIGINT) AS n_words,
                 CAST(sum(e.np) AS BIGINT) AS n_pieces,

@@ -435,6 +435,46 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Matryoshka-style prefix-dimension rerank (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): coarse-rank by cosine
+    * over the FIRST `dimPrefix` dimensions — the cheap tier an
+    * MRL-trained encoder concentrates signal into, and for any
+    * encoder a dimIn/dimPrefix-fold compute+IO cut — then exact
+    * full-dimension cosine re-ranks the top `candidates` to top-k.
+    * The [[jlTopKReranked]] shape with a SLICE instead of a
+    * projection: no transform artifact to store or apply, the prefix
+    * IS the compressed vector (what a production store keeps as its
+    * head-dims column / separate cheap index).
+    *
+    * Both tiers rank bit-exact deterministic values (native clamped
+    * cosine over the slice ≡ DuckDB over the double-cast slice), so
+    * the FULL pipeline — candidate set included — is
+    * oracle-reproducible with no recall floor.
+    */
+  def matryoshkaTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+                             candidates: Int, dimPrefix: Int = 16): DataFrame = {
+    val live = corpus.filter(col("embedding").isNotNull)
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pre = cosine(slice(col("embedding"), 1, dimPrefix),
+      slice(col("q_emb"), 1, dimPrefix))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_cos").desc, col("vec_id"))
+    val wFine = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    live.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("label"),
+        col("embedding"), pre.as("pre_cos"))
+      .withColumn("__rc", row_number().over(wCoarse))
+      .filter(col("__rc") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("__rn", row_number().over(wFine))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Single-table SRP bucket id: bit i = sign(v · plane_i). Native
     * codegen'd [[graft.functions.SrpBuckets]] — the HOF chain this
     * replaces (`aggregate(zip_with(...))` per plane) re-walked the

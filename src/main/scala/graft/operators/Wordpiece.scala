@@ -125,6 +125,31 @@ object Wordpiece {
       .orderBy(col("doc_id"))
   }
 
+  /** Which pieces EARN their vocab slot: per piece, total greedy-walk
+    * uses (every occurrence position, weighted by word frequency) and
+    * the distinct words using it — the signal that tunes the vocab
+    * budget (a piece with n_uses ≈ its own training freq is paying
+    * rent; one greedy-shadowed by longer pieces is dead weight).
+    *
+    * Scale shape: the walk runs once per DISTINCT word; usage joins
+    * the vocabulary-sized (word, freq) relation and aggregates on the
+    * piece — nothing corpus-sized moves.
+    */
+  def pieceUsage(docs: DataFrame, pieces: Seq[String],
+                 maxPieceLen: Int = 8): DataFrame = {
+    val wordFreq = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c_w"))
+    wordFreq.select(col("word"), col("c_w"),
+        explode(wordpiece_pieces(col("word"), pieces, maxPieceLen)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("c_w")).as("n_uses"),
+        count_distinct(col("word")).as("n_words"))
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("n_uses"), col("n_words"))
+      .orderBy(col("piece"))
+  }
+
   /** Tokenizer QA per language: fertility (pieces/word) and
     * compression (chars/piece) under `pieces` — the two numbers a
     * tokenizer review reads first (the [[Bpe.fertilityByLang]] twin).

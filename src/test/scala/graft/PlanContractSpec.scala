@@ -350,7 +350,8 @@ class PlanContractSpec extends SparkSpec {
       "lm_trigram_scores", "lm_trigram_filter", "lm_trigram_model_persisted",
       "cluster_diversity_sample", "prototype_prune", "quality_topk_by_lang",
       "bigram_pmi", "vocab_coverage", "jl_project", "jl_distortion",
-      "ann_jl_rerank", "kmeans_purity", "kmeans_incremental",
+      "ann_jl_rerank", "ann_matryoshka_rerank", "kmeans_purity",
+      "kmeans_incremental",
       "pretrain_pipeline",
       "k1b_create_key_serial", "approx_distinct_intersect", "tfidf_by_lang",
       // 1-row corpus-count aggregate rides in as a broadcast cross

@@ -656,6 +656,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"jl rerank recall $recall")
   }
 
+  test("matryoshka rerank: full-candidate pass ≡ brute; narrow pass has real recall") {
+    val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val q = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    // candidates = whole corpus → the prefix tier cannot lose anyone:
+    // output must equal brute-force exactly (ids AND cosines)
+    val full = Similarity.matryoshkaTopKReranked(emb, q, 10, n)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(full === exact)
+    // production operating point: top-100 prefix candidates
+    val got = Similarity.matryoshkaTopKReranked(emb, q, 10, 100)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.forall { case (qid, vid, _, _) => qid != vid })
+    val gotSet = got.map { case (qid, vid, _, _) => (qid, vid) }.toSet
+    val exactIds = exact.map { case (qid, vid, _) => (qid, vid) }
+    val recall = (gotSet intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.5, s"matryoshka rerank recall $recall")
+  }
+
   test("semantic dedup: victims ⊆ brute victims; survivors + victims partition") {
     val emb = tables.Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
     val survivors = Similarity.semanticDedup(emb, 16, 0.45)

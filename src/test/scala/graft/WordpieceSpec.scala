@@ -64,6 +64,23 @@ class WordpieceSpec extends SparkSpec {
     assert(chars(0L) === ("windowwindowstream".length.toLong))
   }
 
+  test("pieceUsage: freq-weighted greedy counts, mass conservation") {
+    val docs = Seq(
+      (0L, "window window"),
+      (1L, "window win")
+    ).toDF("doc_id", "text")
+    val v = Seq("win", "dow")
+    val rows = Wordpiece.pieceUsage(docs, v).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "window" x3 -> win|dow each 3 uses; "win" x1 -> win once more
+    assert(rows("win") === ((3L, 4L, 2L)))  // len 3, 4 uses, 2 distinct words
+    assert(rows("dow") === ((3L, 3L, 1L)))
+    // piece-use mass == total pieces emitted over all word occurrences
+    val totalUses = rows.values.map(_._2).sum
+    val enc = Wordpiece.encodeStats(docs, v).collect().map(_.getLong(2)).sum
+    assert(totalUses === enc)
+  }
+
   test("vocab is code-point sliced like SQL substr (multibyte safe)") {
     // 'é' is 2 UTF-8 bytes / 1 code point: a 2-piece vocab entry must
     // match by code points, as DuckDB substr does
