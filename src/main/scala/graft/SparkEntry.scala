@@ -4240,6 +4240,16 @@ object SparkEntry {
       // retrieval_phrase (the stored tree must not change a match).
       tables.InvertedIndex.phraseSearch(s, invIndexDir(s, d),
         Tables.documents(s, d), "hash join")),
+    "retrieval_ordered_window" -> ((s, d) =>
+      // The SDM #N(...) proximity operator: 'key table row' in order
+      // within 8 positions — match count + minimal span per doc.
+      operators.Retrieval.orderedWindow(Tables.documents(s, d),
+        Seq("key", "table", "row"), window = 8)),
+    "retrieval_ordered_window_persisted" -> ((s, d) =>
+      // The persisted-positions twin must not change a match or a
+      // span — shares the scan oracle verbatim.
+      tables.InvertedIndex.orderedWindow(s, invIndexDir(s, d),
+        Tables.documents(s, d), Seq("key", "table", "row"), window = 8)),
     "retrieval_snippets" -> ((s, d) =>
       // The highlighter: a ±3-token window around each matching doc's
       // first occurrence, re-materialized row-locally from the doc's
@@ -6313,6 +6323,29 @@ object SparkEntry {
                    THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
               COALESCE(p.sig, 0) AS sig
        FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id"""
+
+  /** Ordered-window #8(key table row) replay — shared by the scan row
+    * and the persisted-positions twin. */
+  private val OrderedWindowSql: String =
+    """WITH p AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term,
+                generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) - 1 AS pos
+         FROM documents),
+       w0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p0 FROM p WHERE term = 'key'),
+       w1 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p1 FROM p WHERE term = 'table'),
+       w2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p2 FROM p WHERE term = 'row'),
+       ch AS (
+         SELECT w0.doc_id, p0, p2 FROM w0
+         JOIN w1 USING (doc_id) JOIN w2 USING (doc_id)
+         WHERE p1 > p0 AND p1 - p0 <= 8 AND p2 > p1 AND p2 - p0 <= 8),
+       g AS (
+         SELECT doc_id, CAST(count(DISTINCT p0) AS BIGINT) AS n_anchors,
+                CAST(min(p2 - p0) AS BIGINT) AS min_span
+         FROM ch GROUP BY doc_id)
+       SELECT g.doc_id, g.n_anchors, g.min_span, d.n_chars
+       FROM g JOIN documents d USING (doc_id)
+       ORDER BY g.doc_id"""
 
   /** The bigram-LM training + scoring replay — shared by
     * `lm_doc_scores` (in-flight) and `lm_model_persisted` (reloaded
@@ -12133,6 +12166,11 @@ object SparkEntry {
            AND contains(' ' || regexp_replace(text, '\s+', ' ', 'g') || ' ',
                         ' hash join ')
          ORDER BY doc_id""",
+    // #8(key table row): ordered chain within 8 positions; anchors =
+    // distinct chain starts, min_span = tightest cover. The persisted
+    // twin shares this replay verbatim.
+    "retrieval_ordered_window" -> OrderedWindowSql,
+    "retrieval_ordered_window_persisted" -> OrderedWindowSql,
     "hybrid_rrf_topk" -> HybridRrfOracleSql,
     // The indexed twin MUST reproduce the scan-backed hybrid exactly:
     // full probe makes the dense candidate set identical and the

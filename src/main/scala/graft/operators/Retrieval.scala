@@ -407,6 +407,50 @@ object Retrieval {
         .toDF("doc_id", "pos", "term")
     }
 
+  /** Ordered-window proximity — the `#N(w1…wk)` operator of the
+    * sequential-dependence model (Metzler & Croft 2005, "A Markov
+    * Random Field Model for Term Dependencies"; INQUERY's ordered
+    * window): a doc matches iff the terms occur IN ORDER with the
+    * whole chain spanning ≤ `window` token positions. Emits the match
+    * count (distinct chain anchors) and the MINIMAL span — the
+    * proximity evidence an SDM-style ranker feeds on, strictly
+    * between exact-phrase (window = k−1) and bag-of-words AND
+    * (window = ∞).
+    *
+    * Scale shape: each term contributes only ITS positional posting
+    * rows (term-bucket pruned on the persisted tree); the chain is
+    * k−1 doc_id-keyed equi-joins over skinny (doc_id, pos) relations
+    * with the window bound pushed into EVERY hop (a partial chain
+    * already wider than the window can never complete — pruned before
+    * it multiplies), and the roll-up is one doc-keyed aggregation.
+    */
+  private[graft] def orderedWindowFrom(p: DataFrame, terms: Seq[String],
+                                       window: Int): DataFrame = {
+    require(terms.size >= 2, "ordered window needs at least two terms")
+    require(window >= terms.size - 1, "window cannot fit the terms")
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("pos").cast("long").as(s"p$i"))
+    }
+    val last = terms.size - 1
+    val chained = (1 to last).foldLeft(parts.head) { (acc, i) =>
+      acc.join(parts(i), Seq("doc_id"))
+        .filter(col(s"p$i") > col(s"p${i - 1}") &&
+          col(s"p$i") - col("p0") <= window)
+    }
+    chained.groupBy(col("doc_id"))
+      .agg(count_distinct(col("p0")).as("n_anchors"),
+        min(col(s"p$last") - col("p0")).as("min_span"))
+  }
+
+  /** [[orderedWindowFrom]] over the staged positional postings, with
+    * doc metadata attached. */
+  def orderedWindow(docs: DataFrame, terms: Seq[String],
+                    window: Int): DataFrame =
+    orderedWindowFrom(positionalPostingsStaged(docs), terms, window)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+
   /** Index-backed exact phrase search: adjacency via position
     * arithmetic over [[positionalPostingsStaged]] — the i-th phrase
     * word must sit at `anchor_pos + i`. Semantically ≡ [[phraseSearch]]

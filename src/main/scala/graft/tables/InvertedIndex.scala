@@ -650,6 +650,20 @@ object InvertedIndex {
       .select(col("term"), col("doc_id"), col("pos"))
   }
 
+  /** Ordered-window proximity over the PERSISTED positions tree:
+    * only the window terms' positional buckets open, tombstoned
+    * versions drop before the chain joins — the 100 TB `#N(…)` path.
+    * Semantically ≡ [[graft.operators.Retrieval.orderedWindow]] on
+    * the live corpus (shares its oracle).
+    */
+  def orderedWindow(spark: SparkSession, root: String, docs: DataFrame,
+                    terms: Seq[String], window: Int,
+                    only: Option[Set[String]] = None): DataFrame =
+    graft.operators.Retrieval
+      .orderedWindowFrom(livePositionsFor(spark, root, terms, only), terms, window)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+
   def phraseSearch(spark: SparkSession, root: String, docs: DataFrame,
                    phrase: String,
                    only: Option[Set[String]] = None): DataFrame = {

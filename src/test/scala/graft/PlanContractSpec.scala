@@ -300,6 +300,7 @@ class PlanContractSpec extends SparkSpec {
         n == "ann_filtered_pruned_check" ||
         n == "ann_index_recluster" ||
         n == "retrieval_phrase_persisted" ||
+        n == "retrieval_ordered_window_persisted" ||
         n.startsWith("cdc_search_index") ||
         n.startsWith("cdc_vector_index") ||
         // persisted-index boolean algebra: first touch builds the

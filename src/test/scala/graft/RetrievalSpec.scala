@@ -461,4 +461,28 @@ class RetrievalSpec extends SparkSpec with Matchers {
       Retrieval.mmrRerank(emb, Seq(0L, 2L), kCand = 10, k = 5)
         .collect().toSeq
   }
+
+  test("ordered window: in-order within span, anchors, min span, boundary") {
+    val d = Seq(
+      (10L, "key a table b row tail", 22L),          // span 4: match
+      (11L, "row table key", 13L),                    // out of order: no
+      (12L, "key a b c d e f g table row", 27L),      // p2-p0 = 9 > 8: no
+      (13L, "key a b c d e f table row", 25L),        // p2-p0 = 8: boundary yes
+      (14L, "key table row key x table y row", 31L),  // two anchors
+      (15L, "no terms at all here", 20L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Retrieval.orderedWindow(d, Seq("key", "table", "row"), window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(10L, 13L, 14L))
+    assert(out(10L) === ((1L, 4L)))
+    assert(out(13L) === ((1L, 8L)))
+    // doc 14: anchors at pos 0 (key table row, span 2) and pos 3
+    // (key x table y row, span 4); chains from anchor 0 to the later
+    // occurrences stay within 8 too, but min span is 2
+    assert(out(14L)._1 === 2L && out(14L)._2 === 2L)
+    // window = exact phrase width behaves like adjacency
+    val tight = Retrieval.orderedWindow(d, Seq("key", "table", "row"), window = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight === Set(14L))
+  }
 }
