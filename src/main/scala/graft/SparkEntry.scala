@@ -4245,6 +4245,15 @@ object SparkEntry {
       // within 8 positions — match count + minimal span per doc.
       operators.Retrieval.orderedWindow(Tables.documents(s, d),
         Seq("key", "table", "row"), window = 8)),
+    "retrieval_unordered_window" -> ((s, d) =>
+      // #uw4(table key): both terms within 4 positions, any order.
+      operators.Retrieval.unorderedWindow(Tables.documents(s, d),
+        Seq("table", "key"), window = 4)),
+    "sdm_topk" -> ((s, d) =>
+      // The sequential-dependence mixture: BM25 + ordered/unordered
+      // adjacent-pair window evidence in exact long space, ranked.
+      operators.Retrieval.sdmTopK(Tables.documents(s, d),
+        RetrievalQueries, window = 8, k = 10)),
     "retrieval_ordered_window_persisted" -> ((s, d) =>
       // The persisted-positions twin must not change a match or a
       // span — shares the scan oracle verbatim.
@@ -6821,6 +6830,72 @@ object SparkEntry {
               CAST(rn AS BIGINT) AS rank,
               CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
        FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
+
+  /** SDM-lite oracle: the bm25Sql CTE chain re-spelled through `agg`,
+    * plus per-adjacent-pair ordered/unordered window feature CTEs,
+    * mixed in exact long space (0.10·10¹² per ordered anchor,
+    * 0.05·10¹² per unordered tuple) before the rank window — the
+    * engine's [[graft.operators.Retrieval.sdmTopK]] replay.
+    */
+  private def sdmSql(qs: Seq[(Long, Seq[String])], window: Int,
+                     k: Int): String = {
+    def pairsOf(terms: Seq[String]): Seq[Seq[String]] =
+      terms.sliding(2).filter(_.size == 2).map(_.toSeq).toSeq.distinct
+    val oCtes = new scala.collection.mutable.ArrayBuffer[String]
+    val uCtes = new scala.collection.mutable.ArrayBuffer[String]
+    val oArms = new scala.collection.mutable.ArrayBuffer[String]
+    val uArms = new scala.collection.mutable.ArrayBuffer[String]
+    for ((qid, terms) <- qs; (pair, j) <- pairsOf(terms).zipWithIndex) {
+      val (a, b) = (pair.head, pair(1))
+      oCtes += s"""o_${qid}_$j AS (
+           SELECT x.doc_id, CAST(count(DISTINCT x.p0) AS BIGINT) AS n
+           FROM (SELECT doc_id, CAST(pos AS BIGINT) AS p0 FROM pp WHERE term = '$a') x
+           JOIN (SELECT doc_id, CAST(pos AS BIGINT) AS p1 FROM pp WHERE term = '$b') y USING (doc_id)
+           WHERE y.p1 > x.p0 AND y.p1 - x.p0 <= $window
+           GROUP BY x.doc_id)"""
+      uCtes += s"""u_${qid}_$j AS (
+           SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT doc_id, CAST(pos AS BIGINT) AS p0 FROM pp WHERE term = '$a') x
+           JOIN (SELECT doc_id, CAST(pos AS BIGINT) AS p1 FROM pp WHERE term = '$b') y USING (doc_id)
+           WHERE abs(y.p1 - x.p0) <= $window
+           GROUP BY x.doc_id)"""
+      oArms += s"SELECT $qid AS query_id, doc_id, n FROM o_${qid}_$j"
+      uArms += s"SELECT $qid AS query_id, doc_id, n FROM u_${qid}_$j"
+    }
+    val prefix = bm25SqlWhere(qs, k, "TRUE", "TRUE", "TRUE")
+    val aggEnd = prefix.indexOf(",\n       ranked AS")
+    val aggCtes = prefix.substring("WITH ".length,
+      if (aggEnd >= 0) aggEnd else sys.error("bm25 CTE shape changed"))
+    s"""WITH $aggCtes,
+       pp AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term,
+                generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) - 1 AS pos
+         FROM documents),
+       ${oCtes.mkString(",\n       ")},
+       ${uCtes.mkString(",\n       ")},
+       ofeat AS (
+         SELECT query_id, doc_id, CAST(sum(n) AS BIGINT) AS no
+         FROM (${oArms.mkString(" UNION ALL ")}) GROUP BY 1, 2),
+       ufeat AS (
+         SELECT query_id, doc_id, CAST(sum(n) AS BIGINT) AS nu
+         FROM (${uArms.mkString(" UNION ALL ")}) GROUP BY 1, 2),
+       sdm AS (
+         SELECT a.query_id, a.doc_id,
+                CAST(a.score_q + COALESCE(o.no, 0) * 100000000000
+                   + COALESCE(u.nu, 0) * 50000000000 AS BIGINT) AS score_q
+         FROM agg a
+         LEFT JOIN ofeat o ON a.query_id = o.query_id AND a.doc_id = o.doc_id
+         LEFT JOIN ufeat u ON a.query_id = u.query_id AND a.doc_id = u.doc_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
+         FROM sdm)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+              CAST(rn AS BIGINT) AS rank,
+              CAST(score_q AS DOUBLE) / 1000000000000.0 AS score
+       FROM ranked WHERE rn <= $k ORDER BY query_id, rank"""
+  }
 
   /** BM25 oracle for the CDC-WITH-UPDATES lifecycle: the corpus is a
     * VERSIONED union — every base doc at ver 1, the updated docs'
@@ -12171,6 +12246,27 @@ object SparkEntry {
     // twin shares this replay verbatim.
     "retrieval_ordered_window" -> OrderedWindowSql,
     "retrieval_ordered_window_persisted" -> OrderedWindowSql,
+    // #uw4(table key): |p_table − p_key| ≤ 4, tuple count + min span.
+    "retrieval_unordered_window" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term,
+                  generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) - 1 AS pos
+           FROM documents),
+         w0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p0 FROM p WHERE term = 'table'),
+         w1 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p1 FROM p WHERE term = 'key'),
+         ch AS (
+           SELECT w0.doc_id, greatest(p0, p1) - least(p0, p1) AS span
+           FROM w0 JOIN w1 USING (doc_id)
+           WHERE abs(p1 - p0) <= 4),
+         g AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tuples,
+                  CAST(min(span) AS BIGINT) AS min_span
+           FROM ch GROUP BY doc_id)
+         SELECT g.doc_id, g.n_tuples, g.min_span, d.n_chars
+         FROM g JOIN documents d USING (doc_id)
+         ORDER BY g.doc_id""",
+    "sdm_topk" -> sdmSql(RetrievalQueries, 8, 10),
     "hybrid_rrf_topk" -> HybridRrfOracleSql,
     // The indexed twin MUST reproduce the scan-backed hybrid exactly:
     // full probe makes the dense candidate set identical and the

@@ -451,6 +451,93 @@ object Retrieval {
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** UNORDERED window — SDM's `#uwN(w1…wk)`: all terms occur (any
+    * order) within a span of ≤ `window` positions. Terms must be
+    * distinct (distinct terms can never share a position, so the
+    * tuple positions are distinct for free). Same per-hop pruning
+    * discipline as the ordered variant: the running (min, max) span
+    * rides through the chain and a too-wide partial prunes before it
+    * multiplies. Emits tuple count and minimal span.
+    */
+  private[graft] def unorderedWindowFrom(p: DataFrame, terms: Seq[String],
+                                         window: Int): DataFrame = {
+    require(terms.size >= 2 && terms.distinct.size == terms.size,
+      "unordered window needs >= 2 DISTINCT terms")
+    require(window >= terms.size - 1, "window cannot fit the terms")
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("pos").cast("long").as(s"p$i"))
+    }
+    val seed = parts.head
+      .select(col("doc_id"), col("p0").as("gmin"), col("p0").as("gmax"))
+    val chained = (1 until terms.size).foldLeft(seed) { (acc, i) =>
+      acc.join(parts(i), Seq("doc_id"))
+        .filter(greatest(col("gmax"), col(s"p$i")) -
+          least(col("gmin"), col(s"p$i")) <= window)
+        .select(col("doc_id"),
+          least(col("gmin"), col(s"p$i")).as("gmin"),
+          greatest(col("gmax"), col(s"p$i")).as("gmax"))
+    }
+    chained.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tuples"),
+        min(col("gmax") - col("gmin")).as("min_span"))
+  }
+
+  /** [[unorderedWindowFrom]] over the staged postings + doc metadata. */
+  def unorderedWindow(docs: DataFrame, terms: Seq[String],
+                      window: Int): DataFrame =
+    unorderedWindowFrom(positionalPostingsStaged(docs), terms, window)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** SDM-lite ranked retrieval (Metzler & Croft 2005's
+    * sequential-dependence mixture, with the feature transforms kept
+    * EXACT instead of log-smoothed): per (query, doc),
+    *
+    *   sdm_q = bm25_q + wO·#8(adjacent term pairs, ordered)
+    *               + wU·#8(term pairs, unordered)
+    *
+    * all in the quantized-long score domain (wO = 0.10·10¹²,
+    * wU = 0.05·10¹² per match tuple — the canonical 0.85/0.10/0.05
+    * mixture re-based on the unit BM25 weight), ranked per query with
+    * the deterministic (score desc, doc_id) tie-break. Pair features
+    * follow the SDM definition: every ADJACENT pair of the query's
+    * terms contributes its windowed counts.
+    *
+    * Scale shape: BM25 reads the term-bucket postings; each pair
+    * feature reads its two terms' positional buckets with the span
+    * bound pushed into the join; features outer-join the BM25 side as
+    * query-sized skinny relations — a doc matching no window just
+    * scores its BM25.
+    */
+  def sdmTopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+              window: Int = 8, k: Int = 10): DataFrame = {
+    val p = positionalPostingsStaged(docs)
+    val bm = scoreBm25Unranked(postingsStaged(docs), termStatsStaged(docs),
+      corpusStatsStaged(docs), queries, 1.2, 0.75)
+    def pairFeature(fn: (DataFrame, Seq[String], Int) => DataFrame,
+                    cnt: String): DataFrame =
+      queries.flatMap { case (qid, terms) =>
+        terms.sliding(2).filter(_.size == 2).map(_.toSeq).toSeq.distinct
+          .map(pair => fn(p, pair, window)
+            .select(lit(qid).as("query_id"), col("doc_id"),
+              col(cnt).as("n")))
+      }.reduce(_ unionByName _)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("n")).as("n"))
+    val ord = pairFeature(orderedWindowFrom, "n_anchors")
+    val unord = pairFeature(unorderedWindowFrom, "n_tuples")
+    val sdm = bm
+      .join(ord.select(col("query_id"), col("doc_id"), col("n").as("__no")),
+        Seq("query_id", "doc_id"), "left")
+      .join(unord.select(col("query_id"), col("doc_id"), col("n").as("__nu")),
+        Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        (col("score_q") + coalesce(col("__no"), lit(0L)) * 100000000000L +
+          coalesce(col("__nu"), lit(0L)) * 50000000000L).as("score_q"))
+    rankTopK(sdm, k)
+  }
+
   /** Index-backed exact phrase search: adjacency via position
     * arithmetic over [[positionalPostingsStaged]] — the i-th phrase
     * word must sit at `anchor_pos + i`. Semantically ≡ [[phraseSearch]]

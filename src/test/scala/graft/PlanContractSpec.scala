@@ -383,7 +383,8 @@ class PlanContractSpec extends SparkSpec {
       // in as a broadcast cross; postings⋈query and postings⋈df are
       // broadcast hash joins (hybrid composes bm25 + the brute-cosine
       // whitelisted query cross)
-      "bm25_topk", "bm25_incremental", "bm25_filtered", "hybrid_rrf_topk",
+      "bm25_topk", "bm25_incremental", "bm25_filtered", "sdm_topk",
+      "hybrid_rrf_topk",
       "retrieval_eval_bm25", "retrieval_snippets_bm25",
       // MMR candidates come from the whitelisted brute-cosine query
       // cross; the greedy itself is candidate-bounded flatMapGroups

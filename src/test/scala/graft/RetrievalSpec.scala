@@ -485,4 +485,43 @@ class RetrievalSpec extends SparkSpec with Matchers {
       .collect().map(_.getLong(0)).toSet
     assert(tight === Set(14L))
   }
+
+  test("unordered window: any order within span, tuple count, min span") {
+    val d = Seq(
+      (20L, "table a key", 11L),            // span 2, 1 tuple
+      (21L, "key table", 9L),               // span 1
+      (22L, "table a b c d key", 17L),      // span 5 > 4: no
+      (23L, "key a table b key", 17L),      // tuples: (t2,k0) s2, (t2,k4) s2
+      (24L, "nothing here", 12L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Retrieval.unorderedWindow(d, Seq("table", "key"), window = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(20L, 21L, 23L))
+    assert(out(20L) === ((1L, 2L)))
+    assert(out(21L) === ((1L, 1L)))
+    assert(out(23L) === ((2L, 2L)))
+  }
+
+  test("sdm: decomposes into bm25 + window evidence; order evidence breaks ties") {
+    val d = Seq(
+      (0L, "cat dog mouse", 13L),
+      (1L, "dog cat mouse", 13L),
+      (2L, "cat fish fish fish fish fish fish fish fish dog", 48L)
+    ).toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val qs = Seq(0L -> Seq("cat", "dog"))
+    val sdm = Retrieval.sdmTopK(d, qs, window = 8, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val bm = Retrieval.bm25TopK(d, qs, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // decomposition: doc 0 has ordered+unordered (1 each); doc 1 only
+    // unordered; doc 2 neither (span 9 > 8)
+    assert(sdm(0L)._1 === bm(0L) + 100000000000L + 50000000000L)
+    assert(sdm(1L)._1 === bm(1L) + 50000000000L)
+    assert(sdm(2L)._1 === bm(2L))
+    // docs 0 and 1 tie on bm25 (same tf, same dl): order evidence
+    // must break the tie in favour of the in-order doc
+    assert(bm(0L) === bm(1L))
+    assert(sdm(0L)._2 < sdm(1L)._2)
+  }
 }
