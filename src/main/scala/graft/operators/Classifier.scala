@@ -175,8 +175,12 @@ object Classifier {
       .select(col("p"), col("n"),
         (col("__off") + coalesce(sum(col("n")).over(wLocal), lit(0L))).as("nb"))
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
-        sum((col("p") * col("nb") * 2L + col("p") * col("n"))
-          .cast("decimal(38,0)")).as("__u2"))
+        // Widen BEFORE the multiply: p·nb·2 in LongType wraps silently
+        // (ANSI off) when one distinct score concentrates mass at
+        // 100 TB scale; decimal(38,0) operands keep every per-group
+        // term exact, not just the accumulation.
+        sum(col("p").cast("decimal(38,0)") * col("nb") * 2L +
+          col("p").cast("decimal(38,0)") * col("n")).as("__u2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0L && col("n_neg") > 0L,
           col("__u2").cast("double") /

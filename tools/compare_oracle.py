@@ -81,7 +81,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = n_skip = 0
     import os
     for name in sorted(os.listdir(out_dir)):
-        if name == "oracle_sql.json":
+        # Query results are DIRECTORIES of parquet parts; skip loose
+        # files (oracle_sql.json, any future sidecar artifacts).
+        if not os.path.isdir(f"{out_dir}/{name}"):
             continue
         raw = pd.read_parquet(f"{out_dir}/{name}")
         got = canon(raw)
