@@ -138,7 +138,8 @@ object Bench {
         n == "snippets_catalog" || n == "mmr_rerank_indexed" ||
         n == "retrieval_eval_hybrid" || n == "retrieval_phrase_persisted" ||
         n == "retrieval_boolean_not_indexed" || n == "lm_model_persisted" ||
-        n == "bpe_model_persisted" || n == "streaming_wap_publish" ||
+        n == "bpe_model_persisted" || n == "dedup_index_fixed_batch" ||
+        n == "streaming_wap_publish" ||
         n == "streaming_wap_history" || n == "streaming_serving_e2e"
     val group = (n: String) =>
       if (lifecycleRow(n)) 2

@@ -1667,6 +1667,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_index_fixed_batch" -> ((s, d) => {
+      // Exact-dedup PER-BATCH-cost scale pin (the cow_merge_fixed_batch
+      // pattern): a CONSTANT 50-doc batch dedups against a persisted
+      // corpus-sized standing store (tables.DedupIndex, built once per
+      // process) under the arrival-order veto. The batch pays its own
+      // shingle/posting build broadcast against STORED artifacts —
+      // nothing standing is re-derived, so the row's scale curve
+      // isolates the read-side term (one streaming pass over skinny
+      // postings) from the recompute term the naive loop paid.
+      val batch = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      tables.DedupIndex.dedupBatch(s, dedupIndexDir(s, d), batch, 0L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- training-data extensions: text analysis -------------------
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -2519,6 +2534,20 @@ object SparkEntry {
       // move the segmentation signature.
       tables.WordpieceModel.encodeStats(s, wordpieceModelDir(s, d),
         Tables.documents(s, d))),
+    "unigram_vocab" -> ((s, d) =>
+      // Unigram-LM (SentencePiece) trained vocab: substring seed →
+      // one hard-EM round (Viterbi-segment every distinct word under
+      // seed scores, freq-weighted usage re-estimate) → prune to the
+      // char set + top-12 used pieces. The oracle replays seed DP,
+      // backtrace, and prune in recursive CTEs — integer keys
+      // throughout (key = 256·Σ qln-score − n_pieces).
+      operators.Unigram.vocab(Tables.documents(s, d), s"ug|$d")),
+    "unigram_encode" -> ((s, d) =>
+      // Viterbi encode under the trained unigram model (add-1
+      // smoothed scores): per-doc piece counts, fertility, the exact
+      // integer path score the DP maximized, and the position-weighted
+      // md5 signature pinning every segmentation boundary.
+      operators.Unigram.encodeStats(Tables.documents(s, d), s"ug|$d")),
     "wordpiece_fertility_by_lang" -> ((s, d) => {
       // Tokenizer QA per language: fertility and compression under
       // the seed vocab — the bpe_fertility_by_lang twin.
@@ -3084,6 +3113,20 @@ object SparkEntry {
       // Top-line whitening diagnostic: diagonal vs off-diagonal
       // covariance mass as exact integer sums; one double ratio.
       operators.Profile.embeddingAnisotropy(Tables.embeddings(s, d),
+        stageKey = Some(d))),
+    "embedding_whiten" -> ((s, d) =>
+      // APPLY the diagnosed whitening (diagonal standardization):
+      // (n·q − Σq)/√num_q per component — the quantum cancels, every
+      // step correctly-rounded IEEE over exact integer moments, so
+      // the whitened integers hash-match the oracle with no
+      // tolerance.
+      operators.Profile.embeddingWhiten(Tables.embeddings(s, d),
+        stageKey = Some(d))),
+    "embedding_whiten_check" -> ((s, d) =>
+      // Effect pin: off-diagonal/trace mass ratio before vs after —
+      // standardization must shrink it whenever per-dim variances
+      // differ.
+      operators.Profile.embeddingWhitenCheck(Tables.embeddings(s, d),
         stageKey = Some(d))),
     "corpus_drift_psi" -> ((s, d) => {
       // Refresh-gate drift monitor: PSI of the language distribution
@@ -4259,6 +4302,27 @@ object SparkEntry {
       // span — shares the scan oracle verbatim.
       tables.InvertedIndex.orderedWindow(s, invIndexDir(s, d),
         Tables.documents(s, d), Seq("key", "table", "row"), window = 8)),
+    "retrieval_ordered_window_catalog" -> ((s, d) => {
+      // The CATALOG-resolved twin: positions come from the registered
+      // generation head through the create→append→compact→append
+      // lifecycle (the snippets_catalog discipline) — the lifecycle
+      // must not move a match or a span. Shares the scan oracle
+      // verbatim.
+      val st = tables.IndexCatalog.current(catalogRootDir(s, d))
+      tables.InvertedIndex.orderedWindow(s, st.generation,
+        Tables.documents(s, d), Seq("key", "table", "row"), window = 8,
+        only = Some(st.batches.toSet))
+    }),
+    "retrieval_eval_sdm" -> ((s, d) => {
+      // Does proximity evidence MOVE retrieval quality? nDCG@10 /
+      // MRR / recall@10 of the SDM run against the same derived
+      // qrels as retrieval_eval_bm25 — read next to that row, the
+      // delta is the sequential-dependence contribution, hash-exact.
+      val docs = Tables.documents(s, d)
+      Retrieval.evalMetrics(
+        Retrieval.sdmTopK(docs, RetrievalQueries, window = 8, k = 10),
+        Retrieval.relevanceFromTerms(docs, RetrievalQueries), k = 10)
+    }),
     "retrieval_snippets" -> ((s, d) =>
       // The highlighter: a ±3-token window around each matching doc's
       // first occurrence, re-materialized row-locally from the doc's
@@ -5592,6 +5656,22 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted exact-dedup standing store per (process, dataset):
+    * seed = every doc with id ≥ 50, so the constant sub-50 batch in
+    * dedup_index_fixed_batch probes a corpus-sized store at every
+    * scale (re-scale copies keep their sub-50 twins ABOVE 50 via the
+    * 10M id shift — they join the standing side).
+    */
+  private def dedupIndexDir(s: SparkSession, d: String): String =
+    lmModelCache.getOrElseUpdate(s"$d#dedupidx", {
+      val dir = scratchDir("graft_dedupidx_")
+      tables.DedupIndex.create(s,
+        Tables.documents(s, d).filter(col("doc_id") >= 50)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+        dir)
+      dir
+    })
+
   /** Persisted trigram-model dir per (process, dataset) — the
     * [[lmModelDir]] pattern for the stupid-backoff model.
     */
@@ -6332,6 +6412,171 @@ object SparkEntry {
                    THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
               COALESCE(p.sig, 0) AS sig
        FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id"""
+
+  /** Viterbi FORWARD pass over each distinct word as a recursive CTE
+    * (the unigram-LM oracle): one row per (word, boundary), carrying a
+    * rolling 8-slot window of best-path keys (v0 = best at this
+    * boundary, v1..v7 the 7 before — the pair (df-window, CASE probes)
+    * that makes a DP with bounded lookback expressible without
+    * aggregation in the recursive term). Key = 256·Σ score_q −
+    * n_pieces; a single char absent from `uvName` costs the fixed UNK
+    * penalty (256·−4e13), multi-char pieces must be present.
+    */
+  private def unigramVitCte(name: String, uvName: String): String = {
+    val init = (1 to 7).map(k => s"CAST(NULL AS BIGINT) AS v$k").mkString(", ")
+    val shifts = (0 to 6).map(k => s"v$k").mkString(", ")
+    // All vocab probes are LEFT JOINs, never correlated scalar
+    // subqueries: a recursive term may JOIN a completed (possibly
+    // recursion-derived) CTE, but correlated probes into one return
+    // NULL in DuckDB — measured, and round 2's scores ARE
+    // recursion-derived.
+    // c1 = single code point (UNK fallback −4e13·256 keeps the walk
+    // total); cL = piece of length L ending at the new boundary,
+    // sentinel −4.6e18 when absent/out of range (unreachable by any
+    // real path key, so the argmax ladder can never alias it).
+    val joins = (1 to 8).map { l =>
+      val start = if (l == 1) "t.pos + 1" else s"t.pos - ${l - 2}"
+      s"""LEFT JOIN $uvName s$l ON t.pos >= ${l - 1} AND s$l.piece = substr(t.word, $start, $l)"""
+    }.mkString("\n           ")
+    val c1 =
+      s"""t.v0 + coalesce(256 * s1.sc, CAST(-10240000000000000 AS BIGINT)) - 1 AS c1"""
+    val cands = (2 to 8).map { l =>
+      s"""coalesce(t.v${l - 1} + 256 * s$l.sc - 1, CAST(-4600000000000000000 AS BIGINT)) AS c$l"""
+    }.mkString(",\n             ")
+    val blLadder = (8 to 2 by -1).map(l => s"WHEN c$l = b0 THEN $l")
+      .mkString(" ")
+    s"""$name AS (
+       SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS v0, 0 AS bl, $init
+       FROM dw
+       UNION ALL
+       SELECT word, pos + 1, b0 AS v0,
+              CASE $blLadder ELSE 1 END AS bl,
+              $shifts
+       FROM (
+         SELECT *, greatest(c1, c2, c3, c4, c5, c6, c7, c8) AS b0
+         FROM (
+           SELECT t.word, t.pos, t.v0, t.v1, t.v2, t.v3, t.v4, t.v5, t.v6,
+             $c1,
+             $cands
+           FROM $name t
+           $joins
+           WHERE t.pos < length(t.word))))"""
+  }
+
+  /** Viterbi BACKTRACE as a recursive CTE: from each word's final
+    * boundary, re-derive the argmax piece length by probing which
+    * predecessor's key + piece score reproduces this boundary's key —
+    * ties resolved to the LARGEST length (the ladder runs 8→2, single
+    * char as the ELSE), exactly the engine expression's `>=` argmax.
+    * Emits one row per chosen piece with its START boundary.
+    */
+  private def unigramBtCte(name: String, bstName: String): String =
+    // The walk reads the stored argmax length per boundary (the
+    // engine's bestL array) via a JOIN — a recursive term may join a
+    // completed recursive CTE's materialization, but NOT probe it
+    // with correlated scalar subqueries (DuckDB returns NULL there —
+    // measured, hence this shape).
+    s"""$name AS (
+       SELECT word, CAST(length(word) AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS piece
+       FROM dw
+       UNION ALL
+       SELECT b.word, b.pos - s.bl, substr(b.word, b.pos - s.bl + 1, s.bl) AS piece
+       FROM $name b JOIN $bstName s ON s.word = b.word AND s.pos = b.pos
+       WHERE b.pos > 0)"""
+
+  /** Shared unigram-LM training replay: substring seed with qln
+    * scores, round-1 Viterbi + backtrace, freq-weighted usage
+    * re-estimate, prune to chars + top-12 used pieces (uv1), and the
+    * add-1 smoothed inference scores (uv1s). qln(x) =
+    * round(ln(x)·1e12) — every ln argument an exact positive integer.
+    */
+  private val UnigramTrainCtes: String =
+    s"""wf AS MATERIALIZED (
+         SELECT w AS word, CAST(count(*) AS BIGINT) AS c_w FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+           FROM documents)
+         GROUP BY w),
+       ug_pf AS MATERIALIZED (
+         SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+                CAST(sum(c_w) AS BIGINT) AS freq
+         FROM (
+           SELECT c_w, unnest(flatten(list_transform(range(1, length(word) + 1),
+                    p -> list_transform(range(1, least(8, length(word) - p + 1) + 1),
+                           l -> substr(word, p, l))))) AS piece
+           FROM wf)
+         GROUP BY piece
+         HAVING length(piece) = 1 OR sum(c_w) >= 2),
+       ug_tot0 AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM ug_pf),
+       uv0 AS MATERIALIZED (
+         SELECT piece,
+                CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                  - (SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000000.0) AS BIGINT) FROM ug_tot0) AS sc
+         FROM ug_pf),
+       dw AS MATERIALIZED (SELECT DISTINCT word FROM wf),
+       ${unigramVitCte("ug_vit1", "uv0")},
+       ug_bst1 AS MATERIALIZED (SELECT word, pos, bl FROM ug_vit1),
+       ${unigramBtCte("ug_bt1", "ug_bst1")},
+       ug_cnt1 AS (
+         SELECT piece, CAST(sum(c_w) AS BIGINT) AS cnt
+         FROM ug_bt1 JOIN wf USING (word)
+         WHERE piece IS NOT NULL GROUP BY piece),
+       ug_ch1 AS (
+         SELECT 'char' AS kind,
+                CAST(row_number() OVER (ORDER BY p.piece) AS BIGINT) AS rnk,
+                p.piece, CAST(1 AS BIGINT) AS piece_len,
+                CAST(coalesce(c.cnt, 0) AS BIGINT) AS freq
+         FROM ug_pf p LEFT JOIN ug_cnt1 c USING (piece)
+         WHERE p.piece_len = 1),
+       ug_mu1 AS (
+         SELECT 'piece' AS kind,
+                CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rnk,
+                piece, CAST(length(piece) AS BIGINT) AS piece_len,
+                cnt AS freq
+         FROM ug_cnt1
+         WHERE length(piece) >= 2 AND cnt > 0
+         QUALIFY rnk <= 12),
+       uv1 AS (SELECT * FROM ug_ch1 UNION ALL SELECT * FROM ug_mu1),
+       ug_tot1 AS (SELECT CAST(sum(freq) AS BIGINT) + count(*) AS t FROM uv1),
+       uv1s AS MATERIALIZED (
+         SELECT piece,
+                CAST(round(ln(CAST(freq + 1 AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+                  - (SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000000.0) AS BIGINT) FROM ug_tot1) AS sc
+         FROM uv1)"""
+
+  private val UnigramVocabSql: String =
+    s"""WITH RECURSIVE $UnigramTrainCtes
+       SELECT kind, rnk, piece, piece_len, freq FROM uv1 ORDER BY kind, rnk"""
+
+  private val UnigramEncodeSql: String =
+    s"""WITH RECURSIVE $UnigramTrainCtes,
+       ${unigramVitCte("ug_vit2", "uv1s")},
+       ug_bst2 AS MATERIALIZED (SELECT word, pos, bl FROM ug_vit2),
+       ${unigramBtCte("ug_bt2", "ug_bst2")},
+       ug_w0 AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+         FROM documents),
+       ug_pw AS (
+         SELECT b.word, CAST(count(*) AS BIGINT) AS np,
+                CAST(sum(coalesce(u.sc, -40000000000000)) AS BIGINT) AS score_q,
+                CAST(sum((CAST(list_reduce([strpos('0123456789abcdef', x) - 1
+                         for x in [substr(md5(b.piece), i, 1) for i in range(1, 9)]],
+                       (a, bb) -> a * 16 + bb) % 8192 AS BIGINT))
+                     * (b.pos + length(b.piece))) AS BIGINT) AS sig
+         FROM ug_bt2 b LEFT JOIN uv1s u ON u.piece = b.piece
+         WHERE b.piece IS NOT NULL GROUP BY b.word),
+       ug_pd AS (
+         SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(p.np) AS BIGINT) AS n_pieces,
+                CAST(sum(p.score_q) AS BIGINT) AS score_q_sum,
+                CAST(sum(p.sig) AS BIGINT) AS sig
+         FROM ug_w0 w JOIN ug_pw p USING (word) GROUP BY w.doc_id)
+       SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+              COALESCE(p.n_pieces, 0) AS n_pieces,
+              CASE WHEN p.n_words > 0
+                   THEN CAST(p.n_pieces AS DOUBLE) / CAST(p.n_words AS DOUBLE) END AS fertility,
+              COALESCE(p.score_q_sum, 0) AS score_q_sum,
+              COALESCE(p.sig, 0) AS sig
+       FROM documents d LEFT JOIN ug_pd p USING (doc_id) ORDER BY d.doc_id"""
 
   /** Ordered-window #8(key table row) replay — shared by the scan row
     * and the persisted-positions twin. */
@@ -8277,6 +8522,30 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM v)
          ORDER BY doc_id""",
+    // Persisted-store twin at the fixed-batch operating point: the
+    // sub-50 batch drops iff ANY standing doc (id >= 50, arrival-order
+    // veto) or lower-id batch member confirms J >= 0.5 — unblocked.
+    "dedup_index_fixed_batch" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM t WHERE len(w) > 0),
+         v AS (
+           SELECT DISTINCT b.doc_id
+           FROM s a JOIN s b ON b.doc_id < 50
+             AND (a.doc_id >= 50 OR a.doc_id < b.doc_id)
+             AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id < 50 AND doc_id NOT IN (SELECT doc_id FROM v)
+         ORDER BY doc_id""",
     // The prefix-filtered join is LOSSLESS, so its oracle is the
     // unblocked truth: every pair, exact Jaccard, no caps. (The
     // length-ratio prune is implied by J >= t, so the oracle omits it.)
@@ -9417,6 +9686,80 @@ object SparkEntry {
                           CAST(sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) AS DOUBLE)
                      ELSE CAST(0 AS DOUBLE) END AS anisotropy_ratio
          FROM p""",
+    // Diagonal whitening: (n·q − Σq)/sqrt(num) per component, rounded
+    // at 1e3 — integer moments in, one sqrt + one division + one
+    // round, all correctly-rounded IEEE.
+    "embedding_whiten" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest([{'dim': i - 1,
+                           'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT vec_id, u['dim'] AS dim, u['q'] AS q FROM e),
+         d AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(q AS HUGEINT) * q)
+                       - sum(CAST(q AS HUGEINT)) * sum(CAST(q AS HUGEINT)) AS BIGINT) AS num_q,
+                  CAST(sum(q) AS BIGINT) AS sa
+           FROM c GROUP BY dim)
+         SELECT c.vec_id, CAST(c.dim AS INTEGER) AS dim,
+                CASE WHEN d.num_q > 0
+                     THEN CAST(round(CAST(d.n * c.q - d.sa AS DOUBLE) /
+                                     sqrt(CAST(d.num_q AS DOUBLE)) * 1000.0) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS w_q
+         FROM c JOIN d USING (dim) ORDER BY vec_id, dim""",
+    // Whitening effect pin: the same exact moment pass over raw and
+    // whitened integer components; ratios are one division each.
+    "embedding_whiten_check" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest([{'dim': i - 1,
+                           'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT vec_id, u['dim'] AS dim, u['q'] AS q FROM e),
+         d AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(q AS HUGEINT) * q)
+                       - sum(CAST(q AS HUGEINT)) * sum(CAST(q AS HUGEINT)) AS BIGINT) AS num_q,
+                  CAST(sum(q) AS BIGINT) AS sa
+           FROM c GROUP BY dim),
+         w AS (
+           SELECT c.vec_id, c.dim,
+                  CASE WHEN d.num_q > 0
+                       THEN CAST(round(CAST(d.n * c.q - d.sa AS DOUBLE) /
+                                       sqrt(CAST(d.num_q AS DOUBLE)) * 1000.0) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS q
+           FROM c JOIN d USING (dim)),
+         mr AS (
+           SELECT a.dim AS dim_a, b.dim AS dim_b,
+                  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(a.q AS HUGEINT) * b.q)
+                       - sum(CAST(a.q AS HUGEINT)) * sum(CAST(b.q AS HUGEINT)) AS BIGINT) AS num_q
+           FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+           GROUP BY 1, 2),
+         mw AS (
+           SELECT a.dim AS dim_a, b.dim AS dim_b,
+                  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(a.q AS HUGEINT) * b.q)
+                       - sum(CAST(a.q AS HUGEINT)) * sum(CAST(b.q AS HUGEINT)) AS BIGINT) AS num_q
+           FROM w a JOIN w b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+           GROUP BY 1, 2),
+         rr AS (
+           SELECT CAST(count(*) FILTER (WHERE dim_a = dim_b) AS BIGINT) AS n_dims,
+                  CASE WHEN sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) > 0
+                       THEN CAST(sum(CASE WHEN dim_a <> dim_b THEN abs(num_q) ELSE 0 END) AS DOUBLE) /
+                            CAST(sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS ratio_raw
+           FROM mr),
+         rw AS (
+           SELECT CASE WHEN sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) > 0
+                       THEN CAST(sum(CASE WHEN dim_a <> dim_b THEN abs(num_q) ELSE 0 END) AS DOUBLE) /
+                            CAST(sum(CASE WHEN dim_a = dim_b THEN num_q ELSE 0 END) AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS ratio_whitened
+           FROM mw)
+         SELECT rr.n_dims, rr.ratio_raw, rw.ratio_whitened,
+                rw.ratio_whitened < rr.ratio_raw AS whitening_helps
+         FROM rr CROSS JOIN rw""",
     // PSI replay: exact-integer smoothed shares, 1e12-quantized ln,
     // 1e15-quantized terms, integer total.
     "corpus_drift_psi" ->
@@ -11542,6 +11885,8 @@ object SparkEntry {
     // char, exactly the expression's loop. Signature arithmetic is
     // the md5-bucket idiom in position-weighted integer space.
     "wordpiece_encode" -> WordpieceEncodeSql,
+    "unigram_vocab" -> UnigramVocabSql,
+    "unigram_encode" -> UnigramEncodeSql,
     // The reloaded-vocab twin must reproduce the in-flight encode
     // bit-for-bit — shares its replay verbatim.
     "wordpiece_model_persisted" -> WordpieceEncodeSql,
@@ -12246,6 +12591,9 @@ object SparkEntry {
     // twin shares this replay verbatim.
     "retrieval_ordered_window" -> OrderedWindowSql,
     "retrieval_ordered_window_persisted" -> OrderedWindowSql,
+    "retrieval_ordered_window_catalog" -> OrderedWindowSql,
+    "retrieval_eval_sdm" ->
+      retrievalEvalOverSql(sdmSql(RetrievalQueries, 8, 10), RetrievalQueries, 10),
     // #uw4(table key): |p_table − p_key| ≤ 4, tuple count + min span.
     "retrieval_unordered_window" ->
       """WITH p AS (

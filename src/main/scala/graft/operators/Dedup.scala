@@ -379,7 +379,7 @@ object Dedup {
   /** (doc_id, sh sorted-distinct, n) shingle-hash sets, blank docs
     * dropped — the shared front of the prefix-join family.
     */
-  private def shingleSets(docs: DataFrame, shingleK: Int): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame, shingleK: Int): DataFrame =
     docs.select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
@@ -395,8 +395,8 @@ object Dedup {
     * df = 0 — rarest — so a standing corpus's df relation induces a
     * consistent total order over fresh batches too.
     */
-  private def prefixPostings(toks: DataFrame, dfreq: DataFrame,
-                             threshold: Double): DataFrame = {
+  private[graft] def prefixPostings(toks: DataFrame, dfreq: DataFrame,
+                                    threshold: Double): DataFrame = {
     val prefLen = (col("n").cast("double") * lit(threshold) - lit(1e-9))
     toks.select(col("doc_id"), explode(col("sh")).as("h"))
       .join(dfreq, Seq("h"), "left")
@@ -485,6 +485,35 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefC = prefixPostings(ctoks, dfreq, threshold)
     val prefF = prefixPostings(ftoks, dfreq, threshold)
+    val victims = exactVictims(
+      ctoks, prefC.withColumn("standing", lit(true)),
+      ftoks, prefF, threshold, standingVetoes, broadcastFresh = false)
+    fresh.join(victims, Seq("doc_id"), "left_anti")
+  }
+
+  /** The prefix-join victim core shared by [[dedupIncrementalExact]]
+    * (artifacts computed in-flight from text) and
+    * [[graft.tables.DedupIndex]] (artifacts read back from the
+    * persisted standing store): given vetoer shingle sets `aToks`,
+    * vetoer postings `aPref` (carrying a `standing` boolean — fresh
+    * postings are unioned in here so same-batch lower ids veto too),
+    * and the fresh batch's `bToks`/`bPref`, return the (doc_id) set
+    * of fresh docs with a confirming partner at J ≥ `threshold`.
+    *
+    * `broadcastFresh` is the micro-batch operating point: the fresh
+    * side (postings, candidate pairs, fresh shingle sets) is bounded
+    * by the batch, so hinting it broadcast lets the corpus-sized
+    * standing relations STREAM through the joins probe-side — no
+    * shuffle of standing data, per-batch exchange volume ∝ batch.
+    * The batch-mode callers (fresh = half the corpus) leave it off
+    * and let AQE pick.
+    */
+  private[graft] def exactVictims(aToks: DataFrame, aPref: DataFrame,
+                                  bToks: DataFrame, bPref: DataFrame,
+                                  threshold: Double,
+                                  standingVetoes: Boolean,
+                                  broadcastFresh: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastFresh) broadcast(df) else df
     val ratio = lit(1.0 / threshold)
     // Partner eligibility: lower doc_id (the batch family rule) — or,
     // with `standingVetoes`, ANY standing doc regardless of id (the
@@ -494,9 +523,9 @@ object Dedup {
       if (standingVetoes)
         col("a.standing") || col("a.doc_id") < col("b.doc_id")
       else col("a.doc_id") < col("b.doc_id")
-    val cand = prefC.withColumn("standing", lit(true))
-      .unionByName(prefF.withColumn("standing", lit(false))).as("a")
-      .join(prefF.as("b"),
+    val cand = aPref
+      .unionByName(bPref.withColumn("standing", lit(false))).as("a")
+      .join(bc(bPref.as("b")),
         col("a.h") === col("b.h") && aVetoes &&
           col("a.n") <= ratio * col("b.n") && col("b.n") <= ratio * col("a.n"))
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
@@ -512,17 +541,20 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"))
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("sha"), col("shb")).cast("double")
-    val victims = cand
-      .join(ctoks.unionByName(ftoks)
+    // Verify pass: candidate pairs only. With `broadcastFresh` the
+    // candidate relation (batch-bounded) broadcasts, so the
+    // corpus-sized `aToks` probe never shuffles; the bToks fetch is
+    // batch-sized either way.
+    bc(cand)
+      .join(aToks.unionByName(bToks)
         .select(col("doc_id").as("doc_id_a"), col("sh").as("sha"),
           col("n").as("na")), "doc_id_a")
-      .join(ftoks.select(col("doc_id").as("doc_id_b"), col("sh").as("shb"),
-        col("n").as("nb")), "doc_id_b")
+      .join(bc(bToks.select(col("doc_id").as("doc_id_b"), col("sh").as("shb"),
+        col("n").as("nb"))), "doc_id_b")
       .select(col("doc_id_b").as("doc_id"), inter.as("i"),
         (col("na") + col("nb")).cast("double").as("t"))
       .filter(col("i") / (col("t") - col("i")) >= threshold)
       .select(col("doc_id")).distinct()
-    fresh.join(victims, Seq("doc_id"), "left_anti")
   }
 
   /** Exact substring-duplication signal at k-token span granularity

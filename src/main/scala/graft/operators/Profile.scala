@@ -111,13 +111,29 @@ object Profile {
     * report and the anisotropy summary. num_q < 2^53 by the quantum
     * contract, so every downstream cast is exact.
     */
-  private def covMoments(emb: DataFrame, quant: Double): DataFrame = {
-    val dec = (c: org.apache.spark.sql.Column) =>
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val comp = emb.filter(col("embedding").isNotNull)
+  private def covMoments(emb: DataFrame, quant: Double): DataFrame =
+    covMomentsFromComponents(quantizedComponents(emb, quant))
+
+  /** Row-local quantization to the (vec_id, dim, q) component
+    * relation — the input shape the moment pass and the whitening
+    * transform share.
+    */
+  private def quantizedComponents(emb: DataFrame, quant: Double): DataFrame =
+    emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"),
         round(col("v").cast("double") * quant).cast("long").as("q"))
+
+  /** The moment pass over an already-integer component relation —
+    * also consumed directly by [[embeddingWhitenCheck]], whose input
+    * components are the whitened integers themselves (quant = 1).
+    * `sa_q` (Σq of dim_a) rides along: sub-2^53 by the same quantum
+    * contract, it is the centering term the whitening transform
+    * needs.
+    */
+  private def covMomentsFromComponents(comp: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val a = comp.select(col("vec_id"), col("dim").as("dim_a"), col("q").as("qa"))
     val b = comp.select(col("vec_id"), col("dim").as("dim_b"), col("q").as("qb"))
     a.join(b, Seq("vec_id")).filter(col("dim_a") <= col("dim_b"))
@@ -143,7 +159,8 @@ object Profile {
               col("dim_a").cast("string"), lit(","),
               col("dim_b").cast("string"),
               lit(") - shrink the quantum (see quantum contract)"))))
-        }).as("num_q"))
+        }).as("num_q"),
+        col("__sa").cast("long").as("sa_q"))
   }
 
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -194,6 +211,72 @@ object Profile {
         when(col("trace_q") > 0,
           col("offdiag_abs_q").cast("double") / col("trace_q").cast("double"))
           .otherwise(lit(0.0)).as("anisotropy_ratio"))
+
+  /** APPLY the whitening the anisotropy rows diagnose (diagonal /
+    * per-dimension standardization — the cheap, always-stable member
+    * of the whitening family; full ZCA needs the eigenbasis and is
+    * the documented next step): per component,
+    *
+    *   w = (x − μ_d) / σ_d = (n·q − Σq_d) / √num_q(d,d)
+    *
+    * — the quantum CANCELS, so the transform runs entirely on the
+    * exact integer moments ([[covMoments]]' diagonal cells): one
+    * integer numerator, one IEEE sqrt, one IEEE division, one
+    * round-to-`outQuant` — every step correctly-rounded hardware on
+    * both engines, no tolerance anywhere. Output (vec_id, dim, w_q)
+    * BIGINT. A zero-variance dimension whitens to 0 by convention.
+    *
+    * Scale shape: the dim-sized diagonal relation broadcasts; the
+    * corpus pays one row-local explode + hash-probe — embeddings
+    * never shuffle.
+    */
+  def embeddingWhiten(emb: DataFrame, quant: Double = 1e3,
+                      outQuant: Double = 1e3,
+                      stageKey: Option[String] = None): DataFrame = {
+    val diag = momentsOf(emb, quant, stageKey)
+      .filter(col("dim_a") === col("dim_b"))
+      .select(col("dim_a").as("dim"), col("n"), col("num_q"), col("sa_q"))
+    quantizedComponents(emb, quant)
+      .join(broadcast(diag), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("num_q") > 0,
+          round((col("n") * col("q") - col("sa_q")).cast("double") /
+            sqrt(col("num_q").cast("double")) * outQuant).cast("long"))
+          .otherwise(lit(0L)).as("w_q"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** The effect pin: anisotropy ratio BEFORE (raw components) vs
+    * AFTER ([[embeddingWhiten]]'s integers fed straight back through
+    * the same exact moment pass) — diagonal standardization must
+    * strictly shrink off-diagonal mass relative to trace on any
+    * corpus whose per-dim variances differ (it equalizes the trace
+    * contributions; correlations it leaves for ZCA). One row,
+    * integer masses, two double ratios.
+    */
+  def embeddingWhitenCheck(emb: DataFrame, quant: Double = 1e3,
+                           outQuant: Double = 1e3,
+                           stageKey: Option[String] = None): DataFrame = {
+    def ratio(m: DataFrame) = m
+      .agg(count(when(col("dim_a") === col("dim_b"), lit(1))).as("n_dims"),
+        sum(when(col("dim_a") === col("dim_b"), col("num_q"))
+          .otherwise(lit(0L))).as("trace_q"),
+        sum(when(col("dim_a") =!= col("dim_b"), abs(col("num_q")))
+          .otherwise(lit(0L))).as("offdiag_abs_q"))
+      .select(col("n_dims"),
+        when(col("trace_q") > 0,
+          col("offdiag_abs_q").cast("double") / col("trace_q").cast("double"))
+          .otherwise(lit(0.0)).as("ratio"))
+    val before = ratio(momentsOf(emb, quant, stageKey))
+      .withColumnRenamed("ratio", "ratio_raw")
+    val whitened = embeddingWhiten(emb, quant, outQuant, stageKey)
+      .select(col("vec_id"), col("dim"), col("w_q").as("q"))
+    val after = ratio(covMomentsFromComponents(whitened))
+      .select(col("ratio").as("ratio_whitened"))
+    before.crossJoin(after)
+      .select(col("n_dims"), col("ratio_raw"), col("ratio_whitened"),
+        (col("ratio_whitened") < col("ratio_raw")).as("whitening_helps"))
+  }
 
   /** Population-stability-index drift monitor between two corpus
     * snapshots — the gate a refresh pipeline runs before swapping in a

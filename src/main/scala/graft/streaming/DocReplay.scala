@@ -87,13 +87,17 @@ object DocReplay {
       val q = src.writeStream
         .option("checkpointLocation", ck.toString)
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          op(df, batchId).write.mode("append").parquet(out.toString)
+          // batchId-keyed root + overwrite: foreachBatch is
+          // at-least-once, and a redelivered batch must REPLACE its
+          // prior attempt's emissions, not append next to them.
+          op(df, batchId).write.mode("overwrite")
+            .parquet(out.resolve(s"b_$batchId").toString)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
     deleteTree(ck)
-    spark.read.parquet(out.toString)
+    spark.read.option("recursiveFileLookup", "true").parquet(out.toString)
   }
 }

@@ -361,6 +361,9 @@ class PlanContractSpec extends SparkSpec {
       // 1-row totals aggregate (tb, ta, k) broadcast cross onto the
       // bucket-sized PSI relation
       "corpus_drift_psi",
+      // r17: before/after anisotropy ratios are two 1-row aggregates
+      // composed by a single-row cross
+      "embedding_whiten_check",
       // pure 1-row-aggregate composition: every cross side is a
       // single-row gate metric (counts, psi, clean count) + the
       // decontamination phrase broadcast
@@ -385,7 +388,7 @@ class PlanContractSpec extends SparkSpec {
       // whitelisted query cross)
       "bm25_topk", "bm25_incremental", "bm25_filtered", "sdm_topk",
       "hybrid_rrf_topk",
-      "retrieval_eval_bm25", "retrieval_snippets_bm25",
+      "retrieval_eval_bm25", "retrieval_eval_sdm", "retrieval_snippets_bm25",
       // MMR candidates come from the whitelisted brute-cosine query
       // cross; the greedy itself is candidate-bounded flatMapGroups
       "mmr_rerank")

@@ -89,7 +89,21 @@ CLAIMED_LINEAR = ["dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
                   # r13 retrieval: postings build is one scan + one agg
                   # (linear); scoring touches only query-term postings.
                   # compression_ratio is a pure row-local pass.
-                  "bm25_topk", "bm25_incremental", "compression_ratio"]
+                  "bm25_topk", "bm25_incremental", "compression_ratio",
+                  # r17 lossless prefix-join family: candidates are
+                  # information-bounded (rarest-first prefixes + the
+                  # positional filter), and the caesar re-scale keeps
+                  # the duplicate RATE constant, so pair volume and
+                  # wall should track N. dedup_index_fixed_batch is
+                  # the cow_merge_fixed_batch analog: a CONSTANT
+                  # 50-doc batch against a persisted store whose size
+                  # scales — per-batch cost should stay near-flat
+                  # (residual term: one sequential pass over the
+                  # skinny standing postings). streaming_dedup_exact
+                  # is a real 2-batch replay over the store (create +
+                  # two batch dedups — create is the linear term).
+                  "jaccard_prefix_pairs", "dedup_incremental_exact",
+                  "dedup_index_fixed_batch", "streaming_dedup_exact"]
 CELL_QUADRATIC = []
 DEFAULT_QUERIES = CLAIMED_LINEAR + CELL_QUADRATIC
 
