@@ -123,8 +123,13 @@ object Dedup {
       col("sh").as("sh_a"), col("n_sh").as("n_a"))
     val sb = hashed.select(col("doc_id").as("doc_id_b"),
       col("sh").as("sh_b"), col("n_sh").as("n_b"))
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    // Sealed: keep the per-pair merge-intersect OUT of the join
+    // condition (the pushed threshold filter would re-derive it there,
+    // twice per candidate, ahead of the cheap prunes — see
+    // [[graft.functions.Sealed]]); one evaluation per candidate pair.
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double"))
     candidates
       .join(sa, "doc_id_a")
       .join(sb, "doc_id_b")
@@ -243,6 +248,13 @@ object Dedup {
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
+      // No-op filter (bucket0 derives from non-null n_chars), placed so
+      // BOTH sides of the self-join in [[ngramJaccardPairs]] canonicalize
+      // identically: the join's equi-key infers isnotnull(bucket0) on the
+      // build side only, and that one extra Filter node otherwise blocks
+      // ReusedExchange from sharing the window shuffle between the two
+      // subtrees (guide §2.4 — one scan+shingle+sort pass instead of two).
+      .filter(col("bucket0").isNotNull)
       .withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= maxBlock)
       .select(col("doc_id"), col("bucket0"), col("sh"), size(col("sh")).as("n_sh"))
@@ -280,8 +292,17 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    // Sealed + single-pass emission (r17): the two directional tests
+    // share one intersection — scoring once and exploding both
+    // directions replaces the old union of TWO full recomputations of
+    // the candidate join (the optimizer does not share subtrees across
+    // a union), and sealing keeps the intersect out of the join
+    // condition (see [[graft.functions.Sealed]]). The blank-doc guard
+    // folds into `when(n > 0, …)` — a 0 containment never passes the
+    // positive threshold, exactly the old filter's semantics.
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")).cast("double"))
     val scored = cand
       .join(withSh.select(col("doc_id").as("da"), col("sh").as("sha"),
         col("n_sh").as("na")), "da")
@@ -289,13 +310,18 @@ object Dedup {
         col("n_sh").as("nb")), "db")
       .select(col("da"), col("db"), inter.as("i"),
         col("na").cast("double").as("na"), col("nb").cast("double").as("nb"))
-    val aInB = scored.filter(col("na") > 0 && col("i") / col("na") >= threshold)
-      .select(col("da").as("doc_id"), col("db").as("container_id"),
-        (col("i") / col("na")).as("containment"))
-    val bInA = scored.filter(col("nb") > 0 && col("i") / col("nb") >= threshold)
-      .select(col("db").as("doc_id"), col("da").as("container_id"),
-        (col("i") / col("nb")).as("containment"))
-    aInB.unionByName(bInA).orderBy(col("doc_id"), col("container_id"))
+    scored.select(explode(array(
+        struct(col("da").as("doc_id"), col("db").as("container_id"),
+          when(col("na") > 0, col("i") / col("na")).otherwise(lit(0.0))
+            .as("containment")),
+        struct(col("db").as("doc_id"), col("da").as("container_id"),
+          when(col("nb") > 0, col("i") / col("nb")).otherwise(lit(0.0))
+            .as("containment")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"),
+        col("e.container_id").as("container_id"),
+        col("e.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_id"), col("container_id"))
   }
 
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3,
@@ -313,8 +339,14 @@ object Dedup {
     // |A| and |B| within a factor (1/t) of each other — drops most of
     // the block² pairs before any set intersection.
     val ratio = lit(1.0 / threshold)
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double")
+    // Sealed: the join keeps only the cheap bucket/order/size-ratio
+    // conditions; the merge-intersect evaluates ONCE per surviving
+    // candidate in the projection below instead of (twice, first)
+    // inside the join condition — see [[graft.functions.Sealed]].
+    // Measured at sf0.1: 2.63 s → 0.84 s for this operator alone.
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double"))
     probe.as("a")
       .join(withSh.as("b"),
         col("a.bucket") === col("b.bucket0") &&
@@ -442,8 +474,11 @@ object Dedup {
         ceil((col("na0") + col("nb0")).cast("double") *
           lit(threshold / (1.0 + threshold)) - lit(1e-9)).cast("long"))
       .select(col("doc_id_a"), col("doc_id_b"))
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    // Sealed: one intersect per candidate, never inside a join
+    // condition — see [[graft.functions.Sealed]].
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")).cast("double"))
     cand
       .join(toks.select(col("doc_id").as("doc_id_a"), col("sh").as("sha"),
         col("n").as("na")), "doc_id_a")
@@ -539,8 +574,11 @@ object Dedup {
         ceil((col("na0") + col("nb0")).cast("double") *
           lit(threshold / (1.0 + threshold)) - lit(1e-9)).cast("long"))
       .select(col("doc_id_a"), col("doc_id_b"))
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sha"), col("shb")).cast("double")
+    // Sealed: one intersect per candidate, never inside a join
+    // condition — see [[graft.functions.Sealed]].
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sha"), col("shb")).cast("double"))
     // Verify pass: candidate pairs only. With `broadcastFresh` the
     // candidate relation (batch-bounded) broadcasts, so the
     // corpus-sized `aToks` probe never shuffles; the bToks fetch is
@@ -765,8 +803,11 @@ object Dedup {
       col("sh").as("sh_a"), col("n_sh").as("n_a"))
     val sb = hf.select(col("doc_id").as("doc_id_b"),
       col("sh").as("sh_b"), col("n_sh").as("n_b"))
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    // Sealed: one intersect per candidate, never inside a join
+    // condition — see [[graft.functions.Sealed]].
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double"))
     candidates
       .join(sa, "doc_id_a").join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
@@ -832,8 +873,11 @@ object Dedup {
       col("sh").as("sh_a"), col("n_sh").as("n_a"))
     val sb = hf.select(col("doc_id").as("doc_id_b"),
       col("sh").as("sh_b"), col("n_sh").as("n_b"))
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    // Sealed: one intersect per candidate, never inside a join
+    // condition — see [[graft.functions.Sealed]].
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double"))
     candidates
       .join(sa, "doc_id_a").join(sb, "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"),
@@ -903,8 +947,11 @@ object Dedup {
       explode(array(col("bucket0") - 1, col("bucket0"), col("bucket0") + 1))
         .as("bucket"))
     val ratio = lit(1.0 / threshold)
-    val inter = graft.functions.SortedIntersectCount
-      .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double")
+    // Sealed: one intersect per candidate, never inside a join
+    // condition — see [[graft.functions.Sealed]].
+    val inter = graft.functions.Sealed.sealedCol(
+      graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("a.sh"), col("b.sh")).cast("double"))
     val victims = u.as("a")
       .join(probe.as("b"),
         col("a.bucket0") === col("b.bucket") &&

@@ -101,10 +101,13 @@ object Profile {
     * partitioning. The statistic is the quantized-domain covariance —
     * exactly defined, with ≤5e-4 component quantization error.
     *
-    * Scale shape: one row-local explode to (vec_id, dim, q), one
-    * vec_id-keyed self-join fanning to dim(dim+1)/2 skinny rows per
-    * vector, partial-aggregated to the dim²-sized output before the
-    * exchange — the corpus never moves whole embeddings for this.
+    * Scale shape (r17): zero pre-aggregation shuffles — each vector
+    * quantizes row-locally to a dim-ordered (dim, q) array and emits
+    * its dim(dim+1)/2 upper-triangle cells inside whole-stage codegen
+    * (two nested generates, no vec_id self-join: the old shape
+    * shuffled the n·dim component relation twice and sort-merged it
+    * into the same n·dim² rows). Partial aggregation shrinks the cell
+    * stream to dim² rows per task before the only exchange.
     */
   /** (dim_a ≤ dim_b, n, num_q): the exact integer covariance
     * numerator n·Σab − Σa·Σb per cell — shared by the per-cell
@@ -112,31 +115,43 @@ object Profile {
     * contract, so every downstream cast is exact.
     */
   private def covMoments(emb: DataFrame, quant: Double): DataFrame =
-    covMomentsFromComponents(quantizedComponents(emb, quant))
+    covMomentsFromArrays(
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            struct(i.cast("int").as("dim"),
+              round(v.cast("double") * quant).cast("long").as("q")))
+            .as("dq"))
+        // the corpus arrives as few large files, so without this the
+        // whole dim² cell expansion + aggregation runs on the scan's
+        // task count (ONE at bench scale) — spread the skinny arrays
+        // first; the expansion below is the expensive part (§2.5).
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism))
 
-  /** Row-local quantization to the (vec_id, dim, q) component
-    * relation — the input shape the moment pass and the whitening
-    * transform share.
+  /** Upper-triangle cell stream from per-vector dim-ordered (dim, q)
+    * arrays: each vector emits (dim_a ≤ dim_b, qa, qb) via two nested
+    * row-local generates inside whole-stage codegen — no join, no
+    * pre-aggregation exchange. `sa_q` (Σq of dim_a) rides along:
+    * sub-2^53 by the same quantum contract, it is the centering term
+    * the whitening transform needs.
     */
-  private def quantizedComponents(emb: DataFrame, quant: Double): DataFrame =
-    emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim"),
-        round(col("v").cast("double") * quant).cast("long").as("q"))
-
-  /** The moment pass over an already-integer component relation —
-    * also consumed directly by [[embeddingWhitenCheck]], whose input
-    * components are the whitened integers themselves (quant = 1).
-    * `sa_q` (Σq of dim_a) rides along: sub-2^53 by the same quantum
-    * contract, it is the centering term the whitening transform
-    * needs.
-    */
-  private def covMomentsFromComponents(comp: DataFrame): DataFrame = {
+  private def covMomentsFromArrays(vecs: DataFrame): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) =>
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val a = comp.select(col("vec_id"), col("dim").as("dim_a"), col("q").as("qa"))
-    val b = comp.select(col("vec_id"), col("dim").as("dim_b"), col("q").as("qb"))
-    a.join(b, Seq("vec_id")).filter(col("dim_a") <= col("dim_b"))
+    vecs
+      // Two generates over the SAME array + an index filter: inside
+      // whole-stage codegen this is a nested loop emitting primitive
+      // cells straight into the partial aggregate — no array copies
+      // (an explode(slice(…)) variant allocates a suffix copy per
+      // (vector, dim_a): measured 0.91 s vs 0.76 s for this shape).
+      .select(posexplode(col("dq")).as(Seq("__ia", "__a")), col("dq"))
+      .select(col("__ia"), col("__a"),
+        posexplode(col("dq")).as(Seq("__ib", "__b")))
+      // dq is dim-ordered, so __ib ≥ __ia ⇔ dim_b ≥ dim_a — exactly
+      // the triangle the old join+filter produced.
+      .filter(col("__ib") >= col("__ia"))
+      .select(col("__a.dim").as("dim_a"), col("__b.dim").as("dim_b"),
+        col("__a.q").as("qa"), col("__b.q").as("qb"))
       .groupBy(col("dim_a"), col("dim_b"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("qa") * col("qb"))).as("__sab"),
@@ -233,10 +248,17 @@ object Profile {
   def embeddingWhiten(emb: DataFrame, quant: Double = 1e3,
                       outQuant: Double = 1e3,
                       stageKey: Option[String] = None): DataFrame = {
+    // The component-shaped output keeps the broadcast hash join on
+    // dim: it is whole-stage-codegen'd end to end, unlike the
+    // array-transform twin below (ArrayTransform is interpreted —
+    // measured 1.32 s vs 0.65 s for this row at sf0.1, r17).
     val diag = momentsOf(emb, quant, stageKey)
       .filter(col("dim_a") === col("dim_b"))
       .select(col("dim_a").as("dim"), col("n"), col("num_q"), col("sa_q"))
-    quantizedComponents(emb, quant)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v").cast("double") * quant).cast("long").as("q"))
       .join(broadcast(diag), "dim")
       .select(col("vec_id"), col("dim"),
         when(col("num_q") > 0,
@@ -244,6 +266,39 @@ object Profile {
             sqrt(col("num_q").cast("double")) * outQuant).cast("long"))
           .otherwise(lit(0L)).as("w_q"))
       .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** (vec_id, __wq array<long>): the whitened integers computed
+    * entirely row-locally (r17) — the dim-sized diagonal relation
+    * folds to ONE dim-ordered array row, rides in on a broadcast
+    * cross, and the transform indexes it per element. Feeds
+    * [[embeddingWhitenCheck]]'s after-side moment pass in array form
+    * directly: no component explode, no join probe per component, no
+    * regroup shuffle (the transform itself runs interpreted, but the
+    * check's bottleneck is the dim² moment pass, where array input
+    * wins — 3.66 s → 1.04 s measured). Same w_q expression per
+    * element as [[embeddingWhiten]], so values are bit-identical.
+    */
+  private def whitenedArrays(emb: DataFrame, quant: Double,
+                             outQuant: Double,
+                             stageKey: Option[String]): DataFrame = {
+    val diagArr = momentsOf(emb, quant, stageKey)
+      .filter(col("dim_a") === col("dim_b"))
+      .agg(array_sort(collect_list(struct(col("dim_a").as("dim"),
+        col("n").as("n"), col("num_q").as("num_q"), col("sa_q").as("sa_q"))))
+        .as("__dg"))
+    emb.filter(col("embedding").isNotNull)
+      .crossJoin(broadcast(diagArr))
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) => {
+          val e = element_at(col("__dg"), i + 1)
+          val q = round(v.cast("double") * quant).cast("long")
+          when(e.getField("num_q") > 0,
+            round((e.getField("n") * q - e.getField("sa_q")).cast("double") /
+              sqrt(e.getField("num_q").cast("double")) * outQuant)
+              .cast("long"))
+            .otherwise(lit(0L))
+        }).as("__wq"))
   }
 
   /** The effect pin: anisotropy ratio BEFORE (raw components) vs
@@ -269,9 +324,16 @@ object Profile {
           .otherwise(lit(0.0)).as("ratio"))
     val before = ratio(momentsOf(emb, quant, stageKey))
       .withColumnRenamed("ratio", "ratio_raw")
-    val whitened = embeddingWhiten(emb, quant, outQuant, stageKey)
-      .select(col("vec_id"), col("dim"), col("w_q").as("q"))
-    val after = ratio(covMomentsFromComponents(whitened))
+    // Whitened integers stay in ARRAY form straight into the moment
+    // pass (r17): no component explode, no broadcast-join probe per
+    // component, no regroup shuffle — the whitened side costs one
+    // row-local transform + the triangle expansion.
+    val whitened = whitenedArrays(emb, quant, outQuant, stageKey)
+      .select(col("vec_id"),
+        transform(col("__wq"), (w, i) =>
+          struct(i.cast("int").as("dim"), w.as("q"))).as("dq"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val after = ratio(covMomentsFromArrays(whitened))
       .select(col("ratio").as("ratio_whitened"))
     before.crossJoin(after)
       .select(col("n_dims"), col("ratio_raw"), col("ratio_whitened"),

@@ -526,9 +526,13 @@ object Similarity {
       // same-block pair keeps its id-ordered representative; ids are
       // then normalized so vec_id_a < vec_id_b in the output.
       .filter(col("block_a") < col("block_b") || col("id_a") < col("id_b"))
+      // Sealed: the threshold filter otherwise pushes the cosine into
+      // the join condition, re-evaluating it there per pair and again
+      // in this projection — see [[graft.functions.Sealed]].
       .select(least(col("id_a"), col("id_b")).as("vec_id_a"),
         greatest(col("id_a"), col("id_b")).as("vec_id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+        graft.functions.Sealed.sealedCol(
+          cosine(col("emb_a"), col("emb_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -61,8 +61,15 @@ object Formats {
       "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false",
       "nullValue" -> "\\N",
       "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    // multiLine parsing is per-file SERIAL (quoted embedded newlines
+    // make CSV unsplittable), so read-side parallelism comes only from
+    // the file count — a single staged file turns the parse into one
+    // task no matter the core count (guide §6: file layout for
+    // anything you write). Write one file per core; a real deployment
+    // would target bytes/128 MB with the same mechanism.
     val dir = stage(s"csv:$key") { base =>
-      df.write.options(opts).csv(base.resolve("data").toString)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .write.options(opts).csv(base.resolve("data").toString)
     }
     df.sparkSession.read.options(opts).schema(df.schema)
       .csv(dir.resolve("data").toString)

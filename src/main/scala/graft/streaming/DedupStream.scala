@@ -57,11 +57,17 @@ object DedupStream {
       threshold = threshold)
     val out = DocReplay.runWithBatchId(spark, fresh.select(cols: _*), key) {
       (batch, batchId) =>
-        val survivors = DedupIndex
-          .dedupBatch(spark, dir, batch, batchId, standingVetoes = true)
-          .localCheckpoint(true) // materialize BEFORE the store append
+        // Append-first (r17): the batch's shingle sets + postings are
+        // built ONCE, landed in the store, and read back for the dedup
+        // join — the old order built them twice (once in-flight for
+        // the join, once for the append) and needed an eager
+        // localCheckpoint so the lazy survivors wouldn't observe the
+        // store mutating under them. dedupBatchStored reads only roots
+        // with id < batchId, so the batch can never veto itself, and a
+        // redelivery still overwrites its own roots before re-reading.
         DedupIndex.append(spark, dir, batch, batchId)
-        survivors
+        DedupIndex.dedupBatchStored(spark, dir, batch, batchId,
+          standingVetoes = true)
     }
     // Replay done: the output sink holds the survivors; drop the
     // store NOW so its parquet + temp state never pressure the next

@@ -70,14 +70,22 @@ object DedupIndex {
     spark.range(1)
       .select(lit(shingleK).as("shingle_k"), lit(threshold).as("threshold"))
       .write.mode("overwrite").parquet(s"$dir/params")
+    paramsMemo.put(dir, (shingleK, threshold))
   }
 
+  // Params are immutable once written (create overwrites the memo
+  // below) and read on every append/dedupBatch — memoizing saves two
+  // driver-blocking parquet-read jobs per micro-batch (r17).
+  private val paramsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Double)]
+
   /** (shingle_k, threshold) from the artifact — one row by construction. */
-  def params(spark: SparkSession, dir: String): (Int, Double) = {
-    val r = spark.read.parquet(s"$dir/params")
-      .select(col("shingle_k"), col("threshold")).collect().head
-    (r.getInt(0), r.getDouble(1))
-  }
+  def params(spark: SparkSession, dir: String): (Int, Double) =
+    paramsMemo.getOrElseUpdate(dir, {
+      val r = spark.read.parquet(s"$dir/params")
+        .select(col("shingle_k"), col("threshold")).collect().head
+      (r.getInt(0), r.getDouble(1))
+    })
 
   /** Roll the store forward with one processed batch's increments —
     * batch-sized work under the FROZEN df order, landed in the
@@ -131,6 +139,32 @@ object DedupIndex {
     val bToks = Dedup.shingleSets(batch, shingleK)
     val bPref = Dedup.prefixPostings(bToks, spark.read.parquet(s"$dir/df"),
       threshold)
+    val victims = Dedup.exactVictims(aToks,
+      aPref.withColumn("standing", lit(true)), bToks, bPref,
+      threshold, standingVetoes, broadcastFresh = true)
+    batch.join(victims, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[dedupBatch]] when the batch's own roots are ALREADY in the
+    * store (append ran first — the streaming loop's order, r17): the
+    * fresh-side artifacts are read back from `toks_batch_<id>` /
+    * `pref_batch_<id>` instead of re-derived from text, so each
+    * delivery pays its shingle + posting build exactly once. Reading
+    * strictly-below ids keeps the batch from vetoing itself, which is
+    * what makes append-then-dedup redelivery-safe without any eager
+    * materialization of the survivors.
+    */
+  def dedupBatchStored(spark: SparkSession, dir: String, batch: DataFrame,
+                       batchId: Long,
+                       standingVetoes: Boolean = true): DataFrame = {
+    val (_, threshold) = params(spark, dir)
+    val ids = batchIds(dir, batchId)
+    val aToks = union(spark,
+      s"$dir/toks_seed" +: ids.map(i => s"$dir/toks_batch_$i"))
+    val aPref = union(spark,
+      s"$dir/pref_seed" +: ids.map(i => s"$dir/pref_batch_$i"))
+    val bToks = spark.read.parquet(s"$dir/toks_batch_$batchId")
+    val bPref = spark.read.parquet(s"$dir/pref_batch_$batchId")
     val victims = Dedup.exactVictims(aToks,
       aPref.withColumn("standing", lit(true)), bToks, bPref,
       threshold, standingVetoes, broadcastFresh = true)
