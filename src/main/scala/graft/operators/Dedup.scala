@@ -186,9 +186,12 @@ object Dedup {
     */
   def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame =
     docs
+      // Sealed (r17): the blank-doc filter below otherwise pushes under
+      // this projection and re-runs the shingle kernel at the scan —
+      // see [[graft.functions.Sealed]].
       .select(col("doc_id"),
-        graft.functions.WordShingleHashes
-          .word_shingle_hashes(col("text"), shingleK).as("__sh"))
+        graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK)).as("__sh"))
       // blank docs have no features and no signature (the exploded
       // formulation dropped them implicitly; keep that contract)
       .filter(size(col("__sh")) > 0)
@@ -277,9 +280,12 @@ object Dedup {
   def containmentPairs(docs: DataFrame, shingleK: Int = 3,
                        threshold: Double = 0.8,
                        maxPerShingle: Int = 64): DataFrame = {
+    // Sealed (r17): join-inferred isnotnull/size constraints otherwise
+    // push below this projection and re-run the shingle kernel at the
+    // scan — see [[graft.functions.Sealed]].
     val withSh = docs.select(col("doc_id"),
-        graft.functions.WordShingleHashes
-          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+        graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     val wCap = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val postings = withSh
@@ -412,9 +418,13 @@ object Dedup {
     * dropped — the shared front of the prefix-join family.
     */
   private[graft] def shingleSets(docs: DataFrame, shingleK: Int): DataFrame =
+    // Sealed (r17): the n > 0 filter (and join-inferred isnotnull/size
+    // constraints in consumers) otherwise push below this projection
+    // and re-run the shingle kernel inside the scan filter — one text
+    // pass per reference — see [[graft.functions.Sealed]].
     docs.select(col("doc_id"),
-        graft.functions.WordShingleHashes
-          .word_shingle_hashes(col("text"), shingleK).as("sh"))
+        graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
+          .word_shingle_hashes(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .filter(col("n") > 0)
 

@@ -359,9 +359,12 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         // native codegen fold — same IEEE op sequence as the HOF
         // composition it replaced, so every float is bit-unchanged
-        // (see JlProjectFold)
-        graft.functions.JlProjectFold.jl_project_fold(
-          col("embedding"), col("signs"), dimIn, dimOut, scale).as("proj"))
+        // (see JlProjectFold). Sealed (r17): downstream explode-inferred
+        // size/notnull constraints otherwise push the whole fold into
+        // the broadcast-cross condition — see [[graft.functions.Sealed]].
+        graft.functions.Sealed.sealedCol(graft.functions.JlProjectFold
+          .jl_project_fold(
+            col("embedding"), col("signs"), dimIn, dimOut, scale)).as("proj"))
   }
 
   /** JL distortion report over the planted query set: for each (query,
@@ -608,13 +611,17 @@ object Similarity {
       .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("cents"))
       .agg(map_from_entries(collect_list(struct(col("sub_idx"), col("cents"))))
         .as("__cb")))
+    // Sealed (r17): downstream explodes of `codes` infer size/notnull
+    // constraints that otherwise push below this projection INTO the
+    // broadcast-cross condition, re-running all m argmins per row there
+    // and again here — see [[graft.functions.Sealed]].
     corpus.crossJoin(packed).select(
       (Seq(col("vec_id"), col("label")) ++ carry.map(col) :+
-        array((0 until m).map { j =>
+        graft.functions.Sealed.sealedCol(array((0 until m).map { j =>
           coalesce(graft.functions.NearestCentroid.nearest_centroid(
             slice(col("embedding"), j * sd + 1, sd),
             element_at(col("__cb"), lit(j))), lit(-1L))
-        }: _*).as("codes")): _*)
+        }: _*)).as("codes")): _*)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): the query

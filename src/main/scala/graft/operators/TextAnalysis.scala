@@ -108,7 +108,13 @@ object TextAnalysis {
     * unguarded 0/0 kills the job on blank docs).
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val r = graft.functions.RepetitionStats.repetition_stats(col("text"))
+    // Sealed (r17): consumers threshold-filter several derived ratios
+    // (clean_corpus_v2's caps); unsealed, those filters push through
+    // this projection and inline a full repetition_stats text pass per
+    // field reference at the scan (measured: 60 repetition_stats calls
+    // in one clean_corpus_v2 Filter) — see [[graft.functions.Sealed]].
+    val r = graft.functions.Sealed.sealedCol(
+      graft.functions.RepetitionStats.repetition_stats(col("text")))
     docs.select(col("doc_id"), col("n_chars"), r.as("r"))
       .select(
         col("doc_id"),
@@ -187,8 +193,16 @@ object TextAnalysis {
 
   def gopherQualityFilter(docs: DataFrame, minWords: Int = 10,
                           maxWords: Int = 100000): DataFrame = {
-    val q = graft.functions.QualityStats.quality_stats(col("text"), Stopwords)
-    val r = graft.functions.RepetitionStats.repetition_stats(col("text"))
+    // Sealed (r17): the composite gate below references q/r fields ~12
+    // times; unsealed, predicate pushdown rewrites the filter through
+    // this projection and inlines a FULL quality_stats/repetition_stats
+    // text pass per field reference at the scan (measured in the plan:
+    // 12 quality_stats calls in one Filter). Sealing pins one
+    // evaluation of each kernel per row — see [[graft.functions.Sealed]].
+    val q = graft.functions.Sealed.sealedCol(
+      graft.functions.QualityStats.quality_stats(col("text"), Stopwords))
+    val r = graft.functions.Sealed.sealedCol(
+      graft.functions.RepetitionStats.repetition_stats(col("text")))
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       q.as("q"), r.as("r"))
     val nToks = col("q.n_toks").cast("double")

@@ -526,8 +526,16 @@ object InvertedIndex {
     val terms = queries.flatMap(q => Retrieval.BoolExpr.termsOf(q._2))
       .distinct
     val (p0, _, _) = postingsFor(spark, root, terms, only)
+    // localCheckpoint (r17): every LEAF of every query tree consumes
+    // this relation, and Spark duplicates the whole subtree (bucket
+    // scans + tombstone anti-filter + aggregates) per reference — the
+    // measured plan carried 60 parquet scans and 110 exchanges for a
+    // terms'-buckets-sized relation. Materializing it once per
+    // invocation truncates the plan to leaf-joins over the pinned
+    // rows; each bench rep still recomputes it from the index files.
     val p = filterDeleted(spark, root, p0, only)
       .select(col("term"), col("doc_id"), col("dl"))
+      .localCheckpoint()
     Retrieval.booleanTreeFrom(p, queries)
       .orderBy(col("query_id"), col("doc_id"))
   }
