@@ -570,10 +570,13 @@ object SparkEntry {
       // driver data), never hardcoded: the r9 half-re-scale sweep
       // caught the literal-5 version reporting false on a corpus
       // with only 3 such images.
-      val media = plantedImageMedia(s, d)
+      // localCheckpoint ×2 (r17): `media` (decode union) and `g`
+      // (decode + aHash + grouping) each feed multiple subtrees —
+      // same duplication as the audio twin.
+      val media = plantedImageMedia(s, d).localCheckpoint()
       val nPlanted = media.filter(col("media_id") >= 10000L)
         .agg(count(lit(1)).as("__n_planted"))
-      val g = Multimodal.imageDupGroups(media)
+      val g = Multimodal.imageDupGroups(media).localCheckpoint()
       val planted = g.filter(col("media_id") >= 10000L)
         .select(col("group_rep"), (col("media_id") - 10000L).as("media_id"))
       planted.join(g, Seq("group_rep", "media_id"))
@@ -603,12 +606,16 @@ object SparkEntry {
       // sample fingerprint would collide on ZERO of them. Expected
       // counts DERIVED from the fixture (audio among doc_id < 20),
       // never hardcoded, per the image-dup half-re-scale lesson.
-      val media = plantedAudioMedia(s, d)
+      // localCheckpoint ×2 (r17): `media` (the codec-decode union)
+      // feeds three subtrees and `g` (decode + Goertzel fingerprints +
+      // grouping) four — Spark re-ran the whole decode pipeline per
+      // reference (measured: 60 parquet scans in this one plan).
+      val media = plantedAudioMedia(s, d).localCheckpoint()
       val nBytes = media.filter(col("media_id").between(10000L, 19999L))
         .agg(count(lit(1)).as("__n_bytes"))
       val nRes = media.filter(col("media_id") >= 20000L)
         .agg(count(lit(1)).as("__n_res"))
-      val g = Multimodal.audioDupGroups(media)
+      val g = Multimodal.audioDupGroups(media).localCheckpoint()
       def grouped(offset: Long, lo: Long, hi: Long) = g
         .filter(col("media_id").between(lo, hi))
         .select(col("group_rep"), (col("media_id") - offset).as("media_id"))
@@ -643,7 +650,10 @@ object SparkEntry {
       // from the count (codec health pins here too). The total is
       // pure arithmetic: planted clips are the videos with doc_id <
       // 30 (doc_id%3==2), each with 3 + id%4 frames.
+      // localCheckpoint (r17): both join arms re-ran demux + frame
+      // decode + aHash per reference otherwise.
       val fh = Multimodal.frameHashes(plantedVideoMedia(s, d)).toDF()
+        .localCheckpoint()
       val planted = fh.filter(col("media_id") >= 10000L)
         .select((col("media_id") - 10000L).as("media_id"),
           col("frame_idx"), col("ahash").as("ahash_p"))
@@ -3439,10 +3449,15 @@ object SparkEntry {
       // final curriculum order — the STAGED per-dataset relation,
       // shared with every other LM row.
       val scores = lmScores(s, d).filter(col("n_bigrams") > 0)
+      // localCheckpoint ×2 (r17): `kept` feeds the dedup stage's pair
+      // generation and anti-join probe; `deduped` feeds the mixture's
+      // per-language totals and row sampling — unpinned, the plan
+      // scanned documents 20×.
       val kept = docs.join(
         scores.filter(col("log_ppl") <= 3.40).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      val deduped = Dedup.dedupNear(kept)
+        .localCheckpoint()
+      val deduped = Dedup.dedupNear(kept).localCheckpoint()
       val mixed = operators.Sampling.mixtureByBudget(
         deduped, "lang", "doc_id", "n_chars", MixtureFractions)
       val scored = mixed.select(col("doc_id"))
@@ -5806,7 +5821,16 @@ object SparkEntry {
 
   private def cleanCorpusPlan(docs: DataFrame,
                               dedup: DataFrame => DataFrame): DataFrame = {
-    val deduped = dedup(docs)
+    // localCheckpoint ×2 (r17): `base` feeds the dedup stage's pair
+    // generation AND its anti-join probe; `deduped` feeds the quality
+    // floor AND the PII scrub. Spark duplicates each referenced
+    // subtree per consumer, so in clean_corpus_v2 the upstream
+    // normalize→decontaminate→caps chain re-ran per branch — the
+    // measured plan hit 120 parquet scans of `documents`. Pinning the
+    // two fan-out points once per invocation collapses that; every
+    // bench rep still computes from the parquet input.
+    val base = docs.localCheckpoint()
+    val deduped = dedup(base).localCheckpoint()
     val quality = TextAnalysis.qualityScore(deduped)
       .filter(col("n_tokens") >= 30)
       .select(col("doc_id"), col("quality_score"))

@@ -158,9 +158,15 @@ object Classifier {
     val g = scored.groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(!col(labelCol), 1L).otherwise(0L)).as("n"))
+    // localCheckpoint (r17): `parts` feeds both the per-partition
+    // offset aggregate and the ranked join below; unsealed, the entire
+    // upstream scoring chain (tokenize + feature-bucket + model join)
+    // re-ran per reference — nb_auc's plan scanned documents 8×. The
+    // relation is distinct-score-sized, tiny at any corpus scale.
     val parts = g.repartitionByRange(partitions, col("s"))
       .sortWithinPartitions(col("s"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // Level 1: one row per partition — the only global window input.
     val offsets = parts.groupBy(col("__pid"))
       .agg(sum(col("n")).as("__pt"))

@@ -80,17 +80,19 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
 
     // Stage 1: one native pass per doc (tokenize → k-gram hash →
-    // sorted distinct set). The trailing repartition is a deliberate
-    // materialization barrier so the join stages consume the shuffled
-    // sh attribute instead of recomputing its producer inline (the
-    // outer explode below guards the same property against inferred-
-    // filter pushdown).
+    // sorted distinct set), pinned ONCE per invocation (r17): this
+    // relation feeds FOUR consumers (both bucket sides of the
+    // candidate self-join and both verify fetches) and Spark
+    // duplicates the subtree per reference — the prior repartition
+    // barrier stopped inline recomputation through pushdown but still
+    // paid the scan+shingle pass per branch; the checkpoint pays it
+    // once (each run still computes from the parquet input).
     val hashed = docs
       .select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-      .repartition(col("doc_id"))
+      .localCheckpoint()
 
     // Stage 2: seeded rehash of the long hashes — native codegen'd
     // expression, one flat loop per row (the HOF equivalent runs
@@ -282,11 +284,16 @@ object Dedup {
                        maxPerShingle: Int = 64): DataFrame = {
     // Sealed (r17): join-inferred isnotnull/size constraints otherwise
     // push below this projection and re-run the shingle kernel at the
-    // scan — see [[graft.functions.Sealed]].
+    // scan. localCheckpoint (r17): this relation feeds FOUR consumers
+    // (both posting sides of the candidate self-join and both verify
+    // fetches) and Spark duplicates the subtree per reference — four
+    // scan+shingle passes; pin it once per invocation (each run still
+    // computes from the parquet input).
     val withSh = docs.select(col("doc_id"),
         graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .localCheckpoint()
     val wCap = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val postings = withSh
       .select(col("doc_id"), explode(col("sh")).as("h"))

@@ -24,14 +24,37 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   private def shape(df: DataFrame, cols: Seq[String],
-                    distinct: String => org.apache.spark.sql.Column): DataFrame = {
+                    distinct: String => org.apache.spark.sql.Column,
+                    splitDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
-      distinct(c).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c"))) :+ count(lit(1)).as("__n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (splitDistinct) {
+        // r17 (exact profile): EXACT multi-distinct plans via Expand
+        // (one input replica per distinct column), and a string
+        // min/max riding in the SAME Aggregate forces the whole
+        // expanded stream through sort-based aggregation (var-length
+        // buffer → SortAggregate over cols+1 × n rows). Split: the
+        // distinct counts keep the Expand but aggregate with a
+        // fixed-size count buffer (hash, no sort); count/min/max run
+        // as one global partial agg with NO Expand; a 1-row broadcast
+        // cross reassembles. 1.93 s → see OPTIMIZATION_r17.md.
+        val distincts = cols.map(c => distinct(c).as(s"__nd_$c"))
+        val stats = cols.flatMap(c => Seq(
+          count(col(c)).as(s"__cnt_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))) :+
+          count(lit(1)).as("__n")
+        df.agg(distincts.head, distincts.tail: _*)
+          .crossJoin(broadcast(df.agg(stats.head, stats.tail: _*)))
+      } else {
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"__cnt_$c"),
+          distinct(c).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))) :+
+          count(lit(1)).as("__n")
+        df.agg(aggs.head, aggs.tail: _*)
+      }
     one.select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col("__n").as("n_rows"),
@@ -44,7 +67,7 @@ object Profile {
   }
 
   def profileExact(df: DataFrame, cols: Seq[String]): DataFrame =
-    shape(df, cols, c => countDistinct(col(c)))
+    shape(df, cols, c => countDistinct(col(c)), splitDistinct = true)
 
   /** Per-(label, dimension) mean of an embedding column — the feature
     * drift monitor a training pipeline runs per source/label shard.

@@ -797,9 +797,17 @@ object Similarity {
     */
   def knnPageRank(corpus: DataFrame, iters: Int = 3, k: Int = 5,
                   nlist: Int = 0): DataFrame = {
+    // localCheckpoint (r17): every power iteration references the edge
+    // relation (and its degree aggregate), and Spark re-derives the
+    // WHOLE kNN-graph build (centroids → assignment → cell pair-gen →
+    // top-k) per reference — the measured plan carried 56 parquet
+    // scans for iters = 3. Pin the graph once; iterations then join
+    // against the pinned rows. Each run still computes from parquet.
     val edges = knnGraphIvf(corpus, k, nlist)
       .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+      .localCheckpoint()
     val nodes = corpus.filter(col("embedding").isNotNull).select(col("vec_id"))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val Scale = 1000000000000L
     var ranks = nodes.select(col("vec_id"), lit(Scale).as("rank_q"))

@@ -322,6 +322,9 @@ class PlanContractSpec extends SparkSpec {
       "dedup_crossmodal_clusters",
       "decontaminate", "clean_corpus", "clean_corpus_sketch", "clean_corpus_full",
       "clean_corpus_v2", "dataset_card", "embedding_near_recall",
+      // exact profile: 1-row × 1-row broadcast cross reassembling the
+      // split distinct-counts and min/max aggregates (r17)
+      "profile_columns",
       "sliding_week_users", "fuzzy_lookup", "negative_samples",
       "ann_cosine_topk", "ann_recall", "ann_int8_recall", "ann_pq_recall",
       "ann_lsh_recall",
