@@ -2332,7 +2332,9 @@ object SparkEntry {
       // bucketized rewrite emits each overlapping pair exactly once
       // (first-shared-bucket device) — the oracle runs the plain
       // inequality self-join, pinning no loss and no dup.
-      val sess = Analytics.sessionize(Tables.events(s, d))
+      // localCheckpoint (r17): three consumers (both overlap arms +
+      // the final left join) re-ran the sessionize window chain each.
+      val sess = Analytics.sessionize(Tables.events(s, d)).localCheckpoint()
       val a = sess.select(col("user_id").as("a_user"),
         col("session_seq").as("a_seq"),
         col("session_start").as("a_start"), col("session_end").as("a_end"))
@@ -2972,8 +2974,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter(col("vec_id") < 250)
       val fresh = emb.filter(col("vec_id") >= 250)
+      // localCheckpoint (r17): both assign passes reference the
+      // centroids; unpinned, the whole seed+refine training re-ran per
+      // reference (10 embedding scans in the plan). 16 rows.
       val cents = Similarity.kmeansCentroids(
         corpus.filter(col("embedding").isNotNull), 16, 1)
+        .localCheckpoint()
       val nCorpus = Similarity.kmeansAssign(corpus, cents)
         .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_corpus"))
       Similarity.kmeansAssign(fresh, cents)

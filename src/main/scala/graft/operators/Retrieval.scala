@@ -801,7 +801,12 @@ object Retrieval {
     * (queries×k and queries×|rel docs|) — evaluation costs nothing at
     * any corpus scale once the run and qrels exist.
     */
-  def evalMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+  def evalMetrics(run: DataFrame, qrels0: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint (r17): qrels feeds three subtrees (judgment
+    // join, ideal ranking, per-query totals) and is usually derived
+    // from a corpus text scan — unpinned, that derivation re-ran per
+    // reference. Rank-bounded rows, tiny at any scale.
+    val qrels = qrels0.localCheckpoint()
     def discQ(rank: org.apache.spark.sql.Column) =
       round(lit(1e12d) /
         (log(rank.cast("double") + 1.0d) / log(lit(2.0d)))).cast("long")
