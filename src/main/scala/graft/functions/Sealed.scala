@@ -52,7 +52,12 @@ case class Sealed(child: Expression) extends UnaryExpression {
 }
 
 object Sealed {
-  /** Column-level helper: `sealedCol(expensiveScore)`. */
+  /** Column-level helper: `sealedCol(expensiveScore)`.
+    * `-Dgraft.seal.off=true` disables every barrier (A/B debugging aid
+    * — lets a plan regression be bisected to the barriers without a
+    * rebuild; read once at JVM start).
+    */
+  private val off = java.lang.Boolean.getBoolean("graft.seal.off")
   def sealedCol(c: Column): Column =
-    ColumnBridge.column(Sealed(ColumnBridge.expression(c)))
+    if (off) c else ColumnBridge.column(Sealed(ColumnBridge.expression(c)))
 }

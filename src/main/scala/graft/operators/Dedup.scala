@@ -207,10 +207,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "chunk banding only guarantees recall for dist < 4")
-    // deliberate exchange: the join stages consume the shuffled
-    // signature attribute instead of inlining its producer chain
-    // (tokenize → shingle → simhash) into their own stages
-    val sh = simhash(docs).repartition(col("doc_id"))
+    // pinned once (r17, was a repartition barrier): both chunk sides
+    // of the self-join consume the signature relation — the barrier
+    // stopped inline recomputation but still paid the tokenize →
+    // shingle → simhash chain per branch; the checkpoint pays it once.
+    val sh = simhash(docs).localCheckpoint()
     val chunkExprs = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)))
     // outer explode: same pushdown barrier as minhashPairs' buckets
@@ -462,7 +463,9 @@ object Dedup {
 
   def jaccardPrefixPairs(docs: DataFrame, shingleK: Int = 3,
                          threshold: Double = 0.5): DataFrame = {
-    val toks = shingleSets(docs, shingleK)
+    // localCheckpoint (r17): toks feeds the df aggregate, the prefix
+    // postings and both verify fetches — one shingle pass, not four.
+    val toks = shingleSets(docs, shingleK).localCheckpoint()
     val occ = toks.select(col("doc_id"), explode(col("sh")).as("h"))
     val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val pref = prefixPostings(toks, dfreq, threshold)
@@ -531,8 +534,11 @@ object Dedup {
   def dedupIncrementalExact(corpus: DataFrame, fresh: DataFrame,
                             shingleK: Int = 3, threshold: Double = 0.5,
                             standingVetoes: Boolean = false): DataFrame = {
-    val ctoks = shingleSets(corpus, shingleK)
-    val ftoks = shingleSets(fresh, shingleK)
+    // localCheckpoint (r17): ctoks feeds df, corpus postings AND the
+    // verify fetch; ftoks feeds fresh postings and the verify fetch —
+    // unpinned, the plan scanned+re-shingled documents 10×.
+    val ctoks = shingleSets(corpus, shingleK).localCheckpoint()
+    val ftoks = shingleSets(fresh, shingleK).localCheckpoint()
     val dfreq = ctoks.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefC = prefixPostings(ctoks, dfreq, threshold)
@@ -628,12 +634,15 @@ object Dedup {
     * substring-dedup view that any recurrence is redundancy).
     */
   def duplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    // localCheckpoint (r17): occ feeds the global span count and the
+    // per-doc join — one ngram+hash pass, not two.
     val occ = docs
       .select(col("doc_id"),
         explode(graft.functions.WordNgrams.word_ngrams(col("text"), k)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val global = occ.groupBy(col("h")).agg(sum(col("c")).as("gc"))
     val perDoc = occ.join(global, "h")
       .groupBy(col("doc_id"))
@@ -671,7 +680,9 @@ object Dedup {
     * text IS the output.
     */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
-    val spans = spanOccurrences(docs, k)
+    // localCheckpoint (r17): spans feeds the dup-hash aggregate and the
+    // removal join — one ngram+hash pass, not two.
+    val spans = spanOccurrences(docs, k).localCheckpoint()
     val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("gc"))
       .filter(col("gc") >= 2).select(col("h"))
     exciseSpans(docs, spans.join(dupH, "h"), k)

@@ -645,7 +645,10 @@ object Similarity {
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0d), (acc, v) => acc + v)
-    val codebooks = pqCodebooks(corpus, m, ksub, dim)
+    // localCheckpoint (r17): the codebook relation feeds both the
+    // encode pass and the per-query LUT — unpinned, the seed
+    // sample+window chain re-ran per reference. m·ksub rows.
+    val codebooks = pqCodebooks(corpus, m, ksub, dim).localCheckpoint()
     val enc = pqEncode(corpus, codebooks, m, dim)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))

@@ -343,12 +343,16 @@ object TextAnalysis {
     * broadcast — no vocabulary-sized build side at any corpus size.
     */
   def hashingTfIdf(docs: DataFrame, dim: Int = 256): DataFrame = {
+    // localCheckpoint (r17): `tf` feeds both the df aggregate and the
+    // weight join — unpinned, the tokenize+explode+count pass ran
+    // twice. Skinny (doc_id, bucket, tf) rows.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .select(col("doc_id"),
         graft.operators.Sampling.hashBucket(col("term"), dim).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfr = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val idf = dfr.crossJoin(broadcast(n))
