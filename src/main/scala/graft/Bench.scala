@@ -92,9 +92,52 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // SCHEDULING (r16): the eight streaming replays run FIRST (their
+    // staged replay is already warmed above; r15 burned three
+    // adjudication passes on 2-5x late-run inflation of exactly these
+    // rows), the ~20 once-per-JVM lifecycle/index builders run LAST so
+    // their build pressure lands after every ordinary row, everything
+    // else alphabetical in between. r18: ann_ivfpq_append(_check)
+    // probe a persisted PQ index dir (pqIndexAppendDir) — the same
+    // build-once/query-many semantics as ann_index_* — so they join
+    // the lifecycle group; in r17 their once-per-JVM dir build landed
+    // in rep 1 of an alphabetical group-1 slot and flagged the row.
+    val lifecycleRow = (n: String) =>
+      n.startsWith("bm25_indexed") || n.startsWith("bm25_catalog") ||
+        n.startsWith("cdc_") || n.startsWith("cow_") ||
+        n.startsWith("ann_index") || n.startsWith("ann_catalog") ||
+        n.startsWith("serving_e2e") || n.startsWith("ann_filtered") ||
+        n.startsWith("ann_ivfpq_append") ||
+        n.startsWith("hybrid_rrf_indexed") ||
+        n.startsWith("hybrid_rrf_filtered") ||
+        n.startsWith("hybrid_rrf_pruned") ||
+        n == "snippets_catalog" || n == "mmr_rerank_indexed" ||
+        n == "retrieval_eval_hybrid" || n == "retrieval_phrase_persisted" ||
+        n == "retrieval_boolean_not_indexed" || n == "lm_model_persisted" ||
+        n == "bpe_model_persisted" || n == "dedup_index_fixed_batch" ||
+        n == "streaming_wap_publish" ||
+        n == "streaming_wap_history" || n == "streaming_serving_e2e"
     val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // r18 (verdict item 1): the Stage.relation memo is an in-process
+    // localCheckpoint keyed per (session, key, input plan) — correct
+    // engine discipline ("compute once, every consumer reads the
+    // artifact"), but ACROSS BENCH REPS it made the reps=3 median of
+    // every Stage-backed row a checkpoint-read instead of the
+    // computation (embedding_covariance: 0.76 s isolated vs 0.11 s
+    // bench median in r17). Non-lifecycle rows now get the memo
+    // CLEARED before every timed rep, so each rep recomputes its
+    // staged relations from the parquet inputs. The declared
+    // build-once/query-many lifecycle rows (*_persisted / *_indexed /
+    // catalog / persisted-index maintenance) keep the memo — reading
+    // the stored artifact IS their steady state. Measurement-contract
+    // change, documented in OPTIMIZATION_r18.md with both numbers.
+    val stageMemoRow = (n: String) =>
+      n.contains("_persisted") || n.contains("_indexed") ||
+        n.contains("catalog") || n.contains("_index")
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      if (!(stageMemoRow(name) || lifecycleRow(name)))
+        graft.operators.Stage.clear(spark)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -117,30 +160,20 @@ object Bench {
     var settleWall = 0.0
     def settle(): Unit = if (settleMs > 0) {
       val t0 = System.nanoTime()
+      // r18: TWO collections per barrier, same total sleep. The
+      // ContextCleaner is weak-reference driven: the FIRST GC merely
+      // enqueues the dead DataFrames' refs; the cleaner's async
+      // unpersist of their checkpoint/broadcast blocks then frees
+      // memory that only a SECOND collection reclaims. r17's in-run
+      // rechecks proved one extra settle round is exactly what
+      // separated chunk_pack_pipeline's polluted 4.3 s reps from its
+      // honest 0.9 s (BENCH_r17 flagged: [4.31, 1.17, 0.89]).
       System.gc()
-      Thread.sleep(settleMs)
+      Thread.sleep(settleMs / 2 + 1)
+      System.gc()
+      Thread.sleep(settleMs - settleMs / 2)
       settleWall += (System.nanoTime() - t0) / 1e9
     }
-    // SCHEDULING (r16): the eight streaming replays run FIRST (their
-    // staged replay is already warmed above; r15 burned three
-    // adjudication passes on 2-5x late-run inflation of exactly these
-    // rows), the ~20 once-per-JVM lifecycle/index builders run LAST so
-    // their build pressure lands after every ordinary row, everything
-    // else alphabetical in between.
-    val lifecycleRow = (n: String) =>
-      n.startsWith("bm25_indexed") || n.startsWith("bm25_catalog") ||
-        n.startsWith("cdc_") || n.startsWith("cow_") ||
-        n.startsWith("ann_index") || n.startsWith("ann_catalog") ||
-        n.startsWith("serving_e2e") || n.startsWith("ann_filtered") ||
-        n.startsWith("hybrid_rrf_indexed") ||
-        n.startsWith("hybrid_rrf_filtered") ||
-        n.startsWith("hybrid_rrf_pruned") ||
-        n == "snippets_catalog" || n == "mmr_rerank_indexed" ||
-        n == "retrieval_eval_hybrid" || n == "retrieval_phrase_persisted" ||
-        n == "retrieval_boolean_not_indexed" || n == "lm_model_persisted" ||
-        n == "bpe_model_persisted" || n == "dedup_index_fixed_batch" ||
-        n == "streaming_wap_publish" ||
-        n == "streaming_wap_history" || n == "streaming_serving_e2e"
     val group = (n: String) =>
       if (lifecycleRow(n)) 2
       else if (n.startsWith("streaming_")) 0
@@ -167,7 +200,28 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val flagged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Option[Double])]
     val startOffsets = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = bench.toSeq.sortBy { case (n, _) => (group(n), n) }.map { case (name, fn) =>
+    val ordered = bench.toSeq.sortBy { case (n, _) => (group(n), n) }
+    // r18 (verdict items 4+6): unmeasured LIFECYCLE PRE-PASS — right
+    // before the lifecycle group's timed reps start, run each of its
+    // rows once off the clock (the streaming-staging warm-up contract,
+    // extended). The once-per-JVM index/dir builds land here instead
+    // of inside whichever row alphabetizes first (ann_ivfpq_append was
+    // flagged 3.1 s vs 1.3 s steady in r17 purely for paying its dir
+    // build in rep 1) and instead of pressuring serving_e2e_eval's
+    // timed window (3.6-4.5 s in-run vs 2.4 s isolated in r17). Kept
+    // HERE rather than at startup so build pressure still lands after
+    // every ordinary row, as the r16 scheduling intended.
+    var lifecycleWarmed = false
+    val results = ordered.map { case (name, fn) =>
+      if (!lifecycleWarmed && group(name) == 2) {
+        ordered.foreach { case (n, f) =>
+          if (group(n) == 2)
+            try f(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+        }
+        settle()
+        lifecycleWarmed = true
+      }
       settle()
       startOffsets(name) = (System.nanoTime() - wallStart) / 1e9
       var ok = (1 to reps).flatMap(_ => timeOnce(name, fn)).toVector

@@ -4340,9 +4340,14 @@ object SparkEntry {
       // qrels as retrieval_eval_bm25 — read next to that row, the
       // delta is the sequential-dependence contribution, hash-exact.
       val docs = Tables.documents(s, d)
+      // r18: qrels derive from the SAME staged positional index the
+      // SDM run reads (relevanceFromPositions ≡ relevanceFromTerms,
+      // oracle hash re-proved) — one tokenize pass per invocation.
       Retrieval.evalMetrics(
         Retrieval.sdmTopK(docs, RetrievalQueries, window = 8, k = 10),
-        Retrieval.relevanceFromTerms(docs, RetrievalQueries), k = 10)
+        Retrieval.relevanceFromPositions(
+          Retrieval.positionalPostingsStaged(docs), RetrievalQueries),
+        k = 10)
     }),
     "retrieval_snippets" -> ((s, d) =>
       // The highlighter: a ±3-token window around each matching doc's

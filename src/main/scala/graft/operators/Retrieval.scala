@@ -513,25 +513,74 @@ object Retrieval {
   def sdmTopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
               window: Int = 8, k: Int = 10): DataFrame = {
     val p = positionalPostingsStaged(docs)
-    val bm = scoreBm25Unranked(postingsStaged(docs), termStatsStaged(docs),
-      corpusStatsStaged(docs), queries, 1.2, 0.75)
-    def pairFeature(fn: (DataFrame, Seq[String], Int) => DataFrame,
-                    cnt: String): DataFrame =
-      queries.flatMap { case (qid, terms) =>
-        terms.sliding(2).filter(_.size == 2).map(_.toSeq).toSeq.distinct
-          .map(pair => fn(p, pair, window)
-            .select(lit(qid).as("query_id"), col("doc_id"),
-              col(cnt).as("n")))
-      }.reduce(_ unionByName _)
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("n")).as("n"))
-    val ord = pairFeature(orderedWindowFrom, "n_anchors")
-    val unord = pairFeature(unorderedWindowFrom, "n_tuples")
+    // r18: the ENTIRE SDM input set derives from the ONE staged
+    // positional index plus a tokenize-free doc count — the old shape
+    // staged postings + termstats + corpusstats SEPARATELY, i.e.
+    // three full tokenize passes per invocation. Equivalences (all
+    // bit-exact, oracle hash re-proved):
+    //   tf  per (term, doc) = count of position rows   ≡ explode+count
+    //   dl  per doc         = count of position rows   ≡ size(tokens)
+    //   df  per term        = count of (term, doc) tf rows
+    //   sum_dl              = count of ALL position rows (null/empty
+    //                         text emits no positions ≡ the 0-coalesce)
+    //   n_docs              = count(*) over docs — no text read
+    // Only query-term postings are aggregated for tf/df (BM25 joins
+    // the broadcast query relation first anyway); dl/sum_dl aggregate
+    // the full index, which is the one unavoidable corpus-sized pass.
+    val qTerms = queries.flatMap(_._2).distinct
+    val tf = p.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dl = p.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val postings = dl.join(broadcast(tf), Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val termStats = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpusStats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(p.agg(count(lit(1)).as("sum_dl")))
+    val bm = scoreBm25Unranked(postings, termStats, corpusStats,
+      queries, 1.2, 0.75)
+    // r18: ONE (query_id, term_a, term_b)-driven join over the staged
+    // positional postings replaces the per-(query, pair) fan-out. The
+    // old shape instantiated orderedWindowFrom + unorderedWindowFrom
+    // once per adjacent pair per query — 2·Q·P chained joins, each
+    // re-filtering the postings relation twice — and unioned the lot.
+    // Both window features are functions of the SAME (p_a, p_b)
+    // position-pair relation, so the collapse broadcasts the tiny
+    // pair table, joins the (pruned) postings twice TOTAL, and
+    // derives both counts per (query, pair, doc) in one aggregation:
+    //   ordered anchors  = distinct p_a with p_a < p_b ≤ p_a + window
+    //                      (orderedWindowFrom's 2-term chain verbatim)
+    //   unordered tuples = all |p_b − p_a| ≤ window
+    //                      (unorderedWindowFrom's 2-term span rule;
+    //                      SDM pair features are always 2-term)
+    // then sums over pairs per (query, doc) exactly as the union +
+    // groupBy did. A (pair, doc) whose rows all fail the ordered
+    // bound contributes 0 where the old plan contributed no row —
+    // identical after the left-join coalesce. Oracle hash re-proved.
+    val pairRows = queries.flatMap { case (qid, terms) =>
+      terms.sliding(2).filter(_.size == 2).map(_.toSeq).toSeq.distinct
+        .map { case Seq(a, b) => (qid, a, b) }
+    }
+    val sparkSess = docs.sparkSession
+    import sparkSess.implicits._
+    val pairs = pairRows.toDF("query_id", "ta", "tb")
+    val touched = pairRows.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    val occ = p.filter(col("term").isin(touched: _*))
+    val occA = occ.select(col("term").as("ta"), col("doc_id"),
+      col("pos").cast("long").as("p0"))
+    val occB = occ.select(col("term").as("tb"), col("doc_id"),
+      col("pos").cast("long").as("p1"))
+    val feats = occA.join(broadcast(pairs), Seq("ta"))
+      .join(occB, Seq("doc_id", "tb"))
+      .filter(abs(col("p1") - col("p0")) <= window)
+      .groupBy(col("query_id"), col("ta"), col("tb"), col("doc_id"))
+      .agg(
+        count_distinct(when(col("p1") > col("p0") &&
+          col("p1") - col("p0") <= window, col("p0"))).as("no"),
+        count(lit(1)).as("nu"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("no")).as("__no"), sum(col("nu")).as("__nu"))
     val sdm = bm
-      .join(ord.select(col("query_id"), col("doc_id"), col("n").as("__no")),
-        Seq("query_id", "doc_id"), "left")
-      .join(unord.select(col("query_id"), col("doc_id"), col("n").as("__nu")),
-        Seq("query_id", "doc_id"), "left")
+      .join(feats, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"),
         (col("score_q") + coalesce(col("__no"), lit(0L)) * 100000000000L +
           coalesce(col("__nu"), lit(0L)) * 50000000000L).as("score_q"))
@@ -785,6 +834,22 @@ object Retrieval {
     val q = queryRelation(docs, queries).distinct()
     postingsStaged(docs)
       .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+  }
+
+  /** [[relevanceFromTerms]] over the POSITIONAL index: a posting row
+    * ≡ a distinct (term, doc) group of the position rows, so `rel`
+    * (matched query terms per doc) is identical — lets the SDM eval
+    * derive run AND qrels from the one staged positional artifact
+    * instead of staging the term-frequency postings a second time
+    * (r18; one tokenize pass per invocation, not two).
+    */
+  def relevanceFromPositions(p: DataFrame,
+                             queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val q = queryRelation(p, queries).distinct()
+    p.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term")).distinct()
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("rel"))
   }

@@ -75,18 +75,42 @@ object Sampling {
     * (`rand()` orders differ per retry; this one is bit-stable and any
     * engine with md5 reproduces it). At scale the SORT is the product
     * (`repartitionByRange` on the shuffle key when writing epochs);
-    * [[epochShuffleRank]] additionally materializes the position via a
-    * single global window — pin/debug shape, not the 100 TB path.
+    * [[epochShuffleRank]] additionally materializes the position via
+    * the same TWO-LEVEL rank as [[Packing.packBinsCounted]] (r18 —
+    * was a single global `Window.orderBy`, the one declared-query
+    * shape that funneled the corpus through one partition): one range
+    * shuffle puts rows in (shuffle key, key) order, per-partition row
+    * counts get a cumulative offset via a window over the
+    * partitions-sized relation, and each row's global rank is its
+    * partition offset plus a row_number WITHIN its partition —
+    * bit-identical ranks (row_number over a total order commutes with
+    * range partitioning on the same order), no data-sized single
+    * partition anywhere.
     */
   def epochShuffleKey(key: Column, epoch: Int): Column =
     md5(concat(lit(s"$epoch:"), key.cast("string")))
 
-  def epochShuffleRank(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
-    val k = epochShuffleKey(col(keyCol), epoch)
-    df.select(col(keyCol),
-      row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(k, col(keyCol)))
-        .cast("long").as("shuffle_rank"))
+  def epochShuffleRank(df: DataFrame, keyCol: String, epoch: Int,
+                       partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df
+      .select(col(keyCol), epochShuffleKey(col(keyCol), epoch).as("__ek"))
+      .repartitionByRange(partitions, col("__ek"), col(keyCol))
+      .sortWithinPartitions(col("__ek"), col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__off",
+        coalesce(sum(col("__pn")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pn")
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("__ek"), col(keyCol))
+    parts.join(broadcast(offsets), "__pid")
+      .select(col(keyCol),
+        (col("__off") + row_number().over(wLocal)).as("shuffle_rank"))
   }
 
   /** Deterministic exact-N uniform sample: order by md5(key), take N.
