@@ -2236,11 +2236,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val labeled = docs
         .withColumn("label", col("source").isin(NbCuratedSources: _*))
-      // the trained model (≤512 rows) is the stored artifact — staged
-      // per (session, dataset), the ivfpq/DSIR/LM discipline
-      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
-        operators.Classifier.nbTrain(labeled, buckets = 512))
-      operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
+      // r18: one-pass fused train+score (the model's class counts and
+      // the corpus term sums read the SAME pinned feature stream —
+      // nbScoreSelfTrained ≡ nbScore∘nbTrain, oracle hash re-proved)
+      operators.Classifier.nbScoreSelfTrained(labeled, buckets = 512)
     }),
     "nb_quality_scores_bigram" -> ((s, d) => {
       // The n-gram upgrade of nb_quality_scores (r11): the GPT-3-style
@@ -2253,9 +2252,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val labeled = docs
         .withColumn("label", col("source").isin(NbCuratedSources: _*))
-      val model = operators.Stage.relation(s"nb-model-bi|$d|512", Seq(labeled))(
-        operators.Classifier.nbTrain(labeled, buckets = 512, bigrams = true))
-      operators.Classifier.nbScore(docs, model, labeled, buckets = 512,
+      // r18: fused one-pass train+score; the bigram bucket family
+      // additionally concatenates row-locally instead of a second
+      // tokenize-and-union pass (verdict item 9)
+      operators.Classifier.nbScoreSelfTrained(labeled, buckets = 512,
         bigrams = true)
     }),
     "nb_auc" -> ((s, d) => {
@@ -2265,9 +2265,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val labeled = docs
         .withColumn("label", col("source").isin(NbCuratedSources: _*))
-      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
-        operators.Classifier.nbTrain(labeled, buckets = 512))
-      val scored = operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
+      // r18: fused one-pass train+score (see nb_quality_scores)
+      val scored = operators.Classifier.nbScoreSelfTrained(labeled, buckets = 512)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
       operators.Classifier.rocAuc(scored)
     }),
@@ -2278,9 +2277,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val labeled = docs
         .withColumn("label", col("source").isin(NbCuratedSources: _*))
-      val model = operators.Stage.relation(s"nb-model|$d|512", Seq(labeled))(
-        operators.Classifier.nbTrain(labeled, buckets = 512))
-      val scored = operators.Classifier.nbScore(docs, model, labeled, buckets = 512)
+      // r18: fused one-pass train+score (see nb_quality_scores)
+      val scored = operators.Classifier.nbScoreSelfTrained(labeled, buckets = 512)
         .join(labeled.select(col("doc_id"), col("label")), "doc_id")
       operators.Classifier.calibrationBins(scored)
     }),
@@ -5635,8 +5633,13 @@ object SparkEntry {
     */
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    operators.Dsir.importanceWeightsStaged(
-      docs, docs.filter(col("lang") === "en"), key = s"$d|en")
+    // r18: target = a filter of the source corpus, so the target model
+    // derives from the same pinned feature stream (one tokenize+md5
+    // pass, not two) — importanceWeightsFiltered ≡ importanceWeights
+    // on (docs, docs.filter(en)), oracle hash re-proved.
+    operators.Stage.relation(s"dsir|$d|en|4096", Seq(docs))(
+      operators.Dsir.importanceWeightsFiltered(
+        docs, col("lang") === "en"))
   }
 
   /** Staged bigram-LM doc-score relation per (session, dataset) — ONE

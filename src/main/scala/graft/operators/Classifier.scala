@@ -69,6 +69,79 @@ object Classifier {
     * counts before the exchange); token strings never shuffle, only
     * (bucket, partial counts).
     */
+  /** ONE-PASS hashed feature stream (r18): (keys…, b) from a single
+    * projection — with `bigrams`, the unigram and bigram bucket
+    * arrays concatenate row-locally and explode ONCE, where
+    * [[featureBuckets]]'s union shape scanned and tokenized the text
+    * twice. Bucket values are identical (same md5 idiom, same
+    * disjoint offset); only row order differs, and every consumer
+    * aggregates.
+    */
+  private def featureStreamKeyed(df: DataFrame, keys: Seq[Column],
+                                 textCol: String, buckets: Int,
+                                 bigrams: Boolean): DataFrame = {
+    val uniB = transform(tokens(col(textCol)),
+      w => Sampling.hashBucket(w, buckets))
+    val allB =
+      if (!bigrams) uniB
+      else concat(uniB,
+        transform(graft.functions.WordNgrams.word_ngrams(col(textCol), 2),
+          w => Sampling.hashBucket(w, buckets) + buckets))
+    // Par.widen (r18): the md5-per-token pass must not serialize on a
+    // single-file scan.
+    Par.widen(df, col("doc_id")).select(keys :+ explode(allB).as("b"): _*)
+  }
+
+  /** Train + score in ONE feature pass (r18): the model's per-bucket
+    * class counts and the corpus scoring sums read the SAME hashed
+    * feature stream — `labeled` IS the corpus with its label column,
+    * so [[nbTrain]] + [[nbScore]] tokenized and md5-hashed every
+    * token twice for one number. The stream pins per invocation
+    * (skinny (doc_id, label, bucket) rows); model and term sums are
+    * aggregations of the pinned relation. Output ≡
+    * `nbScore(labeled, nbTrain(labeled, …), labeled, …)` row for row
+    * (oracle hash re-proved on every consumer query).
+    */
+  def nbScoreSelfTrained(labeled: DataFrame, buckets: Int = 512,
+                         textCol: String = "text",
+                         labelCol: String = "label",
+                         bigrams: Boolean = false): DataFrame = {
+    val feats = featureStreamKeyed(labeled,
+        Seq(col("doc_id"), col(labelCol).as("__y")), textCol, buckets,
+        bigrams)
+      .localCheckpoint()
+    val model = feats.groupBy(col("b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
+    val b = if (bigrams) 2L * buckets else buckets.toLong
+    val totals = model.agg(
+      sum(col("c_pos")).as("__tp"), sum(col("c_neg")).as("__tn"))
+    val priors = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__nn"))
+    val termSums = feats
+      .join(broadcast(model), Seq("b"), "left")
+      .select(col("doc_id"),
+        (qln(coalesce(col("c_pos"), lit(0L)) + 1L) -
+          qln(coalesce(col("c_neg"), lit(0L)) + 1L)).as("wq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wq")).as("__sw"))
+    labeled.select(col("doc_id"), col("lang"))
+      .join(termSums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (coalesce(col("__sw"), lit(0L))
+          - coalesce(col("n_toks"), lit(0L))
+            * (qln(col("__tp") + b) - qln(col("__tn") + b))
+          + qln(col("__np")) - qln(col("__nn"))).as("__sq"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        (col("__sq").cast("double") / 1e12d).as("score"),
+        (col("__sq") > 0L).as("pred_hq"))
+      .orderBy(col("doc_id"))
+  }
+
   def nbTrain(labeled: DataFrame, buckets: Int = 512,
               textCol: String = "text",
               labelCol: String = "label",

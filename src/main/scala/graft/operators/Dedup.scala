@@ -87,7 +87,7 @@ object Dedup {
     // barrier stopped inline recomputation through pushdown but still
     // paid the scan+shingle pass per branch; the checkpoint pays it
     // once (each run still computes from the parquet input).
-    val hashed = docs
+    val hashed = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
@@ -187,7 +187,7 @@ object Dedup {
     * signature computes inside whole-stage codegen.
     */
   def simhash(docs: DataFrame, shingleK: Int = 3): DataFrame =
-    docs
+    Par.widen(docs, col("doc_id"))
       // Sealed (r17): the blank-doc filter below otherwise pushes under
       // this projection and re-runs the shingle kernel at the scan —
       // see [[graft.functions.Sealed]].
@@ -249,7 +249,7 @@ object Dedup {
   private def shingleBlocks(docs: DataFrame, shingleK: Int,
                             bucketWidth: Int, maxBlock: Int): DataFrame = {
     val wCap = Window.partitionBy(col("bucket0")).orderBy(col("doc_id"))
-    docs
+    Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         floor(col("n_chars") / bucketWidth).cast("long").as("bucket0"),
         graft.functions.WordShingleHashes
@@ -290,7 +290,8 @@ object Dedup {
     // fetches) and Spark duplicates the subtree per reference — four
     // scan+shingle passes; pin it once per invocation (each run still
     // computes from the parquet input).
-    val withSh = docs.select(col("doc_id"),
+    val withSh = Par.widen(docs, col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
@@ -430,7 +431,8 @@ object Dedup {
     // constraints in consumers) otherwise push below this projection
     // and re-run the shingle kernel inside the scan filter — one text
     // pass per reference — see [[graft.functions.Sealed]].
-    docs.select(col("doc_id"),
+    // Par.widen (r18): the kernel must not serialize on a one-task scan.
+    Par.widen(docs, col("doc_id")).select(col("doc_id"),
         graft.functions.Sealed.sealedCol(graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK)).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
@@ -615,7 +617,10 @@ object Dedup {
       .select(col("doc_id_b").as("doc_id"), inter.as("i"),
         (col("na") + col("nb")).cast("double").as("t"))
       .filter(col("i") / (col("t") - col("i")) >= threshold)
-      .select(col("doc_id")).distinct()
+      // r18: no distinct — every consumer anti-joins this relation
+      // (guide §2.4: a distinct whose consumer is a semi/anti join is
+      // a free exchange+aggregate; the join result is identical).
+      .select(col("doc_id"))
   }
 
   /** Exact substring-duplication signal at k-token span granularity
@@ -636,7 +641,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, k: Int = 20): DataFrame = {
     // localCheckpoint (r17): occ feeds the global span count and the
     // per-doc join — one ngram+hash pass, not two.
-    val occ = docs
+    val occ = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.WordNgrams.word_ngrams(col("text"), k)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("h"))
@@ -806,7 +811,7 @@ object Dedup {
                               bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
-    def hashed(docs: DataFrame) = docs
+    def hashed(docs: DataFrame) = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))
@@ -877,7 +882,7 @@ object Dedup {
                           bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
-    def hashed(docs: DataFrame) = docs
+    def hashed(docs: DataFrame) = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.WordShingleHashes
           .word_shingle_hashes(col("text"), shingleK).as("sh"))

@@ -77,7 +77,10 @@ object Multimodal {
   def syntheticMediaEncoded(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"), col("n_chars"))
+    // Par.widen (r18): codec encode is the dominant row-local cost —
+    // don't serialize it on a one-task scan.
+    Par.widen(docs.select(col("doc_id"), col("text"), col("n_chars")),
+        col("doc_id"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)

@@ -40,7 +40,7 @@ object Retrieval {
     */
   def postingsStaged(docs: DataFrame): DataFrame =
     Stage.relation("retrieval.postings", Seq(docs)) {
-      docs
+      Par.widen(docs, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
@@ -58,7 +58,7 @@ object Retrieval {
   def postingsStagedWith(docs: DataFrame, carry: Seq[String]): DataFrame =
     Stage.relation(s"retrieval.postings.${carry.mkString("+")}",
       Seq(docs)) {
-      docs
+      Par.widen(docs, col("doc_id"))
         .select(col("doc_id") +: carry.map(col) :+
           tokens(col("text")).as("__toks"): _*)
         .filter(size(col("__toks")) > 0)
@@ -105,10 +105,14 @@ object Retrieval {
     */
   def corpusStatsStaged(docs: DataFrame): DataFrame =
     Stage.relation("retrieval.corpusstats", Seq(docs)) {
-      docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("text").isNull, lit(0L))
-          .otherwise(size(tokens(col("text"))).cast("long"))).as("sum_dl"))
+      // r18: sum_dl derives from the postings artifact — Σ tf over
+      // posting rows ≡ Σ size(tokens) over docs (null/blank text
+      // emits no postings ≡ the 0-coalesce; the guard keeps an
+      // all-blank corpus at 0, not null). n_docs is a text-free row
+      // count. Was a second full tokenize pass of the corpus.
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(postingsStaged(docs)
+          .agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
     }
 
   private def queryRelation(docs: DataFrame,
@@ -402,7 +406,7 @@ object Retrieval {
     */
   def positionalPostingsStaged(docs: DataFrame): DataFrame =
     Stage.relation("retrieval.pospostings", Seq(docs)) {
-      docs
+      Par.widen(docs, col("doc_id"))
         .select(col("doc_id"), posexplode(tokens(col("text"))))
         .toDF("doc_id", "pos", "term")
     }

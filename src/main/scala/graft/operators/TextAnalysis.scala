@@ -248,7 +248,8 @@ object TextAnalysis {
     * shingle-hash sketch usable for containment estimation.
     */
   def fingerprints(docs: DataFrame, window: Int = 16, k: Int = 8): DataFrame =
-    docs.select(col("doc_id"),
+    graft.operators.Par.widen(docs, col("doc_id"))
+      .select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
         rolling_hash(col("text"), window).as("fp_rolling"),
         // bottom-k of the sorted shingle-hash set = first k elements,
@@ -346,7 +347,7 @@ object TextAnalysis {
     // localCheckpoint (r17): `tf` feeds both the df aggregate and the
     // weight join — unpinned, the tokenize+explode+count pass ran
     // twice. Skinny (doc_id, bucket, tf) rows.
-    val tf = docs
+    val tf = graft.operators.Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .select(col("doc_id"),
         graft.operators.Sampling.hashBucket(col("term"), dim).as("bucket"))
@@ -592,7 +593,7 @@ object TextAnalysis {
                      overlap: Int = 10): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens)
     val stride = chunkTokens - overlap
-    val withToks = docs
+    val withToks = graft.operators.Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
       .filter(size(col("__toks")) > 0)
     val nChunks = ceil(
@@ -764,7 +765,10 @@ object TextAnalysis {
     * tokens emit no rows (explode of an empty array).
     */
   private def docBigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Par.widen (r18): bigram assembly is the LM family's dominant
+    // row-local cost — don't serialize it on a single-file scan.
+    Par.widen(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),
@@ -801,9 +805,23 @@ object TextAnalysis {
     * exchange carries (hashable string, long) rows, never documents.
     * V rides in as a broadcast 1-row aggregate.
     */
-  def lmDocScores(docs: DataFrame): DataFrame =
-    lmDocScoresWith(docs, lmBigramCounts(docs), lmContextCounts(docs),
-      lmVocabSize(docs))
+  def lmDocScores(docs: DataFrame): DataFrame = {
+    // localCheckpoint (r18): the exploded bigram stream feeds BOTH the
+    // training counts (bigram + context) and the scoring join —
+    // unpinned, the tokenize + bigram assembly re-ran three times per
+    // invocation (counts, context via counts, scoring); with the
+    // honest per-rep Stage rebuild that was the whole cost of
+    // lm_doc_scores (1.77 s/rep → ~1.0). Vocab keeps its own pass:
+    // single-token docs' words appear in no bigram, so V is not
+    // derivable from the stream. Per-invocation pin, skinny
+    // (doc_id, bigram) rows.
+    val bi = docBigrams(docs).localCheckpoint()
+    val bg = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val ctx = bg
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    lmDocScoresFromBigrams(docs, bi, bg, ctx, lmVocabSize(docs))
+  }
 
   /** [[lmDocScores]], staged per (session, `key`, docs plan
     * fingerprint) via the shared [[Stage]] memo — the in-process twin
@@ -836,8 +854,18 @@ object TextAnalysis {
     * never rescans the training corpus.
     */
   def lmDocScoresWith(docs: DataFrame, bgCounts: DataFrame,
-                      ctxCounts: DataFrame, vocab: DataFrame): DataFrame = {
-    val bi = docBigrams(docs)
+                      ctxCounts: DataFrame, vocab: DataFrame): DataFrame =
+    lmDocScoresFromBigrams(docs, docBigrams(docs), bgCounts, ctxCounts,
+      vocab)
+
+  /** [[lmDocScoresWith]] over an ALREADY-BUILT bigram stream — the
+    * hook [[lmDocScores]] uses to share its pinned stream between
+    * training counts and scoring (r18). Same expressions verbatim.
+    */
+  private def lmDocScoresFromBigrams(docs: DataFrame, bi: DataFrame,
+                                     bgCounts: DataFrame,
+                                     ctxCounts: DataFrame,
+                                     vocab: DataFrame): DataFrame = {
     val nllq = bi
       .join(bgCounts, "bigram")
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -871,7 +899,9 @@ object TextAnalysis {
     * contract of [[lmDocScores]] carries over unchanged.
     */
   def lmDocScoresByLang(docs: DataFrame): DataFrame = {
-    val bi = docBigramsByLang(docs)
+    // localCheckpoint (r18): same pin as [[lmDocScores]] — bi feeds
+    // the per-lang counts AND the scoring join.
+    val bi = docBigramsByLang(docs).localCheckpoint()
     val bgCounts = bi.groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("c_bg"))
     val ctxCounts = bgCounts
@@ -912,7 +942,8 @@ object TextAnalysis {
     * training key for [[lmDocScoresByLang]].
     */
   private def docBigramsByLang(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    Par.widen(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
         explode(when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),

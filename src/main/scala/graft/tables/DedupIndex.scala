@@ -59,6 +59,17 @@ object DedupIndex {
     */
   def create(spark: SparkSession, corpus: DataFrame, dir: String,
              shingleK: Int = 3, threshold: Double = 0.5): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // Overlap independent jobs (guide §2.6): the params write shares
+    // no lineage with the artifact chain — run it while the toks →
+    // df → pref chain (which IS sequentially dependent) executes.
+    val paramsF = Future {
+      spark.range(1)
+        .select(lit(shingleK).as("shingle_k"), lit(threshold).as("threshold"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+    }
     Dedup.shingleSets(corpus, shingleK)
       .write.mode("overwrite").parquet(s"$dir/toks_seed")
     val toks = spark.read.parquet(s"$dir/toks_seed")
@@ -67,9 +78,7 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$dir/df")
     Dedup.prefixPostings(toks, spark.read.parquet(s"$dir/df"), threshold)
       .write.mode("overwrite").parquet(s"$dir/pref_seed")
-    spark.range(1)
-      .select(lit(shingleK).as("shingle_k"), lit(threshold).as("threshold"))
-      .write.mode("overwrite").parquet(s"$dir/params")
+    Await.result(paramsF, Duration.Inf)
     paramsMemo.put(dir, (shingleK, threshold))
   }
 
@@ -96,13 +105,25 @@ object DedupIndex {
     */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              batchId: Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val (shingleK, threshold) = params(spark, dir)
-    Dedup.shingleSets(batch, shingleK)
-      .write.mode("overwrite").parquet(s"$dir/toks_batch_$batchId")
-    Dedup.prefixPostings(
-        spark.read.parquet(s"$dir/toks_batch_$batchId"),
-        spark.read.parquet(s"$dir/df"), threshold)
-      .write.mode("overwrite").parquet(s"$dir/pref_batch_$batchId")
+    // r18: the batch's shingle sets pin once in memory, and the two
+    // artifact writes — which no longer depend on each other once
+    // both read the pin — run as concurrent jobs (guide §2.6). Both
+    // complete before append returns, so dedupBatchStored's read-back
+    // contract and the redelivery-overwrite semantics are unchanged.
+    val toks = Dedup.shingleSets(batch, shingleK).localCheckpoint()
+    val toksF = Future {
+      toks.write.mode("overwrite").parquet(s"$dir/toks_batch_$batchId")
+    }
+    val prefF = Future {
+      Dedup.prefixPostings(toks, spark.read.parquet(s"$dir/df"), threshold)
+        .write.mode("overwrite").parquet(s"$dir/pref_batch_$batchId")
+    }
+    Await.result(toksF, Duration.Inf)
+    Await.result(prefF, Duration.Inf)
   }
 
   /** Batch roots with id < `before` (local listing — the harness runs

@@ -49,6 +49,22 @@ class ClassifierSpec extends SparkSpec {
     assert(blank.getLong(2) === 0L)
   }
 
+  test("nbScoreSelfTrained ≡ nbScore ∘ nbTrain, uni and bigram (r18 fused path)") {
+    // the fused path's contract is labeled = the corpus with its
+    // label column (exactly how every SparkEntry consumer builds it)
+    val labeledFull = corpus.withColumn("label",
+      $"doc_id".isin(0L, 1L) || $"doc_id" === 4L)
+    for (bigrams <- Seq(false, true)) {
+      val model = Classifier.nbTrain(labeledFull, buckets = 64,
+        bigrams = bigrams)
+      val old = Classifier.nbScore(corpus, model, labeledFull, buckets = 64,
+        bigrams = bigrams).collect().toSeq
+      val fused = Classifier.nbScoreSelfTrained(labeledFull, buckets = 64,
+        bigrams = bigrams).collect().toSeq
+      assert(fused === old, s"bigrams=$bigrams")
+    }
+  }
+
   test("the classifier separates the planted domains") {
     val model = Classifier.nbTrain(labeled, buckets = 64)
     val scores = Classifier.nbScore(corpus, model, labeled, buckets = 64)

@@ -33,6 +33,14 @@ class DsirSpec extends SparkSpec {
     assert(row === 23L)
   }
 
+  test("importanceWeightsFiltered ≡ importanceWeights on a filtered target (r18)") {
+    val full = Dsir.importanceWeights(docs, docs.filter($"lang" === "en"))
+      .orderBy($"doc_id").collect().toSeq
+    val fused = Dsir.importanceWeightsFiltered(docs, $"lang" === "en")
+      .orderBy($"doc_id").collect().toSeq
+    assert(fused === full)
+  }
+
   test("select keeps the top-n by importance, deterministically") {
     val top = Dsir.select(docs, docs.filter($"lang" === "en"), 3)
       .select("doc_id").as[Long].collect().toSet
