@@ -764,17 +764,24 @@ object TextAnalysis {
     * deduplicates: an LM counts every occurrence. Docs under two
     * tokens emit no rows (explode of an empty array).
     */
-  private def docBigrams(docs: DataFrame): DataFrame =
-    // Par.widen (r18): bigram assembly is the LM family's dominant
-    // row-local cost — don't serialize it on a single-file scan.
+  /** (doc_id, toks) — the ONE tokenize pass the n-gram builders
+    * share (r18); widened so the parse never serializes on a
+    * single-file scan.
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
     Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ",
-              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-          .otherwise(array())).as("bigram"))
+
+  private def bigramsFromToks(toked: DataFrame): DataFrame =
+    toked.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array())).as("bigram"))
+
+  private def docBigrams(docs: DataFrame): DataFrame =
+    bigramsFromToks(tokenized(docs))
 
   /** Bigram LM training table: corpus-wide occurrence counts. One
     * explode + one map-side-combined groupBy over skinny strings —
@@ -815,12 +822,18 @@ object TextAnalysis {
     // single-token docs' words appear in no bigram, so V is not
     // derivable from the stream. Per-invocation pin, skinny
     // (doc_id, bigram) rows.
-    val bi = docBigrams(docs).localCheckpoint()
+    // r18b: the vocab pass derives from the same pinned token arrays
+    // (it needs isolated tokens, which the bigram stream loses) — one
+    // parse per invocation total.
+    val toked = tokenized(docs).localCheckpoint()
+    val bi = bigramsFromToks(toked).localCheckpoint()
     val bg = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
     val ctx = bg
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c_bg")).as("c_ctx"))
-    lmDocScoresFromBigrams(docs, bi, bg, ctx, lmVocabSize(docs))
+    val vocab = toked.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_size"))
+    lmDocScoresFromBigrams(docs, bi, bg, ctx, vocab)
   }
 
   /** [[lmDocScores]], staged per (session, `key`, docs plan
@@ -1077,9 +1090,8 @@ object TextAnalysis {
     * and context joins key on plain equality in both engines. Docs
     * under three tokens emit no rows.
     */
-  private def docTrigramParts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
+  private def trigramsFromToks(toked: DataFrame): DataFrame =
+    toked.select(col("doc_id"),
         explode(when(size(col("toks")) >= 3,
           transform(sequence(lit(1), size(col("toks")) - 2),
             i => struct(
@@ -1088,6 +1100,9 @@ object TextAnalysis {
               element_at(col("toks"), i + 2).as("w3"))))
           .otherwise(array())).as("tg"))
       .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+
+  private def docTrigramParts(docs: DataFrame): DataFrame =
+    trigramsFromToks(tokenized(docs))
 
   /** Trigram LM training table: corpus-wide occurrence counts. Same
     * distributed shape as [[lmBigramCounts]] — one explode + one
@@ -1145,10 +1160,23 @@ object TextAnalysis {
     * keys; N rides in as a broadcast 1-row aggregate) and ends in one
     * groupBy(doc_id). No exchange ever carries a document.
     */
-  def lmTrigramDocScores(train: DataFrame, docs: DataFrame): DataFrame =
+  def lmTrigramDocScores(train: DataFrame, docs: DataFrame): DataFrame = {
+    // localCheckpoint (r18): the four training relations (trigram /
+    // bigram / unigram counts + total) each re-tokenized the training
+    // slice — FOUR parse passes per invocation; they all derive from
+    // the one pinned (doc_id, toks) relation now. Same expressions,
+    // same counts — the pin only changes where the parse happens.
+    val toked = tokenized(train).localCheckpoint()
     lmTrigramDocScoresWith(docs,
-      lmTrigramCounts(train), lmBigramCounts(train),
-      lmUnigramCounts(train), lmTokenTotal(train))
+      trigramsFromToks(toked).groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c_tg")),
+      bigramsFromToks(toked).groupBy(col("bigram"))
+        .agg(count(lit(1)).as("c_bg")),
+      toked.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_uni")),
+      toked.select(size(col("toks")).cast("long").as("n"))
+        .agg(sum(col("n")).as("n_total")))
+  }
 
   /** [[lmTrigramDocScores]] against an EXTERNAL model — the
     * train-once / score-many entry point

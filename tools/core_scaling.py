@@ -70,18 +70,28 @@ def main():
         out[cpus] = run_bench(sf_dir, queries, reps, cpus)
         with open(f"/tmp/core_scaling_c{cpus}.json", "w") as fh:
             json.dump(out[cpus], fh)
-    print(f"{'query':38s} {'c8':>8s} {'c32':>8s} {'c8/c32':>7s}")
+    # Medians AND trimmed minima: on a shared box ambient load and JVM
+    # pressure are ADDITIVE noise (the scale_curve.py rationale), and
+    # at 32 resident task threads one GC-pressured rep can be 5x — the
+    # per-count MINIMUM tracks the true cost of the shape.
+    print(f"{'query':38s} {'c8':>8s} {'c32':>8s} {'med8/32':>8s} "
+          f"{'min8':>8s} {'min32':>8s} {'min8/32':>8s}")
     rows = []
     for q in queries:
         a = out[8]["queries"].get(q)
         b = out[32]["queries"].get(q)
+        ma = out[8]["spread"].get(q, [None])[0]
+        mb = out[32]["spread"].get(q, [None])[0]
         r = (a / b) if a and b else None
-        rows.append((q, a, b, r))
+        rm = (ma / mb) if ma and mb else None
+        rows.append((q, a, b, r, ma, mb, rm))
         print(f"{q:38s} {a or float('nan'):8.2f} {b or float('nan'):8.2f} "
-              f"{r or float('nan'):7.2f}")
+              f"{r or float('nan'):8.2f} {ma or float('nan'):8.2f} "
+              f"{mb or float('nan'):8.2f} {rm or float('nan'):8.2f}")
     with open("/tmp/core_scaling_summary.json", "w") as fh:
-        json.dump([{"query": q, "c8": a, "c32": b, "ratio": r}
-                   for q, a, b, r in rows], fh, indent=1)
+        json.dump([{"query": q, "c8": a, "c32": b, "ratio": r,
+                    "min8": ma, "min32": mb, "min_ratio": rm}
+                   for q, a, b, r, ma, mb, rm in rows], fh, indent=1)
 
 
 if __name__ == "__main__":
